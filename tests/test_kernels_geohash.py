@@ -1,0 +1,127 @@
+"""Geohash kernel parity with reference vectors.
+
+Vectors from /root/reference/src/commonTest/kotlin/com/jillesvangurp/geogeometry/GeoHashUtilsTest.kt
+"""
+
+import numpy as np
+import pytest
+
+from geogeometry_spark.kernels import geohash as gh
+
+# GeoHashUtilsTest.kt:34-37 — (lat, lon, hash)
+VECTORS = [
+    (0.1, -0.1, "ebpbtdpntc6e"),
+    (52.530888, 13.394904, "u33dbfcyegk2"),
+]
+
+
+@pytest.mark.parametrize("lat,lon,expected", VECTORS)
+def test_encode_reference_vectors(lat, lon, expected):
+    assert str(gh.encode(lat, lon, 12)[0]) == expected
+
+
+@pytest.mark.parametrize("lat,lon,expected", VECTORS)
+def test_encode_morton_matches_reference(lat, lon, expected):
+    assert str(gh.encode_morton(lat, lon, 12)[0]) == expected
+
+
+@pytest.mark.parametrize("lat,lon,h", VECTORS)
+def test_decode_is_bbox_center(lat, lon, h):
+    # GeoHashUtilsTest.kt:39-47: decoded center approximates input
+    lon_d, lat_d = gh.decode(np.array([h]))
+    assert abs(lat_d[0] - lat) < 0.00001
+    assert abs(lon_d[0] - lon) < 0.00001
+
+
+@pytest.mark.parametrize("lat,lon,h", VECTORS)
+def test_contains(lat, lon, h):
+    # GeoHashUtilsTest.kt:58-62: contains own point, not swapped coords
+    assert gh.contains(h, lat, lon)
+    assert not gh.contains(h, lon, lat)
+
+
+def test_encode_decode_roundtrip_random():
+    rng = np.random.default_rng(42)
+    lat = rng.uniform(-90, 90, 5000)
+    lon = rng.uniform(-180, 180, 5000)
+    for length in (1, 3, 5, 7, 12):
+        hashes = gh.encode(lat, lon, length)
+        w, s, e, n = gh.decode_bbox(hashes)
+        assert ((s <= lat) & (lat <= n)).all()
+        assert ((w <= lon) & (lon <= e)).all()
+
+
+def test_morton_matches_bisection_random():
+    """The Spark-native scaled-integer formulation must agree with the
+    reference bisection everywhere, including cell-boundary values."""
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-90, 90, 20000)
+    lon = rng.uniform(-180, 180, 20000)
+    # adversarial exact-boundary values (dyadic fractions of the ranges)
+    edge_lat = np.array([0.0, 45.0, -45.0, 22.5, -22.5, 90.0, -90.0, 0.001, -0.001, 85.05112878])
+    edge_lon = np.array([0.0, 90.0, -90.0, 45.0, -45.0, 180.0, -180.0, 0.001, -0.001, 13.394904])
+    lat = np.concatenate([lat, edge_lat, np.zeros(10)])
+    lon = np.concatenate([lon, edge_lon, edge_lon])
+    # 3-decimal grid like the deterministic doc coordinates
+    grid = np.round(rng.uniform(-85, 85, 20000), 3)
+    gridlon = np.round(rng.uniform(-175, 175, 20000), 3)
+    lat = np.concatenate([lat, grid])
+    lon = np.concatenate([lon, gridlon])
+    for length in (1, 2, 5, 6, 7, 12):
+        a = gh.encode(lat, lon, length)
+        b = gh.encode_morton(lat, lon, length)
+        mismatch = a != b
+        assert not mismatch.any(), (
+            f"len={length}: {lat[mismatch][:5]}, {lon[mismatch][:5]}: "
+            f"{a[mismatch][:5]} != {b[mismatch][:5]}"
+        )
+
+
+def test_neighbors_geometry():
+    # GeoHashUtilsTest.kt:194-300 — neighbor bboxes adjoin in the right
+    # direction and share the perpendicular span.
+    h = "u33dbfc"
+    w, s, e, n = gh.decode_bbox_scalar(h)
+    nw, ns, ne, nn = gh.decode_bbox_scalar(str(gh.north(np.array([h]))[0]))
+    assert ns == pytest.approx(n, abs=1e-12)
+    sw_, ss, se_, sn = gh.decode_bbox_scalar(str(gh.south(np.array([h]))[0]))
+    assert sn == pytest.approx(s, abs=1e-12)
+    ew, _, _, _ = gh.decode_bbox_scalar(str(gh.east(np.array([h]))[0]))
+    assert ew == pytest.approx(e, abs=1e-12)
+    _, _, we, _ = gh.decode_bbox_scalar(str(gh.west(np.array([h]))[0]))
+    assert we == pytest.approx(w, abs=1e-12)
+
+
+def test_east_west_dateline():
+    # GeoHashUtilsTest.kt:354-371 — hopping east across the dateline wraps
+    h = str(gh.encode(0.0, 179.9, 3)[0])
+    e = str(gh.east(np.array([h]))[0])
+    w_, s_, e_, n_ = gh.decode_bbox_scalar(e)
+    assert w_ <= -180 + 1e-9 or gh.is_east(w_, 179.9) or w_ < 0
+
+
+def test_sub_hashes():
+    # GeoHashUtilsTest.kt:497-501
+    subs = gh.sub_hashes("u33dbfc")
+    assert len(subs) == 32
+    assert subs[0] == "u33dbfc0"
+    assert subs[-1] == "u33dbfcz"
+
+
+def test_is_west_is_east():
+    # GeoHashUtilsTest.kt:406-449 truth table incl. antimeridian
+    assert gh.is_west(-1.0, 1.0)
+    assert not gh.is_west(1.0, -1.0)
+    assert gh.is_west(179.0, -179.0)  # just west across the dateline
+    assert gh.is_east(-179.0, 179.0)
+    assert gh.is_east(1.0, -1.0)
+    assert not gh.is_east(-1.0, 1.0)
+    assert not gh.is_west(1.0, 1.0)
+    assert not gh.is_east(1.0, 1.0)
+
+
+def test_suitable_hash_length():
+    n = gh.suitable_hash_length(1000.0, 52.0, 13.0)
+    assert 1 <= n <= 12
+    # a smaller granularity needs a longer (finer) hash
+    assert gh.suitable_hash_length(10.0, 52.0, 13.0) >= n

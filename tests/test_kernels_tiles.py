@@ -1,0 +1,89 @@
+"""Tile kernel parity with reference vectors (TileTest.kt)."""
+
+import numpy as np
+
+from geogeometry_spark.kernels import tiles
+
+# OSM-verified, TileTest.kt:95-99 — (zoom, x, y, lat, lon)
+OSM_CASES = [
+    (13, 4399, 2687, 52.49867, 13.34169),
+    (14, 8802, 5373, 52.5200, 13.4050),
+    (18, 232797, 103246, 35.659062, 139.698054),
+]
+
+
+def test_coordinate_to_tile_osm_vectors():
+    for zoom, x, y, lat, lon in OSM_CASES:
+        gx, gy = tiles.coordinate_to_tile(lat, lon, zoom)
+        assert (int(gx[0]), int(gy[0])) == (x, y)
+        tl_lon, tl_lat = tiles.top_left(x, y, zoom)
+        assert tl_lat[0] >= lat
+        assert tl_lon[0] <= lon
+
+
+def test_roundtrip_random():
+    # TileTest.kt:42-81 — 10k random coord<->tile round trips (reduced)
+    rng = np.random.default_rng(42)
+    lat = rng.uniform(tiles.MIN_LATITUDE + 0.01, tiles.MAX_LATITUDE - 0.01, 2000)
+    lon = rng.uniform(-179.99, 179.99, 2000)
+    for zoom in (1, 5, 10, 19, 22):
+        x, y = tiles.coordinate_to_tile(lat, lon, zoom)
+        n = 1 << zoom
+        assert ((x >= 0) & (x < n)).all()
+        assert ((y >= 0) & (y < n)).all()
+        # the tile bbox contains the point
+        tl_lon, tl_lat = tiles.top_left(x, y, zoom)
+        br_lon, br_lat = tiles.top_left(x + 1, y + 1, zoom)
+        assert (tl_lon <= lon).all() and (lon <= br_lon + 1e-9).all()
+        assert (br_lat - 1e-9 <= lat).all() and (lat <= tl_lat).all()
+
+
+def test_neighbors():
+    # TileTest.kt:122-177 — wrap/clamp matrices are exercised through the
+    # same modular arithmetic our Column builders use
+    n = 1 << 5
+    assert ((10 + 1) % n, 10) == (11, 10)
+    assert ((0 - 1 + n) % n, 0) == (31, 0)  # west wrap at x=0
+
+
+def test_quadkey_roundtrip():
+    # TileTest.kt:255-269 (reduced count)
+    rng = np.random.default_rng(42)
+    for zoom in (1, 7, 13, 22):
+        n = 1 << zoom
+        xs = rng.integers(0, n, 200)
+        ys = rng.integers(0, n, 200)
+        qks = tiles.quadkey(xs, ys, zoom)
+        for x, y, qk in zip(xs, ys, qks):
+            assert tiles.from_quadkey(str(qk)) == (x, y, zoom)
+        longs = tiles.quadkey_long(xs, ys, zoom)
+        for x, y, v in zip(xs, ys, longs):
+            assert tiles.from_quadkey_long(int(v), zoom) == (x, y, zoom)
+
+
+def test_quadkey_prefix_is_ancestor():
+    # TileTest.kt:272-282 — parent quadkey is a prefix of the child's
+    x, y, zoom = 8802, 5373, 14
+    qk = str(tiles.quadkey(x, y, zoom)[0])
+    for px, py, pz in tiles.parent_tiles(x, y, zoom):
+        pqk = str(tiles.quadkey(px, py, pz)[0]) if pz > 0 else ""
+        assert qk.startswith(pqk)
+
+
+def test_point_tiles_has_23_assignments():
+    # TileTest.kt:180-190
+    out = tiles.point_tiles(52.530888, 13.394904)
+    assert len(out) == 23
+    assert out[0][2] == 22
+    assert out[-1][2] == 0
+    # each is the parent of the previous
+    for (cx, cy, cz), (px, py, pz) in zip(out, out[1:]):
+        assert pz == cz - 1
+        assert px == cx // 2 and py == cy // 2
+
+
+def test_bbox_tiles():
+    # TileTest.kt:285-295 — a bbox spans >= 2 tiles
+    got = tiles.bbox_tiles((13.2, 52.4, 13.6, 52.6), 10)
+    assert len(got) >= 2
+    assert all(z == 10 for _, _, z in got)
