@@ -1,0 +1,560 @@
+"""Driver-contract queries and their DuckDB oracles.
+
+Every entry in QUERIES is a Spark implementation of an operator from
+SURVEY.md §2 (or a training-data-pipeline operator); ORACLES holds the
+equivalent ANSI SQL DuckDB runs on the same parquet views.  Both sides
+compute the same float64 operation order, so value hashes match exactly
+for pure-arithmetic results; results derived through libm transcendentals
+(sin/cos/ln/atan2 — not bit-specified across JVM and C libm) are rounded
+to 3 decimals on BOTH sides (1 ulp at 1e7 magnitude is ~1e-9, so the
+only mismatch risk is a value within 1e-9 of a 0.0005 rounding boundary).
+
+Ground-truth coordinates derive from doc_id by pure BIGINT arithmetic
+(sources.tables), identical in both engines, so oracles never need the
+lookaround regex (DuckDB's RE2 doesn't support it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fixtures import BIG_RING, CONCAVE_RING, SMALL_RING
+from .functions import columns as C
+from .operators import dedup, similarity, text
+from .operators.extract import extract_coordinates
+from .operators.knn import knn, knn_window
+from .operators.pip_join import pip_join, radius_join
+from .operators.prefix_scan import prefix_filter_long
+from .operators.skew import salted_agg
+from .operators.tiling import assign_tiles, tile_heatmap
+from .operators.multimodal import extract_media_features, media_spans
+from .functions.udfs import vincenty_full
+from .sources import tables as src
+
+BERLIN = (52.530888, 13.394904)  # GeoHashUtilsTest.kt:30 vector point
+
+_COORD_SUBQ = (
+    f"(SELECT doc_id, {src.LAT_SQL} AS lat, {src.LON_SQL} AS lon FROM documents)"
+)
+
+
+def _docs_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return src.with_true_coords(src.load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lat", "lon"
+    )
+
+
+def _with_cell(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "cell_id", C.geohash_interleaved(F.col("lat"), F.col("lon"), 12)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 extraction
+# --------------------------------------------------------------------------
+
+def q_extract_coords(spark, sf_dir):
+    docs = src.documents_with_spans(spark, sf_dir)
+    return extract_coordinates(docs, keep_spans=False).select("doc_id", "lat", "lon")
+
+
+O_EXTRACT = (
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    f"{src.LAT_SQL} AS lat, {src.LON_SQL} AS lon "
+    "FROM documents WHERE doc_id % 10 < 6"
+)
+
+
+# --------------------------------------------------------------------------
+# §2.4 cell indexing
+# --------------------------------------------------------------------------
+
+def q_geohash_encode(spark, sf_dir):
+    df = _docs_coords(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        C.geohash(F.col("lat"), F.col("lon"), 12).alias("cell12"),
+        C.geohash(F.col("lat"), F.col("lon"), 5).alias("cell5"),
+        C.geohash_interleaved(F.col("lat"), F.col("lon"), 12).alias("cell_id"),
+    )
+
+
+O_GEOHASH = (
+    "SELECT doc_id, "
+    f"{C.geohash_sql('lat', 'lon', 12)} AS cell12, "
+    f"{C.geohash_sql('lat', 'lon', 5)} AS cell5, "
+    f"{C.geohash_long_sql('lat', 'lon', 12)} AS cell_id "
+    f"FROM {_COORD_SUBQ}"
+)
+
+
+def q_tile_assign(spark, sf_dir):
+    df = _docs_coords(spark, sf_dir)
+    return assign_tiles(df, zooms=[8, 12, 16, 22]).select(
+        "doc_id", "zoom", "tile_x", "tile_y"
+    )
+
+
+def _tile_oracle() -> str:
+    x22, y22 = C.tile_xy_sql("lat", "lon", 22)
+    sub = f"(SELECT doc_id, {x22} AS x22, {y22} AS y22 FROM {_COORD_SUBQ})"
+    selects = [
+        f"SELECT doc_id, {z} AS zoom, "
+        f"CAST(x22 >> {22 - z} AS INT) AS tile_x, "
+        f"CAST(y22 >> {22 - z} AS INT) AS tile_y FROM {sub}"
+        for z in (8, 12, 16, 22)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+def q_quadkey(spark, sf_dir):
+    df = _docs_coords(spark, sf_dir)
+    x, y = C.tile_xy(F.col("lat"), F.col("lon"), 12)
+    df = df.select("doc_id", x.alias("tx"), y.alias("ty"))
+    return df.select(
+        "doc_id",
+        F.col("tx").alias("tile_x"),
+        F.col("ty").alias("tile_y"),
+        C.quadkey(F.col("tx"), F.col("ty"), 12).alias("qk"),
+        C.quadkey_long(F.col("tx"), F.col("ty"), 12).alias("qk_long"),
+    )
+
+
+def _quadkey_oracle() -> str:
+    x, y = C.tile_xy_sql("lat", "lon", 12)
+    sub = f"(SELECT doc_id, {x} AS tx, {y} AS ty FROM {_COORD_SUBQ})"
+    return (
+        "SELECT doc_id, tx AS tile_x, ty AS tile_y, "
+        f"{C.quadkey_sql('tx', 'ty', 12)} AS qk, "
+        f"{C.quadkey_long_sql('tx', 'ty', 12)} AS qk_long FROM {sub}"
+    )
+
+
+def q_prefix_scan(spark, sf_dir):
+    df = _with_cell(_docs_coords(spark, sf_dir))
+    return prefix_filter_long(df, "u33").select(
+        "doc_id", C.geohash_render(F.col("cell_id"), 12).alias("cell12")
+    )
+
+
+O_PREFIX = (
+    f"SELECT doc_id, cell12 FROM (SELECT doc_id, "
+    f"{C.geohash_sql('lat', 'lon', 12)} AS cell12 FROM {_COORD_SUBQ}) "
+    "WHERE substr(cell12, 1, 3) = 'u33'"
+)
+
+
+# --------------------------------------------------------------------------
+# §2.2 / §2.8 filters and joins
+# --------------------------------------------------------------------------
+
+def q_bbox_filter(spark, sf_dir):
+    df = _docs_coords(spark, sf_dir)
+    return df.where(
+        C.bbox_contains(F.col("lat"), F.col("lon"), 170.0, -30.0, -170.0, 30.0)
+    ).select("doc_id", "lat", "lon")
+
+
+O_BBOX = (
+    f"SELECT doc_id, lat, lon FROM {_COORD_SUBQ} WHERE "
+    + C.bbox_contains_sql("lat", "lon", 170.0, -30.0, -170.0, 30.0)
+)
+
+
+def q_pip_join(spark, sf_dir):
+    df = _with_cell(_docs_coords(spark, sf_dir))
+    return pip_join(df, max_length=6).select("doc_id", "polygon_id")
+
+
+def _pip_oracle() -> str:
+    selects = [
+        f"SELECT doc_id, '{pid}' AS polygon_id FROM {_COORD_SUBQ} "
+        f"WHERE {C.pip_sql('lat', 'lon', ring)}"
+        for pid, ring in (
+            ("berlin_big_ring", BIG_RING),
+            ("berlin_small_ring", SMALL_RING),
+            ("berlin_concave", CONCAVE_RING),
+        )
+    ]
+    return " UNION ALL ".join(selects)
+
+
+def q_radius_join(spark, sf_dir):
+    df = _with_cell(_docs_coords(spark, sf_dir))
+    out = radius_join(df, BERLIN[0], BERLIN[1], 4000.0, max_length=6)
+    return out.select("doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3"))
+
+
+O_RADIUS = (
+    f"SELECT doc_id, round(d, 3) AS dist_r3 FROM (SELECT doc_id, "
+    f"{C.haversine_sql('lat', 'lon', repr(BERLIN[0]), repr(BERLIN[1]))} AS d "
+    f"FROM {_COORD_SUBQ}) WHERE d <= 4000.0"
+)
+
+
+def q_knn(spark, sf_dir):
+    df = _with_cell(_docs_coords(spark, sf_dir))
+    out = knn(df, [("berlin", BERLIN[0], BERLIN[1])], k=10, precision=5)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3")
+    )
+
+
+O_KNN = (
+    "SELECT 'berlin' AS query_id, rank, doc_id, round(d, 3) AS dist_r3 FROM ("
+    "SELECT doc_id, d, CAST(ROW_NUMBER() OVER (ORDER BY d ASC, doc_id ASC) AS INT) AS rank "
+    f"FROM (SELECT doc_id, {C.haversine_sql('lat', 'lon', repr(BERLIN[0]), repr(BERLIN[1]))} AS d "
+    f"FROM {_COORD_SUBQ})) WHERE rank <= 10"
+)
+
+
+def q_knn_window(spark, sf_dir):
+    df = _docs_coords(spark, sf_dir)
+    queries = [
+        ("brandenburger_tor", 52.516279, 13.377157),
+        ("moritzplatz", 52.503663, 13.410717),
+    ]
+    out = knn_window(df, queries, k=5)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3")
+    )
+
+
+O_KNN_WINDOW = " UNION ALL ".join(
+    "SELECT query_id, rank, doc_id, round(d, 3) AS dist_r3 FROM ("
+    f"SELECT '{qid}' AS query_id, doc_id, d, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY d ASC, doc_id ASC) AS INT) AS rank "
+    f"FROM (SELECT doc_id, {C.haversine_sql('lat', 'lon', repr(qlat), repr(qlon))} AS d "
+    f"FROM {_COORD_SUBQ})) WHERE rank <= 5"
+    for qid, qlat, qlon in (
+        ("brandenburger_tor", 52.516279, 13.377157),
+        ("moritzplatz", 52.503663, 13.410717),
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# §2.6 distances
+# --------------------------------------------------------------------------
+
+def q_distances(spark, sf_dir):
+    df = _docs_coords(spark, sf_dir)
+    qlat, qlon = F.lit(BERLIN[0]), F.lit(BERLIN[1])
+    return df.select(
+        "doc_id",
+        F.round(C.haversine(F.col("lat"), F.col("lon"), qlat, qlon), 3).alias(
+            "hav_r3"
+        ),
+        F.round(C.equirectangular(F.col("lat"), F.col("lon"), qlat, qlon), 3).alias(
+            "eq_r3"
+        ),
+        F.round(C.heading(F.col("lat"), F.col("lon"), qlat, qlon), 3).alias(
+            "heading_r3"
+        ),
+    )
+
+
+def _distances_oracle() -> str:
+    qlat, qlon = repr(BERLIN[0]), repr(BERLIN[1])
+    hav = C.haversine_sql("lat", "lon", qlat, qlon)
+    deg2rad = repr(C.DEG2RAD)
+    x = f"((({qlon}) - lon) * {deg2rad} * cos(((lat + ({qlat})) / 2) * {deg2rad}))"
+    y = f"((({qlat}) - lat) * {deg2rad})"
+    eq = f"(sqrt({x} * {x} + {y} * {y}) * {C.EARTH_RADIUS_METERS!r})"
+    head = C.heading_sql("lat", "lon", qlat, qlon)
+    return (
+        f"SELECT doc_id, round({hav}, 3) AS hav_r3, round({eq}, 3) AS eq_r3, "
+        f"round({head}, 3) AS heading_r3 FROM {_COORD_SUBQ}"
+    )
+
+
+def q_vincenty(spark, sf_dir):
+    # iterative kernel -> no SQL oracle (rows-only check by the driver)
+    df = _docs_coords(spark, sf_dir)
+    v = vincenty_full(
+        F.col("lat"), F.col("lon"), F.lit(BERLIN[0]), F.lit(BERLIN[1])
+    )
+    return df.select(
+        "doc_id",
+        F.round(v["distance_m"], 3).alias("vincenty_r3"),
+        F.round(v["initial_bearing"], 3).alias("bearing_r3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 aggregations / skew
+# --------------------------------------------------------------------------
+
+def q_tile_heatmap(spark, sf_dir):
+    df = _docs_coords(spark, sf_dir)
+    return tile_heatmap(df, zooms=[8, 12]).select("zoom", "tile_x", "tile_y", "n")
+
+
+def _heatmap_oracle() -> str:
+    x22, y22 = C.tile_xy_sql("lat", "lon", 22)
+    sub = f"(SELECT doc_id, {x22} AS x22, {y22} AS y22 FROM {_COORD_SUBQ})"
+    selects = [
+        f"SELECT {z} AS zoom, CAST(x22 >> {22 - z} AS INT) AS tile_x, "
+        f"CAST(y22 >> {22 - z} AS INT) AS tile_y, count(*) AS n FROM {sub} "
+        "GROUP BY 1, 2, 3"
+        for z in (8, 12)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+def q_salted_cell_counts(spark, sf_dir):
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("cell5", C.geohash(F.col("lat"), F.col("lon"), 5))
+    out = salted_agg(
+        df,
+        "cell5",
+        {"n": (F.count(F.lit(1)), F.sum)},
+        target_rows_per_task=100,  # force salting of the Berlin hot cell
+        seed_col="doc_id",
+    )
+    return out.select("cell5", F.col("n").cast("long").alias("n"))
+
+
+O_SALTED = (
+    f"SELECT cell5, count(*) AS n FROM (SELECT "
+    f"{C.geohash_sql('lat', 'lon', 5)} AS cell5 FROM {_COORD_SUBQ}) GROUP BY cell5"
+)
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: dedup / text / similarity / multimodal
+# --------------------------------------------------------------------------
+
+def q_dedup_head(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    heads = docs.select(
+        F.md5(F.substring(F.col("text"), 1, 16)).alias("head_md5"), "doc_id"
+    )
+    return (
+        heads.groupBy("head_md5")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+O_DEDUP_HEAD = (
+    "SELECT md5(substr(text, 1, 16)) AS head_md5, count(*) AS n_dups, "
+    "min(doc_id) AS keeper_id FROM documents GROUP BY 1 HAVING count(*) > 1"
+)
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs)
+
+
+O_DEDUP_EXACT = (
+    "SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper_id "
+    "FROM documents GROUP BY 1 HAVING count(*) > 1"
+)
+
+
+def q_token_stats(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return text.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_m", "avg_token_len", "est_subwords"
+    )
+
+
+O_TOKEN_STATS = (
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+    "length(text) AS n_chars_m, "
+    "CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)"
+    " / len(string_split(text, ' ')) AS avg_token_len, "
+    "CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_subwords FROM documents"
+)
+
+
+def q_text_quality(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return text.with_quality(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "distinct_ratio"
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+O_TEXT_QUALITY = (
+    "SELECT doc_id, len(toks) AS n_tokens, "
+    f"CAST(len(list_filter(toks, t -> t IN ({_SW}))) AS DOUBLE) / len(toks)"
+    " AS stopword_ratio, "
+    "CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+)
+
+
+def q_lang_id(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return text.with_lang_score(docs).select(
+        "doc_id", "lang_pred", "score_de", "score_en", "score_es", "score_fr"
+    )
+
+
+def _lang_oracle() -> str:
+    langs = sorted(text.STOPWORDS)
+    score_exprs = {
+        lang: (
+            "len(list_intersect(list_distinct(string_split(text, ' ')), "
+            f"[{', '.join(repr(w) for w in text.STOPWORDS[lang])}]))"
+        )
+        for lang in langs
+    }
+    sub = "SELECT doc_id, " + ", ".join(
+        f"{e} AS score_{lang}" for lang, e in score_exprs.items()
+    ) + " FROM documents"
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} >= score_{o}" for o in langs[i + 1 :]]
+        if conds:
+            case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+        else:
+            case += f"ELSE '{lang}' END"
+    return (
+        f"SELECT doc_id, {case} AS lang_pred, score_de, score_en, score_es, "
+        f"score_fr FROM ({sub})"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs).select("doc_id", "fp_full", "fp_head")
+
+
+O_FINGERPRINT = (
+    "SELECT doc_id, md5(text) AS fp_full, md5(substr(text, 1, 64)) AS fp_head "
+    "FROM documents"
+)
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        src.load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_brute(spark, sf_dir):
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+    return out.select(
+        "rank", "vec_id", F.round(F.col("cos_sim"), 9).alias("cos_r9")
+    )
+
+
+O_ANN_BRUTE = (
+    "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+    "scored AS (SELECT vec_id, "
+    " list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+    "    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))))"
+    " AS cos_sim FROM embeddings, q) "
+    "SELECT rank, vec_id, round(cos_sim, 9) AS cos_r9 FROM ("
+    "SELECT vec_id, cos_sim, CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank "
+    "FROM scored) WHERE rank <= 10"
+)
+
+
+def q_ann_lsh(spark, sf_dir):
+    # LSH-bucketed ANN: recall checked against brute force in pytest;
+    # rows-only for the driver (bucket membership isn't SQL-portable
+    # since the hyperplanes are plan-side constants).
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    out = similarity.ann_topk(emb, _query_vec(spark, sf_dir), k=10)
+    return out.select(
+        "rank", "vec_id", F.round(F.col("cos_sim"), 9).alias("cos_r9")
+    )
+
+
+def q_minhash_candidates(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.minhash_candidates(docs, num_hashes=16, bands=4)
+
+
+def q_simhash(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+def q_media_features(spark, sf_dir):
+    docs = src.documents_with_spans(spark, sf_dir)
+    return extract_media_features(media_spans(docs)).select(
+        "doc_id", "media_ref", "width", "height", F.size("feature").alias("dim")
+    )
+
+
+O_MEDIA = (
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    "'media://' || lpad(CAST((doc_id * 2654435761) % 4294967296 AS VARCHAR), 16, '0')"
+    " AS media_ref, 8 AS width, 8 AS height, 8 AS dim FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "extract_coords": q_extract_coords,
+    "geohash_encode": q_geohash_encode,
+    "tile_assign": q_tile_assign,
+    "quadkey": q_quadkey,
+    "prefix_scan": q_prefix_scan,
+    "bbox_filter": q_bbox_filter,
+    "pip_join": q_pip_join,
+    "radius_join": q_radius_join,
+    "knn": q_knn,
+    "knn_window": q_knn_window,
+    "distances": q_distances,
+    "vincenty": q_vincenty,
+    "tile_heatmap": q_tile_heatmap,
+    "salted_cell_counts": q_salted_cell_counts,
+    "dedup_exact": q_dedup_exact,
+    "dedup_head": q_dedup_head,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_brute": q_ann_brute,
+    "ann_lsh": q_ann_lsh,
+    "minhash_candidates": q_minhash_candidates,
+    "simhash": q_simhash,
+    "media_features": q_media_features,
+}
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "extract_coords": O_EXTRACT,
+        "geohash_encode": O_GEOHASH,
+        "tile_assign": _tile_oracle(),
+        "quadkey": _quadkey_oracle(),
+        "prefix_scan": O_PREFIX,
+        "bbox_filter": O_BBOX,
+        "pip_join": _pip_oracle(),
+        "radius_join": O_RADIUS,
+        "knn": O_KNN,
+        "knn_window": O_KNN_WINDOW,
+        "distances": _distances_oracle(),
+        "tile_heatmap": _heatmap_oracle(),
+        "salted_cell_counts": O_SALTED,
+        "dedup_exact": O_DEDUP_EXACT,
+        "dedup_head": O_DEDUP_HEAD,
+        "token_stats": O_TOKEN_STATS,
+        "text_quality": O_TEXT_QUALITY,
+        "lang_id": _lang_oracle(),
+        "fingerprint": O_FINGERPRINT,
+        "ann_brute": O_ANN_BRUTE,
+        "media_features": O_MEDIA,
+        # no oracle (rows-only): vincenty (iterative), ann_lsh
+        # (plan-side hyperplane constants), minhash_candidates /
+        # simhash (xxhash64 isn't available in DuckDB)
+    }

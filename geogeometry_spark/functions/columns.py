@@ -1,0 +1,380 @@
+"""Native Spark Column builders — the whole-stage-codegen hot path.
+
+Each builder has a mirrored ``*_sql`` generator emitting the equivalent
+DuckDB SQL (same float64 op order), used by ``__spark_entry__.oracle_sql``
+so the driver's DuckDB comparison exercises identical arithmetic.
+
+Semantics parity:
+- geohash: strict-``>`` bisection == scaled-integer cell index
+  ``ceil(t * 2^bits) - 1`` (proved against the reference bisection in
+  tests/test_kernels_geohash.py::test_morton_matches_bisection_random);
+  reference GeoHashUtils.kt:97-140.
+- tiles: Tile.kt:212-228 (x wraps mod n, y truncates toward zero).
+- haversine: GeoGeometry.kt:565-580 exact op order.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..kernels.geohash import BASE32
+
+PI = math.pi
+DEG2RAD = math.pi / 180.0  # GeoGeometry.kt:66 DEGREES_TO_RADIANS
+EARTH_RADIUS_METERS = 6371000.0
+TILE_MIN_LAT = -85.05112878
+TILE_MAX_LAT = 85.05112878
+
+_SPREAD_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+# --------------------------------------------------------------------------
+# geohash encode (native)
+# --------------------------------------------------------------------------
+
+def _cell_index(value: Column, lo: float, span: float, bits: int) -> Column:
+    """ceil(t * 2^bits) - 1 clamped to [0, 2^bits-1]; equals the strict->
+    bisection cell of GeoHashUtils.kt:102-139."""
+    t = (value - F.lit(lo)) / F.lit(span)
+    idx = F.ceil(t * F.lit(float(1 << bits))) - F.lit(1)
+    return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), idx)).cast("long")
+
+
+def _spread(c: Column) -> Column:
+    for shift, mask in _SPREAD_MASKS:
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
+    return c
+
+
+
+
+def geohash_interleaved(lat: Column, lon: Column, length: int) -> Column:
+    """The geohash's 5*length bits packed into a LongType (sortable range
+    key — prefix relationships become integer ranges)."""
+    nbits = 5 * length
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    ilon = _cell_index(lon, -180.0, 360.0, lon_bits)
+    ilat = _cell_index(lat, -90.0, 180.0, lat_bits)
+    if lon_bits > lat_bits:
+        low = _spread(ilon.bitwiseAND(F.lit((1 << lat_bits) - 1))).bitwiseOR(
+            F.shiftleft(_spread(ilat), 1)
+        )
+        return low.bitwiseOR(
+            F.shiftleft(F.shiftright(ilon, lat_bits), 2 * lat_bits)
+        )
+    return F.shiftleft(_spread(ilon), 1).bitwiseOR(_spread(ilat))
+
+
+_STD_BASE32_UPPER = "0123456789ABCDEFGHIJKLMNOPQRSTUV"
+
+
+def cell_prefix(cell_id: Column, length: int, full_length: int = 12) -> Column:
+    """Ancestor cell id at ``length`` chars from a ``full_length``-char
+    interleaved long — the long-key equivalent of a string prefix."""
+    return F.shiftright(cell_id, 5 * (full_length - length))
+
+
+def geohash_render(cell_id: Column, length: int = 12) -> Column:
+    """Interleaved long -> base32 geohash string (conv + translate; no
+    per-character expression duplication, and no F.lower — lower() is
+    pathologically slow in whole-stage codegen on this Spark build)."""
+    return F.translate(
+        F.lpad(F.conv(cell_id.cast("string"), 10, 32), length, "0"),
+        _STD_BASE32_UPPER,
+        BASE32,
+    )
+
+
+def geohash(lat: Column, lon: Column, length: int = 12) -> Column:
+    """Base32 geohash string as a pure Column expression (no UDF).
+
+    Hot paths should prefer :func:`geohash_interleaved` (the long form —
+    sortable, prefix-comparable via shiftright, ~10x cheaper than
+    rendering the string)."""
+    return geohash_render(geohash_interleaved(lat, lon, length), length)
+
+
+def string_cell_to_long(cell: str) -> int:
+    """Driver-side: base32 geohash string -> interleaved long key."""
+    v = 0
+    for ch in cell:
+        v = (v << 5) | BASE32.index(ch)
+    return v
+
+
+def geohash_long_sql(lat: str, lon: str, length: int = 12) -> str:
+    """DuckDB SQL equivalent of :func:`geohash_interleaved`."""
+    nbits = 5 * length
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+
+    def cell(expr: str, lo: float, span: float, bits: int) -> str:
+        t = f"(({expr}) - {lo!r}) / {span!r}"
+        idx = f"CAST(ceil(({t}) * {float(1 << bits)!r}) AS BIGINT) - 1"
+        return f"greatest(0, least({(1 << bits) - 1}, {idx}))"
+
+    def spread(expr: str) -> str:
+        for shift, mask in _SPREAD_MASKS:
+            expr = f"((({expr}) | (({expr}) << {shift})) & {mask})"
+        return expr
+
+    ilon = cell(lon, -180.0, 360.0, lon_bits)
+    ilat = cell(lat, -90.0, 180.0, lat_bits)
+    if lon_bits > lat_bits:
+        v = (
+            f"({spread(f'(({ilon}) & {(1 << lat_bits) - 1})')}"
+            f" | ({spread(ilat)} << 1)"
+            f" | ((({ilon}) >> {lat_bits}) << {2 * lat_bits}))"
+        )
+    else:
+        v = f"(({spread(ilon)} << 1) | {spread(ilat)})"
+    return v
+
+
+def geohash_sql(lat: str, lon: str, length: int = 12) -> str:
+    """DuckDB SQL equivalent of :func:`geohash` (same op order)."""
+    v = geohash_long_sql(lat, lon, length)
+    return (
+        f"translate(lpad(to_base({v}, 32), {length}, '0'), "
+        f"'{_STD_BASE32_UPPER}', '{BASE32}')"
+    )
+
+
+# --------------------------------------------------------------------------
+# tile math (native)
+# --------------------------------------------------------------------------
+
+def tile_xy(lat: Column, lon: Column, zoom: int) -> tuple[Column, Column]:
+    """WebMercator tile (x, y) at zoom. Tile.kt:212-228: lat clamped to
+    ±85.05112878, x wraps mod n, y truncates toward zero."""
+    n = 1 << zoom
+    clamped = F.greatest(F.lit(TILE_MIN_LAT), F.least(F.lit(TILE_MAX_LAT), lat))
+    x = ((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))) % F.lit(float(n))
+    rad = clamped * F.lit(PI) / F.lit(180.0)
+    y = (
+        (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(PI))
+        / F.lit(2.0)
+        * F.lit(float(n))
+    )
+    return x.cast("int"), y.cast("int")
+
+
+def tile_xy_sql(lat: str, lon: str, zoom: int) -> tuple[str, str]:
+    n = float(1 << zoom)
+    clamped = f"greatest({TILE_MIN_LAT!r}, least({TILE_MAX_LAT!r}, ({lat})))"
+    x = f"CAST(trunc(((({lon}) + 180.0) / 360.0 * {n!r}) % {n!r}) AS INT)"
+    rad = f"(({clamped}) * {PI!r} / 180.0)"
+    y = (
+        f"CAST(trunc((1.0 - ln(tan({rad}) + 1.0 / cos({rad})) / {PI!r})"
+        f" / 2.0 * {n!r}) AS INT)"
+    )
+    return x, y
+
+
+def quadkey_long(x: Column, y: Column, zoom: int) -> Column:
+    """Packed-long quadkey via bit interleave. Tile.kt:68-74."""
+    xl = x.cast("long")
+    yl = y.cast("long")
+    return F.shiftleft(_spread(yl), 1).bitwiseOR(_spread(xl))
+
+
+def quadkey_long_sql(x: str, y: str, zoom: int) -> str:
+    def spread(expr: str) -> str:
+        for shift, mask in _SPREAD_MASKS:
+            expr = f"((({expr}) | (({expr}) << {shift})) & {mask})"
+        return expr
+
+    return f"(({spread(f'CAST({y} AS BIGINT)')} << 1) | {spread(f'CAST({x} AS BIGINT)')})"
+
+
+def quadkey(x: Column, y: Column, zoom: int) -> Column:
+    """Base-4 quadkey string of length ``zoom`` (the digits of the packed
+    long rendered in base 4 — single reference to the bit-math tree).
+    Tile.kt:51-61."""
+    if zoom == 0:
+        return F.lit("")
+    v = quadkey_long(x, y, zoom)
+    return F.lpad(F.conv(v.cast("string"), 10, 4), zoom, "0")
+
+
+def quadkey_sql(x: str, y: str, zoom: int) -> str:
+    if zoom == 0:
+        return "''"
+    v = quadkey_long_sql(x, y, zoom)
+    return f"lpad(to_base({v}, 4), {zoom}, '0')"
+
+
+# --------------------------------------------------------------------------
+# distances / bearings / bboxes (native)
+# --------------------------------------------------------------------------
+
+def _rad(deg: Column) -> Column:
+    # GeoGeometry.toRadians: degrees * DEGREES_TO_RADIANS (constant)
+    return deg * F.lit(DEG2RAD)
+
+
+def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Exact op order of GeoGeometry.kt:565-580."""
+    dlat = _rad(lat2 - lat1)
+    dlon = _rad(lon2 - lon1)
+    a = F.sin(dlat / 2) * F.sin(dlat / 2) + F.cos(_rad(lat1)) * F.cos(
+        _rad(lat2)
+    ) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    c = F.lit(2.0) * F.asin(F.sqrt(a))
+    return F.lit(EARTH_RADIUS_METERS) * c
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    def rad(e: str) -> str:
+        return f"(({e}) * {DEG2RAD!r})"
+
+    dlat = rad(f"({lat2}) - ({lat1})")
+    dlon = rad(f"({lon2}) - ({lon1})")
+    a = (
+        f"(sin(({dlat}) / 2) * sin(({dlat}) / 2)"
+        f" + cos({rad(lat1)}) * cos({rad(lat2)})"
+        f" * sin(({dlon}) / 2) * sin(({dlon}) / 2))"
+    )
+    return f"({EARTH_RADIUS_METERS!r} * (2.0 * asin(sqrt({a}))))"
+
+
+def equirectangular(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """GeoGeometry.kt:599-608."""
+    x = _rad(lon2 - lon1) * F.cos(_rad((lat1 + lat2) / 2))
+    y = _rad(lat2 - lat1)
+    return F.sqrt(x * x + y * y) * F.lit(EARTH_RADIUS_METERS)
+
+
+def heading(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Initial compass bearing. GeoGeometry.kt:1121-1139."""
+    la1 = _rad(lat1)
+    la2 = _rad(lat2)
+    dlon = _rad(lon2 - lon1)
+    y = F.sin(dlon) * F.cos(la2)
+    x = F.cos(la1) * F.sin(la2) - F.sin(la1) * F.cos(la2) * F.cos(dlon)
+    return (F.atan2(y, x) * F.lit(1.0 / DEG2RAD) + F.lit(360.0)) % F.lit(360.0)
+
+
+def heading_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    def rad(e: str) -> str:
+        return f"(({e}) * {DEG2RAD!r})"
+
+    la1, la2 = rad(lat1), rad(lat2)
+    dlon = rad(f"({lon2}) - ({lon1})")
+    y = f"(sin({dlon}) * cos({la2}))"
+    x = f"(cos({la1}) * sin({la2}) - sin({la1}) * cos({la2}) * cos({dlon}))"
+    return f"(((atan2({y}, {x}) * {1.0 / DEG2RAD!r}) + 360.0) % 360.0)"
+
+
+def bbox_contains(
+    lat: Column, lon: Column, west: float, south: float, east: float, north: float
+) -> Column:
+    """Inclusive, antimeridian-aware bbox membership.
+    geojson/geojson.kt:143-158: when west > east the box wraps the
+    dateline and lon matches either side."""
+    lat_ok = (lat >= F.lit(south)) & (lat <= F.lit(north))
+    if west > east:
+        lon_ok = (lon >= F.lit(west)) | (lon <= F.lit(east))
+    else:
+        lon_ok = (lon >= F.lit(west)) & (lon <= F.lit(east))
+    return lat_ok & lon_ok
+
+
+def bbox_contains_sql(
+    lat: str, lon: str, west: float, south: float, east: float, north: float
+) -> str:
+    lat_ok = f"(({lat}) >= {south!r} AND ({lat}) <= {north!r})"
+    if west > east:
+        lon_ok = f"(({lon}) >= {west!r} OR ({lon}) <= {east!r})"
+    else:
+        lon_ok = f"(({lon}) >= {west!r} AND ({lon}) <= {east!r})"
+    return f"({lat_ok} AND {lon_ok})"
+
+
+def is_valid_coordinate(lat: Column, lon: Column, strict: bool = False) -> Column:
+    """Non-throwing validate (quarantine predicate). GeoGeometry.kt:1208-1220."""
+    tol = 0.0 if strict else 0.0002
+    return (
+        (lat >= F.lit(-90.0 - tol))
+        & (lat <= F.lit(90.0 + tol))
+        & (lon >= F.lit(-180.0 - tol))
+        & (lon <= F.lit(180.0 + tol))
+    )
+
+
+# --------------------------------------------------------------------------
+# PIP as a native expression (oracle twin of the pandas-UDF ray cast)
+# --------------------------------------------------------------------------
+
+def pip_sql(lat: str, lon: str, ring) -> str:
+    """DuckDB SQL ray-cast for one ring — full parity with
+    GeoGeometry.kt:237-295: bbox early-out on the normalized ring,
+    eps=1e-9 vertex accept, segment-bbox edge accept (onSegment,
+    GeoGeometry.kt:682-690), then eastward-ray crossing parity with the
+    reference rule ``lat > lower AND lat <= upper`` and ``xInt > 0``.
+
+    ``ring`` is a sequence of (lon, lat) constants; everything unrolls
+    into one boolean expression over the point columns.
+    """
+    pts = [(float(p[0]), float(p[1])) for p in ring]
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    m = len(pts)
+
+    def norm(x: float) -> str:
+        d = f"({x!r} - ({lon}))"
+        return (
+            f"(CASE WHEN {d} > 180 THEN {d} - 360 "
+            f"WHEN {d} < -180 THEN {d} + 360 ELSE {d} END)"
+        )
+
+    norms = [norm(p[0]) for p in pts]
+    lats = [p[1] for p in pts]
+    # bbox early-out: lat within ring lats, 0 within normalized lons
+    bbox = (
+        f"(({lat}) >= {min(lats)!r} AND ({lat}) <= {max(lats)!r}"
+        f" AND least({', '.join(norms)}) <= 0.0"
+        f" AND greatest({', '.join(norms)}) >= 0.0)"
+    )
+    # direct vertex match on RAW coordinates (GeoGeometry.kt:263)
+    vertex = " OR ".join(
+        f"(abs({p[1]!r} - ({lat})) < 1e-9 AND abs({p[0]!r} - ({lon})) < 1e-9)"
+        for p in pts
+    )
+    edge_terms = []
+    cross_terms = []
+    for i in range(m):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % m]
+        nx1, nx2 = norms[i], norms[(i + 1) % m]
+        if not (x1 != x2 or y1 != y2):
+            continue  # degenerate edge (e.g. duplicated closing vertex)
+        # edge accept: (0, lat) inside the normalized segment's bbox
+        edge_terms.append(
+            f"(least({nx1}, {nx2}) <= 0.0 AND 0.0 <= greatest({nx1}, {nx2})"
+            f" AND ({lat}) >= {min(y1, y2)!r} AND ({lat}) <= {max(y1, y2)!r})"
+        )
+        if abs(y1 - y2) < 1e-9:
+            continue  # horizontal segments never cross the ray
+        lower, upper = (y1, y2) if y1 < y2 else (y2, y1)
+        xint = f"({nx1} + (({lat}) - {y1!r}) * ({nx2} - {nx1}) / {y2 - y1!r})"
+        cross_terms.append(
+            f"(CASE WHEN ({lat}) > {lower!r} AND ({lat}) <= {upper!r}"
+            f" AND {xint} > 0 THEN 1 ELSE 0 END)"
+        )
+    crossings = " + ".join(cross_terms) if cross_terms else "0"
+    edge = " OR ".join(edge_terms) if edge_terms else "FALSE"
+    return (
+        f"({bbox} AND (({vertex}) OR ({edge})"
+        f" OR (({crossings}) % 2 = 1)))"
+    )

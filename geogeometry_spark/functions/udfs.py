@@ -1,0 +1,165 @@
+"""Vectorized pandas/Arrow UDFs wrapping the numpy kernels.
+
+These are the ONLY Python that runs on the executor hot path, and every
+one is Arrow-batched (no per-row Python, per BASELINE.json input_hint).
+Native Column expressions (functions/columns.py) are preferred wherever
+the semantics allow; these UDFs cover what Spark built-ins can't express:
+the ray-cast PIP re-check, geohash decode/neighbors, Vincenty, and
+regex-based coordinate extraction with lookaround.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels import coords as kcoords
+from ..kernels import geohash as kgh
+from ..kernels import geometry as kgeo
+from ..kernels import vincenty as kvin
+
+
+def make_pip_udf(polygons: dict[str, list[np.ndarray]]):
+    """Build a pandas UDF ``(polygon_id, lat, lon) -> bool`` testing the
+    hole-aware exact containment (GeoGeometry.kt:237-295 +
+    geojson.kt:187-192) against the closure-captured polygon dict.
+
+    Used on border-cell rows of the PIP join only; interior-cell rows are
+    accepted by the covering guarantee without running Python.
+    """
+    # keep plain dict[str, list[np.ndarray]] — small (broadcast polygons)
+    polys = {
+        pid: [np.asarray(r, dtype=np.float64) for r in rings]
+        for pid, rings in polygons.items()
+    }
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(polygon_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
+        out = np.zeros(len(lat), dtype=bool)
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        for pid, idx in polygon_id.groupby(polygon_id).groups.items():
+            rings = polys.get(pid)
+            if rings is None:
+                continue
+            ii = np.asarray(idx)
+            out[ii] = kgeo.polygon_with_holes_contains(
+                la[ii], lo[ii], rings[0], rings[1:]
+            )
+        return pd.Series(out)
+
+    return pip
+
+
+@F.pandas_udf(T.StringType())
+def gh_encode(lat: pd.Series, lon: pd.Series, length: pd.Series) -> pd.Series:
+    """Bisection geohash encode (reference-exact). Prefer the native
+    functions.columns.geohash on hot paths; this exists for parity tests
+    and variable lengths."""
+    la = lat.to_numpy(dtype=np.float64)
+    lo = lon.to_numpy(dtype=np.float64)
+    ln = length.to_numpy()
+    out = np.empty(len(la), dtype=object)
+    for l_val in np.unique(ln):
+        m = ln == l_val
+        out[m] = kgh.encode(la[m], lo[m], int(l_val))
+    return pd.Series(out)
+
+
+_BBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("west", T.DoubleType()),
+        T.StructField("south", T.DoubleType()),
+        T.StructField("east", T.DoubleType()),
+        T.StructField("north", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_BBOX_SCHEMA)
+def gh_decode_bbox(cell: pd.Series) -> pd.DataFrame:
+    """GeoHashUtils.kt:158-191."""
+    w, s, e, n = kgh.decode_bbox(cell.to_numpy(dtype="U12"))
+    return pd.DataFrame({"west": w, "south": s, "east": e, "north": n})
+
+
+_POINT_SCHEMA = T.StructType(
+    [T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]
+)
+
+
+@F.pandas_udf(_POINT_SCHEMA)
+def gh_decode(cell: pd.Series) -> pd.DataFrame:
+    """Geohash center. GeoHashUtils.kt:206-213."""
+    lon, lat = kgh.decode(cell.to_numpy(dtype="U12"))
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def gh_neighbors(cell: pd.Series) -> pd.Series:
+    """[north, east, south, west] same-length neighbors.
+    GeoHashUtils.kt:220-280."""
+    arr = cell.to_numpy(dtype="U12")
+    n = kgh.north(arr)
+    e = kgh.east(arr)
+    s = kgh.south(arr)
+    w = kgh.west(arr)
+    return pd.Series([[a, b, c, d] for a, b, c, d in zip(n, e, s, w)])
+
+
+_VINCENTY_SCHEMA = T.StructType(
+    [
+        T.StructField("distance_m", T.DoubleType()),
+        T.StructField("initial_bearing", T.DoubleType()),
+        T.StructField("final_bearing", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_VINCENTY_SCHEMA)
+def vincenty_full(
+    lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
+) -> pd.DataFrame:
+    """vicenty.kt:72-140."""
+    d, ib, fb = kvin.vincenty(
+        lat1.to_numpy(dtype=np.float64),
+        lon1.to_numpy(dtype=np.float64),
+        lat2.to_numpy(dtype=np.float64),
+        lon2.to_numpy(dtype=np.float64),
+    )
+    return pd.DataFrame(
+        {"distance_m": d, "initial_bearing": ib, "final_bearing": fb}
+    )
+
+
+def vincenty_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    return vincenty_full(lat1, lon1, lat2, lon2)["distance_m"]
+
+
+_COORD_LIST_SCHEMA = T.ArrayType(
+    T.StructType(
+        [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
+    )
+)
+
+
+@F.pandas_udf(_COORD_LIST_SCHEMA)
+def extract_coords(text: pd.Series) -> pd.Series:
+    """All valid "lat, lon" occurrences in free text, reference regex with
+    lookaround guards (GeoGeometry.kt:1517-1541).  Returns
+    array<struct<lat,lon>> for a follow-up explode."""
+    out = []
+    for t in text:
+        if t is None:
+            out.append([])
+            continue
+        out.append(
+            [
+                {"lat": la, "lon": lo}
+                for lo, la in kcoords.find_all_coordinates(t)
+            ]
+        )
+    return pd.Series(out)

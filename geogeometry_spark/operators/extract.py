@@ -1,0 +1,61 @@
+"""Coordinate extraction from interleaved span documents.
+
+The span->geometry bridge (BASELINE.json north_star: "extracting
+coordinates from spans").  Hot path is Spark-native: the reference's
+lookaround regex (GeoGeometry.kt:1517-1531) runs in the JVM via
+regexp_extract_all (Java regex supports the lookbehind/lookahead), so no
+Python executes per row.  The pandas-UDF variant (functions.udfs.
+extract_coords) exists for parity testing.
+
+Row invariant: ``spans`` is selected through untouched — every output
+row carries the original span sequence (kind, text, media_ref, order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.coords import LATLON_REGEX_JAVA
+
+# Java regex string literal for F.regexp_extract_all (needs Column)
+_PATTERN = LATLON_REGEX_JAVA
+
+
+def extract_coordinates(
+    docs: DataFrame, keep_spans: bool = True, one_per_doc: bool = False
+) -> DataFrame:
+    """docs(doc_id, spans) -> one row per extracted coordinate:
+    (doc_id, span_idx, lat, lon [, spans]).
+
+    Only 'text' spans are scanned; lat/lon parse via the reference regex
+    with both groups extracted in a single pass (extract group 0 then
+    split on the comma — one regex evaluation per span, not two).
+    ``one_per_doc`` keeps just the first coordinate of the first
+    matching span (the flagship's document->location mapping).
+    """
+    spans = docs.select(
+        "doc_id",
+        *(["spans"] if keep_spans else []),
+        F.posexplode("spans").alias("span_idx", "span"),
+    ).where(F.col("span.kind") == "text")
+    matches = spans.withColumn(
+        "m", F.regexp_extract_all(F.col("span.text"), F.lit(_PATTERN), 0)
+    ).where(F.size("m") > 0)
+    exploded = matches.select(
+        "doc_id",
+        *(["spans"] if keep_spans else []),
+        "span_idx",
+        F.explode("m").alias("pair"),
+    )
+    parts = F.split(F.trim(F.col("pair")), r"\s*,\s*")
+    out = exploded.select(
+        "doc_id",
+        *(["spans"] if keep_spans else []),
+        "span_idx",
+        F.element_at(parts, 1).cast("double").alias("lat"),
+        F.element_at(parts, 2).cast("double").alias("lon"),
+    )
+    if one_per_doc:
+        out = out.dropDuplicates(["doc_id"])
+    return out

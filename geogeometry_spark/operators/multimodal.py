@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: media spans as opaque binary + typed
+metadata, processed via mapInPandas in Arrow batches.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic stub (fake decoder) — the Spark-side
+plumbing (schema, batch iteration, partition-preserving mapInPandas,
+metadata extraction) is real and tested.  Swap `_decode_stub` for a
+real decoder (PIL / torchaudio / pyav) in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def media_spans(docs: DataFrame) -> DataFrame:
+    """Explode media spans into (doc_id, media_ref) rows + a synthetic
+    binary payload derived from the ref (deterministic stand-in for an
+    object-store fetch; in production this is a join against the media
+    table / a fetch inside mapInPandas)."""
+    media = docs.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).where(F.col("span.kind") == "media")
+    return media.select(
+        "doc_id",
+        F.col("span.media_ref").alias("media_ref"),
+        F.lit("image").alias("media_kind"),
+        F.encode(F.col("span.media_ref"), "utf-8").alias("payload"),
+        F.length(F.col("span.media_ref")).cast("int").alias("n_bytes"),
+    )
+
+
+def _decode_stub(payload: bytes) -> np.ndarray:
+    """STUB decoder — container has no codecs.  Deterministic fake:
+    derives an 8x8 'image' from the payload bytes.  Replace with a real
+    decode (PIL.Image.open etc.) in production; raise instead via
+    ``raise NotImplementedError`` if silent fakes are unacceptable."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    rep = np.resize(b, 64).astype(np.float32) / 255.0
+    return rep.reshape(8, 8)
+
+
+def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction: batches arrive as Arrow record
+    batches; each is decoded + pooled into a fixed-length feature.
+    Partitioning is preserved (no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                img = _decode_stub(bytes(payload))
+                feats.append(img.mean(axis=0).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "feature": feats,
+                    "width": np.full(len(pdf), 8, dtype=np.int32),
+                    "height": np.full(len(pdf), 8, dtype=np.int32),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,162 @@
+"""Point-in-polygon broadcast join — the flagship operator.
+
+Plan shape (SURVEY.md §2.8):
+
+1. driver: cover each polygon's outer ring with geohash cells
+   (kernels.covering, a faithful port of GeoHashUtils.kt:501-607),
+   classifying cells as interior (containment guaranteed,
+   GeoHashUtils.kt:485-492) or border.
+2. normalize the cover to ONE cell length L (expanding parent-collapsed
+   cells into children) and convert every cell to its interleaved-long
+   key, so the distributed side needs exactly one cheap long projection
+   — a single broadcast hash equi-join on longs, zero shuffle of the
+   big side, no explode, no string ops.
+3. points carry cell_id = 60-bit interleaved geohash (native Column
+   math); the join key is shiftright(cell_id, 5*(12-L)).
+4. broadcast-join; interior-cell rows match immediately; border-cell
+   rows run the exact hole-aware ray-cast pandas UDF
+   (GeoGeometry.kt:237-295) — Python cost is paid ONLY on the border
+   fraction.
+
+At 100 TB the big side is scanned once, filtered by the (broadcastable,
+few-thousand-row) cell relation, and never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels import covering
+from ..kernels import geometry as kgeo
+from ..kernels.geohash import BASE32
+from ..functions.columns import cell_prefix, string_cell_to_long
+from ..functions.udfs import make_pip_udf
+from ..fixtures import polygons_np
+
+
+def _expand(cell: str, target_len: int) -> list[str]:
+    out = [cell]
+    while len(out[0]) < target_len:
+        out = [c + ch for c in out for ch in BASE32]
+    return out
+
+
+def build_cell_relation(
+    polygons: dict[str, list],
+    max_length: int = 6,
+) -> tuple[list[tuple[str, int, bool]], int]:
+    """Driver-side covering -> ([(polygon_id, cell_key_long, is_border)],
+    cell_length).  Cells normalized to one length; children of interior
+    cells are interior, so expansion preserves the covering guarantee.
+    Stays well under 10^5 rows for realistic polygon sets."""
+    polys = polygons if _is_np(polygons) else polygons_np(polygons)
+    covers: dict[str, tuple[set, set]] = {}
+    max_len = 0
+    for pid, rings in polys.items():
+        full, border = covering.cover_with_borders(rings, max_length=max_length)
+        covers[pid] = (full, border)
+        for c in full | border:
+            max_len = max(max_len, len(c))
+    rows: list[tuple[str, int, bool]] = []
+    for pid, (full, border) in covers.items():
+        for cell_set, is_border in ((full, False), (border, True)):
+            for c in cell_set:
+                rows.extend(
+                    (pid, string_cell_to_long(e), is_border)
+                    for e in _expand(c, max_len)
+                )
+    return rows, max_len
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: dict[str, list] | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_id_col: str = "cell_id",
+    max_length: int = 6,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to every polygon containing them.
+
+    ``points`` must carry the 12-char interleaved-long geohash column
+    ``cell_id_col`` (produce it natively with
+    functions.columns.geohash_interleaved).  how='inner' returns input
+    columns + polygon_id; 'left_semi'/'left_anti' return matched/
+    unmatched input rows.
+    """
+    spark = points.sparkSession
+    polys = polygons_np(polygons)
+    rows, cell_len = build_cell_relation(polys, max_length=max_length)
+    cells = spark.createDataFrame(
+        rows, "polygon_id string, cell_key long, is_border boolean"
+    )
+
+    key = cell_prefix(F.col(cell_id_col), cell_len)
+    pip = make_pip_udf(polys)
+    joined = points.join(
+        F.broadcast(cells), key == F.col("cell_key"), "inner"
+    ).where(
+        (~F.col("is_border"))
+        | pip(F.col("polygon_id"), F.col(lat_col), F.col(lon_col))
+    )
+    if how == "inner":
+        return joined.drop("cell_key", "is_border")
+    key_col = points.columns[0]
+    matched = joined.select(key_col).distinct()
+    if how == "left_semi":
+        return points.join(matched, key_col, "left_semi")
+    if how == "left_anti":
+        return points.join(matched, key_col, "left_anti")
+    raise ValueError(f"unsupported how={how!r}")
+
+
+def radius_join(
+    points: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    radius_m: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_id_col: str = "cell_id",
+    max_length: int = 6,
+    segments: int = 60,
+) -> DataFrame:
+    """Points within radius of a center: circle cover (GeoHashUtils.kt:
+    829-843) prunes via the broadcast cell relation, exact haversine
+    re-checks every survivor natively (the circle polygon is an
+    inscribed n-gon, so even interior cells get the — cheap, codegen —
+    distance check; no Python at all)."""
+    from ..functions import columns as C
+
+    spark = points.sparkSession
+    ring = kgeo.circle_to_polygon(segments, center_lat, center_lon, radius_m)
+    full, border = covering.cover_with_borders([ring], max_length=max_length)
+    all_cells = full | border
+    cell_len = max(len(c) for c in all_cells) if all_cells else max_length
+    keys = sorted(
+        {
+            string_cell_to_long(e)
+            for c in all_cells
+            for e in _expand(c, cell_len)
+        }
+    )
+    cells = spark.createDataFrame([(k,) for k in keys], "cell_key long")
+    key = cell_prefix(F.col(cell_id_col), cell_len)
+    dist = C.haversine(
+        F.col(lat_col), F.col(lon_col), F.lit(center_lat), F.lit(center_lon)
+    )
+    return (
+        points.join(F.broadcast(cells), key == F.col("cell_key"), "inner")
+        .drop("cell_key")
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= F.lit(radius_m))
+    )
+
+
+def _is_np(polygons) -> bool:
+    if not polygons:
+        return False
+    first = next(iter(polygons.values()))
+    return hasattr(first[0], "dtype")

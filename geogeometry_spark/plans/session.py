@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the engine.
+
+Settings chosen for multi-executor scale (and harmless locally):
+- AQE on with skew-join splitting: runtime backstop for spatial skew.
+- Arrow enabled (pandas UDF transfer) with a bounded batch size so PIP
+  border re-checks stay cache-friendly.
+- shuffle partitions sized to cores locally; on a real cluster this is
+  overridden by AQE coalescing from the initial partition number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "geogeometry-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+    try:
+        default_parts = max(int(cores if cores != "*" else 32), 8)
+    except ValueError:
+        default_parts = 32
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or default_parts),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

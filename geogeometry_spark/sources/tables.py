@@ -1,0 +1,190 @@
+"""Table loading + deterministic spans-document synthesis.
+
+The sandbox `documents` table is (doc_id, text, lang, source, n_chars)
+(TESTDATA.md).  The engine's input contract (BASELINE.json input_hint) is
+an interleaved-span table (doc_id, spans: array<struct<kind, text,
+media_ref, offset>>).  ``documents_with_spans`` derives that shape
+deterministically from doc_id with pure integer arithmetic + string
+concat, so the DuckDB oracle can reproduce the embedded ground-truth
+coordinates without regex (FIXTURES.md §1: "the spans-shaped table is
+derived/synthesized at test time").
+
+Derivation (all BIGINT arithmetic, identical in Spark SQL and DuckDB):
+
+    base_lat_milli = (doc_id * 7919)   % 170001 - 85000    # [-85, 85] step .001
+    base_lon_milli = (doc_id * 104729) % 350001 - 175000   # [-175, 175]
+    hot            = doc_id % 5 == 0                       # 20% Berlin hot-spot
+    lat_milli      = hot ? 52450 + (doc_id * 31) % 120 : base_lat_milli
+    lon_milli      = hot ? 13350 + (doc_id * 37) % 80  : base_lon_milli
+    has_coord      = doc_id % 10 < 6                       # ~60% of docs
+    decoy          = doc_id % 10 == 6                      # must NOT parse
+
+The hot-spot band [52.45, 52.57] x [13.35, 13.43] lies inside the Berlin
+fixture polygons, driving both PIP-join selectivity and spatial skew
+(salting tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# --- deterministic coordinate derivation (Spark Columns) -----------------
+
+def lat_milli_col():
+    base = (F.col("doc_id") * 7919) % 170001 - 85000
+    hot = 52450 + (F.col("doc_id") * 31) % 120
+    return F.when(F.col("doc_id") % 5 == 0, hot).otherwise(base)
+
+
+def lon_milli_col():
+    base = (F.col("doc_id") * 104729) % 350001 - 175000
+    hot = 13350 + (F.col("doc_id") * 37) % 80
+    return F.when(F.col("doc_id") % 5 == 0, hot).otherwise(base)
+
+
+def with_true_coords(df: DataFrame) -> DataFrame:
+    """Ground-truth lat/lon columns (the values embedded into span text)."""
+    return df.withColumn("lat", lat_milli_col() / F.lit(1000.0)).withColumn(
+        "lon", lon_milli_col() / F.lit(1000.0)
+    )
+
+
+# --- mirrored DuckDB SQL fragments ----------------------------------------
+
+LAT_MILLI_SQL = (
+    "(CASE WHEN doc_id % 5 = 0 THEN 52450 + (doc_id * 31) % 120 "
+    "ELSE (doc_id * 7919) % 170001 - 85000 END)"
+)
+LON_MILLI_SQL = (
+    "(CASE WHEN doc_id % 5 = 0 THEN 13350 + (doc_id * 37) % 80 "
+    "ELSE (doc_id * 104729) % 350001 - 175000 END)"
+)
+LAT_SQL = f"({LAT_MILLI_SQL} / 1000.0)"
+LON_SQL = f"({LON_MILLI_SQL} / 1000.0)"
+HAS_COORD_SQL = "(doc_id % 10 < 6)"
+
+
+def _fmt_milli(milli):
+    """milli-degrees -> exact 3-decimal string via integer math (no printf
+    rounding-mode ambiguity between engines)."""
+    a = F.abs(milli)
+    return F.concat(
+        F.when(milli < 0, F.lit("-")).otherwise(F.lit("")),
+        (a / 1000).cast("bigint").cast("string"),
+        F.lit("."),
+        F.lpad((a % 1000).cast("string"), 3, "0"),
+    )
+
+
+def amplified_documents(
+    spark: SparkSession, sf_dir: str, factor: int
+) -> DataFrame:
+    """Replicate the documents table ``factor``x with fresh doc_ids
+    (id' = id + n_docs * k) — deterministic scale amplification for
+    benchmarking (the sandbox documents table is only 5k rows at sf0.1;
+    the production target is 10^12 docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    return (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n))
+        .drop("rep")
+        .repartition(int(spark.sparkContext.defaultParallelism) * 2)
+    )
+
+
+def documents_with_spans(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """The interleaved text+media spans table (BASELINE.json input_hint):
+    (doc_id: string, spans: array<struct<kind, text, media_ref, offset>>).
+
+    Spans per doc: [prose+coordinate text span, media span, decoy text
+    span (10% of docs)].  All construction is native Column work — the
+    synthesis itself never leaves the JVM.
+    """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    lat_m = lat_milli_col()
+    lon_m = lon_milli_col()
+    has_coord = F.col("doc_id") % 10 < 6
+    decoy = F.col("doc_id") % 10 == 6
+
+    text0 = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.when(
+            has_coord,
+            F.concat(
+                F.lit(" near "), _fmt_milli(lat_m), F.lit(", "), _fmt_milli(lon_m),
+                F.lit(" today"),
+            ),
+        ).otherwise(F.lit(" nowhere in particular")),
+    )
+    media_ref = F.concat(
+        F.lit("media://"),
+        F.lpad(((F.col("doc_id") * 2654435761) % 4294967296).cast("string"), 16, "0"),
+    )
+    span0 = F.struct(
+        F.lit("text").alias("kind"),
+        text0.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    span1 = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        media_ref.alias("media_ref"),
+        F.length(text0).cast("int").alias("offset"),
+    )
+    decoy_text = F.lit("ignore 91, 0 and 1000,1000 and 52.5a, 13.4")
+    span2 = F.struct(
+        F.lit("text").alias("kind"),
+        decoy_text.alias("text"),
+        F.lit("").alias("media_ref"),
+        (F.length(text0) + 1).cast("int").alias("offset"),
+    )
+    spans = F.when(decoy, F.array(span0, span1, span2)).otherwise(
+        F.array(span0, span1)
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
+
+
+# SQL twin of the text0 span for oracle checks that need the raw text
+TEXT0_SQL = (
+    "(substr(text, 1, 40) || CASE WHEN doc_id % 10 < 6 THEN "
+    "' near ' || "
+    f"(CASE WHEN {LAT_MILLI_SQL} < 0 THEN '-' ELSE '' END) || "
+    f"CAST(abs({LAT_MILLI_SQL}) // 1000 AS VARCHAR) || '.' || "
+    f"lpad(CAST(abs({LAT_MILLI_SQL}) % 1000 AS VARCHAR), 3, '0') || "
+    "', ' || "
+    f"(CASE WHEN {LON_MILLI_SQL} < 0 THEN '-' ELSE '' END) || "
+    f"CAST(abs({LON_MILLI_SQL}) // 1000 AS VARCHAR) || '.' || "
+    f"lpad(CAST(abs({LON_MILLI_SQL}) % 1000 AS VARCHAR), 3, '0') || "
+    "' today' ELSE ' nowhere in particular' END)"
+)

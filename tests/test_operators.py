@@ -1,0 +1,191 @@
+"""Operator-level Spark tests: parity of distributed operators with the
+numpy kernels, span-sequence invariant, skew salting, dedup recall,
+pushdown plan shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geogeometry_spark import fixtures
+from geogeometry_spark.functions import columns as C
+from geogeometry_spark.kernels import geohash as kgh
+from geogeometry_spark.kernels import geometry as kgeo
+from geogeometry_spark.operators import dedup, similarity
+from geogeometry_spark.operators.extract import extract_coordinates
+from geogeometry_spark.operators.pip_join import pip_join
+from geogeometry_spark.operators.tiling import assign_tiles
+from geogeometry_spark.sources import tables as src
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def coords_df(spark):
+    df = src.with_true_coords(src.load_table(spark, SF, "documents")).select(
+        "doc_id", "lat", "lon"
+    )
+    return df.withColumn(
+        "cell_id", C.geohash_interleaved(F.col("lat"), F.col("lon"), 12)
+    ).cache()
+
+
+def test_native_geohash_matches_kernel(spark, coords_df):
+    """Native Column geohash == reference bisection kernel, row by row."""
+    rows = coords_df.select(
+        "lat", "lon", C.geohash(F.col("lat"), F.col("lon"), 12).alias("cell")
+    ).collect()
+    lat = np.array([r["lat"] for r in rows])
+    lon = np.array([r["lon"] for r in rows])
+    expected = kgh.encode(lat, lon, 12)
+    got = np.array([r["cell"] for r in rows])
+    assert (expected == got).all()
+
+
+def test_native_tile_matches_kernel(spark, coords_df):
+    from geogeometry_spark.kernels import tiles as ktiles
+
+    for zoom in (8, 22):
+        x, y = C.tile_xy(F.col("lat"), F.col("lon"), zoom)
+        rows = coords_df.select("lat", "lon", x.alias("x"), y.alias("y")).collect()
+        lat = np.array([r["lat"] for r in rows])
+        lon = np.array([r["lon"] for r in rows])
+        kx, ky = ktiles.coordinate_to_tile(lat, lon, zoom)
+        assert (kx == np.array([r["x"] for r in rows])).all()
+        assert (ky == np.array([r["y"] for r in rows])).all()
+
+
+def test_pip_join_matches_brute_force(spark, coords_df):
+    """Broadcast cover join + border recheck == plain kernel PIP."""
+    got = {
+        (r["doc_id"], r["polygon_id"])
+        for r in pip_join(coords_df).select("doc_id", "polygon_id").collect()
+    }
+    rows = coords_df.collect()
+    lat = np.array([r["lat"] for r in rows])
+    lon = np.array([r["lon"] for r in rows])
+    ids = [r["doc_id"] for r in rows]
+    expected = set()
+    for pid, rings in fixtures.polygons_np().items():
+        inside = kgeo.polygon_with_holes_contains(lat, lon, rings[0], rings[1:])
+        expected |= {(ids[i], pid) for i in np.nonzero(inside)[0]}
+    assert got == expected
+
+
+def test_semi_anti_join(spark, coords_df):
+    n = coords_df.count()
+    n_semi = pip_join(coords_df, how="left_semi").count()
+    n_anti = pip_join(coords_df, how="left_anti").count()
+    assert n_semi + n_anti == n
+    assert n_semi > 0
+
+
+def test_span_sequence_invariant(spark):
+    """Every flagship output row carries the input span sequence
+    unchanged (kind, text, media_ref, order) — BASELINE.json line 15."""
+    docs = src.documents_with_spans(spark, SF)
+    original = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    out = extract_coordinates(docs, keep_spans=True)
+    out = assign_tiles(out, zooms=[8])
+    for r in out.collect():
+        assert [tuple(s) for s in r["spans"]] == [
+            tuple(s) for s in original[r["doc_id"]]
+        ]
+
+
+def test_extraction_ignores_decoys(spark):
+    docs = src.documents_with_spans(spark, SF)
+    pts = extract_coordinates(docs, keep_spans=False)
+    # decoy docs (doc_id % 10 == 6) must never produce a coordinate
+    bad = pts.where(F.col("doc_id").cast("long") % 10 == 6).count()
+    assert bad == 0
+    # every extracted coordinate equals the arithmetic ground truth
+    truth = src.with_true_coords(src.load_table(spark, SF, "documents"))
+    joined = pts.alias("p").join(
+        truth.alias("t"), F.col("p.doc_id") == F.col("t.doc_id").cast("string")
+    )
+    mismatch = joined.where(
+        (F.col("p.lat") != F.col("t.lat")) | (F.col("p.lon") != F.col("t.lon"))
+    ).count()
+    assert mismatch == 0
+
+
+def test_salted_agg_matches_plain(spark, coords_df):
+    from geogeometry_spark.operators.skew import salted_agg
+
+    df = coords_df.withColumn("cell5", C.geohash(F.col("lat"), F.col("lon"), 5))
+    got = {
+        (r["cell5"], r["n"])
+        for r in salted_agg(
+            df, "cell5", {"n": (F.count(F.lit(1)), F.sum)}, target_rows_per_task=10
+        ).collect()
+    }
+    expected = {
+        (r["cell5"], r["n"])
+        for r in df.groupBy("cell5").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    texts = []
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    for i in range(20):
+        texts.append((i, base + f"unique tail {i}"))
+    # plant a near-dup pair: same long body, tiny difference
+    texts.append((100, base + "unique tail 3 almost"))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    cands = dedup.minhash_candidates(df, num_hashes=16, bands=8, shingle_n=3)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (3, 100) in pairs
+    verified = dedup.ngram_jaccard(df, cands, shingle_n=3)
+    row = [r for r in verified.collect() if (r["id_a"], r["id_b"]) == (3, 100)][0]
+    assert row["jaccard"] > 0.8
+
+
+def test_ann_lsh_recall(spark):
+    emb = src.load_table(spark, SF, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.ann_topk(emb, q, k=10).collect()]
+    # multi-probe LSH should recover most of the true top-10
+    assert len(set(brute) & set(approx)) >= 5
+    assert brute[0] == approx[0] == 0  # the query vector itself
+
+
+def test_prefix_scan_pushdown_plan(spark, tmp_path, coords_df):
+    """The long-range prefix predicate must reach the parquet scan
+    (PushedFilters) — this is the partition/row-group pruning story."""
+    from geogeometry_spark.operators.prefix_scan import prefix_filter_long
+
+    path = str(tmp_path / "cells.parquet")
+    coords_df.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    plan = prefix_filter_long(df, "u33")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(cell_id" in plan or "cell_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_lineage_resume(spark, tmp_path, coords_df):
+    from geogeometry_spark.sources.lineage import (
+        committed_buckets,
+        metrics,
+        read_resumable,
+        write_resumable,
+    )
+
+    path = str(tmp_path / "out")
+    r1 = write_resumable(coords_df, path, "doc_id", n_buckets=4)
+    assert sorted(r1["written"]) == [0, 1, 2, 3]
+    assert read_resumable(spark, path).count() == coords_df.count()
+    # rerun: everything skipped, nothing rewritten
+    r2 = write_resumable(coords_df, path, "doc_id", n_buckets=4)
+    assert r2["written"] == [] and sorted(r2["skipped"]) == [0, 1, 2, 3]
+    # drop one lineage record -> only that bucket is rewritten
+    import os
+
+    os.remove(os.path.join(path, "_lineage", "bucket-2.json"))
+    r3 = write_resumable(coords_df, path, "doc_id", n_buckets=4)
+    assert r3["written"] == [2]
+    assert committed_buckets(path) == {0, 1, 2, 3}
+    assert len(metrics(path)) == 4
+    assert read_resumable(spark, path).count() == coords_df.count()
