@@ -16,6 +16,7 @@ Semantics parity:
 from __future__ import annotations
 
 import math
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -36,6 +37,27 @@ _SPREAD_MASKS = (
     (1, 0x5555555555555555),
 )
 
+_SPREAD_CHUNK_BITS = 15
+
+
+def _spread_int(v: int) -> int:
+    for shift, mask in _SPREAD_MASKS:
+        v = (v | (v << shift)) & mask
+    return v
+
+
+@_lru_cache(maxsize=1)
+def _spread_table() -> Column:
+    """32768-entry array literal: spread_table[v] = v's 15 bits spread to
+    even bit positions.  Replaces the shift/mask cascade whose expression
+    tree doubled at every step (5 steps x 2 refs = 32x subtree
+    duplication, blowing the janino 64KB method limit on 12-char cells).
+    Built as split(string-literal) so it is ONE plan node (F.lit(list)
+    creates a 32768-child CreateArray — ~16s of Catalyst traversal per
+    query); ConstantFolding collapses it to a flat ArrayData literal."""
+    csv = ",".join(str(_spread_int(v)) for v in range(1 << _SPREAD_CHUNK_BITS))
+    return F.split(F.lit(csv), ",").cast("array<bigint>")
+
 
 # --------------------------------------------------------------------------
 # geohash encode (native)
@@ -49,10 +71,21 @@ def _cell_index(value: Column, lo: float, span: float, bits: int) -> Column:
     return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), idx)).cast("long")
 
 
-def _spread(c: Column) -> Column:
-    for shift, mask in _SPREAD_MASKS:
-        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
-    return c
+def _spread(c: Column, bits: int = 32) -> Column:
+    """Spread ``bits`` low bits of ``c`` to even bit positions via the
+    constant lookup table (one or two O(1) array gets — no subtree
+    duplication, tiny codegen)."""
+    if bits <= _SPREAD_CHUNK_BITS:
+        return F.element_at(_spread_table(), (c + F.lit(1)).cast("int")).cast("long")
+    lo = F.element_at(
+        _spread_table(),
+        (c.bitwiseAND(F.lit((1 << _SPREAD_CHUNK_BITS) - 1)) + F.lit(1)).cast("int"),
+    ).cast("long")
+    hi = F.element_at(
+        _spread_table(),
+        (F.shiftright(c, _SPREAD_CHUNK_BITS) + F.lit(1)).cast("int"),
+    ).cast("long")
+    return lo.bitwiseOR(F.shiftleft(hi, 2 * _SPREAD_CHUNK_BITS))
 
 
 
@@ -66,13 +99,13 @@ def geohash_interleaved(lat: Column, lon: Column, length: int) -> Column:
     ilon = _cell_index(lon, -180.0, 360.0, lon_bits)
     ilat = _cell_index(lat, -90.0, 180.0, lat_bits)
     if lon_bits > lat_bits:
-        low = _spread(ilon.bitwiseAND(F.lit((1 << lat_bits) - 1))).bitwiseOR(
-            F.shiftleft(_spread(ilat), 1)
-        )
+        low = _spread(
+            ilon.bitwiseAND(F.lit((1 << lat_bits) - 1)), lat_bits
+        ).bitwiseOR(F.shiftleft(_spread(ilat, lat_bits), 1))
         return low.bitwiseOR(
             F.shiftleft(F.shiftright(ilon, lat_bits), 2 * lat_bits)
         )
-    return F.shiftleft(_spread(ilon), 1).bitwiseOR(_spread(ilat))
+    return F.shiftleft(_spread(ilon, lon_bits), 1).bitwiseOR(_spread(ilat, lat_bits))
 
 
 _STD_BASE32_UPPER = "0123456789ABCDEFGHIJKLMNOPQRSTUV"
@@ -185,7 +218,7 @@ def quadkey_long(x: Column, y: Column, zoom: int) -> Column:
     """Packed-long quadkey via bit interleave. Tile.kt:68-74."""
     xl = x.cast("long")
     yl = y.cast("long")
-    return F.shiftleft(_spread(yl), 1).bitwiseOR(_spread(xl))
+    return F.shiftleft(_spread(yl, zoom), 1).bitwiseOR(_spread(xl, zoom))
 
 
 def quadkey_long_sql(x: str, y: str, zoom: int) -> str:
