@@ -146,6 +146,173 @@ O_PREFIX = (
 )
 
 
+def q_gh_decode(spark, sf_dir):
+    """Geohash decode: cell12 -> bbox + center (GeoHashUtils.kt:158-213;
+    bisection kernel == closed-form dyadic grid bit-for-bit, so the SQL
+    oracle uses the closed form at full float64 precision)."""
+    from .functions.udfs import gh_decode, gh_decode_bbox
+
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("cell12", C.geohash(F.col("lat"), F.col("lon"), 12))
+    bbox = gh_decode_bbox(F.col("cell12"))
+    ctr = gh_decode(F.col("cell12"))
+    return df.select(
+        "doc_id",
+        "cell12",
+        bbox["west"].alias("west"),
+        bbox["south"].alias("south"),
+        bbox["east"].alias("east"),
+        bbox["north"].alias("north"),
+        ctr["lon"].alias("center_lon"),
+        ctr["lat"].alias("center_lat"),
+    )
+
+
+def _gh_decode_oracle() -> str:
+    ilat = C.cell_index_sql("lat", -90.0, 180.0, 30)
+    ilon = C.cell_index_sql("lon", -180.0, 360.0, 30)
+    sub = (
+        f"(SELECT doc_id, lat, lon, {ilat} AS ia, {ilon} AS io FROM {_COORD_SUBQ})"
+    )
+    span_lat = repr(180.0 / (1 << 30))
+    span_lon = repr(360.0 / (1 << 30))
+    cell = C.geohash_render_sql(
+        C.geohash_long_from_indices_sql("ia", "io", 12), 12
+    )
+    return (
+        f"SELECT doc_id, {cell} AS cell12, "
+        f"io * {span_lon} - 180.0 AS west, "
+        f"ia * {span_lat} - 90.0 AS south, "
+        f"(io + 1) * {span_lon} - 180.0 AS east, "
+        f"(ia + 1) * {span_lat} - 90.0 AS north, "
+        f"((io * {span_lon} - 180.0) + ((io + 1) * {span_lon} - 180.0)) / 2 "
+        "AS center_lon, "
+        f"((ia * {span_lat} - 90.0) + ((ia + 1) * {span_lat} - 90.0)) / 2 "
+        f"AS center_lat FROM {sub}"
+    )
+
+
+def q_gh_neighbors(spark, sf_dir):
+    """N/E/S/W same-length neighbor hashes (GeoHashUtils.kt:220-280) of
+    the length-5 cell.  Oracle addresses neighbors by cell-index ±1
+    (equivalent to the reference's displace-center-and-re-encode for all
+    non-pole, non-antimeridian cells — sandbox coords are within ±85/±175)."""
+    from .functions.udfs import gh_neighbors
+
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("cell5", C.geohash(F.col("lat"), F.col("lon"), 5))
+    nb = gh_neighbors(F.col("cell5"))
+    return df.select(
+        "doc_id",
+        "cell5",
+        F.element_at(nb, 1).alias("n"),
+        F.element_at(nb, 2).alias("e"),
+        F.element_at(nb, 3).alias("s"),
+        F.element_at(nb, 4).alias("w"),
+    )
+
+
+def _gh_neighbors_oracle() -> str:
+    lat_bits, lon_bits = 12, 13
+    ilat = C.cell_index_sql("lat", -90.0, 180.0, lat_bits)
+    ilon = C.cell_index_sql("lon", -180.0, 360.0, lon_bits)
+    sub = (
+        f"(SELECT doc_id, {ilat} AS ia, {ilon} AS io FROM {_COORD_SUBQ})"
+    )
+
+    def cell(ia: str, io: str) -> str:
+        return C.geohash_render_sql(
+            C.geohash_long_from_indices_sql(ia, io, 5), 5
+        )
+
+    return (
+        f"SELECT doc_id, {cell('ia', 'io')} AS cell5, "
+        f"{cell('ia + 1', 'io')} AS n, "
+        f"{cell('ia', f'(io + 1) % {1 << lon_bits}')} AS e, "
+        f"{cell('ia - 1', 'io')} AS s, "
+        f"{cell('ia', f'(io - 1 + {1 << lon_bits}) % {1 << lon_bits}')} AS w "
+        f"FROM {sub}"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 / §2.7 UTM / UPS / MGRS projections
+# --------------------------------------------------------------------------
+
+def q_utm_roundtrip(spark, sf_dir):
+    """WGS84 -> UTM/UPS -> WGS84 (utm.kt:302-312; iterative footpoint
+    latitude -> no SQL oracle; err_m < 1 is pytest-asserted)."""
+    from .operators.projection import utm_roundtrip
+
+    df = _docs_coords(spark, sf_dir)
+    out = utm_roundtrip(df)
+    return out.select(
+        "doc_id",
+        "longitude_zone",
+        "latitude_zone_letter",
+        F.round(F.col("easting"), 2).alias("easting_r2"),
+        F.round(F.col("northing"), 2).alias("northing_r2"),
+        F.round(F.col("err_m"), 4).alias("err_m_r4"),
+    )
+
+
+def q_mgrs(spark, sf_dir):
+    """UTM -> MGRS grid letters + USNG string + back-conversion error
+    (mgrs.kt:107-225; rows-only, pytest asserts err < 2 m)."""
+    from .operators.projection import mgrs_roundtrip
+
+    # MGRS supports the UTM band only (mgrs.kt:12, FIXME at :203)
+    df = _docs_coords(spark, sf_dir).where(F.col("lat").between(-80.0, 84.0))
+    out = mgrs_roundtrip(df)
+    return out.select(
+        "doc_id",
+        "longitude_zone",
+        "latitude_zone_letter",
+        "grid_col",
+        "grid_row",
+        "usng",
+        "err_easting",
+        "err_northing",
+    )
+
+
+def q_utm_parse(spark, sf_dir):
+    """findUTMCoordinates over free text (utm.kt:120-142) — UTM strings
+    synthesized from doc_id by integer arithmetic so the oracle can
+    reproduce them without regex."""
+    from .operators.projection import find_utm_in_text
+
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id")
+    txt = F.concat(
+        F.lit("at "),
+        (F.col("doc_id") % 60 + 1).cast("string"),
+        F.lit(" "),
+        F.substring(
+            F.lit("CDEFGHJKLMNPQRSTUVWX"),
+            (F.col("doc_id") % 20 + 1).cast("int"),
+            1,
+        ),
+        F.lit(" "),
+        (100000 + (F.col("doc_id") * 37) % 400000).cast("string"),
+        F.lit(" "),
+        ((F.col("doc_id") * 53) % 9000000).cast("string"),
+        F.lit(" ok"),
+    )
+    df = docs.withColumn("text", txt)
+    return find_utm_in_text(df, "text", keep=["doc_id"]).select(
+        "doc_id", "longitude_zone", "latitude_zone_letter", "easting", "northing"
+    )
+
+
+O_UTM_PARSE = (
+    "SELECT doc_id, CAST(doc_id % 60 + 1 AS INT) AS longitude_zone, "
+    "substr('CDEFGHJKLMNPQRSTUVWX', CAST(doc_id % 20 + 1 AS INT), 1) "
+    "AS latitude_zone_letter, "
+    "CAST(100000 + (doc_id * 37) % 400000 AS DOUBLE) AS easting, "
+    "CAST((doc_id * 53) % 9000000 AS DOUBLE) AS northing FROM documents"
+)
+
+
 # --------------------------------------------------------------------------
 # §2.2 / §2.8 filters and joins
 # --------------------------------------------------------------------------
@@ -505,6 +672,11 @@ O_MEDIA = (
 QUERIES = {
     "extract_coords": q_extract_coords,
     "geohash_encode": q_geohash_encode,
+    "gh_decode": q_gh_decode,
+    "gh_neighbors": q_gh_neighbors,
+    "utm_roundtrip": q_utm_roundtrip,
+    "mgrs": q_mgrs,
+    "utm_parse": q_utm_parse,
     "tile_assign": q_tile_assign,
     "quadkey": q_quadkey,
     "prefix_scan": q_prefix_scan,
@@ -535,6 +707,9 @@ def build_oracles() -> dict[str, str]:
     return {
         "extract_coords": O_EXTRACT,
         "geohash_encode": O_GEOHASH,
+        "gh_decode": _gh_decode_oracle(),
+        "gh_neighbors": _gh_neighbors_oracle(),
+        "utm_parse": O_UTM_PARSE,
         "tile_assign": _tile_oracle(),
         "quadkey": _quadkey_oracle(),
         "prefix_scan": O_PREFIX,

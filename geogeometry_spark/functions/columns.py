@@ -145,24 +145,25 @@ def string_cell_to_long(cell: str) -> int:
     return v
 
 
-def geohash_long_sql(lat: str, lon: str, length: int = 12) -> str:
-    """DuckDB SQL equivalent of :func:`geohash_interleaved`."""
+def cell_index_sql(expr: str, lo: float, span: float, bits: int) -> str:
+    """DuckDB SQL twin of :func:`_cell_index` (exact same arithmetic)."""
+    t = f"(({expr}) - {lo!r}) / {span!r}"
+    idx = f"CAST(ceil(({t}) * {float(1 << bits)!r}) AS BIGINT) - 1"
+    return f"greatest(0, least({(1 << bits) - 1}, {idx}))"
+
+
+def geohash_long_from_indices_sql(ilat: str, ilon: str, length: int) -> str:
+    """Morton-interleave arbitrary (ilat, ilon) index expressions —
+    lets oracles address neighbor cells by index arithmetic."""
     nbits = 5 * length
     lon_bits = (nbits + 1) // 2
     lat_bits = nbits // 2
-
-    def cell(expr: str, lo: float, span: float, bits: int) -> str:
-        t = f"(({expr}) - {lo!r}) / {span!r}"
-        idx = f"CAST(ceil(({t}) * {float(1 << bits)!r}) AS BIGINT) - 1"
-        return f"greatest(0, least({(1 << bits) - 1}, {idx}))"
 
     def spread(expr: str) -> str:
         for shift, mask in _SPREAD_MASKS:
             expr = f"((({expr}) | (({expr}) << {shift})) & {mask})"
         return expr
 
-    ilon = cell(lon, -180.0, 360.0, lon_bits)
-    ilat = cell(lat, -90.0, 180.0, lat_bits)
     if lon_bits > lat_bits:
         v = (
             f"({spread(f'(({ilon}) & {(1 << lat_bits) - 1})')}"
@@ -174,13 +175,27 @@ def geohash_long_sql(lat: str, lon: str, length: int = 12) -> str:
     return v
 
 
-def geohash_sql(lat: str, lon: str, length: int = 12) -> str:
-    """DuckDB SQL equivalent of :func:`geohash` (same op order)."""
-    v = geohash_long_sql(lat, lon, length)
+def geohash_long_sql(lat: str, lon: str, length: int = 12) -> str:
+    """DuckDB SQL equivalent of :func:`geohash_interleaved`."""
+    nbits = 5 * length
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    ilon = cell_index_sql(lon, -180.0, 360.0, lon_bits)
+    ilat = cell_index_sql(lat, -90.0, 180.0, lat_bits)
+    return geohash_long_from_indices_sql(ilat, ilon, length)
+
+
+def geohash_render_sql(v: str, length: int) -> str:
+    """DuckDB SQL twin of :func:`geohash_render` (long -> base32 str)."""
     return (
         f"translate(lpad(to_base({v}, 32), {length}, '0'), "
         f"'{_STD_BASE32_UPPER}', '{BASE32}')"
     )
+
+
+def geohash_sql(lat: str, lon: str, length: int = 12) -> str:
+    """DuckDB SQL equivalent of :func:`geohash` (same op order)."""
+    return geohash_render_sql(geohash_long_sql(lat, lon, length), length)
 
 
 # --------------------------------------------------------------------------

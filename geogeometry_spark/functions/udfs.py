@@ -163,3 +163,119 @@ def extract_coords(text: pd.Series) -> pd.Series:
             ]
         )
     return pd.Series(out)
+
+
+# --------------------------------------------------------------------------
+# UTM / UPS / MGRS (kernels.utm, kernels.mgrs)
+# --------------------------------------------------------------------------
+
+_UTM_SCHEMA = T.StructType(
+    [
+        T.StructField("longitude_zone", T.IntegerType()),
+        T.StructField("latitude_zone_letter", T.StringType()),
+        T.StructField("easting", T.DoubleType()),
+        T.StructField("northing", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_UTM_SCHEMA)
+def utm_from_wgs84(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+    """WGS84 -> UTM or UPS by latitude (utm.kt:302-308; power series
+    utm.kt:314-393, UPS utm.kt:498-528)."""
+    from ..kernels import utm as ku
+
+    z, l, e, n = ku.to_utm_or_ups(
+        lat.to_numpy(dtype=np.float64), lon.to_numpy(dtype=np.float64)
+    )
+    return pd.DataFrame(
+        {
+            "longitude_zone": z.astype("int32"),
+            "latitude_zone_letter": [chr(c) for c in l],
+            "easting": e,
+            "northing": n,
+        }
+    )
+
+
+_LONLAT_SCHEMA = T.StructType(
+    [T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]
+)
+
+
+@F.pandas_udf(_LONLAT_SCHEMA)
+def utm_to_wgs84(
+    zone: pd.Series, letter: pd.Series, easting: pd.Series, northing: pd.Series
+) -> pd.DataFrame:
+    """UTM/UPS -> WGS84 (utm.kt:310-312, 396-485, 530-585)."""
+    from ..kernels import utm as ku
+
+    letters = np.array([ord(s[0]) for s in letter], dtype=np.uint8)
+    lon, lat = ku.from_utm_or_ups(
+        zone.to_numpy(dtype=np.int64),
+        letters,
+        easting.to_numpy(dtype=np.float64),
+        northing.to_numpy(dtype=np.float64),
+    )
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+_MGRS_SCHEMA = T.StructType(
+    [
+        T.StructField("first_letter", T.StringType()),
+        T.StructField("second_letter", T.StringType()),
+        T.StructField("easting", T.IntegerType()),
+        T.StructField("northing", T.IntegerType()),
+        T.StructField("usng", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_MGRS_SCHEMA)
+def mgrs_from_utm(
+    zone: pd.Series, letter: pd.Series, easting: pd.Series, northing: pd.Series
+) -> pd.DataFrame:
+    """UTM -> MGRS grid + 1m USNG string (mgrs.kt:107-161, 65-69)."""
+    from ..kernels import mgrs as kmg
+
+    z = zone.to_numpy(dtype=np.int64)
+    letters = np.array([ord(s[0]) for s in letter], dtype=np.uint8)
+    e = easting.to_numpy(dtype=np.float64)
+    n = northing.to_numpy(dtype=np.float64)
+    f, s, me, mn = kmg.to_mgrs(z, letters, e, n)
+    usng = kmg.format_mgrs(z, letters, f, s, me, mn, digits=5, spaces=True)
+    return pd.DataFrame(
+        {
+            "first_letter": [chr(c) for c in f],
+            "second_letter": [chr(c) for c in s],
+            "easting": me.astype("int32"),
+            "northing": mn.astype("int32"),
+            "usng": usng,
+        }
+    )
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("easting", T.DoubleType()),
+    T.StructField("northing", T.DoubleType()),
+]))
+def mgrs_to_utm_en(
+    zone: pd.Series,
+    letter: pd.Series,
+    first: pd.Series,
+    second: pd.Series,
+    easting: pd.Series,
+    northing: pd.Series,
+) -> pd.DataFrame:
+    """MGRS grid -> full UTM easting/northing (mgrs.kt:202-225)."""
+    from ..kernels import mgrs as kmg
+
+    e, n = kmg.mgrs_to_utm(
+        zone.to_numpy(dtype=np.int64),
+        np.array([ord(s[0]) for s in letter], dtype=np.uint8),
+        np.array([ord(s[0]) for s in first], dtype=np.uint8),
+        np.array([ord(s[0]) for s in second], dtype=np.uint8),
+        easting.to_numpy(dtype=np.int64),
+        northing.to_numpy(dtype=np.int64),
+    )
+    return pd.DataFrame({"easting": e, "northing": n})

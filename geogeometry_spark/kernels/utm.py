@@ -1,0 +1,468 @@
+"""UTM / UPS projection kernels (vectorized numpy, float64).
+
+Reference: /root/reference/src/commonMain/kotlin/com/jillesvangurp/geo/utm.kt
+(toUtmCoordinate power series utm.kt:314-393, utmToPointCoordinates
+utm.kt:396-485, UPS utm.kt:498-585, zone logic utm.kt:150-297,
+ReferenceEllipsoid utm.kt:622-691).  Operation order mirrors the
+reference so golden vectors (UTMTest.kt:28-51) match to the same 2-dp
+rounding.
+
+Convention: separated args are (lat, lon); outputs are plain numpy
+arrays; letters are handled as uint8 char codes for vectorization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ellipsoid: WGS84 (utm.kt:690)
+_A = 6378137.0
+_INVF = 298.257223563
+_F = 1.0 / _INVF
+_E2 = _F * (2.0 - _F)  # eccentricitySquared (utm.kt:635)
+_EB2 = _E2 / (1.0 - _E2)  # secondEccentricitySquared (utm.kt:638)
+_E = np.sqrt(_E2)
+
+UTM_SCALE_FACTOR = 0.9996
+UTM_FALSE_EASTING = 500000.0
+UTM_FALSE_NORTHING = 10000000.0
+UTM_NORTHERN_LIMIT = 84.0
+UTM_SOUTHERN_LIMIT = -80.0
+UPS_SCALE_FACTOR = 0.994
+UPS_FALSE_EASTING = 2000000.0
+UPS_FALSE_NORTHING = 2000000.0
+
+_K0 = UTM_SCALE_FACTOR
+_K02 = _K0 * _K0
+_K03 = _K02 * _K0
+_K04 = _K03 * _K0
+_K05 = _K04 * _K0
+_K06 = _K05 * _K0
+_K07 = _K06 * _K0
+_K08 = _K07 * _K0
+
+_DEG2RAD = np.pi / 180.0  # GeoGeometry.kt:66
+
+# latitude band letters C..X skipping I and O (utm.kt:183-205)
+_BAND_LETTERS = np.frombuffer(b"CDEFGHJKLMNPQRSTUVWX", dtype=np.uint8)
+
+
+def _as1d(x):
+    return np.atleast_1d(np.asarray(x, dtype=np.float64))
+
+
+def round_decimals(x: np.ndarray, decimals: int) -> np.ndarray:
+    """GeoGeometry.roundToDecimals (GeoGeometry.kt:305-311):
+    (d * factor).roundToLong() / factor — Kotlin roundToLong is
+    round-half-up toward +inf (Math.round), i.e. floor(x + 0.5)."""
+    factor = 10.0 ** decimals
+    return np.floor(x * factor + 0.5) / factor
+
+
+def normalize_lonlat(lon: np.ndarray, lat: np.ndarray):
+    """PointCoordinates.normalize (geojson.kt:319-342)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    need = (lon < -180.0) | (lon > 180.0) | (lat < -90.0) | (lat > 90.0)
+    nlon = ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    nlat = ((lat + 90.0) % 360.0 + 360.0) % 360.0 - 90.0
+    nlat = np.where((nlat >= 90.0) & (nlat <= 180.0), 180.0 - nlat, nlat)
+    nlat = np.where((nlat >= -180.0) & (nlat < -90.0), -180.0 - nlat, nlat)
+    return np.where(need, nlon, lon), np.where(need, nlat, lat)
+
+
+def latitude_zone_letter(lat, lon) -> np.ndarray:
+    """utm.kt:168-208 → uint8 char codes."""
+    lat = _as1d(lat)
+    lon = _as1d(lon)
+    band = np.clip(((lat + 80.0) // 8.0).astype(np.int64), 0, 19)
+    letters = _BAND_LETTERS[band]
+    north = lat > 84.0
+    south = lat < -80.0
+    letters = np.where(north, np.where(lon < 0, ord("Y"), ord("Z")), letters)
+    letters = np.where(south, np.where(lon < 0, ord("A"), ord("B")), letters)
+    return letters.astype(np.uint8)
+
+
+def longitude_zone(lat, lon) -> np.ndarray:
+    """utm.kt:217-265 (X/Svalbard and V/Norway exceptions)."""
+    lat = _as1d(lat)
+    lon = _as1d(lon)
+    zone = ((lon + 180.0) / 6.0).astype(np.int64) + 1
+    letters = latitude_zone_letter(lat, lon)
+    x_exc = (letters == ord("X")) & (lon > 0.0) & (lon < 42.0)
+    x_zone = np.where(
+        lon < 9.0, 31, np.where(lon < 21.0, 33, np.where(lon < 33.0, 35, 37))
+    )
+    v_exc = (letters == ord("V")) & (lon > 0.0) & (lon < 12.0)
+    v_zone = np.where(lon < 3.0, 31, 32)
+    zone = np.where(x_exc, x_zone, np.where(v_exc, v_zone, zone))
+    polar = (lat > 84.0) | (lat < -80.0)
+    return np.where(polar, np.where(lon < 0.0, 30, 31), zone)
+
+
+def central_meridian(lon_zone: np.ndarray, letters: np.ndarray) -> np.ndarray:
+    """utm.kt:274-297 (radians)."""
+    lz = np.asarray(lon_zone, dtype=np.int64)
+    lt = np.asarray(letters, dtype=np.uint8)
+    base = ((lz - 1) * 6 - 180 + 3).astype(np.float64) * _DEG2RAD
+    polar = (lt < ord("C")) | (lt > ord("X"))
+    x = lt == ord("X")
+    v = lt == ord("V")
+    base = np.where(x & (lz == 31), 9.0 * _DEG2RAD, base)
+    base = np.where(x & (lz == 33), 15.0 * _DEG2RAD, base)
+    base = np.where(x & (lz == 35), 27.0 * _DEG2RAD, base)
+    base = np.where(x & (lz == 37), 33.0 * _DEG2RAD, base)
+    base = np.where(v & (lz == 31), 3.0 * _DEG2RAD, base)
+    base = np.where(v & (lz == 32), 9.0 * _DEG2RAD, base)
+    return np.where(polar, 0.0, base)
+
+
+def _nu(phi):  # verticalRadiusOfCurvatureRadians (utm.kt:648-650)
+    return _A / np.sqrt(1.0 - _E2 * np.sin(phi) ** 2)
+
+
+def _rho(phi):  # meridionalRadiusOfCurvatureRadians (utm.kt:656-658)
+    return _nu(phi) / (1.0 + _EB2 * np.cos(phi) ** 2)
+
+
+def _meridional_arc(phi):  # meridionalArcRadians (utm.kt:664-684)
+    sin2 = np.sin(2.0 * phi)
+    sin4 = np.sin(4.0 * phi)
+    sin6 = np.sin(6.0 * phi)
+    sin8 = np.sin(8.0 * phi)
+    n = _F / (2.0 - _F)
+    n2 = n * n
+    n3 = n2 * n
+    n4 = n3 * n
+    n5 = n4 * n
+    n1n2 = n - n2
+    n2n3 = n2 - n3
+    n3n4 = n3 - n4
+    n4n5 = n4 - n5
+    ap = _A * (1.0 - n + 5.0 / 4.0 * n2n3 + 81.0 / 64.0 * n4n5)
+    bp = 3.0 / 2.0 * _A * (n1n2 + 7.0 / 8.0 * n3n4 + 55.0 / 64.0 * n5)
+    cp = 15.0 / 16.0 * _A * (n2n3 + 3.0 / 4.0 * n4n5)
+    dp = 35.0 / 48.0 * _A * (n3n4 + 11.0 / 16.0 * n5)
+    ep = 315.0 / 512.0 * _A * n4n5
+    return ap * phi - bp * sin2 + cp * sin4 - dp * sin6 + ep * sin8
+
+
+def to_utm(lat, lon):
+    """WGS84 -> UTM (utm.kt:314-393).  Latitudes must lie in
+    [-80, 84]; rows outside get NaN easting/northing (quarantine, no
+    throw).  Returns (lon_zone int64, letter uint8, easting, northing)."""
+    lat = _as1d(lat)
+    lon = _as1d(lon)
+    ok = (lat >= UTM_SOUTHERN_LIMIT) & (lat <= UTM_NORTHERN_LIMIT)
+    letters = latitude_zone_letter(lat, lon)
+    zones = longitude_zone(lat, lon)
+    phi = lat * _DEG2RAD
+    cos_phi = np.cos(phi)
+    cos2 = cos_phi * cos_phi
+    cos3 = cos2 * cos_phi
+    cos5 = cos3 * cos2
+    cos7 = cos5 * cos2
+    tan_phi = np.tan(phi)
+    tan2 = tan_phi * tan_phi
+    tan4 = tan2 * tan2
+    tan6 = tan4 * tan2
+    eb2 = _EB2
+    eb4 = eb2 * eb2
+    eb6 = eb4 * eb2
+    eb8 = eb6 * eb2
+    e2c2 = eb2 * cos2
+    e4c4 = eb4 * cos2 * cos2
+    e6c6 = eb6 * cos2 * cos2 * cos2
+    e8c8 = eb8 * cos2 * cos2 * cos2 * cos2
+    t2e2c2 = tan2 * e2c2
+    t2e4c4 = tan2 * e4c4
+    t2e6c6 = tan2 * e6c6
+    t2e8c8 = tan2 * e8c8
+    nu = _nu(phi)
+    kn1 = _K0 * nu * np.sin(phi)
+    t1 = _K0 * _meridional_arc(phi)
+    t2 = kn1 * cos_phi / 2.0
+    t3 = kn1 * cos3 / 24.0 * (5.0 - tan2 + 9.0 * e2c2 + 4.0 * e4c4)
+    t4 = (
+        kn1
+        * cos5
+        / 720.0
+        * (
+            61.0
+            - 58.0 * tan2
+            + tan4
+            + 270.0 * e2c2
+            - 330.0 * t2e2c2
+            + 445.0 * e4c4
+            - 680.0 * t2e4c4
+            + 324.0 * e6c6
+            - 600.0 * t2e6c6
+            + 88.0 * e8c8
+            - 192.0 * t2e8c8
+        )
+    )
+    t5 = kn1 * cos7 / 40320.0 * (1385.0 - 3111.0 * tan2 + 543.0 * tan4 - tan6)
+    kn2 = _K0 * nu
+    t6 = kn2 * cos_phi
+    t7 = kn2 * cos3 / 6.0 * (1.0 - tan2 + e2c2)
+    t8 = (
+        kn2
+        * cos5
+        / 120.0
+        * (
+            5.0
+            - 18.0 * tan2
+            + tan4
+            + 14.0 * e2c2
+            - 58.0 * t2e2c2
+            + 13.0 * e4c4
+            - 64.0 * t2e4c4
+            + 4.0 * e6c6
+            - 24.0 * t2e6c6
+        )
+    )
+    t9 = kn2 * cos7 / 50.40 * (61.0 - 479.0 * tan2 + 179.0 * tan4 - tan6)
+    lam = lon * _DEG2RAD
+    lam0 = central_meridian(zones, letters)
+    dl = lam - lam0
+    dl2 = dl * dl
+    dl3 = dl2 * dl
+    dl4 = dl3 * dl
+    dl5 = dl4 * dl
+    dl6 = dl5 * dl
+    dl7 = dl6 * dl
+    dl8 = dl7 * dl
+    false_northing = np.where(phi < 0.0, UTM_FALSE_NORTHING, 0.0)
+    northing = false_northing + t1 + dl2 * t2 + dl4 * t3 + dl6 * t4 + dl8 * t5
+    easting = UTM_FALSE_EASTING + dl * t6 + dl3 * t7 + dl5 * t8 + dl7 * t9
+    easting = np.where(ok, round_decimals(easting, 2), np.nan)
+    northing = np.where(ok, round_decimals(northing, 2), np.nan)
+    return zones, letters, easting, northing
+
+
+def from_utm(lon_zone, letters, easting, northing):
+    """UTM -> WGS84 (utm.kt:396-485).  Returns (lon, lat)."""
+    lz = np.atleast_1d(np.asarray(lon_zone, dtype=np.int64))
+    lt = np.atleast_1d(np.asarray(letters, dtype=np.uint8))
+    e = _as1d(easting)
+    n = _as1d(northing)
+    n = np.where(lt < ord("N"), n - UTM_FALSE_NORTHING, n)
+    arc0 = n / _K0
+    rho = np.full_like(arc0, _rho(0.0))
+    phi = arc0 / rho
+    active = np.ones(phi.shape, dtype=bool)
+    for _ in range(5):
+        arc = _meridional_arc(phi)
+        rho_new = _rho(phi)
+        rho = np.where(active, rho_new, rho)
+        diff = (arc0 - arc) / rho
+        step = active & (np.abs(diff) >= np.spacing(np.abs(phi)))
+        phi = np.where(step, phi + diff, phi)
+        active = step
+    cos_phi = np.cos(phi)
+    cos2 = cos_phi * cos_phi
+    tan_phi = np.tan(phi)
+    tan2 = tan_phi * tan_phi
+    tan4 = tan2 * tan2
+    tan6 = tan4 * tan2
+    eb2 = _EB2
+    eb4 = eb2 * eb2
+    eb6 = eb4 * eb2
+    eb8 = eb6 * eb2
+    e2c2 = eb2 * cos2
+    e4c4 = eb4 * cos2 * cos2
+    e6c6 = eb6 * cos2 * cos2 * cos2
+    e8c8 = eb8 * cos2 * cos2 * cos2 * cos2
+    t2e2c2 = tan2 * e2c2
+    t2e4c4 = tan2 * e4c4
+    t2e6c6 = tan2 * e6c6
+    t2e8c8 = tan2 * e8c8
+    t4e2c2 = tan4 * e2c2
+    t4e4c4 = tan4 * e4c4
+    nu = _nu(phi)
+    nu2 = nu * nu
+    nu3 = nu2 * nu
+    nu5 = nu3 * nu2
+    nu7 = nu5 * nu2
+    lam0 = central_meridian(lz, lt)
+    de = e - UTM_FALSE_EASTING
+    de2 = de * de
+    de3 = de2 * de
+    de4 = de3 * de
+    de5 = de4 * de
+    de6 = de5 * de
+    de7 = de6 * de
+    de8 = de7 * de
+    t10 = tan_phi / (2.0 * rho * nu * _K02)
+    t11 = tan_phi / (24.0 * rho * nu3 * _K04) * (
+        5.0 + 3.0 * tan2 + e2c2 - 9.0 * t2e2c2 - 4.0 * e4c4
+    )
+    t12 = (
+        tan_phi
+        / (720.0 * rho * nu5 * _K06)
+        * (
+            61.0
+            + 90.0 * tan2
+            + 45.0 * tan4
+            + 46.0 * e2c2
+            - 252.0 * t2e2c2
+            - 90.0 * t4e2c2
+            - 3.0 * e4c4
+            - 66.0 * t2e4c4
+            + 225.0 * t4e4c4
+            + 100.0 * e6c6
+            + 84.0 * t2e6c6
+            + 88.0 * e8c8
+            - 192.0 * t2e8c8
+        )
+    )
+    t13 = tan_phi / (40320.0 * rho * nu7 * _K08) * (
+        1385.0 + 3633.0 * tan2 + 4095.0 * tan4 + 1575.0 * tan6
+    )
+    t14 = 1.0 / (cos_phi * nu * _K0)
+    t15 = 1.0 / (6.0 * cos_phi * nu3 * _K03) * (1.0 + 2.0 * tan2 + e2c2)
+    t16 = (
+        1.0
+        / (120.0 * cos_phi * nu5 * _K05)
+        * (
+            5.0
+            + 28.0 * tan2
+            + 24.0 * tan4
+            + 6.0 * e2c2
+            + 8.0 * t2e2c2
+            - 3.0 * e4c4
+            + 4.0 * t2e4c4
+            - 4.0 * e6c6
+            + 24.0 * t2e6c6
+        )
+    )
+    t17 = 1.0 / (5040.0 * cos_phi * nu7 * _K07) * (
+        61.0 + 662.0 * tan2 + 1320.0 * tan4 + 720.0 * tan6
+    )
+    latitude = phi - de2 * t10 + de4 * t11 - de6 * t12 + de8 * t13
+    longitude = lam0 + de * t14 - de3 * t15 + de5 * t16 - de7 * t17
+    return normalize_lonlat(longitude / _DEG2RAD, latitude / _DEG2RAD)
+
+
+def to_ups(lat, lon):
+    """WGS84 -> UPS (utm.kt:498-528).  Rows inside the UTM band get
+    NaN (no throw).  Returns (lon_zone, letter, easting, northing)."""
+    lat = _as1d(lat)
+    lon = _as1d(lon)
+    ok = (lat < UTM_SOUTHERN_LIMIT) | (lat > UTM_NORTHERN_LIMIT)
+    letters = latitude_zone_letter(lat, lon)
+    zones = longitude_zone(lat, lon)
+    latr = lat * _DEG2RAD
+    sign = np.sign(latr)
+    phi = np.abs(latr)
+    lam = lon * _DEG2RAD
+    c0 = 2.0 * _A / np.sqrt(1.0 - _E2) * ((1.0 - _E) / (1.0 + _E)) ** (_E / 2.0)
+    e_sin_phi = _E * np.sin(phi)
+    tz = ((1 + e_sin_phi) / (1 - e_sin_phi)) ** (_E / 2.0) * np.tan(
+        np.pi / 4.0 - phi / 2.0
+    )
+    radius = UPS_SCALE_FACTOR * c0 * tz
+    northing = np.where(
+        sign > 0,
+        UPS_FALSE_NORTHING - radius * np.cos(lam),
+        UPS_FALSE_NORTHING + radius * np.cos(lam),
+    )
+    easting = UPS_FALSE_EASTING + radius * np.sin(lam)
+    return (
+        zones,
+        letters,
+        np.where(ok, easting, np.nan),
+        np.where(ok, northing, np.nan),
+    )
+
+
+def from_ups(lon_zone, letters, easting, northing):
+    """UPS -> WGS84 (utm.kt:530-585)."""
+    lt = np.atleast_1d(np.asarray(letters, dtype=np.uint8))
+    e = _as1d(easting)
+    n = _as1d(northing)
+    northern = lt > ord("N")
+    dn = n - UPS_FALSE_NORTHING
+    de = e - UPS_FALSE_EASTING
+    pole = (de == 0.0) & (dn == 0.0)
+    lon = np.where(northern, np.arctan2(de, -dn), np.arctan2(de, dn))
+    e2, e4 = _E2, _E2 * _E2
+    e6 = e4 * _E2
+    e8 = e6 * _E2
+    a_bar = e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13 * e8 / 360.0
+    b_bar = 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0
+    c_bar = 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0
+    d_bar = 4279 * e8 / 161280.0
+    c0 = 2.0 * _A / np.sqrt(1.0 - _E2) * ((1.0 - _E) / (1.0 + _E)) ** (_E / 2.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.where(
+            de == 0.0,
+            dn,
+            np.where(
+                dn == 0.0, de, np.where(dn < de, de / np.sin(lon), dn / np.cos(lon))
+            ),
+        )
+    radius = np.abs(r)
+    chi = np.pi / 2.0 - 2.0 * np.arctan2(radius, UPS_SCALE_FACTOR * c0)
+    phi = (
+        chi
+        + a_bar * np.sin(2.0 * chi)
+        + b_bar * np.sin(4.0 * chi)
+        + c_bar * np.sin(6.0 * chi)
+        + d_bar * np.sin(8.0 * chi)
+    )
+    lat = np.where(northern, phi, -phi)
+    lon_deg, lat_deg = normalize_lonlat(lon / _DEG2RAD, lat / _DEG2RAD)
+    lon_deg = np.where(pole, 0.0, lon_deg)
+    lat_deg = np.where(pole, np.where(northern, 90.0, -90.0), lat_deg)
+    return lon_deg, lat_deg
+
+
+def to_utm_or_ups(lat, lon):
+    """utm.kt:302-308: select UTM or UPS by latitude."""
+    lat = _as1d(lat)
+    lon = _as1d(lon)
+    polar = (lat < UTM_SOUTHERN_LIMIT) | (lat > UTM_NORTHERN_LIMIT)
+    zu, lu, eu, nu_ = to_utm(np.where(polar, 0.0, lat), lon)
+    zp, lp, ep, np_ = to_ups(np.where(polar, lat, 89.0), lon)
+    zones = np.where(polar, zp, zu)
+    letters = latitude_zone_letter(lat, lon)
+    return (
+        zones,
+        letters,
+        np.where(polar, ep, eu),
+        np.where(polar, np_, nu_),
+    )
+
+
+def from_utm_or_ups(lon_zone, letters, easting, northing):
+    """utm.kt:310-312: UPS letters are A/B/Y/Z (utm.kt:114)."""
+    lt = np.atleast_1d(np.asarray(letters, dtype=np.uint8))
+    is_ups = (
+        (lt == ord("A")) | (lt == ord("B")) | (lt == ord("Y")) | (lt == ord("Z"))
+    )
+    lon_u, lat_u = from_utm(lon_zone, letters, easting, northing)
+    lon_p, lat_p = from_ups(lon_zone, letters, easting, northing)
+    return np.where(is_ups, lon_p, lon_u), np.where(is_ups, lat_p, lat_u)
+
+
+def format_utm(lon_zone, letters, easting, northing) -> np.ndarray:
+    """UtmCoordinate.toString (utm.kt:109-111): '33 U 389880.94 5819700.41'
+    with Kotlin Double.toString semantics (shortest repr; integral values
+    end in .0)."""
+    lz = np.atleast_1d(np.asarray(lon_zone))
+    lt = np.atleast_1d(np.asarray(letters, dtype=np.uint8))
+    e = _as1d(easting)
+    n = _as1d(northing)
+
+    def dbl(x: float) -> str:
+        return repr(float(x))
+
+    return np.array(
+        [
+            f"{int(z)} {chr(c)} {dbl(ee)} {dbl(nn)}"
+            for z, c, ee, nn in zip(lz, lt, e, n)
+        ],
+        dtype=object,
+    )
