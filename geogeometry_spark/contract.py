@@ -451,6 +451,171 @@ def q_vincenty(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# §2.7 geometry ETL transforms
+# --------------------------------------------------------------------------
+
+def q_dms(spark, sf_dir):
+    """DMS components + humanReadable string (geojson.kt:349-367)."""
+    from .operators import transform as tr
+
+    df = _docs_coords(spark, sf_dir)
+    la = tr.dms_cols(F.col("lat"), "N", "S")
+    lo = tr.dms_cols(F.col("lon"), "E", "W")
+    return df.select(
+        "doc_id",
+        la["d"].alias("lat_d"),
+        la["m"].alias("lat_m"),
+        la["s2"].alias("lat_s2"),
+        lo["d"].alias("lon_d"),
+        lo["m"].alias("lon_m"),
+        lo["s2"].alias("lon_s2"),
+        tr.human_readable_col(F.col("lat"), F.col("lon")).alias("human"),
+    )
+
+
+def _dms_oracle() -> str:
+    from .operators import transform as tr
+
+    la = tr.dms_sql("lat", "N", "S")
+    lo = tr.dms_sql("lon", "E", "W")
+    human = tr.human_readable_sql("lat", "lon")
+    return (
+        f"SELECT doc_id, {la['d']} AS lat_d, {la['m']} AS lat_m, "
+        f"{la['s2']} AS lat_s2, {lo['d']} AS lon_d, {lo['m']} AS lon_m, "
+        f"{lo['s2']} AS lon_s2, {human} AS human FROM {_COORD_SUBQ}"
+    )
+
+
+def q_translate(spark, sf_dir):
+    """translate + rectangleAroundCentroid (GeoGeometry.kt:430-515)."""
+    from .operators import transform as tr
+
+    df = _docs_coords(spark, sf_dir)
+    lat2, lon2 = tr.translate_cols(
+        F.col("lat"), F.col("lon"), F.lit(250.0), F.lit(-150.0)
+    )
+    rect = tr.rectangle_cols(F.col("lat"), F.col("lon"), 300.0, 200.0)
+    return df.select(
+        "doc_id",
+        lat2.alias("lat_t"),
+        lon2.alias("lon_t"),
+        rect["west"].alias("west"),
+        rect["south"].alias("south"),
+        rect["east"].alias("east"),
+        rect["north"].alias("north"),
+    )
+
+
+def _translate_oracle() -> str:
+    from .operators import transform as tr
+
+    lat2, lon2 = tr.translate_sql("lat", "lon", "250.0", "-150.0")
+    n_lat, e_lon = tr.translate_sql("lat", "lon", "150.0", "100.0")
+    s_lat, w_lon = tr.translate_sql("lat", "lon", "-150.0", "-100.0")
+    return (
+        f"SELECT doc_id, {lat2} AS lat_t, {lon2} AS lon_t, "
+        f"{w_lon} AS west, {s_lat} AS south, {e_lon} AS east, "
+        f"{n_lat} AS north FROM {_COORD_SUBQ}"
+    )
+
+
+def q_rotate(spark, sf_dir):
+    """rotateAround Berlin by 45° CCW (GeoGeometry.kt:863-887), native
+    Columns; r6-rounded (haversine/cos are libm-derived)."""
+    from .operators import transform as tr
+
+    df = _docs_coords(spark, sf_dir)
+    lat2, lon2 = tr.rotate_around_cols(
+        BERLIN[0], BERLIN[1], F.col("lat"), F.col("lon"), 45.0
+    )
+    return df.select(
+        "doc_id",
+        F.round(lat2, 6).alias("lat_r6"),
+        F.round(lon2, 6).alias("lon_r6"),
+    )
+
+
+def _rotate_oracle() -> str:
+    from .operators import transform as tr
+
+    lat2, lon2 = tr.rotate_around_sql(
+        repr(BERLIN[0]), repr(BERLIN[1]), "lat", "lon", 45.0
+    )
+    return (
+        f"SELECT doc_id, round({lat2}, 6) AS lat_r6, "
+        f"round({lon2}, 6) AS lon_r6 FROM {_COORD_SUBQ}"
+    )
+
+
+def q_noise_filter(spark, sf_dir):
+    """filterNoiseFromPointCloud per cell3 group (GeoGeometry.kt:158-172)."""
+    from .operators.transform import filter_noise
+
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("cell3", C.geohash(F.col("lat"), F.col("lon"), 3))
+    out = filter_noise(df, 0.2, group_cols=["cell3"])
+    return out.select("doc_id", "cell3", "lat", "lon")
+
+
+O_NOISE = (
+    "SELECT doc_id, cell3, lat, lon FROM ("
+    "SELECT doc_id, cell3, lat, lon, "
+    "ROW_NUMBER() OVER (PARTITION BY cell3 ORDER BY lon, lat) AS rn, "
+    "COUNT(*) OVER (PARTITION BY cell3) AS n FROM ("
+    f"SELECT doc_id, lat, lon, {C.geohash_sql('lat', 'lon', 3)} AS cell3 "
+    f"FROM {_COORD_SUBQ})) "
+    "WHERE rn > CAST(floor(n * 0.2 / 2) AS BIGINT) "
+    "AND rn <= n - CAST(floor(n * 0.2 / 2) AS BIGINT)"
+)
+
+
+def q_bbox_agg(spark, sf_dir):
+    """boundingBox + polygonCenter as partial+final min/max aggregation
+    (GeoGeometry.kt:75-147, 777-792) per cell3."""
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("cell3", C.geohash(F.col("lat"), F.col("lon"), 3))
+    return df.groupBy("cell3").agg(
+        F.min("lon").alias("west"),
+        F.min("lat").alias("south"),
+        F.max("lon").alias("east"),
+        F.max("lat").alias("north"),
+        F.count(F.lit(1)).alias("n"),
+        ((F.min("lon") + F.max("lon")) / 2).alias("center_lon"),
+        ((F.min("lat") + F.max("lat")) / 2).alias("center_lat"),
+    )
+
+
+O_BBOX_AGG = (
+    "SELECT cell3, min(lon) AS west, min(lat) AS south, max(lon) AS east, "
+    "max(lat) AS north, count(*) AS n, "
+    "(min(lon) + max(lon)) / 2 AS center_lon, "
+    "(min(lat) + max(lat)) / 2 AS center_lat FROM ("
+    f"SELECT lat, lon, {C.geohash_sql('lat', 'lon', 3)} AS cell3 "
+    f"FROM {_COORD_SUBQ}) GROUP BY cell3"
+)
+
+
+def q_convex_hull(spark, sf_dir):
+    """polygonForPoints per cell1 group via applyInPandas
+    (GeoGeometry.kt:995-1071; verified against the kernel in pytest)."""
+    from .operators.transform import grouped_convex_hull
+
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("cell1", C.geohash(F.col("lat"), F.col("lon"), 1))
+    return grouped_convex_hull(df, "cell1")
+
+
+def q_simplify(spark, sf_dir):
+    """Douglas-Peucker per cell1 path (points ordered by doc_id;
+    GeoGeometry.kt:1376-1410)."""
+    from .operators.transform import grouped_simplify
+
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("cell1", C.geohash(F.col("lat"), F.col("lon"), 1))
+    return grouped_simplify(df, "cell1", "doc_id", tolerance_m=5000.0)
+
+
+# --------------------------------------------------------------------------
 # §2.9 aggregations / skew
 # --------------------------------------------------------------------------
 
@@ -687,6 +852,13 @@ QUERIES = {
     "knn_window": q_knn_window,
     "distances": q_distances,
     "vincenty": q_vincenty,
+    "dms": q_dms,
+    "translate": q_translate,
+    "rotate": q_rotate,
+    "noise_filter": q_noise_filter,
+    "bbox_agg": q_bbox_agg,
+    "convex_hull": q_convex_hull,
+    "simplify": q_simplify,
     "tile_heatmap": q_tile_heatmap,
     "salted_cell_counts": q_salted_cell_counts,
     "dedup_exact": q_dedup_exact,
@@ -719,6 +891,11 @@ def build_oracles() -> dict[str, str]:
         "knn": O_KNN,
         "knn_window": O_KNN_WINDOW,
         "distances": _distances_oracle(),
+        "dms": _dms_oracle(),
+        "translate": _translate_oracle(),
+        "rotate": _rotate_oracle(),
+        "noise_filter": O_NOISE,
+        "bbox_agg": O_BBOX_AGG,
         "tile_heatmap": _heatmap_oracle(),
         "salted_cell_counts": O_SALTED,
         "dedup_exact": O_DEDUP_EXACT,

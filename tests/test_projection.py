@@ -85,3 +85,31 @@ def test_find_utm_in_text(spark):
         for r in out.where(F.col("id") == 4).collect()
     }
     assert two == {(17, "T", 630084.0, 4833438.0), (18, "S", 233445.0, 1948392.0)}
+
+
+def test_grouped_hull_matches_kernel(spark):
+    import numpy as np
+
+    from geogeometry_spark.kernels.transform import convex_hull
+    from geogeometry_spark.operators.transform import grouped_convex_hull
+
+    rng = np.random.default_rng(9)
+    pts = [
+        ("g1", float(52.4 + rng.random() * 0.2), float(13.3 + rng.random() * 0.2))
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(pts, "g string, lat double, lon double")
+    out = grouped_convex_hull(df, "g").orderBy("vertex_idx").collect()
+    arr = np.array([[p[2], p[1]] for p in pts])
+    expected = convex_hull(arr)
+    got = np.array([[r["lon"], r["lat"]] for r in out])
+    assert np.array_equal(got, expected)
+
+
+def test_noise_filter_trims(spark):
+    from geogeometry_spark.operators.transform import filter_noise
+
+    rows = [(str(i), float(i % 100) / 100.0, float(i) / 1000.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id string, lat double, lon double")
+    out = filter_noise(df, 0.008)  # GeoGeometryMigratedTests.kt:329-358: 1000 -> 996
+    assert out.count() == 992  # int(1000*0.008/2)=4 off each end
