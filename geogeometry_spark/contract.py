@@ -656,6 +656,104 @@ O_SALTED = (
 
 
 # --------------------------------------------------------------------------
+# §2.8 intersects / §2.1 GeoJSON / areas
+# --------------------------------------------------------------------------
+
+def q_intersects(spark, sf_dir):
+    """Segment-vs-polygon intersects (geojson-intersect.kt:55-131):
+    each doc's ~400m eastward segment tested against the Berlin big
+    ring (pandas UDF over lines_cross + PIP; kernel parity pytest)."""
+    from .functions.udfs import make_segment_intersects_udf
+    from .fixtures import polygons_np
+    from .operators import transform as tr
+
+    df = _docs_coords(spark, sf_dir)
+    lat2, lon2 = tr.translate_cols(
+        F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(400.0)
+    )
+    df = df.withColumns({"lat2": lat2, "lon2": lon2})
+    ring = polygons_np(None)["berlin_big_ring"][0]
+    seg = make_segment_intersects_udf(ring)
+    return df.select(
+        "doc_id",
+        seg(F.col("lat"), F.col("lon"), F.col("lat2"), F.col("lon2")).alias(
+            "intersects"
+        ),
+    ).where(F.col("intersects"))
+
+
+def q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON Point emit (to_json) + parse back (geojson.kt:487-728);
+    oracle rebuilds the identical JSON string by concatenation (both
+    engines print float64 shortest-repr)."""
+    from .operators.geojson import parse_points, point_geojson
+
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("gj", point_geojson(F.col("lat"), F.col("lon")))
+    return parse_points(df, "gj", keep=["doc_id", "gj"])
+
+
+O_GEOJSON = (
+    "SELECT doc_id, '{\"type\":\"Point\",\"coordinates\":['"
+    " || CAST(lon AS VARCHAR) || ',' || CAST(lat AS VARCHAR) || ']}' AS gj, "
+    f"lat, lon FROM {_COORD_SUBQ}"
+)
+
+
+def q_bbox_area(spark, sf_dir):
+    """Bbox area via two haversines (GeoGeometry.kt:1266-1273), per
+    cell3 bbox from the min/max aggregation — native end to end."""
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("cell3", C.geohash(F.col("lat"), F.col("lon"), 3))
+    agg = df.groupBy("cell3").agg(
+        F.min("lon").alias("west"),
+        F.min("lat").alias("south"),
+        F.max("lon").alias("east"),
+        F.max("lat").alias("north"),
+    )
+    lat_dist = C.haversine(
+        F.col("south"), F.col("west"), F.col("north"), F.col("west")
+    )
+    lon_dist = C.haversine(
+        F.col("north"), F.col("west"), F.col("north"), F.col("east")
+    )
+    return agg.select(
+        "cell3", F.round(lat_dist * lon_dist, 3).alias("area_m2_r3")
+    )
+
+
+def _bbox_area_oracle() -> str:
+    lat_d = C.haversine_sql("south", "west", "north", "west")
+    lon_d = C.haversine_sql("north", "west", "north", "east")
+    return (
+        f"SELECT cell3, round({lat_d} * {lon_d}, 3) AS area_m2_r3 FROM ("
+        "SELECT cell3, min(lon) AS west, min(lat) AS south, max(lon) AS east, "
+        "max(lat) AS north FROM ("
+        f"SELECT lat, lon, {C.geohash_sql('lat', 'lon', 3)} AS cell3 "
+        f"FROM {_COORD_SUBQ}) GROUP BY cell3)"
+    )
+
+
+def q_hull_area(spark, sf_dir):
+    """Shoelace ring area (GeoGeometry.kt:1236-1260) of each cell1
+    convex hull (grouped-map -> collect ring -> pandas UDF)."""
+    from .functions.udfs import make_ring_area_udf
+    from .operators.transform import grouped_convex_hull
+
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("cell1", C.geohash(F.col("lat"), F.col("lon"), 1))
+    hull = grouped_convex_hull(df, "cell1")
+    rings = hull.orderBy("vertex_idx").groupBy("cell1").agg(
+        F.collect_list("lon").alias("lons"),
+        F.collect_list("lat").alias("lats"),
+    )
+    area = make_ring_area_udf()
+    return rings.select(
+        "cell1", F.round(area(F.col("lons"), F.col("lats")), 3).alias("area_r3")
+    )
+
+
+# --------------------------------------------------------------------------
 # training-data pipeline: dedup / text / similarity / multimodal
 # --------------------------------------------------------------------------
 
@@ -806,6 +904,82 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard over candidate pairs (docs sharing a
+    16-char head hash) — the verification stage after LSH."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    heads = docs.select(
+        F.md5(F.substring(F.col("text"), 1, 16)).alias("h"), "doc_id"
+    )
+    pairs = (
+        heads.alias("a")
+        .join(heads.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    out = dedup.ngram_jaccard(docs, pairs)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 9).alias("jaccard_r9")
+    )
+
+
+O_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, md5(substr(text, 1, 16)) AS h,
+    list_distinct(list_transform(
+      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+      i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
+    )) AS sh
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)), 9) AS jaccard_r9
+FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+"""
+
+
+def q_embed_pairs_topk(spark, sf_dir):
+    """Embedding-cosine near-dup: exact top-20 most-similar pairs
+    (brute-force O(n^2) verification twin of the LSH path — sandbox
+    embeddings carry no planted dups, so top-k replaces a threshold)."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = similarity.cosine(F.col("ea"), F.col("eb"))
+    from pyspark.sql import Window
+
+    scored = pairs.select("id_a", "id_b", cos.alias("cos_sim"))
+    w = Window.orderBy(
+        F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select("rank", "id_a", "id_b", F.round("cos_sim", 9).alias("cos_r9"))
+    )
+
+
+O_EMBED_PAIRS = """
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+    AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT rank, id_a, id_b, round(cos_sim, 9) AS cos_r9 FROM (
+  SELECT id_a, id_b, cos_sim,
+    CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, id_a ASC, id_b ASC) AS INT)
+    AS rank FROM scored) WHERE rank <= 20
+"""
+
+
 def q_minhash_candidates(spark, sf_dir):
     docs = src.load_table(spark, sf_dir, "documents")
     return dedup.minhash_candidates(docs, num_hashes=16, bands=4)
@@ -863,6 +1037,12 @@ QUERIES = {
     "salted_cell_counts": q_salted_cell_counts,
     "dedup_exact": q_dedup_exact,
     "dedup_head": q_dedup_head,
+    "intersects": q_intersects,
+    "geojson_roundtrip": q_geojson_roundtrip,
+    "bbox_area": q_bbox_area,
+    "hull_area": q_hull_area,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embed_pairs_topk": q_embed_pairs_topk,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -900,6 +1080,10 @@ def build_oracles() -> dict[str, str]:
         "salted_cell_counts": O_SALTED,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_head": O_DEDUP_HEAD,
+        "geojson_roundtrip": O_GEOJSON,
+        "bbox_area": _bbox_area_oracle(),
+        "ngram_jaccard": O_NGRAM_JACCARD,
+        "embed_pairs_topk": O_EMBED_PAIRS,
         "token_stats": O_TOKEN_STATS,
         "text_quality": O_TEXT_QUALITY,
         "lang_id": _lang_oracle(),

@@ -279,3 +279,43 @@ def mgrs_to_utm_en(
         northing.to_numpy(dtype=np.int64),
     )
     return pd.DataFrame({"easting": e, "northing": n})
+
+
+def make_segment_intersects_udf(ring: np.ndarray):
+    """pandas UDF (lat1,lon1,lat2,lon2) -> bool: segment intersects the
+    closure-captured ring (geojson-intersect.kt:55-131 semantics via
+    kernels.geometry.segment_intersects_ring)."""
+    ring = np.asarray(ring, dtype=np.float64)
+
+    @F.pandas_udf(T.BooleanType())
+    def seg_intersects(
+        lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            kgeo.segment_intersects_ring(
+                lat1.to_numpy(np.float64),
+                lon1.to_numpy(np.float64),
+                lat2.to_numpy(np.float64),
+                lon2.to_numpy(np.float64),
+                ring,
+            )
+        )
+
+    return seg_intersects
+
+
+def make_ring_area_udf():
+    """Grouped-hull ring area (GeoGeometry.kt:1236-1260) as a pandas UDF
+    over (lons: array, lats: array) rows."""
+
+    @F.pandas_udf(T.DoubleType())
+    def ring_area(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        out = np.empty(len(lons))
+        for i, (lo, la) in enumerate(zip(lons, lats)):
+            ring = np.stack([np.asarray(lo), np.asarray(la)], axis=1)
+            out[i] = (
+                kgeo.area_ring(ring) if ring.shape[0] > 3 else 0.0
+            )
+        return pd.Series(out)
+
+    return ring_area

@@ -445,3 +445,75 @@ def wrap(n, min_v: float, max_v: float):
     span = max_v - min_v
     wrapped = ((n - min_v) % span + span) % span + min_v
     return np.where((n >= min_v) & (n < max_v), n, wrapped)
+
+
+def lines_cross_vec(x1, y1, x2, y2, u1, v1, u2, v2):
+    """Vectorized lines_cross: segment 1 per-row arrays, segment 2
+    scalar or arrays (GeoGeometry.kt:345-420 semantics, all branches
+    evaluated under np.errstate and selected per-row)."""
+    x1 = np.atleast_1d(np.asarray(x1, dtype=np.float64))
+    y1, x2, y2 = (np.broadcast_to(np.asarray(a, dtype=np.float64), x1.shape)
+                  for a in (y1, x2, y2))
+    u1, v1, u2, v2 = (np.broadcast_to(np.asarray(a, dtype=np.float64), x1.shape)
+                      for a in (u1, v1, u2, v2))
+
+    def between(a, b, val):
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return (lo <= val) & (val <= hi)
+
+    l1v = x1 == x2
+    l2v = u1 == u2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # both vertical
+        both = (
+            l1v & l2v & (x1 == u1)
+            & (np.minimum(y1, y2) <= np.maximum(v1, v2))
+            & (np.minimum(v1, v2) <= np.maximum(y1, y2))
+        )
+        # line1 vertical only
+        g2 = (v2 - v1) / (u2 - u1)
+        a2 = v1 - g2 * u1
+        yi1 = a2 + g2 * x1
+        only1 = l1v & ~l2v & between(y1, y2, yi1) & between(v1, v2, yi1)
+        # line2 vertical only
+        g1 = (y2 - y1) / (x2 - x1)
+        a1 = y1 - g1 * x1
+        yi2 = a1 + g1 * u1
+        only2 = ~l1v & l2v & between(y1, y2, yi2) & between(v1, v2, yi2)
+        # general
+        same_grad = (g1 - g2) == 0.0
+        colinear = same_grad & (np.abs(a1 - a2) < 1e-7) & (
+            between(x1, x2, u1) | between(x1, x2, u2)
+        )
+        xi = -(a1 - a2) / (g1 - g2)
+        yi = a1 + g1 * xi
+        general = (
+            ~same_grad
+            & ((x1 - xi) * (xi - x2) >= 0)
+            & ((u1 - xi) * (xi - u2) >= 0)
+            & ((y1 - yi) * (yi - y2) >= 0)
+            & ((v1 - yi) * (yi - v2) >= 0)
+        )
+    neither = ~l1v & ~l2v
+    return both | only1 | only2 | (neither & (colinear | general))
+
+
+def segment_intersects_ring(lat1, lon1, lat2, lon2, ring: np.ndarray):
+    """LineString-vs-Polygon intersects (geojson-intersect.kt:55-131
+    composition): endpoint containment OR any edge crossing; vectorized
+    over segments against one closure ring."""
+    lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
+    lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
+    lat2 = np.atleast_1d(np.asarray(lat2, dtype=np.float64))
+    lon2 = np.atleast_1d(np.asarray(lon2, dtype=np.float64))
+    hit = polygon_contains(lat1, lon1, ring) | polygon_contains(lat2, lon2, ring)
+    for i in range(ring.shape[0] - 1):
+        todo = ~hit
+        if not todo.any():
+            break
+        hit[todo] = lines_cross_vec(
+            lon1[todo], lat1[todo], lon2[todo], lat2[todo],
+            ring[i, 0], ring[i, 1], ring[i + 1, 0], ring[i + 1, 1],
+        )
+    return hit

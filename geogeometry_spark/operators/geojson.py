@@ -1,0 +1,92 @@
+"""GeoJSON (RFC 7946) parse / emit as native Spark JSON ops.
+
+Reference: geojson/geojson.kt:487-728 (Geometry sealed class + the
+polymorphic serializer keyed on "type").  Spark-side, geometries are
+structs-by-type: the "type" discriminator is read natively, then the
+coordinates are parsed with the per-type nesting schema
+(geojson.kt:25-36 type aliases).  No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# nesting depth per geometry type (geojson.kt:25-36)
+COORD_SCHEMAS = {
+    "Point": "array<double>",
+    "MultiPoint": "array<array<double>>",
+    "LineString": "array<array<double>>",
+    "MultiLineString": "array<array<array<double>>>",
+    "Polygon": "array<array<array<double>>>",
+    "MultiPolygon": "array<array<array<array<double>>>>",
+}
+
+
+def point_geojson(lat, lon):
+    """Emit a GeoJSON Point string: {"type":"Point","coordinates":[lon,lat]}
+    (axis order per RFC 7946 / geojson.kt:25)."""
+    return F.to_json(
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(lon, lat).alias("coordinates"),
+        )
+    )
+
+
+def parse_geojson(df: DataFrame, col: str, keep: list[str]) -> DataFrame:
+    """Parse a GeoJSON geometry string into (geom_type, plus per-type
+    coordinate columns).  Unknown types -> null coordinates (the
+    serializer rejects them, geojson.kt:703-727; as an engine we
+    quarantine instead of throwing)."""
+    typed = df.select(
+        *keep,
+        F.get_json_object(F.col(col), "$.type").alias("geom_type"),
+        F.get_json_object(F.col(col), "$.coordinates").alias("_coords_json"),
+    )
+    out = typed
+    for gtype, schema in COORD_SCHEMAS.items():
+        colname = f"coords_{gtype.lower()}"
+        out = out.withColumn(
+            colname,
+            F.when(
+                F.col("geom_type") == gtype,
+                F.from_json(F.col("_coords_json"), schema),
+            ),
+        )
+    return out.drop("_coords_json")
+
+
+def parse_points(df: DataFrame, col: str, keep: list[str]) -> DataFrame:
+    """Fast path for Point features -> (lat, lon) columns."""
+    c = F.from_json(
+        F.get_json_object(F.col(col), "$.coordinates"), "array<double>"
+    )
+    return df.select(
+        *keep,
+        F.element_at(c, 2).alias("lat"),
+        F.element_at(c, 1).alias("lon"),
+    )
+
+
+def feature_collection(df: DataFrame, geometry_json_col: str,
+                       props: list[str]) -> DataFrame:
+    """Aggregate rows into one GeoJSON FeatureCollection string
+    (geojson.kt:783-823; FeatureCollection.fromGeoHashes-style sink)."""
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.from_json(
+                F.col(geometry_json_col),
+                "struct<type:string,coordinates:array<double>>",
+            ).alias("geometry"),
+            F.struct(*[F.col(p) for p in props]).alias("properties"),
+        )
+    )
+    return df.select(feature.alias("f")).agg(
+        F.concat(
+            F.lit('{"type":"FeatureCollection","features":['),
+            F.concat_ws(",", F.collect_list("f")),
+            F.lit("]}"),
+        ).alias("feature_collection")
+    )

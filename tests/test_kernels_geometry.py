@@ -228,3 +228,41 @@ def test_find_all_coordinates():
     assert (13.394904, 52.530888) in found
     assert (-74.011237, 40.721119) in found
     assert all(-180 <= lo <= 180 and -90 <= la <= 90 for lo, la in found)
+
+
+def test_lines_cross_vec_matches_scalar():
+    import numpy as np
+
+    from geogeometry_spark.kernels import geometry as kg
+
+    rng = np.random.default_rng(1)
+    n = 5000
+    x1, y1, x2, y2, u1, v1, u2, v2 = rng.uniform(-5, 5, (8, n))
+    # inject vertical/colinear degenerate cases
+    x2[:500] = x1[:500]
+    u2[500:1000] = u1[500:1000]
+    x2[1000:1100] = x1[1000:1100]
+    u2[1000:1100] = u1[1000:1100]
+    u1[1000:1050] = x1[1000:1050]
+    vec = kg.lines_cross_vec(x1, y1, x2, y2, u1, v1, u2, v2)
+    sc = np.array(
+        [kg.lines_cross(*t) for t in zip(x1, y1, x2, y2, u1, v1, u2, v2)]
+    )
+    assert (vec == sc).all()
+
+
+def test_segment_intersects_ring():
+    import numpy as np
+
+    from geogeometry_spark.kernels import geometry as kg
+
+    ring = np.array(
+        [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]
+    )
+    lat1 = np.array([1.0, -1.0, -1.0, 5.0])
+    lon1 = np.array([1.0, -1.0, -1.0, 5.0])
+    lat2 = np.array([1.5, -0.5, 3.0, 6.0])
+    lon2 = np.array([1.5, -0.5, 3.0, 6.0])
+    out = kg.segment_intersects_ring(lat1, lon1, lat2, lon2, ring)
+    # inside-inside, outside-outside(miss), crossing diagonal, far miss
+    assert out.tolist() == [True, False, True, False]
