@@ -605,6 +605,17 @@ def q_convex_hull(spark, sf_dir):
     return grouped_convex_hull(df, "cell1")
 
 
+def q_concave_hull(spark, sf_dir):
+    """calculateConcaveHull per cell1 group (concave-hull.kt:361-389;
+    heuristic — invariants pytest-checked, rows-only for the driver)."""
+    from .operators.transform import grouped_concave_hull
+
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("cell1", C.geohash(F.col("lat"), F.col("lon"), 1))
+    return grouped_concave_hull(df, "cell1", k=5, max_recurse=40,
+                                max_points=150)
+
+
 def q_simplify(spark, sf_dir):
     """Douglas-Peucker per cell1 path (points ordered by doc_id;
     GeoGeometry.kt:1376-1410)."""
@@ -1032,6 +1043,7 @@ QUERIES = {
     "noise_filter": q_noise_filter,
     "bbox_agg": q_bbox_agg,
     "convex_hull": q_convex_hull,
+    "concave_hull": q_concave_hull,
     "simplify": q_simplify,
     "tile_heatmap": q_tile_heatmap,
     "salted_cell_counts": q_salted_cell_counts,

@@ -1,0 +1,313 @@
+"""k-nearest-neighbor concave hull heuristic.
+
+Reference: /root/reference/src/commonMain/kotlin/com/jillesvangurp/geo/concave-hull.kt
+(project :29-39, attemptConcaveHull :256-347, removeSelfIntersections
+:185-233, rotateHullToShortestClosure :235-254, calculateConcaveHull
+:361-389).  Per-geometry iterative heuristic — runs inside
+applyInPandas grouped maps, one point cloud per group.
+
+Points are (lon, lat) tuples throughout (GeoJSON axis order).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .geometry import (
+    WGS84_RADIUS,
+    area_ring,
+    haversine_scalar,
+    lines_cross,
+    lines_cross_vec,
+)
+from .transform import convex_hull
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _project(points: list[tuple]) -> list[tuple]:
+    """-> [(lon, lat, x, y)] local metric plane (concave-hull.kt:29-39)."""
+    center_lat = sum(p[1] for p in points) / len(points)
+    center_lon = sum(p[0] for p in points) / len(points)
+    scale = WGS84_RADIUS * math.pi / 180.0
+    cos_lat = math.cos(center_lat * math.pi / 180.0)
+    return [
+        (p[0], p[1], (p[0] - center_lon) * scale * cos_lat,
+         (p[1] - center_lat) * scale)
+        for p in points
+    ]
+
+
+def _angle(o1, o2) -> float:
+    a = math.atan2(o2[3] - o1[3], o2[2] - o1[2])
+    return (a + _TWO_PI) % _TWO_PI
+
+
+def _angle_diff(a1: float, a2: float) -> float:
+    d = (a2 - a1 + _TWO_PI) % _TWO_PI
+    return _TWO_PI - d if d > math.pi else d
+
+
+def _orientation(a, b, c) -> float:
+    return (b[2] - a[2]) * (c[3] - a[3]) - (b[3] - a[3]) * (c[2] - a[2])
+
+
+def _sign(v: float) -> int:
+    return 1 if v > 0 else (-1 if v < 0 else 0)
+
+
+def _metric_cross(a1, a2, b1, b2) -> bool:
+    """concave-hull.kt:91-98."""
+    d1 = _orientation(a1, a2, b1)
+    d2 = _orientation(a1, a2, b2)
+    d3 = _orientation(b1, b2, a1)
+    d4 = _orientation(b1, b2, a2)
+    if d1 == 0.0 and d2 == 0.0 and d3 == 0.0 and d4 == 0.0:
+        return False
+    return _sign(d1) != _sign(d2) and _sign(d3) != _sign(d4)
+
+
+def _close(hull: list) -> list:
+    if not hull:
+        return hull
+    return hull if hull[0] == hull[-1] else hull + [hull[0]]
+
+
+def _orientation_ll(a, b, c) -> float:
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def _cross_robust(a1, a2, b1, b2) -> bool:
+    """segmentsCrossRobust (concave-hull.kt:117-145), eps=1e-12."""
+    eps = 1e-12
+
+    def s(v):
+        return 1 if v > eps else (-1 if v < -eps else 0)
+
+    return (
+        s(_orientation_ll(a1, a2, b1)) != s(_orientation_ll(a1, a2, b2))
+        and s(_orientation_ll(b1, b2, a1)) != s(_orientation_ll(b1, b2, a2))
+    )
+
+
+def _first_crossing(ring: np.ndarray, geo: bool) -> tuple[int, int] | None:
+    """First (i, j) crossing pair in the reference's scan order
+    (concave-hull.kt:191-203), inner j-scan vectorized with numpy."""
+    m = ring.shape[0]
+    for i in range(m - 1):
+        j0 = i + 2
+        j_hi = m - 1  # j exclusive bound (reference: j < size-1)
+        if j0 >= j_hi:
+            continue
+        js = np.arange(j0, j_hi)
+        if i == 0 and js[-1] == m - 2:
+            js = js[:-1]
+            if js.size == 0:
+                continue
+        b1 = ring[js]
+        b2 = ring[js + 1]
+        a1, a2 = ring[i], ring[i + 1]
+        if geo:
+            hits = lines_cross_vec(
+                a1[0], a1[1], a2[0], a2[1], b1[:, 0], b1[:, 1], b2[:, 0], b2[:, 1]
+            )
+        else:
+            eps = 1e-12
+
+            # robust planar signs (concave-hull.kt:117-145), vectorized
+            def sgn(v):
+                return np.where(v > eps, 1, np.where(v < -eps, -1, 0))
+
+            o1 = (a2[0] - a1[0]) * (b1[:, 1] - a1[1]) - (a2[1] - a1[1]) * (
+                b1[:, 0] - a1[0]
+            )
+            o2 = (a2[0] - a1[0]) * (b2[:, 1] - a1[1]) - (a2[1] - a1[1]) * (
+                b2[:, 0] - a1[0]
+            )
+            o3 = (b2[:, 0] - b1[:, 0]) * (a1[1] - b1[:, 1]) - (
+                b2[:, 1] - b1[:, 1]
+            ) * (a1[0] - b1[:, 0])
+            o4 = (b2[:, 0] - b1[:, 0]) * (a2[1] - b1[:, 1]) - (
+                b2[:, 1] - b1[:, 1]
+            ) * (a2[0] - b1[:, 0])
+            hits = (sgn(o1) != sgn(o2)) & (sgn(o3) != sgn(o4))
+        if hits.any():
+            return i, int(js[int(np.argmax(hits))])
+    return None
+
+
+def _remove_self_intersections(hull: list, cross, max_iterations: int = 10) -> list:
+    """concave-hull.kt:185-233 (cross = robust-planar or geo variant).
+    Scan order and swap semantics match the reference; the inner scan is
+    numpy-vectorized (_first_crossing) so large tangled rings untangle in
+    O(n) vector ops per swap instead of O(n^2) interpreted loops."""
+    if len(hull) < 4:
+        return _close(hull)
+    points = list(_close(hull))
+    geo = cross is _geo_cross
+    ring = np.asarray(points, dtype=np.float64)
+    for _ in range(max_iterations):
+        found = _first_crossing(ring, geo)
+        if found is None:
+            break
+        i, j = found
+        ring[i + 1 : j + 1] = ring[i + 1 : j + 1][::-1]
+    return _close([tuple(p) for p in ring])
+
+
+def _geo_cross(a1, a2, b1, b2) -> bool:
+    return lines_cross(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1], b2[0], b2[1])
+
+
+def _rotate_to_shortest_closure(hull: list) -> list:
+    """concave-hull.kt:235-254."""
+    if len(hull) < 4:
+        return _close(hull)
+    open_ring = _close(hull)[:-1]
+    n = len(open_ring)
+    min_idx = 0
+    min_dist = float("inf")
+    for i in range(n):
+        nxt = (i + 1) % n
+        d = haversine_scalar(
+            open_ring[i][1], open_ring[i][0],
+            open_ring[nxt][1], open_ring[nxt][0],
+        )
+        if d < min_dist:
+            min_dist = d
+            min_idx = i
+    start = (min_idx + 1) % n
+    return _close([open_ring[(start + i) % n] for i in range(n)])
+
+
+def _point_in_polygon_metric(p, pp) -> bool:
+    """concave-hull.kt:391-405."""
+    result = False
+    j = len(pp) - 1
+    for i in range(len(pp)):
+        if (pp[i][3] > p[3]) != (pp[j][3] > p[3]) and p[2] < (
+            (pp[j][2] - pp[i][2]) * (p[3] - pp[i][3]) / (pp[j][3] - pp[i][3])
+            + pp[i][2]
+        ):
+            result = not result
+        j = i
+    return result
+
+
+def _attempt(ps: list[tuple], k: int) -> tuple[list, bool]:
+    """attemptConcaveHull (concave-hull.kt:256-347)."""
+    seen = set()
+    distinct = []
+    for p in ps:
+        key = (p[0], p[1])
+        if key not in seen:
+            seen.add(key)
+            distinct.append(p)
+    pts = _project(distinct)
+    if len(pts) < 3:
+        hull = [(p[0], p[1]) for p in pts]
+        return _close(hull), True
+
+    kk = min(max(k, 3), len(pts) - 1)
+    xs = np.array([p[2] for p in pts])
+    ys = np.array([p[3] for p in pts])
+
+    first_idx = int(np.argmin(ys))
+    first = pts[first_idx]
+    hull = [first]
+    current = first
+    remaining = pts[:first_idx] + pts[first_idx + 1 :]
+    prev_angle = 0.0
+    step = 2
+    max_steps = len(remaining) * 5
+    while (current is not first or step == 2) and remaining and step < max_steps:
+        if step == 5:
+            remaining.append(first)
+        # k nearest neighbors of current (full sort, concave-hull.kt:45-61)
+        dists = [
+            (math.hypot(current[2] - o[2], current[3] - o[3]), idx)
+            for idx, o in enumerate(remaining)
+        ]
+        dists.sort(key=lambda t: t[0])
+        knn = [remaining[idx] for _, idx in dists[: min(kk, len(dists))]]
+        clockwise = sorted(
+            knn, key=lambda it: _angle_diff(prev_angle, _angle(current, it))
+        )
+
+        its = True
+        i = -1
+        while its and i < len(clockwise) - 1:
+            i += 1
+            last_point = 1 if clockwise[i] is first else 0
+            j = 2
+            its = False
+            while not its and j < len(hull) - last_point:
+                its = _metric_cross(
+                    hull[step - 2], clockwise[i],
+                    hull[step - 2 - j], hull[step - 1 - j],
+                )
+                j += 1
+        if its:
+            return [], False
+        current = clockwise[i]
+        hull.append(current)
+        remaining = [p for p in remaining if p is not current]
+        prev_angle = _angle(hull[step - 1], hull[step - 2])
+        step += 1
+
+    inside = True
+    i = len(remaining) - 1
+    while inside and i > 0:
+        inside = _point_in_polygon_metric(remaining[i], hull)
+        i -= 1
+    return _close([(p[0], p[1]) for p in hull]), inside
+
+
+def concave_hull(points, k: int = 3, max_recurse: int = 10000) -> np.ndarray:
+    """calculateConcaveHull (concave-hull.kt:361-389) -> closed ring
+    (n,2) [lon,lat].  ``points`` is (n,2) [lon,lat]."""
+    pts = np.asarray(points, dtype=np.float64)
+    ps = [(float(p[0]), float(p[1])) for p in pts]
+    cvx = convex_hull(pts)
+    convex_area = area_ring(cvx)
+    last_hull: list = []
+    kk = k
+    attempt = 0
+    max_attempts = min(max_recurse, max(10, len(ps) * 10))
+    # The reference untangles _close(ps) — the raw cloud as a ring — on
+    # EVERY failed attempt (concave-hull.kt:370-374).  That cleanup is a
+    # pure function of the input and only observable if the attempt
+    # budget is exhausted while the last attempt failed, so it is
+    # deferred to that exit path; all return values are identical.
+    last_was_fallback = False
+
+    def clean(ring: list) -> list:
+        c = _remove_self_intersections(ring, _cross_robust, max_recurse)
+        c = _remove_self_intersections(c, _geo_cross, max_recurse)
+        return _remove_self_intersections(c, _cross_robust, max_recurse)
+
+    while attempt < max_attempts:
+        hull, success = _attempt(ps, kk)
+        if not hull:
+            last_was_fallback = True
+            kk += 1
+            attempt += 1
+            continue
+        last_was_fallback = False
+        cleaned = clean(hull)
+        last_hull = _rotate_to_shortest_closure(cleaned)
+        if success:
+            concave_area = (
+                area_ring(np.asarray(last_hull)) if len(last_hull) > 3 else 0.0
+            )
+            if concave_area < convex_area or kk <= 3:
+                return np.asarray(last_hull)
+            kk = max(3, kk - 1)
+        else:
+            kk += 1
+        attempt += 1
+    if last_was_fallback:
+        last_hull = _rotate_to_shortest_closure(clean(_close(ps)))
+    return np.asarray(last_hull if last_hull else cvx)

@@ -451,11 +451,12 @@ def lines_cross_vec(x1, y1, x2, y2, u1, v1, u2, v2):
     """Vectorized lines_cross: segment 1 per-row arrays, segment 2
     scalar or arrays (GeoGeometry.kt:345-420 semantics, all branches
     evaluated under np.errstate and selected per-row)."""
-    x1 = np.atleast_1d(np.asarray(x1, dtype=np.float64))
-    y1, x2, y2 = (np.broadcast_to(np.asarray(a, dtype=np.float64), x1.shape)
-                  for a in (y1, x2, y2))
-    u1, v1, u2, v2 = (np.broadcast_to(np.asarray(a, dtype=np.float64), x1.shape)
-                      for a in (u1, v1, u2, v2))
+    args = [np.atleast_1d(np.asarray(a, dtype=np.float64))
+            for a in (x1, y1, x2, y2, u1, v1, u2, v2)]
+    shape = np.broadcast_shapes(*(a.shape for a in args))
+    x1, y1, x2, y2, u1, v1, u2, v2 = (
+        np.broadcast_to(a, shape) for a in args
+    )
 
     def between(a, b, val):
         lo = np.minimum(a, b)

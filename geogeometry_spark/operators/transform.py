@@ -218,3 +218,42 @@ def grouped_simplify(df: DataFrame, group_col: str, order_col: str,
         )
 
     return df.groupBy(group_col).applyInPandas(simp, schema=schema)
+
+
+def grouped_concave_hull(df: DataFrame, group_col: str, k: int = 3,
+                         lat_col: str = "lat", lon_col: str = "lon",
+                         max_recurse: int = 60,
+                         max_points: int = 300) -> DataFrame:
+    """Concave hull per group (calculateConcaveHull,
+    concave-hull.kt:361-389) -> one row per hull vertex.
+
+    ``max_recurse`` is the reference's own attempt/cleanup budget knob
+    (concave-hull.kt:361); ``max_points`` caps the per-group cloud with
+    a deterministic stride sample — the heuristic is O(attempts * n^2)
+    worst case, so unbounded groups would stall an executor core."""
+    from ..kernels.concave_hull import concave_hull
+
+    schema = f"{group_col} string, vertex_idx int, lon double, lat double"
+
+    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 3:
+            return pd.DataFrame(columns=[group_col, "vertex_idx", "lon", "lat"])
+        if len(pdf) > max_points:
+            pdf = pdf.sort_values([lon_col, lat_col]).iloc[
+                :: max(1, len(pdf) // max_points)
+            ]
+        pts = np.stack(
+            [pdf[lon_col].to_numpy(np.float64), pdf[lat_col].to_numpy(np.float64)],
+            axis=1,
+        )
+        ring = concave_hull(pts, k=k, max_recurse=max_recurse)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[0],
+                "vertex_idx": np.arange(len(ring), dtype=np.int32),
+                "lon": ring[:, 0],
+                "lat": ring[:, 1],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(hull, schema=schema)
