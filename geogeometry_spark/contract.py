@@ -132,6 +132,79 @@ def _quadkey_oracle() -> str:
     )
 
 
+def q_tile_bbox(spark, sf_dir):
+    """Tile NW corner + bbox via inverse Mercator (Tile.kt:76-102,
+    187-207), all native Columns; r9-rounded (atan/sinh are libm;
+    DuckDB lacks sinh so the oracle uses (exp(t)-exp(-t))/2)."""
+    from .operators.tiling import with_tile, with_tile_bbox
+
+    df = _docs_coords(spark, sf_dir)
+    t = with_tile(df, 12)
+    out = with_tile_bbox(t, 12)
+    return out.select(
+        "doc_id",
+        "tile_x",
+        "tile_y",
+        F.round("west", 9).alias("west_r9"),
+        F.round("south", 9).alias("south_r9"),
+        F.round("east", 9).alias("east_r9"),
+        F.round("north", 9).alias("north_r9"),
+    )
+
+
+def _tile_bbox_oracle() -> str:
+    import math
+
+    n = 1 << 12
+    x, y = C.tile_xy_sql("lat", "lon", 12)
+    sub = f"(SELECT doc_id, {x} AS tx, {y} AS ty FROM {_COORD_SUBQ})"
+
+    def top_left(xe: str, ye: str, fix: bool) -> tuple[str, str]:
+        lon = f"(CAST({xe} AS DOUBLE) / {float(n)!r} * 360.0 - 180.0)"
+        t = f"({math.pi!r} * (1.0 - 2.0 * CAST({ye} AS DOUBLE) / {float(n)!r}))"
+        sinh = f"((exp({t}) - exp(-{t})) / 2.0)"
+        lat = (
+            f"greatest({C.TILE_MIN_LAT!r}, least({C.TILE_MAX_LAT!r}, "
+            f"atan({sinh}) * 180.0 / {math.pi!r}))"
+        )
+        if fix:
+            lon = f"(CASE WHEN {lon} <= -180.0 THEN 180.0 ELSE {lon} END)"
+            lat = (
+                f"(CASE WHEN {lat} >= 85.051128 THEN {C.TILE_MIN_LAT!r} "
+                f"ELSE {lat} END)"
+            )
+        return lon, lat
+
+    tl_lon, tl_lat = top_left("tx", "ty", False)
+    br_lon, br_lat = top_left(f"((tx + 1) % {n})", f"((ty + 1) % {n})", True)
+    return (
+        f"SELECT doc_id, tx AS tile_x, ty AS tile_y, "
+        f"round({tl_lon}, 9) AS west_r9, round({br_lat}, 9) AS south_r9, "
+        f"round({br_lon}, 9) AS east_r9, round({tl_lat}, 9) AS north_r9 "
+        f"FROM {sub}"
+    )
+
+
+def q_cover_cells(spark, sf_dir):
+    """The covering family exposed as a relation: per fixture polygon,
+    the (cell, is_border) set from geoHashesForPolygon
+    (GeoHashUtils.kt:442-607) — the broadcast build side of the PIP
+    join.  Driver-side iterative algorithm -> rows-only check (the
+    covering invariants are pytest-pinned in test_covering.py)."""
+    from .operators.pip_join import build_cell_relation
+    from .fixtures import polygons_np
+
+    rows, cell_len = build_cell_relation(polygons_np(None), max_length=6)
+    df = spark.createDataFrame(
+        rows, "polygon_id string, cell_key long, is_border boolean"
+    )
+    return df.select(
+        "polygon_id",
+        C.geohash_render(F.col("cell_key"), cell_len).alias("cell"),
+        "is_border",
+    ).orderBy("polygon_id", "cell")
+
+
 def q_prefix_scan(spark, sf_dir):
     df = _with_cell(_docs_coords(spark, sf_dir))
     return prefix_filter_long(df, "u33").select(
@@ -1029,6 +1102,8 @@ QUERIES = {
     "utm_parse": q_utm_parse,
     "tile_assign": q_tile_assign,
     "quadkey": q_quadkey,
+    "tile_bbox": q_tile_bbox,
+    "cover_cells": q_cover_cells,
     "prefix_scan": q_prefix_scan,
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
@@ -1076,6 +1151,7 @@ def build_oracles() -> dict[str, str]:
         "utm_parse": O_UTM_PARSE,
         "tile_assign": _tile_oracle(),
         "quadkey": _quadkey_oracle(),
+        "tile_bbox": _tile_bbox_oracle(),
         "prefix_scan": O_PREFIX,
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),

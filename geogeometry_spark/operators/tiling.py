@@ -73,3 +73,35 @@ def tile_heatmap(
             F.approx_count_distinct(F.col(count_distinct_col)).alias("approx_distinct")
         )
     return tiles.groupBy("zoom", "tile_x", "tile_y").agg(*aggs)
+
+
+def tile_top_left_cols(x, y, zoom: int, fix_lon_lat: bool = False):
+    """NW corner of a tile as native Columns (Tile.kt:187-207):
+    lon = x/n*360-180, lat = clamp(atan(sinh(pi*(1-2y/n))) * 180/pi)."""
+    n = float(1 << zoom)
+    lon = x.cast("double") / F.lit(n) * 360.0 - 180.0
+    lat = F.atan(F.sinh(F.lit(float(__import__("math").pi)) * (
+        F.lit(1.0) - F.lit(2.0) * y.cast("double") / F.lit(n)
+    ))) * F.lit(180.0) / F.lit(float(__import__("math").pi))
+    lat = F.greatest(
+        F.lit(C.TILE_MIN_LAT), F.least(F.lit(C.TILE_MAX_LAT), lat)
+    )
+    if fix_lon_lat:
+        lon = F.when(lon <= -180.0, F.lit(180.0)).otherwise(lon)
+        lat = F.when(lat >= 85.051128, F.lit(C.TILE_MIN_LAT)).otherwise(lat)
+    return lon, lat
+
+
+def with_tile_bbox(df: DataFrame, zoom: int,
+                   x_col: str = "tile_x", y_col: str = "tile_y") -> DataFrame:
+    """(west, south, east, north) of each tile (Tile.kt:91-102:
+    bottom-right = topLeft of ((x+1)%n,(y+1)%n) with fixLonLat)."""
+    n = 1 << zoom
+    tl_lon, tl_lat = tile_top_left_cols(F.col(x_col), F.col(y_col), zoom)
+    br_lon, br_lat = tile_top_left_cols(
+        (F.col(x_col) + 1) % F.lit(n), (F.col(y_col) + 1) % F.lit(n),
+        zoom, fix_lon_lat=True,
+    )
+    return df.withColumns(
+        {"west": tl_lon, "south": br_lat, "east": br_lon, "north": tl_lat}
+    )
