@@ -1081,6 +1081,28 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame sampling plumbing (mapInPandas UDTF shape, stub
+    decode): 4 frames per media span at a 4-frame stride, 25 fps
+    timestamps."""
+    from .operators.multimodal import sample_frames
+
+    docs = src.documents_with_spans(spark, sf_dir)
+    frames = sample_frames(media_spans(docs), every_n=4, total_frames=16)
+    return frames.select(
+        "doc_id", "media_ref", "frame_idx", "ts_ms",
+        F.size("frame").alias("frame_dim"),
+    )
+
+
+O_FRAME_SAMPLE = (
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    "'media://' || lpad(CAST((doc_id * 2654435761) % 4294967296 AS VARCHAR), 16, '0')"
+    " AS media_ref, CAST(f AS INT) AS frame_idx, CAST(f * 40 AS INT) AS ts_ms, "
+    "16 AS frame_dim FROM documents, (SELECT unnest([0, 4, 8, 12]) AS f)"
+)
+
+
 O_MEDIA = (
     "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
     "'media://' || lpad(CAST((doc_id * 2654435761) % 4294967296 AS VARCHAR), 16, '0')"
@@ -1139,6 +1161,7 @@ QUERIES = {
     "minhash_candidates": q_minhash_candidates,
     "simhash": q_simhash,
     "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
 }
 
 
@@ -1178,6 +1201,7 @@ def build_oracles() -> dict[str, str]:
         "fingerprint": O_FINGERPRINT,
         "ann_brute": O_ANN_BRUTE,
         "media_features": O_MEDIA,
+        "frame_sample": O_FRAME_SAMPLE,
         # no oracle (rows-only): vincenty (iterative), ann_lsh
         # (plan-side hyperplane constants), minhash_candidates /
         # simhash (xxhash64 isn't available in DuckDB)

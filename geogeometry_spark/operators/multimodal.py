@@ -88,3 +88,69 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_video_stub(payload: bytes, n_frames: int) -> np.ndarray:
+    """STUB video decoder (no codecs in the container): deterministic
+    fake producing ``n_frames`` 16-float frames from the payload bytes.
+    Replace with pyav frame iteration in production."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    rep = np.resize(b, n_frames * 16).astype(np.float32) / 255.0
+    return rep.reshape(n_frames, 16)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4,
+                  total_frames: int = 16) -> DataFrame:
+    """Frame sampling for video media: one output row per sampled frame
+    (UDTF shape — mapInPandas yields more rows than it consumes).  The
+    sampling stride/timestamps are real plumbing; the decode is the
+    deterministic stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(0, total_frames, every_n, dtype=np.int32)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "media_ref": [], "frame_idx": [],
+                "ts_ms": [], "frame": [],
+            }
+            for doc_id, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                frames = _decode_video_stub(bytes(payload), total_frames)
+                for i in idx:
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(int(i))
+                    out["ts_ms"].append(int(i) * 40)  # 25 fps
+                    out["frame"].append(frames[i].tolist())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_features(features: DataFrame, out_dim: int = 4) -> DataFrame:
+    """'Resize' (mean-pool) features to ``out_dim`` — native array ops,
+    no Python: slice + aggregate per output bucket."""
+    feat = F.col("feature")
+    n = F.size(feat)
+    step = (n / F.lit(out_dim)).cast("int")
+    pooled = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda i: F.aggregate(
+            F.slice(feat, i * step + 1, step),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        ) / step.cast("double"),
+    )
+    return features.withColumn("feature_small", pooled)

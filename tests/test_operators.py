@@ -189,3 +189,32 @@ def test_lineage_resume(spark, tmp_path, coords_df):
     assert committed_buckets(path) == {0, 1, 2, 3}
     assert len(metrics(path)) == 4
     assert read_resumable(spark, path).count() == coords_df.count()
+
+
+def test_frame_sample_and_resize(spark):
+    from pyspark.sql import functions as F
+
+    from geogeometry_spark.operators.multimodal import (
+        extract_media_features,
+        media_spans,
+        resize_features,
+        sample_frames,
+    )
+    from geogeometry_spark.sources.tables import documents_with_spans
+
+    docs = documents_with_spans(spark, "/root/testdata/sf0.001")
+    media = media_spans(docs).limit(20)
+    frames = sample_frames(media, every_n=4, total_frames=16)
+    rows = frames.collect()
+    assert len(rows) == 20 * 4
+    assert {r["frame_idx"] for r in rows} == {0, 4, 8, 12}
+    assert all(r["ts_ms"] == r["frame_idx"] * 40 for r in rows)
+    assert all(len(r["frame"]) == 16 for r in rows)
+
+    feats = extract_media_features(media)
+    small = resize_features(feats, out_dim=4).collect()
+    for r in small:
+        assert len(r["feature_small"]) == 4
+        # mean-pool of 2 consecutive floats each
+        f = r["feature"]
+        assert abs(r["feature_small"][0] - (f[0] + f[1]) / 2) < 1e-6
