@@ -82,53 +82,84 @@ def knn(
 ) -> DataFrame:
     """k nearest ``points`` to each query (query_id, lat, lon).
 
-    Iteratively widens the candidate ring until the top-k is provably
-    exact (or the ring cap is hit, then falls back to a full scan for
-    the unsatisfied queries — correctness first)."""
+    ALL queries run in one pass per ring radius: the (query_id, cell)
+    candidate relation for every still-unsatisfied query is broadcast,
+    one equi-join + one window top-k executes distributedly, and only
+    queries whose kth candidate is not provably exact retry with a
+    wider ring (typically none after round one).  Jobs scale with ring
+    rounds, not with the number of queries."""
     from ..functions.columns import cell_prefix, string_cell_to_long
 
     spark = points.sparkSession
     key = cell_prefix(F.col(cell_id_col), precision)
-    dist_to = lambda qlat, qlon: C.haversine(  # noqa: E731
-        F.col(lat_col), F.col(lon_col), F.lit(qlat), F.lit(qlon)
-    )
+    id_col = points.columns[0]
 
-    results = []
+    meta = {}
     for qid, qlat, qlon in queries:
         center = str(kgh.encode(qlat, qlon, precision)[0])
-        min_dim = _cell_min_dim_m(center)
-        radius = 1
-        answer = None
-        while radius <= max_ring:
-            cells = spark.createDataFrame(
-                [(string_cell_to_long(c),) for c in sorted(_ring_cells(center, radius))],
-                "cell_key long",
-            )
-            cand = (
-                points.join(F.broadcast(cells), key == F.col("cell_key"), "inner")
-                .withColumn("dist_m", dist_to(qlat, qlon))
-                .orderBy(F.col("dist_m").asc(), F.col(points.columns[0]).asc())
-                .limit(k)
-                .collect()
-            )
-            guarantee = (radius - 1) * min_dim
-            if len(cand) >= k and cand[k - 1]["dist_m"] <= guarantee:
-                answer = cand
-                break
-            radius += 1
-        if answer is None:  # fallback: exact full scan for this query
-            answer = (
-                points.withColumn("dist_m", dist_to(qlat, qlon))
-                .orderBy(F.col("dist_m").asc(), F.col(points.columns[0]).asc())
-                .limit(k)
-                .collect()
-            )
-        for rank, row in enumerate(answer, start=1):
-            results.append((qid, rank, row["dist_m"], *[row[c] for c in points.columns]))
+        meta[qid] = (qlat, qlon, center, _cell_min_dim_m(center))
 
+    answers: dict[str, list] = {}
+    pending = list(queries)
+    radius = 1
+    while pending and radius <= max_ring:
+        rel = []
+        for qid, qlat, qlon in pending:
+            _, _, center, _ = meta[qid]
+            for c in sorted(_ring_cells(center, radius)):
+                rel.append((qid, qlat, qlon, string_cell_to_long(c)))
+        cells = spark.createDataFrame(
+            rel, "query_id string, qlat double, qlon double, cell_key long"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist_m").asc(), F.col(id_col).asc()
+        )
+        topk = (
+            points.join(F.broadcast(cells), key == F.col("cell_key"), "inner")
+            .withColumn(
+                "dist_m",
+                C.haversine(
+                    F.col(lat_col), F.col(lon_col), F.col("qlat"), F.col("qlon")
+                ),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .collect()
+        )
+        by_query: dict[str, list] = {}
+        for row in sorted(topk, key=lambda r: r["rank"]):
+            by_query.setdefault(row["query_id"], []).append(row)
+        still = []
+        for q in pending:
+            qid = q[0]
+            cand = by_query.get(qid, [])
+            guarantee = (radius - 1) * meta[qid][3]
+            if len(cand) >= k and cand[k - 1]["dist_m"] <= guarantee:
+                answers[qid] = cand
+            else:
+                still.append(q)
+        pending = still
+        radius += 1
+
+    if pending:  # ring cap hit: exact window fallback for the leftovers
+        fb = knn_window(
+            points, pending, k, lat_col=lat_col, lon_col=lon_col
+        ).collect()
+        for row in sorted(fb, key=lambda r: (r["query_id"], r["rank"])):
+            answers.setdefault(row["query_id"], []).append(row)
+
+    results = []
+    for qid, _, _ in queries:
+        for rank, row in enumerate(answers.get(qid, []), start=1):
+            results.append(
+                (qid, rank, row["dist_m"], *[row[c] for c in points.columns])
+            )
     schema_cols = ", ".join(
         ["query_id string", "rank int", "dist_m double"]
-        + [f"`{c}` {points.schema[c].dataType.simpleString()}" for c in points.columns]
+        + [
+            f"`{c}` {points.schema[c].dataType.simpleString()}"
+            for c in points.columns
+        ]
     )
     return spark.createDataFrame(results, schema_cols)
 
