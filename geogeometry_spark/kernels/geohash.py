@@ -295,3 +295,43 @@ def encode_morton(lat, lon, length: int = DEFAULT_LENGTH) -> np.ndarray:
         shift = np.uint64(nbits - 5 * (i + 1))
         codes[:, i] = _ALPHA[((v >> shift) & np.uint64(31)).astype(np.int64)]
     return codes.view(f"S{length}").reshape(n).astype(f"U{length}")
+
+
+def sub_hashes_north(h: str) -> list[str]:
+    """GeoHashUtils.kt:357-365: children with char <= 'g'."""
+    return [h + c for c in BASE32 if c <= "g"]
+
+
+def sub_hashes_south(h: str) -> list[str]:
+    """GeoHashUtils.kt:372-380: children with char >= 'h'."""
+    return [h + c for c in BASE32 if c >= "h"]
+
+
+def sub_hashes_north_west(h: str) -> list[str]:
+    """GeoHashUtils.kt:387-395: char <= '7'."""
+    return [h + c for c in BASE32 if c <= "7"]
+
+
+def sub_hashes_north_east(h: str) -> list[str]:
+    """GeoHashUtils.kt:402-410: '8' <= char <= 'g'."""
+    return [h + c for c in BASE32 if "8" <= c <= "g"]
+
+
+def sub_hashes_south_west(h: str) -> list[str]:
+    """GeoHashUtils.kt:417-425: 'h' <= char <= 'r'."""
+    return [h + c for c in BASE32 if "h" <= c <= "r"]
+
+
+def sub_hashes_south_east(h: str) -> list[str]:
+    """GeoHashUtils.kt:432-440: char >= 's'."""
+    return [h + c for c in BASE32 if c >= "s"]
+
+
+def is_north(l1: float, l2: float) -> bool:
+    """GeoHashUtils.kt:757-759."""
+    return l1 > l2
+
+
+def is_south(l1: float, l2: float) -> bool:
+    """GeoHashUtils.kt:766-768."""
+    return l1 < l2

@@ -518,3 +518,27 @@ def segment_intersects_ring(lat1, lon1, lat2, lon2, ring: np.ndarray):
             ring[i, 0], ring[i, 1], ring[i + 1, 0], ring[i + 1, 1],
         )
     return hit
+
+
+def random_points_in_polygon(rings: list, n: int, seed: int = 42) -> np.ndarray:
+    """Seeded, hole-aware rejection sampler over a polygon's bbox —
+    the engine's deterministic take on Geometry.randomPoints
+    (geojson.kt:886-924: sample bbox-uniform, keep points the polygon
+    contains and no hole contains).  Returns (n, 2) [lon, lat]."""
+    rng = np.random.default_rng(seed)
+    outer = np.asarray(rings[0], dtype=np.float64)
+    holes = [np.asarray(h, dtype=np.float64) for h in rings[1:]]
+    w, s, e, n_ = bounding_box(outer)
+    out = []
+    while len(out) < n:
+        batch = max(64, 2 * (n - len(out)))
+        lon = rng.uniform(w, e, batch)
+        lat = rng.uniform(s, n_, batch)
+        keep = polygon_contains(lat, lon, outer)
+        for h in holes:
+            keep &= ~polygon_contains(lat, lon, h)
+        for lo, la in zip(lon[keep], lat[keep]):
+            out.append((lo, la))
+            if len(out) == n:
+                break
+    return np.asarray(out)

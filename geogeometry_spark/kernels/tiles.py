@@ -154,3 +154,41 @@ def point_tiles(lat: float, lon: float) -> list[tuple[int, int, int]]:
     x, y = coordinate_to_tile(lat, lon, MAX_ZOOM)
     x, y = int(x[0]), int(y[0])
     return [(x, y, MAX_ZOOM)] + parent_tiles(x, y, MAX_ZOOM)
+
+
+def zoom_level(bbox, height: int = 512, width: int = 512,
+               min_zoom: float = 22.0) -> float:
+    """Viewport-fit zoom for a bbox (geojson.kt:412-430).
+    bbox = (west, south, east, north)."""
+    w, s, e, n = bbox
+
+    def zoom(map_px: int, world_px: int, fraction: float) -> float:
+        return math.floor(math.log(map_px / world_px / fraction) / math.log(2.0))
+
+    lat_fraction = (n * math.pi / 180.0 - s * math.pi / 180.0) / math.pi
+    lng_diff = e - w
+    lng_fraction = (lng_diff + 360) / 360 if lng_diff < 0 else lng_diff / 360
+    globe_px = 256
+    return min(zoom(height, globe_px, lat_fraction),
+               zoom(width, globe_px, lng_fraction), min_zoom)
+
+
+def tile_bboxes_for_bbox(bbox, height: int = 512, width: int = 512,
+                         min_zoom: float = 22.0) -> list[tuple]:
+    """Chop a bbox into the lat/lon grid at its viewport zoom
+    (GeoGeometry.kt:517-536).  Returns [(w, s, e, n)] cells."""
+    w, s, e, n = bbox
+    z = zoom_level(bbox, height, width, min_zoom)
+    factor = 2.0 ** z
+    lon_angle = 360.0 / factor
+    lat_angle = 180.0 / factor
+    most_west = w - w % lon_angle
+    cells = []
+    lat = s - s % lat_angle
+    while lat < n:
+        lon = most_west
+        while lon < e:
+            cells.append((lon, lat, lon + lon_angle, lat + lat_angle))
+            lon += lon_angle
+        lat += lat_angle
+    return cells

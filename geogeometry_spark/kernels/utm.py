@@ -71,12 +71,21 @@ def normalize_lonlat(lon: np.ndarray, lat: np.ndarray):
     return np.where(need, nlon, lon), np.where(need, nlat, lat)
 
 
+_BAND_EDGES = np.array(
+    [-72.0, -64.0, -56.0, -48.0, -40.0, -32.0, -24.0, -16.0, -8.0, 0.0,
+     8.0, 16.0, 24.0, 32.0, 40.0, 48.0, 56.0, 64.0, 72.0]
+)
+
+
 def latitude_zone_letter(lat, lon) -> np.ndarray:
-    """utm.kt:168-208 → uint8 char codes."""
+    """utm.kt:168-208 → uint8 char codes.  Band selection uses the
+    reference's exact raw-threshold comparisons (``latitude < 0 -> 'M'``
+    etc.) — arithmetic like floor((lat+80)/8) rounds at band edges
+    (e.g. -2.2e-16 + 80 == 80.0 in float64, flipping M to N)."""
     lat = _as1d(lat)
     lon = _as1d(lon)
-    band = np.clip(((lat + 80.0) // 8.0).astype(np.int64), 0, 19)
-    letters = _BAND_LETTERS[band]
+    band = np.searchsorted(_BAND_EDGES, lat, side="right")
+    letters = _BAND_LETTERS[np.clip(band, 0, 19)]
     north = lat > 84.0
     south = lat < -80.0
     letters = np.where(north, np.where(lon < 0, ord("Y"), ord("Z")), letters)

@@ -125,3 +125,29 @@ def test_suitable_hash_length():
     assert 1 <= n <= 12
     # a smaller granularity needs a longer (finer) hash
     assert gh.suitable_hash_length(10.0, 52.0, 13.0) >= n
+
+
+def test_sub_hash_variants():
+    # GeoHashUtils.kt:344-440: 32 children; 16 N / 16 S; 8 per quadrant
+    from geogeometry_spark.kernels import geohash as kgh
+
+    assert len(kgh.sub_hashes("u33")) == 32
+    n = kgh.sub_hashes_north("u33")
+    s = kgh.sub_hashes_south("u33")
+    assert len(n) == 16 and len(s) == 16
+    assert set(n) | set(s) == set(kgh.sub_hashes("u33"))
+    quads = [
+        kgh.sub_hashes_north_west("u33"),
+        kgh.sub_hashes_north_east("u33"),
+        kgh.sub_hashes_south_west("u33"),
+        kgh.sub_hashes_south_east("u33"),
+    ]
+    assert all(len(q) == 8 for q in quads)
+    assert set().union(*map(set, quads)) == set(kgh.sub_hashes("u33"))
+    # NOTE: the reference's N/S naming is a fixed char-range filter
+    # (GeoHashUtils.kt:357-380) whose geometric direction flips with the
+    # parent-length parity; we replicate the filter verbatim and only
+    # assert the partition (the reference's own test, GeoHashUtilsTest.kt
+    # :497-501, asserts just the count).
+    assert kgh.is_north(53.0, 52.0) and not kgh.is_north(52.0, 53.0)
+    assert kgh.is_south(52.0, 53.0) and not kgh.is_south(53.0, 52.0)

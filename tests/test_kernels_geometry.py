@@ -266,3 +266,23 @@ def test_segment_intersects_ring():
     out = kg.segment_intersects_ring(lat1, lon1, lat2, lon2, ring)
     # inside-inside, outside-outside(miss), crossing diagonal, far miss
     assert out.tolist() == [True, False, True, False]
+
+
+def test_random_points_in_polygon_hole_aware():
+    import numpy as np
+
+    from geogeometry_spark.kernels import geometry as kg
+
+    ring = np.array(
+        [[13.0, 52.0], [13.4, 52.0], [13.4, 52.4], [13.0, 52.4], [13.0, 52.0]]
+    )
+    hole = np.array(
+        [[13.1, 52.1], [13.2, 52.1], [13.2, 52.2], [13.1, 52.2], [13.1, 52.1]]
+    )
+    pts = kg.random_points_in_polygon([ring, hole], 400, seed=7)
+    assert pts.shape == (400, 2)
+    assert kg.polygon_contains(pts[:, 1], pts[:, 0], ring).all()
+    assert not kg.polygon_contains(pts[:, 1], pts[:, 0], hole).any()
+    # deterministic under the same seed
+    again = kg.random_points_in_polygon([ring, hole], 400, seed=7)
+    assert np.array_equal(pts, again)

@@ -87,3 +87,23 @@ def test_bbox_tiles():
     got = tiles.bbox_tiles((13.2, 52.4, 13.6, 52.6), 10)
     assert len(got) >= 2
     assert all(z == 10 for _, _, z in got)
+
+
+def test_zoom_level_and_bbox_grid():
+    from geogeometry_spark.kernels import tiles as kt
+
+    # whole-world bbox at 512px -> zoom 0-1
+    assert kt.zoom_level((-180.0, -85.0, 180.0, 85.0)) <= 1.0
+    # tiny bbox clamps at the min_zoom cap (minOf, geojson.kt:429)
+    assert kt.zoom_level((13.0, 52.0, 13.0000001, 52.0000001),
+                         min_zoom=22.0) == 22.0
+    # moderate bbox sits below the cap
+    assert kt.zoom_level((13.0, 52.0, 13.001, 52.001)) == 18
+    # grid chop covers the bbox (GeoGeometry.kt:517-536)
+    cells = kt.tile_bboxes_for_bbox((13.0, 52.0, 13.5, 52.5), min_zoom=8)
+    assert len(cells) >= 2
+    w = min(c[0] for c in cells)
+    e = max(c[2] for c in cells)
+    s = min(c[1] for c in cells)
+    n = max(c[3] for c in cells)
+    assert w <= 13.0 and e >= 13.5 and s <= 52.0 and n >= 52.5

@@ -1,0 +1,121 @@
+"""Hypothesis property tests — the reference's seeded-random round-trip
+patterns (SURVEY.md §5) with shrinking: encode∘decode containment,
+tile↔coord round trips, UTM round trips, wrap periodicity, neighbor
+adjacency, haversine metric axioms."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geogeometry_spark.kernels import geohash as kgh
+from geogeometry_spark.kernels import geometry as kg
+from geogeometry_spark.kernels import tiles as kt
+from geogeometry_spark.kernels import utm as ku
+
+lats = st.floats(-89.9, 89.9, allow_nan=False)
+lons = st.floats(-179.9, 179.9, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, st.integers(1, 12))
+def test_geohash_cell_contains_its_point(lat, lon, length):
+    h = str(kgh.encode(lat, lon, length)[0])
+    w, s, e, n = kgh.decode_bbox_scalar(h)
+    assert s <= lat <= n
+    assert w <= lon <= e
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons)
+def test_geohash_morton_equals_bisection(lat, lon):
+    # The closed-form ceil index computes (v+lo)/span, which rounds; for
+    # points within ~1e-13 deg of a cell edge it can land one cell off
+    # the reference bisection (strict > on the raw value).  Outside that
+    # hair-width band the two are identical.
+    span_lat = 180.0 / (1 << 30)
+    span_lon = 360.0 / (1 << 30)
+    for v, lo, span in ((lat, 90.0, span_lat), (lon, 180.0, span_lon)):
+        frac = ((v + lo) / span) % 1.0
+        if min(frac, 1.0 - frac) * span < 1e-12:
+            return
+    assert kgh.encode(lat, lon, 12)[0] == kgh.encode_morton(lat, lon, 12)[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-85.0, 85.0, allow_nan=False), lons, st.integers(1, 22))
+def test_tile_contains_its_point(lat, lon, zoom):
+    # zoom 0 excluded: the reference's zoom-0 bbox is the verbatim
+    # constant [-180, MAX_LAT, 180, MIN_LAT] (Tile.kt:99-101), i.e. its
+    # south/north slots are swapped relative to every other zoom.
+    # lat restricted to the Mercator domain: at the rounded clamp
+    # constant +-85.05112878 the y formula lands a hair past 1.0 and
+    # truncates to an out-of-range row — reference-identical behavior
+    # (Tile.kt:222-226), so property-tested only in-domain, matching
+    # TileTest.kt:42-81's random-coordinate range.
+    x, y = kt.coordinate_to_tile(lat, lon, zoom)
+    w, s, e, n = kt.tile_bbox(int(x[0]), int(y[0]), zoom)
+    assert s - 1e-9 <= lat <= n + 1e-9
+    if e > w:  # skip the antimeridian-wrap column
+        assert w - 1e-9 <= lon <= e + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, (1 << 20) - 1), st.integers(0, (1 << 20) - 1))
+def test_quadkey_roundtrip(x, y):
+    zoom = 20
+    qk = str(kt.quadkey(x, y, zoom)[0])
+    assert kt.from_quadkey(qk) == (x, y, zoom)
+    qkl = int(kt.quadkey_long(x, y, zoom)[0])
+    assert kt.from_quadkey_long(qkl, zoom) == (x, y, zoom)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(-79.9, 83.9, allow_nan=False), lons)
+def test_utm_roundtrip_under_1m(lat, lon):
+    # subnormal |lat| excluded: toRadians underflows to -0.0 there, so
+    # the reference's hemisphere test (phi < 0, utm.kt:376) disagrees
+    # with its band letter (latitude < 0, utm.kt:194) — a faithful
+    # reference bug (round trip breaks identically in Kotlin).
+    if lat != 0.0 and abs(lat) < 1e-300:
+        return
+    z, letter, e, n = ku.to_utm(lat, lon)
+    lon2, lat2 = ku.from_utm(z, letter, e, n)
+    assert kg.haversine(
+        np.array([lat]), np.array([lon]), lat2, lon2
+    )[0] < 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-1000, 1000, allow_nan=False))
+def test_wrap_into_range(v):
+    out = float(kg.wrap(v, -180.0, 180.0))
+    assert -180.0 <= out < 180.0
+    # periodicity: wrapping again is a fixed point
+    assert float(kg.wrap(out, -180.0, 180.0)) == out
+
+
+@settings(max_examples=100, deadline=None)
+@given(lats, lons, lats, lons)
+def test_haversine_metric(lat1, lon1, lat2, lon2):
+    a = np.array([lat1]), np.array([lon1])
+    b = np.array([lat2]), np.array([lon2])
+    d_ab = kg.haversine(a[0], a[1], b[0], b[1])[0]
+    d_ba = kg.haversine(b[0], b[1], a[0], a[1])[0]
+    assert d_ab >= 0
+    assert abs(d_ab - d_ba) < 1e-6
+    assert kg.haversine(a[0], a[1], a[0], a[1])[0] == 0.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(lats, lons)
+def test_neighbors_share_edges(lat, lon):
+    h = str(kgh.encode(lat, lon, 6)[0])
+    w, s, e, n = kgh.decode_bbox_scalar(h)
+    nb = kgh.neighbors_scalar(h)
+    wn, sn, en, nn = kgh.decode_bbox_scalar(nb["north"])
+    assert abs(sn - n) < 1e-9
+    we, se, ee, ne = kgh.decode_bbox_scalar(nb["east"])
+    if e < 180.0 - 1e-6:
+        assert abs(we - e) < 1e-9
