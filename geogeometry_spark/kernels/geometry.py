@@ -542,3 +542,14 @@ def random_points_in_polygon(rings: list, n: int, seed: int = 42) -> np.ndarray:
             if len(out) == n:
                 break
     return np.asarray(out)
+
+
+def distance_to_multipolygon(lat, lon, polygons: list[list[np.ndarray]]):
+    """Min distance over polygons (GeoGeometry.kt:757-763); each polygon
+    is [outer, holes...] and only the outer ring bounds distance (the
+    reference dispatches to distanceToPolygon per outer ring)."""
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    best = np.full(lat.shape[0], np.inf)
+    for rings in polygons:
+        best = np.minimum(best, distance_to_polygon(lat, lon, rings[0]))
+    return best

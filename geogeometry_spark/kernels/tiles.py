@@ -192,3 +192,36 @@ def tile_bboxes_for_bbox(bbox, height: int = 512, width: int = 512,
             lon += lon_angle
         lat += lat_angle
     return cells
+
+
+def tile_path(x: int, y: int, zoom: int) -> str:
+    """Canonical "z/x/y" form (Tile.kt:42)."""
+    return f"{zoom}/{x}/{y}"
+
+
+def from_path(path: str) -> tuple[int, int, int]:
+    """Parse "z/x/y" (Tile.kt:133-144)."""
+    z, x, y = path.split("/")
+    return int(x), int(y), int(z)
+
+
+def all_tiles_at(zoom: int):
+    """Iterator over the full (x, y) grid at ``zoom`` (Tile.kt:230-240).
+    Distributed twin: spark.range(4**zoom) + bit math."""
+    n = 1 << zoom
+    for x in range(n):
+        for y in range(n):
+            yield x, y
+
+
+def all_tiles_df(spark, zoom: int):
+    """Distributed full tile grid: spark.range(4^zoom) -> (x, y) via
+    interleaved index split — test/bench data generation at scale."""
+    from pyspark.sql import functions as F
+
+    n = 1 << zoom
+    return spark.range(n * n).select(
+        (F.col("id") % n).cast("int").alias("tile_x"),
+        (F.col("id") / n).cast("int").alias("tile_y"),
+        F.lit(zoom).alias("zoom"),
+    )

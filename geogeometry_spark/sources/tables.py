@@ -44,6 +44,17 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load an input table.
+
+    ``sf_dir`` is normally a parquet directory (the sandbox layout);
+    when it is a catalog prefix of the form ``table:<catalog.db>`` the
+    table resolves through the session catalog instead — the production
+    path for Iceberg (`spark.read.table("catalog.db.name")` picks up
+    hidden partitioning, snapshot isolation, and metadata-level pruning
+    with zero engine changes; no Iceberg jars ship in this sandbox, so
+    the parquet path is what tests exercise)."""
+    if sf_dir.startswith("table:"):
+        return spark.read.table(f"{sf_dir[len('table:'):]}.{name}")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -107,3 +107,26 @@ def test_zoom_level_and_bbox_grid():
     s = min(c[1] for c in cells)
     n = max(c[3] for c in cells)
     assert w <= 13.0 and e >= 13.5 and s <= 52.0 and n >= 52.5
+
+
+def test_tile_path_roundtrip():
+    from geogeometry_spark.kernels import tiles as kt
+
+    assert kt.tile_path(2200, 1343, 12) == "12/2200/1343"
+    assert kt.from_path("12/2200/1343") == (2200, 1343, 12)
+    assert len(list(kt.all_tiles_at(3))) == 64
+
+
+def test_distance_to_multipolygon():
+    import numpy as np
+
+    from geogeometry_spark.kernels import geometry as kg
+
+    p1 = np.array([[13.0, 52.0], [13.1, 52.0], [13.1, 52.1], [13.0, 52.1], [13.0, 52.0]])
+    p2 = np.array([[14.0, 52.0], [14.1, 52.0], [14.1, 52.1], [14.0, 52.1], [14.0, 52.0]])
+    d = kg.distance_to_multipolygon([52.05], [13.95], [[p1], [p2]])
+    # nearer to p2's west edge (~0.05 deg) than p1's east edge (~0.85)
+    expected = kg.distance_to_polygon([52.05], [13.95], p2)
+    assert d[0] == expected[0]
+    inside = kg.distance_to_multipolygon([52.05], [14.05], [[p1], [p2]])
+    assert inside[0] == 0.0

@@ -218,3 +218,25 @@ def test_frame_sample_and_resize(spark):
         # mean-pool of 2 consecutive floats each
         f = r["feature"]
         assert abs(r["feature_small"][0] - (f[0] + f[1]) / 2) < 1e-6
+
+
+def test_feature_collection_sink(spark):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from geogeometry_spark.operators.geojson import (
+        feature_collection,
+        point_geojson,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 52.5, 13.4), ("b", 48.8, 2.3)], "id string, lat double, lon double"
+    )
+    df = df.withColumn("gj", point_geojson(F.col("lat"), F.col("lon")))
+    out = feature_collection(df, "gj", props=["id"]).collect()[0]
+    fc = json.loads(out["feature_collection"])
+    assert fc["type"] == "FeatureCollection"
+    assert len(fc["features"]) == 2
+    feats = {f["properties"]["id"]: f for f in fc["features"]}
+    assert feats["a"]["geometry"]["coordinates"] == [13.4, 52.5]
