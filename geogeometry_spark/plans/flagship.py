@@ -11,6 +11,11 @@ scan interleaved span documents
 
 Everything before the border re-check is whole-stage codegen; the big
 side is scanned once and never shuffled.
+
+Covering resolution: max_length=7 measured fastest end-to-end at sf0.1
+x1000 (6.8s vs 9.4s at 6, 8.2s at 8 on local[32]) — finer cells shrink
+the border fraction that pays the Arrow PIP re-check, until covering
+time and broadcast size win at 8.  The cover is memoized per process.
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ def flagship(
     polygons: dict | None = None,
     zooms: list[int] | None = None,
     keep_spans: bool = True,
-    max_length: int = 6,
+    max_length: int = 7,
     docs: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (doc_id, spans?, span_idx, lat, lon, cell_id, polygon_id,
