@@ -112,6 +112,45 @@ def main() -> None:
     timed("flagship_pip_tiles", run_flagship, warmup=True)
     docs_per_sec = round(n_docs / timings["flagship_pip_tiles"], 1)
 
+    # --- spatial-skew proof: non-algebraic agg on the hot cell ---------
+    # 20% of docs sit in one Berlin length-5 cell; collect_list postings
+    # per cell bottleneck on that reducer unless salted (two-phase).
+    from pyspark.sql import functions as F
+
+    from geogeometry_spark.functions import columns as C
+    from geogeometry_spark.operators.skew import salted_agg
+    from geogeometry_spark.sources import tables as src
+
+    pts = src.with_true_coords(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ).withColumn("cell5", C.geohash(F.col("lat"), F.col("lon"), 5))
+
+    def postings_unsalted():
+        pts.groupBy("cell5").agg(
+            F.collect_list("doc_id").alias("postings")
+        ).select("cell5", F.size("postings").alias("n")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def postings_salted():
+        salted_agg(
+            pts,
+            "cell5",
+            {
+                "postings": (
+                    F.collect_list("doc_id"),
+                    lambda c: F.flatten(F.collect_list(c)),
+                )
+            },
+            target_rows_per_task=50_000,
+            seed_col="doc_id",
+        ).select("cell5", F.size("postings").alias("n")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("postings_unsalted", postings_unsalted, runs=1, warmup=True)
+    timed("postings_salted", postings_salted, runs=1, warmup=True)
+
     # --- per-operator headline queries at the native sf (post-warmup) ---
     for name in (
         "geohash_encode",
