@@ -421,6 +421,77 @@ def _pip_oracle() -> str:
     return " UNION ALL ".join(selects)
 
 
+def q_pip_semi(spark, sf_dir):
+    """Semi-join form: documents inside ANY fixture polygon (same
+    broadcast cell plan, how='left_semi' — SURVEY §2.8)."""
+    df = _with_cell(_docs_coords(spark, sf_dir))
+    return pip_join(df, max_length=6, how="left_semi").select(
+        "doc_id", "lat", "lon"
+    )
+
+
+def q_pip_anti(spark, sf_dir):
+    """Anti-join form: documents in NO fixture polygon (geofence
+    exclusion)."""
+    df = _with_cell(_docs_coords(spark, sf_dir))
+    return pip_join(df, max_length=6, how="left_anti").select(
+        "doc_id", "lat", "lon"
+    )
+
+
+def _pip_pred() -> str:
+    return " OR ".join(
+        C.pip_sql("lat", "lon", ring)
+        for ring in (BIG_RING, SMALL_RING, CONCAVE_RING)
+    )
+
+
+O_PIP_SEMI = (
+    f"SELECT doc_id, lat, lon FROM {_COORD_SUBQ} WHERE ({_pip_pred()})"
+)
+O_PIP_ANTI = (
+    f"SELECT doc_id, lat, lon FROM {_COORD_SUBQ} WHERE NOT ({_pip_pred()})"
+)
+
+
+def q_events_tile_hourly(spark, sf_dir):
+    """Time-windowed geo analytics over the events stream table:
+    hourly tumbling window x z8 tile x event_type counts + value sums
+    (native F.window; coordinates derived from user_id by the same
+    integer arithmetic as documents)."""
+    ev = src.load_table(spark, sf_dir, "events")
+    lat = (((F.col("user_id") * 7919) % 170001 - 85000) / F.lit(1000.0))
+    lon = (((F.col("user_id") * 104729) % 350001 - 175000) / F.lit(1000.0))
+    x, y = C.tile_xy(lat, lon, 8)
+    win = F.window(F.col("ts"), "1 hour")
+    out = (
+        ev.withColumns({"tile_x": x, "tile_y": y, "win": win})
+        .groupBy(
+            F.unix_timestamp(F.col("win.start")).alias("hour_epoch"),
+            "tile_x",
+            "tile_y",
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value_r6"),
+        )
+    )
+    return out
+
+
+def _events_oracle() -> str:
+    lat = "(((user_id * 7919) % 170001 - 85000) / 1000.0)"
+    lon = "(((user_id * 104729) % 350001 - 175000) / 1000.0)"
+    x, y = C.tile_xy_sql(lat, lon, 8)
+    return (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+        f"{x} AS tile_x, {y} AS tile_y, event_type, count(*) AS n, "
+        "round(sum(value), 6) AS sum_value_r6 FROM events "
+        "GROUP BY 1, 2, 3, 4"
+    )
+
+
 def q_radius_join(spark, sf_dir):
     df = _with_cell(_docs_coords(spark, sf_dir))
     out = radius_join(df, BERLIN[0], BERLIN[1], 4000.0, max_length=6)
@@ -1129,6 +1200,9 @@ QUERIES = {
     "prefix_scan": q_prefix_scan,
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
+    "pip_semi": q_pip_semi,
+    "pip_anti": q_pip_anti,
+    "events_tile_hourly": q_events_tile_hourly,
     "radius_join": q_radius_join,
     "knn": q_knn,
     "knn_window": q_knn_window,
@@ -1178,6 +1252,9 @@ def build_oracles() -> dict[str, str]:
         "prefix_scan": O_PREFIX,
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),
+        "pip_semi": O_PIP_SEMI,
+        "pip_anti": O_PIP_ANTI,
+        "events_tile_hourly": _events_oracle(),
         "radius_join": O_RADIUS,
         "knn": O_KNN,
         "knn_window": O_KNN_WINDOW,
