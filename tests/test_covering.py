@@ -119,3 +119,16 @@ def test_pole_rejection():
 def test_line_cover_degenerate():
     got = covering.geohashes_for_line(100.0, 52.0, 13.0, 52.0, 13.0)
     assert got == {str(gh.encode(52.0, 13.0, 12)[0])}
+
+
+def test_large_quad_cover_vector():
+    # GeoHashUtilsTest.kt:374-392: large quad at maxLength=5 produces
+    # >=1000 hashes and parent-collapse yields some length-4 hashes
+    import numpy as np
+
+    from geogeometry_spark.kernels import covering
+
+    ring = np.array([[-1.0, 1.0], [2.0, 2.0], [3.0, -1.0], [-2.0, -4.0]])
+    hashes = covering.geohashes_for_linear_ring(ring, max_length=5)
+    assert len(hashes) >= 1000
+    assert min(len(h) for h in hashes) == 4
