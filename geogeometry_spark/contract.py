@@ -1135,6 +1135,20 @@ SELECT rank, id_a, id_b, round(cos_sim, 9) AS cos_r9 FROM (
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: seeded k-means coarse quantizer + exact cosine inside
+    nprobe lists (the second scale path besides hyperplane LSH;
+    recall pytest-gated, rows-only for the driver since the centroids
+    are plan-side constants)."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_clusters=16, nprobe=6
+    )
+    return out.select(
+        "rank", "vec_id", F.round(F.col("cos_sim"), 9).alias("cos_r9")
+    )
+
+
 def q_minhash_candidates(spark, sf_dir):
     docs = src.load_table(spark, sf_dir, "documents")
     return dedup.minhash_candidates(docs, num_hashes=16, bands=4)
@@ -1232,6 +1246,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "minhash_candidates": q_minhash_candidates,
     "simhash": q_simhash,
     "media_features": q_media_features,

@@ -240,3 +240,28 @@ def test_feature_collection_sink(spark):
     assert len(fc["features"]) == 2
     feats = {f["properties"]["id"]: f for f in fc["features"]}
     assert feats["a"]["geometry"]["coordinates"] == [13.4, 52.5]
+
+
+def test_ann_ivf_recall(spark):
+    from pyspark.sql import functions as F
+
+    from geogeometry_spark.operators.similarity import brute_force_topk, ivf_topk
+    from geogeometry_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 3)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(emb, q, k=10, n_clusters=16, nprobe=6).collect()
+    }
+    # random 64-dim embeddings are a worst case for IVF; still expect
+    # meaningful recall with 6/16 lists probed
+    assert len(exact & approx) >= 5
+    # the query vector itself must be found (it lives in a probed list)
+    assert 3 in approx
