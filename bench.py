@@ -180,7 +180,7 @@ def main() -> None:
             {
                 "metric": (
                     "flagship PIP join + tile assignment wall time, "
-                    "1M-doc materialized spans table, warm best-of-"
+                    f"{n_docs}-doc materialized spans table, warm best-of-"
                     f"{RUNS} + operator suite"
                 ),
                 "value": timings["flagship_pip_tiles"],
