@@ -1104,16 +1104,9 @@ def q_embed_pairs_topk(spark, sf_dir):
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     cos = similarity.cosine(F.col("ea"), F.col("eb"))
-    from pyspark.sql import Window
-
     scored = pairs.select("id_a", "id_b", cos.alias("cos_sim"))
-    w = Window.orderBy(
-        F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 20)
-        .select("rank", "id_a", "id_b", F.round("cos_sim", 9).alias("cos_r9"))
+    return similarity.ranked_topk(scored, 20, "cos_sim", "id_a", "id_b").select(
+        "rank", "id_a", "id_b", F.round("cos_sim", 9).alias("cos_r9")
     )
 
 

@@ -2,8 +2,9 @@
 array<float>, label).
 
 - brute-force cosine top-k: native array fold (element-wise double
-  multiply + left-fold sum — deterministic summation order), window
-  top-k.  The correctness baseline.
+  multiply + left-fold sum — deterministic summation order), then
+  orderBy().limit(k) => TakeOrderedAndProject (per-partition partial
+  top-k + tiny driver merge).  The correctness baseline.
 - LSH-bucketed ANN: random-hyperplane signs -> bucket key -> search only
   matching buckets (the scale path: the bucket join replaces the full
   cross product; recall < 1 by design, verified against brute force in
@@ -42,6 +43,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def ranked_topk(scored: DataFrame, k: int, *order_cols: str) -> DataFrame:
+    """Scale-safe top-k: ``orderBy(...).limit(k)`` plans
+    TakeOrderedAndProject — each partition keeps a local k-heap and the
+    driver merges k rows per partition; nothing ever funnels the full
+    corpus through one task (vs. a global ``Window.orderBy`` which is a
+    single-partition sort).  The rank column is then numbered by a
+    window over the already-k-row result, which is free.
+
+    ``order_cols``: first column descending (the score), the rest
+    ascending id tiebreakers."""
+    score, *ids = order_cols
+    order = [F.col(score).desc()] + [F.col(c).asc() for c in ids]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -54,11 +72,8 @@ def brute_force_topk(
     scored = embeddings.select(
         F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", id_col, "cos_sim")
+    return ranked_topk(scored, k, "cos_sim", id_col).select(
+        "rank", id_col, "cos_sim"
     )
 
 
@@ -126,11 +141,8 @@ def ann_topk(
     cand = bucketed.where(F.col("bucket").isin(*sorted(probes)))
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", id_col, "cos_sim")
+    return ranked_topk(scored, k, "cos_sim", id_col).select(
+        "rank", id_col, "cos_sim"
     )
 
 
@@ -187,9 +199,20 @@ def ivf_topk(
 
     Candidate fraction ≈ nprobe / n_clusters; recall vs brute force is
     pytest-gated."""
-    sample = embeddings.select(vec_col).limit(train_sample).collect()
+    # Deterministic uniform sample: order by a hash of the id and take
+    # the top train_sample — TakeOrderedAndProject (per-partition heap),
+    # so the sample is unbiased w.r.t. file/partition enumeration order,
+    # unlike a bare limit() which takes whichever partitions answer
+    # first (skewed on sorted/partitioned production tables).
+    sample = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
     vecs = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    cent = _kmeans(vecs, n_clusters, seed)
+    cent = _kmeans(vecs, min(n_clusters, len(vecs)), seed)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     probes = np.argsort(-(cent @ qn))[:nprobe].tolist()
@@ -200,9 +223,6 @@ def ivf_topk(
     scored = cand.select(
         F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim")
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", id_col, "cos_sim")
+    return ranked_topk(scored, k, "cos_sim", id_col).select(
+        "rank", id_col, "cos_sim"
     )
