@@ -31,7 +31,7 @@ from ..kernels import covering
 from ..kernels import geometry as kgeo
 from ..kernels.geohash import BASE32
 from ..functions.columns import cell_prefix, string_cell_to_long
-from ..functions.udfs import make_pip_udf
+from ..functions.udfs import make_pip_any_udf, make_pip_udf
 from ..fixtures import polygons_np
 
 
@@ -110,22 +110,52 @@ def pip_join(
     )
 
     key = cell_prefix(F.col(cell_id_col), cell_len)
-    pip = make_pip_udf(polys)
-    joined = points.join(
-        F.broadcast(cells), key == F.col("cell_key"), "inner"
-    ).where(
-        (~F.col("is_border"))
-        | pip(F.col("polygon_id"), F.col(lat_col), F.col(lon_col))
-    )
     if how == "inner":
-        return joined.drop("cell_key", "is_border")
-    key_col = points.columns[0]
-    matched = joined.select(key_col).distinct()
-    if how == "left_semi":
-        return points.join(matched, key_col, "left_semi")
-    if how == "left_anti":
-        return points.join(matched, key_col, "left_anti")
-    raise ValueError(f"unsupported how={how!r}")
+        pip = make_pip_udf(polys)
+        return (
+            points.join(F.broadcast(cells), key == F.col("cell_key"), "inner")
+            .where(
+                (~F.col("is_border"))
+                | pip(F.col("polygon_id"), F.col(lat_col), F.col(lon_col))
+            )
+            .drop("cell_key", "is_border")
+        )
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    # Semi/anti: pre-group the (small, driver-side) cell relation by
+    # cell key so every point meets AT MOST ONE broadcast row — the
+    # join cannot duplicate, so no distinct() and no second scan/shuffle
+    # of the big side (VERDICT r1 item 2).  matched = some polygon holds
+    # the whole cell (interior_any) OR some border polygon contains the
+    # exact point (pandas UDF over the short border-pid list).
+    by_key: dict[int, tuple[bool, set[str]]] = {}
+    for pid, cell_key, is_border in rows:
+        interior_any, border = by_key.setdefault(cell_key, (False, set()))
+        if is_border:
+            border.add(pid)
+        else:
+            interior_any = True
+        by_key[cell_key] = (interior_any, border)
+    grouped = [
+        # polygons with an interior cell here match outright; border
+        # pids only matter when no interior polygon already matched
+        (k, interior, sorted(border) if not interior else [])
+        for k, (interior, border) in by_key.items()
+    ]
+    cells_g = spark.createDataFrame(
+        grouped, "cell_key long, interior_any boolean, border_pids array<string>"
+    )
+    pip_any = make_pip_any_udf(polys)
+    matched = F.coalesce(
+        F.col("interior_any")
+        | pip_any(F.col("border_pids"), F.col(lat_col), F.col(lon_col)),
+        F.lit(False),
+    )
+    joined = points.join(
+        F.broadcast(cells_g), key == F.col("cell_key"), "left"
+    )
+    keep = matched if how == "left_semi" else ~matched
+    return joined.where(keep).select(*points.columns)
 
 
 def radius_join(

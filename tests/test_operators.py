@@ -325,3 +325,16 @@ def test_ivf_clamps_clusters_to_sample_size(spark):
     q = [float(x) for x in emb.collect()[0]["embedding"]]
     out = similarity.ivf_topk(emb, q, k=3, n_clusters=64, nprobe=64).collect()
     assert len(out) == 3
+
+
+def test_pip_semi_anti_single_broadcast_exchange(spark, coords_df):
+    """VERDICT r1 item 2: semi/anti must be one pass — exactly one
+    Exchange (the broadcast of the grouped cell relation), never a
+    distinct+rejoin that re-shuffles the points side."""
+    from geogeometry_spark.operators.pip_join import pip_join
+
+    for how in ("left_semi", "left_anti"):
+        plan = _executed_plan(pip_join(coords_df, how=how))
+        exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+        assert len(exchanges) == 1, plan
+        assert "BroadcastExchange" in exchanges[0]
