@@ -1148,8 +1148,12 @@ def q_minhash_candidates(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
+    """One-pass SimHash (explode -> 60 conditional-sum bit votes).  The
+    md5_60 token hash is bit-for-bit reproducible in DuckDB, so this
+    query is oracle-checked; production defaults to xxhash64 (same vote
+    logic, cheaper hash — parity pytest covers both)."""
     docs = src.load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs)
+    return dedup.simhash(docs, token_hash="md5_60")
 
 
 def q_media_features(spark, sf_dir):
@@ -1287,7 +1291,7 @@ def build_oracles() -> dict[str, str]:
         "ann_brute": O_ANN_BRUTE,
         "media_features": O_MEDIA,
         "frame_sample": O_FRAME_SAMPLE,
-        # no oracle (rows-only): vincenty (iterative), ann_lsh
-        # (plan-side hyperplane constants), minhash_candidates /
-        # simhash (xxhash64 isn't available in DuckDB)
+        "simhash": dedup.simhash_oracle_sql(),
+        # no oracle (rows-only): ann_lsh (plan-side hyperplane
+        # constants), minhash_candidates (xxhash64 has no DuckDB twin)
     }

@@ -153,12 +153,95 @@ def ngram_jaccard(
     )
 
 
+def _bit_value(b: int, bits: int) -> int:
+    # bit 63 of a signed long is the sign bit
+    return -(1 << 63) if (bits == 64 and b == 63) else (1 << b)
+
+
 def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash over whitespace tokens in ONE pass: explode tokens, hash
+    each token once, then a single groupBy(id) with ``bits`` conditional
+    sums (±1 votes per bit).  The sums are map-side partial aggregations
+    — the shuffle carries ``bits`` longs per doc, and each token is
+    hashed exactly once (vs. the r1 version's 64 interpreted
+    ``F.aggregate`` folds that re-walked the token array per bit;
+    kept as :func:`simhash_fold` for the parity test and bench).
+
+    token_hash:
+      - ``xxhash64`` (default): fastest, 64-bit.
+      - ``md5_60``: 60-bit token hash parsed from the first 15 hex chars
+        of md5 — bit-for-bit reproducible in DuckDB
+        (``('0x' || substr(md5(t),1,15))::BIGINT``), used by the
+        oracle-checked contract query.
+    """
+    tok = F.col("_tok")
+    if token_hash == "xxhash64":
+        h = F.xxhash64(tok)
+    elif token_hash == "md5_60":
+        h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        bits = min(bits, 60)
+    else:
+        raise ValueError(f"unknown token_hash={token_hash!r}")
+    ex = docs.select(
+        F.col(id_col),
+        F.explode_outer(F.split(F.col(text_col), " ")).alias("_tok"),
+    ).select(
+        id_col, F.when(tok.isNotNull(), h).alias("_h")
+    )
+    vote = lambda b: F.sum(  # noqa: E731
+        F.when(F.col("_h").isNull(), 0)
+        .when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+    )
+    agg = ex.groupBy(id_col).agg(
+        *[vote(b).alias(f"_v{b}") for b in range(bits)]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_v{b}") > 0, F.lit(_bit_value(b, bits)))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> str:
+    """DuckDB twin of ``simhash(token_hash='md5_60')``."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    combine = " | ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({_bit_value(b, bits)} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        f"WITH tok AS (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS t "
+        f"FROM {table}), "
+        f"h AS (SELECT {id_col}, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok), "
+        f"votes AS (SELECT {id_col}, {votes} FROM h GROUP BY {id_col}) "
+        f"SELECT {id_col}, {combine} AS simhash FROM votes"
+    )
+
+
+def simhash_fold(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: for each bit, sum of ±1
-    across token hashes; bit set when the sum is positive.  Entirely
-    native: 64 aggregate folds over the token array."""
+    """r1 implementation — 64 ``F.aggregate`` folds over the token
+    array (interpreted higher-order functions, O(64·tokens) per row).
+    Retained only as the parity/bench twin of :func:`simhash`."""
     toks = F.split(F.col(text_col), " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     bit_terms = []
