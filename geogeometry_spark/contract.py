@@ -185,6 +185,39 @@ def _tile_bbox_oracle() -> str:
     )
 
 
+def q_tile_neighbors(spark, sf_dir):
+    """8-neighborhood per doc tile at zoom 6 (Tile.kt:104-123: E/W wrap
+    mod 2^z, N/S clamp; diagonals compose) — the tile k-ring expansion
+    primitive, all native int Columns.  Low zoom so fixture coords near
+    x=0/x=n-1 actually exercise the wrap in the oracle comparison."""
+    df = _docs_coords(spark, sf_dir)
+    x, y = C.tile_xy(F.col("lat"), F.col("lon"), 6)
+    df = df.select("doc_id", x.alias("tile_x"), y.alias("tile_y"))
+    nb = C.tile_neighbors(F.col("tile_x"), F.col("tile_y"), 6)
+    return df.select(
+        "doc_id",
+        "tile_x",
+        "tile_y",
+        *[
+            c.cast("int").alias(f"{d}_{ax}")
+            for d, (cx, cy) in nb.items()
+            for ax, c in (("x", cx), ("y", cy))
+        ],
+    )
+
+
+def _tile_neighbors_oracle() -> str:
+    x, y = C.tile_xy_sql("lat", "lon", 6)
+    sub = f"(SELECT doc_id, {x} AS tile_x, {y} AS tile_y FROM {_COORD_SUBQ})"
+    nb = C.tile_neighbors_sql("tile_x", "tile_y", 6)
+    cols = ", ".join(
+        f"CAST({c} AS INT) AS {d}_{ax}"
+        for d, (cx, cy) in nb.items()
+        for ax, c in (("x", cx), ("y", cy))
+    )
+    return f"SELECT doc_id, tile_x, tile_y, {cols} FROM {sub}"
+
+
 def q_cover_cells(spark, sf_dir):
     """The covering family exposed as a relation: per fixture polygon,
     the (cell, is_border) set from geoHashesForPolygon
@@ -1207,6 +1240,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "quadkey": q_quadkey,
     "tile_bbox": q_tile_bbox,
+    "tile_neighbors": q_tile_neighbors,
     "cover_cells": q_cover_cells,
     "prefix_scan": q_prefix_scan,
     "bbox_filter": q_bbox_filter,
@@ -1261,6 +1295,7 @@ def build_oracles() -> dict[str, str]:
         "tile_assign": _tile_oracle(),
         "quadkey": _quadkey_oracle(),
         "tile_bbox": _tile_bbox_oracle(),
+        "tile_neighbors": _tile_neighbors_oracle(),
         "prefix_scan": O_PREFIX,
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),

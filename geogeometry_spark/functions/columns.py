@@ -229,6 +229,47 @@ def tile_xy_sql(lat: str, lon: str, zoom: int) -> tuple[str, str]:
     return x, y
 
 
+def tile_neighbors(x: Column, y: Column, zoom: int) -> dict[str, tuple[Column, Column]]:
+    """Native 8-neighborhood (Tile.kt:104-123): east/west wrap mod
+    2^zoom, north/south clamp to [0, 2^zoom-1]; diagonals compose.
+    Returns direction -> (x, y) Columns for tile k-ring expansion (the
+    quadkey analogue of geohash kNN ring growth)."""
+    n = 1 << zoom
+    east_x = (x + F.lit(1)) % F.lit(n)
+    west_x = (x - F.lit(1) + F.lit(n)) % F.lit(n)
+    north_y = F.greatest(y - F.lit(1), F.lit(0))
+    south_y = F.least(y + F.lit(1), F.lit(n - 1))
+    return {
+        "east": (east_x, y),
+        "west": (west_x, y),
+        "north": (x, north_y),
+        "south": (x, south_y),
+        "north_west": (west_x, north_y),
+        "south_west": (west_x, south_y),
+        "south_east": (east_x, south_y),
+        "north_east": (east_x, north_y),
+    }
+
+
+def tile_neighbors_sql(x: str, y: str, zoom: int) -> dict[str, tuple[str, str]]:
+    """DuckDB twin of :func:`tile_neighbors` (pure int math)."""
+    n = 1 << zoom
+    east_x = f"((({x}) + 1) % {n})"
+    west_x = f"((({x}) - 1 + {n}) % {n})"
+    north_y = f"greatest(({y}) - 1, 0)"
+    south_y = f"least(({y}) + 1, {n - 1})"
+    return {
+        "east": (east_x, y),
+        "west": (west_x, y),
+        "north": (x, north_y),
+        "south": (x, south_y),
+        "north_west": (west_x, north_y),
+        "south_west": (west_x, south_y),
+        "south_east": (east_x, south_y),
+        "north_east": (east_x, north_y),
+    }
+
+
 def quadkey_long(x: Column, y: Column, zoom: int) -> Column:
     """Packed-long quadkey via bit interleave. Tile.kt:68-74."""
     xl = x.cast("long")

@@ -117,6 +117,35 @@ def from_quadkey_long(value: int, zoom: int) -> tuple[int, int, int]:
     return from_quadkey("".join(reversed(digits)))
 
 
+NEIGHBOR_DIRECTIONS = (
+    "east", "west", "north", "south",
+    "north_west", "south_west", "south_east", "north_east",
+)
+
+
+def neighbors(x: int, y: int, zoom: int) -> dict[str, tuple[int, int, int]]:
+    """8-neighborhood of a tile. Tile.kt:104-123: east/west wrap
+    longitude mod 2^zoom; north clamps at y=0, south clamps at
+    y=2^zoom-1 (no latitude wrap); diagonals compose the two moves
+    (northWest = north.west, etc.).  At zoom 0 every neighbor is the
+    tile itself.  Matrix pinned by TileTest.kt:122-177."""
+    n = 1 << zoom
+    east_x = (x + 1) % n
+    west_x = (x - 1 + n) % n
+    north_y = y - 1 if y > 0 else 0
+    south_y = y + 1 if y < n - 1 else n - 1
+    return {
+        "east": (east_x, y, zoom),
+        "west": (west_x, y, zoom),
+        "north": (x, north_y, zoom),
+        "south": (x, south_y, zoom),
+        "north_west": (west_x, north_y, zoom),
+        "south_west": (west_x, south_y, zoom),
+        "south_east": (east_x, south_y, zoom),
+        "north_east": (east_x, north_y, zoom),
+    }
+
+
 def parent_tiles(x: int, y: int, zoom: int) -> list[tuple[int, int, int]]:
     """Ancestor chain zoom-1 .. 0 by halving. Tile.kt:259-272."""
     out = []

@@ -3,6 +3,7 @@
 import numpy as np
 
 from geogeometry_spark.kernels import tiles
+from geogeometry_spark.kernels import tiles as ktiles
 
 # OSM-verified, TileTest.kt:95-99 — (zoom, x, y, lat, lon)
 OSM_CASES = [
@@ -130,3 +131,66 @@ def test_distance_to_multipolygon():
     assert d[0] == expected[0]
     inside = kg.distance_to_multipolygon([52.05], [14.05], [[p1], [p2]])
     assert inside[0] == 0.0
+
+
+class TestNeighbors:
+    """Tile.kt:104-123 neighbor semantics, pinned by TileTest.kt:121-177."""
+
+    def test_general_positions(self):
+        nb = ktiles.neighbors(10, 10, 5)
+        assert nb["east"] == (11, 10, 5)
+        assert nb["west"] == (9, 10, 5)
+        assert nb["north"] == (10, 9, 5)
+        assert nb["south"] == (10, 11, 5)
+        assert nb["north_west"] == (9, 9, 5)
+        assert nb["south_west"] == (9, 11, 5)
+        assert nb["south_east"] == (11, 11, 5)
+        assert nb["north_east"] == (11, 9, 5)
+
+    def test_min_bounds(self):
+        nb = ktiles.neighbors(0, 0, 5)
+        assert nb["east"] == (1, 0, 5)
+        assert nb["west"] == (31, 0, 5)   # wrap around longitude
+        assert nb["north"] == (0, 0, 5)   # latitude already at min
+        assert nb["south"] == (0, 1, 5)
+        assert nb["north_west"] == (31, 0, 5)
+        assert nb["south_west"] == (31, 1, 5)
+        assert nb["south_east"] == (1, 1, 5)
+        assert nb["north_east"] == (1, 0, 5)
+
+    def test_max_bounds(self):
+        m = (1 << 5) - 1
+        nb = ktiles.neighbors(m, m, 5)
+        assert nb["east"] == (0, m, 5)    # wrap around longitude
+        assert nb["west"] == (m - 1, m, 5)
+        assert nb["north"] == (m, m - 1, 5)
+        assert nb["south"] == (m, m, 5)   # latitude already at max
+        assert nb["north_west"] == (m - 1, m - 1, 5)
+        assert nb["south_west"] == (m - 1, m, 5)
+        assert nb["south_east"] == (0, m, 5)
+        assert nb["north_east"] == (0, m - 1, 5)
+
+    def test_zoom_zero(self):
+        nb = ktiles.neighbors(0, 0, 0)
+        assert all(v == (0, 0, 0) for v in nb.values())
+
+    def test_native_columns_match_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        from geogeometry_spark.functions import columns as C
+
+        rows = [(10, 10), (0, 0), (31, 31), (31, 0), (0, 31)]
+        df = spark.createDataFrame(rows, "x int, y int")
+        nb_cols = C.tile_neighbors(F.col("x"), F.col("y"), 5)
+        out = df.select(
+            "x", "y",
+            *[
+                c.cast("int").alias(f"{d}_{ax}")
+                for d, (cx, cy) in nb_cols.items()
+                for ax, c in (("x", cx), ("y", cy))
+            ],
+        ).collect()
+        for r in out:
+            expect = ktiles.neighbors(r["x"], r["y"], 5)
+            for d, (ex, ey, _z) in expect.items():
+                assert (r[f"{d}_x"], r[f"{d}_y"]) == (ex, ey), (r["x"], r["y"], d)
