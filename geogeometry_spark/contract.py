@@ -302,10 +302,13 @@ def q_gh_neighbors(spark, sf_dir):
     """N/E/S/W same-length neighbor hashes (GeoHashUtils.kt:220-280) of
     the length-5 cell.  Oracle addresses neighbors by cell-index ±1
     (equivalent to the reference's displace-center-and-re-encode for all
-    non-pole, non-antimeridian cells — sandbox coords are within ±85/±175)."""
+    non-pole cells).  The oracle's index±1 addressing is undefined in the
+    top/bottom latitude row, so BOTH sides filter to |lat| <= 85 — the
+    invariant is enforced, not assumed (no-op on the sandbox fixture,
+    whose coords stay within ±85)."""
     from .functions.udfs import gh_neighbors
 
-    df = _docs_coords(spark, sf_dir)
+    df = _docs_coords(spark, sf_dir).where(F.abs(F.col("lat")) <= 85.0)
     df = df.withColumn("cell5", C.geohash(F.col("lat"), F.col("lon"), 5))
     nb = gh_neighbors(F.col("cell5"))
     return df.select(
@@ -323,7 +326,8 @@ def _gh_neighbors_oracle() -> str:
     ilat = C.cell_index_sql("lat", -90.0, 180.0, lat_bits)
     ilon = C.cell_index_sql("lon", -180.0, 360.0, lon_bits)
     sub = (
-        f"(SELECT doc_id, {ilat} AS ia, {ilon} AS io FROM {_COORD_SUBQ})"
+        f"(SELECT doc_id, {ilat} AS ia, {ilon} AS io FROM {_COORD_SUBQ} "
+        "WHERE abs(lat) <= 85.0)"
     )
 
     def cell(ia: str, io: str) -> str:
@@ -931,9 +935,16 @@ def q_hull_area(spark, sf_dir):
     df = _docs_coords(spark, sf_dir)
     df = df.withColumn("cell1", C.geohash(F.col("lat"), F.col("lon"), 1))
     hull = grouped_convex_hull(df, "cell1")
-    rings = hull.orderBy("vertex_idx").groupBy("cell1").agg(
-        F.collect_list("lon").alias("lons"),
-        F.collect_list("lat").alias("lats"),
+    # collect_list order is NOT guaranteed across the aggregation
+    # shuffle — aggregate (vertex_idx, lon, lat) structs and sort inside
+    # the agg, then project the ring back out, so the shoelace walks the
+    # hull in vertex order at any parallelism.
+    verts = F.array_sort(
+        F.collect_list(F.struct("vertex_idx", "lon", "lat"))
+    )
+    rings = hull.groupBy("cell1").agg(
+        F.transform(verts, lambda v: v["lon"]).alias("lons"),
+        F.transform(verts, lambda v: v["lat"]).alias("lats"),
     )
     area = make_ring_area_udf()
     return rings.select(

@@ -71,10 +71,16 @@ def _cell_index(value: Column, lo: float, span: float, bits: int) -> Column:
     return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), idx)).cast("long")
 
 
-def _spread(c: Column, bits: int = 32) -> Column:
+def _spread(c: Column, bits: int = 30) -> Column:
     """Spread ``bits`` low bits of ``c`` to even bit positions via the
     constant lookup table (one or two O(1) array gets — no subtree
-    duplication, tiny codegen)."""
+    duplication, tiny codegen).  The two-chunk lookup covers at most
+    2*15 bits; values beyond that would silently index past the table
+    (element_at -> NULL), so larger widths are rejected outright."""
+    if bits > 2 * _SPREAD_CHUNK_BITS:
+        raise ValueError(
+            f"_spread supports at most {2 * _SPREAD_CHUNK_BITS} bits, got {bits}"
+        )
     if bits <= _SPREAD_CHUNK_BITS:
         return F.element_at(_spread_table(), (c + F.lit(1)).cast("int")).cast("long")
     lo = F.element_at(

@@ -347,3 +347,37 @@ def test_simhash_one_pass_matches_fold(spark):
     new = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     old = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fold(docs).collect()}
     assert new == old
+
+
+def test_hull_area_values_order_independent(spark):
+    """ADVICE r1: hull_area's ring must be assembled in vertex order at
+    any parallelism.  Recompute each cell's hull area driver-side with
+    the numpy kernel and compare values."""
+    from geogeometry_spark.contract import q_hull_area
+    from geogeometry_spark.functions import columns as C
+    from geogeometry_spark.kernels import geometry as kgeo
+    from geogeometry_spark.operators.transform import grouped_convex_hull
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["cell1"]: r["area_r3"] for r in q_hull_area(spark, sf).collect()}
+
+    from geogeometry_spark.contract import _docs_coords
+
+    df = _docs_coords(spark, sf).withColumn(
+        "cell1", C.geohash(F.col("lat"), F.col("lon"), 1)
+    )
+    hull = grouped_convex_hull(df, "cell1").collect()
+    by_cell = {}
+    for r in hull:
+        by_cell.setdefault(r["cell1"], []).append(
+            (r["vertex_idx"], r["lon"], r["lat"])
+        )
+    import numpy as np
+
+    for cell, verts in by_cell.items():
+        verts.sort()
+        ring = np.array([(lo, la) for _, lo, la in verts])
+        expect = kgeo.area_ring(ring) if ring.shape[0] > 3 else 0.0
+        # F.round is HALF_UP; allow the half-step of the r3 rounding
+        # plus float noise at ~1e12 magnitude
+        assert abs(got[cell] - expect) <= 2e-3, cell

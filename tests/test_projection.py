@@ -109,7 +109,26 @@ def test_grouped_hull_matches_kernel(spark):
 def test_noise_filter_trims(spark):
     from geogeometry_spark.operators.transform import filter_noise
 
-    rows = [(str(i), float(i % 100) / 100.0, float(i) / 1000.0) for i in range(1000)]
+    # GeoGeometryMigratedTests.kt:328-358 shouldFilterPoints: 1000 points
+    # around (52, 13), four planted outliers at lon/lat ±100, percentage
+    # 0.005 -> int(1000*0.005/2)=2 trimmed per end -> 996 survivors and
+    # the outliers gone from the bbox.
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (str(i), 52.0 + rng.random(), 13.0 + rng.random()) for i in range(1000)
+    ]
+    for j, (la, lo) in zip(
+        (50, 100, 150, 200),
+        ((100.0, 100.0), (100.0, -100.0), (-100.0, 100.0), (-100.0, -100.0)),
+    ):
+        rows[j] = (str(j), la, lo)
     df = spark.createDataFrame(rows, "id string, lat double, lon double")
-    out = filter_noise(df, 0.008)  # GeoGeometryMigratedTests.kt:329-358: 1000 -> 996
-    assert out.count() == 992  # int(1000*0.008/2)=4 off each end
+    out = filter_noise(df, 0.005)
+    kept = out.collect()
+    assert len(kept) == 996
+    lats = [r["lat"] for r in kept]
+    lons = [r["lon"] for r in kept]
+    assert 52.0 < min(lats) and max(lats) < 53.0
+    assert 13.0 < min(lons) and max(lons) < 14.0
