@@ -851,27 +851,137 @@ O_SALTED = (
 # §2.8 intersects / §2.1 GeoJSON / areas
 # --------------------------------------------------------------------------
 
-def q_intersects(spark, sf_dir):
-    """Segment-vs-polygon intersects (geojson-intersect.kt:55-131):
-    each doc's ~400m eastward segment tested against the Berlin big
-    ring (pandas UDF over lines_cross + PIP; kernel parity pytest)."""
-    from .functions.udfs import make_segment_intersects_udf
+def _berlin_geom() -> dict:
     from .fixtures import polygons_np
+
+    ring = polygons_np(None)["berlin_big_ring"][0]
+    return {
+        "type": "Polygon",
+        "coordinates": [[[float(p[0]), float(p[1])] for p in ring]],
+    }
+
+
+def _berlin_edges() -> list[tuple[float, float, float, float]]:
+    ring = _berlin_geom()["coordinates"][0]
+    return [
+        (ring[i][0], ring[i][1], ring[i + 1][0], ring[i + 1][1])
+        for i in range(len(ring) - 1)
+    ]
+
+
+def q_intersects(spark, sf_dir):
+    """LineString-vs-Polygon via the FULL Geometry.intersects dispatch
+    (geojson-intersect.kt:5-171): each doc's ~400m eastward segment as a
+    GeoJSON LineString against the Berlin big ring — bbox prefilter,
+    antimeridian-normalized linesCross per edge, hole-aware containment
+    of the segment start.  Oracle unrolls the same math in SQL (the bbox
+    prefilter is a pure shortcut — crossing or containment implies bbox
+    overlap — so the oracle skips it)."""
+    from .functions.udfs import make_intersects_udf
     from .operators import transform as tr
 
     df = _docs_coords(spark, sf_dir)
     lat2, lon2 = tr.translate_cols(
         F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(400.0)
     )
-    df = df.withColumns({"lat2": lat2, "lon2": lon2})
+    gj = F.to_json(
+        F.struct(
+            F.lit("LineString").alias("type"),
+            F.array(
+                F.array(F.col("lon"), F.col("lat")),
+                F.array(lon2, lat2),
+            ).alias("coordinates"),
+        )
+    )
+    udf = make_intersects_udf(_berlin_geom())
+    return df.select("doc_id", udf(gj).alias("intersects")).where(
+        F.col("intersects")
+    )
+
+
+def _intersects_oracle() -> str:
+    from .operators import transform as tr
+
+    lat2, lon2 = tr.translate_sql("lat", "lon", "0.0", "400.0")
+    crossings = " OR ".join(
+        C.lines_cross_am_sql(
+            "lon", "lat", lon2, lat2, repr(u1), repr(v1), repr(u2), repr(v2)
+        )
+        for u1, v1, u2, v2 in _berlin_edges()
+    )
+    from .fixtures import polygons_np
+
     ring = polygons_np(None)["berlin_big_ring"][0]
-    seg = make_segment_intersects_udf(ring)
-    return df.select(
-        "doc_id",
-        seg(F.col("lat"), F.col("lon"), F.col("lat2"), F.col("lon2")).alias(
-            "intersects"
-        ),
-    ).where(F.col("intersects"))
+    pip = C.pip_sql("lat", "lon", ring)
+    return (
+        f"SELECT doc_id, TRUE AS intersects FROM {_COORD_SUBQ} "
+        f"WHERE ({crossings}) OR {pip}"
+    )
+
+
+def q_poly_intersects(spark, sf_dir):
+    """Polygon-vs-Polygon via the full dispatch
+    (geojson-intersect.kt:90-131): a 0.1 x 0.06 degree query box around
+    each doc's coordinate against the Berlin big ring — per box edge the
+    line dispatch (edge crossings + hole-aware containment of the edge
+    start), then the mutual first-vertex containment shortcuts."""
+    from .functions.udfs import make_intersects_udf
+
+    df = _docs_coords(spark, sf_dir)
+    w, e = F.col("lon") - F.lit(0.05), F.col("lon") + F.lit(0.05)
+    s, n = F.col("lat") - F.lit(0.03), F.col("lat") + F.lit(0.03)
+    corner = lambda x, y: F.array(x, y)  # noqa: E731
+    gj = F.to_json(
+        F.struct(
+            F.lit("Polygon").alias("type"),
+            F.array(
+                F.array(
+                    corner(w, s), corner(e, s), corner(e, n),
+                    corner(w, n), corner(w, s),
+                )
+            ).alias("coordinates"),
+        )
+    )
+    udf = make_intersects_udf(_berlin_geom())
+    return df.select("doc_id", udf(gj).alias("intersects")).where(
+        F.col("intersects")
+    )
+
+
+def _poly_intersects_oracle() -> str:
+    from .fixtures import polygons_np
+
+    w, e = "(lon - 0.05)", "(lon + 0.05)"
+    s, n = "(lat - 0.03)", "(lat + 0.03)"
+    # OPEN box ring, edges close modularly — identical to the
+    # reference's zipWithNextCompat over the closed 5-point ring, whose
+    # last pair (corner3, closing-duplicate-of-corner0) IS the modular
+    # 4th edge
+    corners = [(w, s), (e, s), (e, n), (w, n)]
+    box_edges = [
+        (*corners[i], *corners[(i + 1) % 4]) for i in range(4)
+    ]
+    ring = polygons_np(None)["berlin_big_ring"][0]
+    berlin_edges = _berlin_edges()
+    per_edge = []
+    for bx1, by1, bx2, by2 in box_edges:
+        crossings = " OR ".join(
+            C.lines_cross_am_sql(
+                bx1, by1, bx2, by2, repr(u1), repr(v1), repr(u2), repr(v2)
+            )
+            for u1, v1, u2, v2 in berlin_edges
+        )
+        start_inside = C.pip_sql(by1, bx1, ring)
+        per_edge.append(f"(({crossings}) OR {start_inside})")
+    # polygon-vs-polygon vertex shortcuts (geojson-intersect.kt:113-122)
+    v0 = _berlin_geom()["coordinates"][0][0]
+    berlin_v0_in_box = C.pip_expr_sql(repr(v0[1]), repr(v0[0]), corners)
+    box_c0_in_berlin = C.pip_sql(s, w, ring)
+    cond = f"({' OR '.join(per_edge)}) OR {berlin_v0_in_box} OR {box_c0_in_berlin}"
+    return (
+        f"SELECT doc_id, TRUE AS intersects FROM {_COORD_SUBQ} "
+        f"WHERE {cond}"
+    )
 
 
 def q_geojson_roundtrip(spark, sf_dir):
@@ -1277,6 +1387,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_head": q_dedup_head,
     "intersects": q_intersects,
+    "poly_intersects": q_poly_intersects,
     "geojson_roundtrip": q_geojson_roundtrip,
     "bbox_area": q_bbox_area,
     "hull_area": q_hull_area,
@@ -1338,6 +1449,8 @@ def build_oracles() -> dict[str, str]:
         "media_features": O_MEDIA,
         "frame_sample": O_FRAME_SAMPLE,
         "simhash": dedup.simhash_oracle_sql(),
+        "intersects": _intersects_oracle(),
+        "poly_intersects": _poly_intersects_oracle(),
         # no oracle (rows-only): ann_lsh (plan-side hyperplane
         # constants), minhash_candidates (xxhash64 has no DuckDB twin)
     }

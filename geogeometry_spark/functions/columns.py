@@ -411,6 +411,135 @@ def is_valid_coordinate(lat: Column, lon: Column, strict: bool = False) -> Colum
 # PIP as a native expression (oracle twin of the pandas-UDF ray cast)
 # --------------------------------------------------------------------------
 
+def _between_sql(a: str, b: str, v: str) -> str:
+    """GeoGeometry.kt:423-428 isBetween (inclusive both ends)."""
+    return f"(({v}) BETWEEN least({a}, {b}) AND greatest({a}, {b}))"
+
+
+def lines_cross_expr_sql(
+    x1: str, y1: str, x2: str, y2: str,
+    u1: str, v1: str, u2: str, v2: str,
+) -> str:
+    """DuckDB twin of GeoGeometry.kt:345-420 linesCross, all eight
+    coordinates as SQL expressions (vertical / colinear / general
+    branches verbatim, gradient equality and the 1e-7 colinear offset
+    included)."""
+    g1 = f"((({y2}) - ({y1})) / (({x2}) - ({x1})))"
+    g2 = f"((({v2}) - ({v1})) / (({u2}) - ({u1})))"
+    a1 = f"(({y1}) - {g1} * ({x1}))"
+    a2 = f"(({v1}) - {g2} * ({u1}))"
+    yi_l1v = f"({a2} + {g2} * ({x1}))"  # line1 vertical: x = x1
+    yi_l2v = f"({a1} + {g1} * ({u1}))"  # line2 vertical: x = u1
+    xi = f"(-({a1} - {a2}) / ({g1} - {g2}))"
+    yi = f"({a1} + {g1} * {xi})"
+    both_vertical = (
+        f"(({x1}) = ({u1})"
+        f" AND least({y1}, {y2}) <= greatest({v1}, {v2})"
+        f" AND least({v1}, {v2}) <= greatest({y1}, {y2}))"
+    )
+    colinear = (
+        f"(abs({a1} - {a2}) < 0.0000001 AND"
+        f" ({_between_sql(x1, x2, u1)} OR {_between_sql(x1, x2, u2)}))"
+    )
+    general = (
+        f"((({x1}) - {xi}) * ({xi} - ({x2})) >= 0"
+        f" AND (({u1}) - {xi}) * ({xi} - ({u2})) >= 0"
+        f" AND (({y1}) - {yi}) * ({yi} - ({y2})) >= 0"
+        f" AND (({v1}) - {yi}) * ({yi} - ({v2})) >= 0)"
+    )
+    return (
+        f"(CASE"
+        f" WHEN ({x1}) = ({x2}) AND ({u1}) = ({u2}) THEN {both_vertical}"
+        f" WHEN ({x1}) = ({x2}) THEN"
+        f" ({_between_sql(y1, y2, yi_l1v)} AND {_between_sql(v1, v2, yi_l1v)})"
+        f" WHEN ({u1}) = ({u2}) THEN"
+        f" ({_between_sql(y1, y2, yi_l2v)} AND {_between_sql(v1, v2, yi_l2v)})"
+        f" WHEN ({g1} - {g2}) = 0.0 THEN {colinear}"
+        f" ELSE {general} END)"
+    )
+
+
+def _norm_lon_sql(ref: str, x: str) -> str:
+    """geojson-intersect.kt:146-157 normalizedLongitude (single
+    adjustment suffices for inputs within one wrap of ±180)."""
+    d = f"(({x}) - ({ref}))"
+    return (
+        f"(CASE WHEN {d} > 180 THEN ({x}) - 360"
+        f" WHEN {d} < -180 THEN ({x}) + 360 ELSE ({x}) END)"
+    )
+
+
+def lines_cross_am_sql(
+    x1: str, y1: str, x2: str, y2: str,
+    u1: str, v1: str, u2: str, v2: str,
+) -> str:
+    """linesCrossAntimeridianAware (geojson-intersect.kt:163-171): all
+    longitudes normalized to the first point's frame, then planar
+    linesCross."""
+    return lines_cross_expr_sql(
+        x1, y1,
+        _norm_lon_sql(x1, x2), y2,
+        _norm_lon_sql(x1, u1), v1,
+        _norm_lon_sql(x1, u2), v2,
+    )
+
+
+def pip_expr_sql(lat: str, lon: str, ring: list[tuple[str, str]]) -> str:
+    """Like :func:`pip_sql` but the ring vertices are SQL expressions
+    (e.g. a per-row query box) — every constant-time simplification of
+    pip_sql becomes a runtime condition; same GeoGeometry.kt:237-295
+    semantics.  ``ring`` is an OPEN list of (lon_expr, lat_expr); edges
+    close modularly like the reference's ``(i + 1) % size``."""
+    m = len(ring)
+    norms = [_wrap_diff_sql(x, lon) for x, _ in ring]
+    lats = [y for _, y in ring]
+    lons = [x for x, _ in ring]
+    bbox = (
+        f"(({lat}) >= least({', '.join(lats)})"
+        f" AND ({lat}) <= greatest({', '.join(lats)})"
+        f" AND least({', '.join(norms)}) <= 0.0"
+        f" AND greatest({', '.join(norms)}) >= 0.0)"
+    )
+    vertex = " OR ".join(
+        f"(abs(({y}) - ({lat})) < 1e-9 AND abs(({x}) - ({lon})) < 1e-9)"
+        for x, y in ring
+    )
+    edge_terms = []
+    cross_terms = []
+    for i in range(m):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % m]
+        nx1, nx2 = norms[i], norms[(i + 1) % m]
+        not_degenerate = f"(({x1}) <> ({x2}) OR ({y1}) <> ({y2}))"
+        edge_terms.append(
+            f"({not_degenerate}"
+            f" AND least({nx1}, {nx2}) <= 0.0 AND 0.0 <= greatest({nx1}, {nx2})"
+            f" AND ({lat}) >= least({y1}, {y2}) AND ({lat}) <= greatest({y1}, {y2}))"
+        )
+        xint = (
+            f"({nx1} + (({lat}) - ({y1})) * ({nx2} - {nx1})"
+            f" / (({y2}) - ({y1})))"
+        )
+        cross_terms.append(
+            f"(CASE WHEN abs(({y1}) - ({y2})) >= 1e-9"
+            f" AND ({lat}) > least({y1}, {y2}) AND ({lat}) <= greatest({y1}, {y2})"
+            f" AND {xint} > 0 THEN 1 ELSE 0 END)"
+        )
+    return (
+        f"({bbox} AND (({vertex}) OR ({' OR '.join(edge_terms)})"
+        f" OR (({' + '.join(cross_terms)}) % 2 = 1)))"
+    )
+
+
+def _wrap_diff_sql(x: str, lon: str) -> str:
+    """wrapLongitude(x - lon) (GeoGeometry.kt:242-246)."""
+    d = f"(({x}) - ({lon}))"
+    return (
+        f"(CASE WHEN {d} > 180 THEN {d} - 360 "
+        f"WHEN {d} < -180 THEN {d} + 360 ELSE {d} END)"
+    )
+
+
 def pip_sql(lat: str, lon: str, ring) -> str:
     """DuckDB SQL ray-cast for one ring — full parity with
     GeoGeometry.kt:237-295: bbox early-out on the normalized ring,

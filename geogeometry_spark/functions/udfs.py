@@ -345,6 +345,49 @@ def make_segment_intersects_udf(ring: np.ndarray):
     return seg_intersects
 
 
+def make_intersects_udf(fixed: dict | None = None):
+    """Geometry-pair intersects as a pandas UDF over GeoJSON strings.
+
+    - ``make_intersects_udf()`` -> (geojson_a, geojson_b) -> bool
+    - ``make_intersects_udf(geom)`` -> (geojson_a,) -> bool against the
+      closure-captured geometry (the broadcast shape: one query geometry
+      vs a distributed column).
+
+    Full type-dispatch matrix of geojson-intersect.kt:5-171 via
+    kernels.intersect; rows with unparseable JSON -> False (engine
+    quarantine posture).  This is the generality path — the hot
+    segment-vs-ring / PIP paths have dedicated vectorized kernels."""
+    import json
+
+    from ..kernels import intersect as kx
+
+    if fixed is not None:
+
+        @F.pandas_udf(T.BooleanType())
+        def intersects_fixed(ga: pd.Series) -> pd.Series:
+            out = np.zeros(len(ga), dtype=bool)
+            for i, a in enumerate(ga):
+                try:
+                    out[i] = kx.intersects(json.loads(a), fixed)
+                except (ValueError, KeyError, TypeError):
+                    out[i] = False
+            return pd.Series(out)
+
+        return intersects_fixed
+
+    @F.pandas_udf(T.BooleanType())
+    def intersects_pair(ga: pd.Series, gb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ga), dtype=bool)
+        for i, (a, b) in enumerate(zip(ga, gb)):
+            try:
+                out[i] = kx.intersects(json.loads(a), json.loads(b))
+            except (ValueError, KeyError, TypeError):
+                out[i] = False
+        return pd.Series(out)
+
+    return intersects_pair
+
+
 def make_ring_area_udf():
     """Grouped-hull ring area (GeoGeometry.kt:1236-1260) as a pandas UDF
     over (lons: array, lats: array) rows."""
