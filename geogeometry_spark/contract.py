@@ -350,11 +350,17 @@ def _gh_neighbors_oracle() -> str:
 # --------------------------------------------------------------------------
 
 def q_utm_roundtrip(spark, sf_dir):
-    """WGS84 -> UTM/UPS -> WGS84 (utm.kt:302-312; iterative footpoint
-    latitude -> no SQL oracle; err_m < 1 is pytest-asserted)."""
+    """WGS84 -> UTM -> WGS84 over the UTM validity band lat in [-80, 84]
+    (both sides filter; UPS rows stay pytest-covered).  Oracle unrolls
+    the forward/inverse power series and the ulp-guarded footpoint
+    iteration in SQL (kernels.utm.utm_roundtrip_oracle_sql); err_m
+    compared at r4 where numpy-vs-libm trig drift (~1e-9 m) is
+    negligible."""
     from .operators.projection import utm_roundtrip
 
-    df = _docs_coords(spark, sf_dir)
+    df = _docs_coords(spark, sf_dir).where(
+        (F.col("lat") >= -80.0) & (F.col("lat") <= 84.0)
+    )
     out = utm_roundtrip(df)
     return out.select(
         "doc_id",
@@ -366,9 +372,28 @@ def q_utm_roundtrip(spark, sf_dir):
     )
 
 
+def _utm_roundtrip_oracle() -> str:
+    from .kernels.utm import utm_roundtrip_oracle_sql
+
+    src = (
+        f"(SELECT doc_id, lat, lon FROM {_COORD_SUBQ} "
+        "WHERE lat >= -80.0 AND lat <= 84.0)"
+    )
+    inner = utm_roundtrip_oracle_sql(src)
+    err = C.haversine_sql("lat", "lon", "lat2", "lon2")
+    return (
+        "SELECT doc_id, longitude_zone, latitude_zone_letter, "
+        "round(easting, 2) AS easting_r2, round(northing, 2) AS northing_r2, "
+        f"round({err}, 4) AS err_m_r4 FROM ({inner})"
+    )
+
+
 def q_mgrs(spark, sf_dir):
     """UTM -> MGRS grid letters + USNG string + back-conversion error
-    (mgrs.kt:107-225; rows-only, pytest asserts err < 2 m)."""
+    (mgrs.kt:107-225).  Oracle = the UTM SQL twin plus the grid-letter
+    table lookups, 100km modular arithmetic, and the banded-northing
+    while-loop unrolled (mgrs.kt:218-220 adds 2,000,000 at most a few
+    times)."""
     from .operators.projection import mgrs_roundtrip
 
     # MGRS supports the UTM band only (mgrs.kt:12, FIXME at :203)
@@ -383,6 +408,105 @@ def q_mgrs(spark, sf_dir):
         "usng",
         "err_easting",
         "err_northing",
+    )
+
+
+def _mgrs_oracle() -> str:
+    from .kernels import mgrs as kmgrs
+    from .kernels.utm import utm_roundtrip_oracle_sql
+
+    src = (
+        f"(SELECT doc_id, lat, lon FROM {_COORD_SUBQ} "
+        "WHERE lat >= -80.0 AND lat <= 84.0)"
+    )
+    utm = utm_roundtrip_oracle_sql(src)
+    q = (
+        "SELECT doc_id, longitude_zone, latitude_zone_letter, easting, "
+        f"northing FROM ({utm})"
+    )
+    # forward: toMgrs (mgrs.kt:107-161)
+    q = (
+        "SELECT *, "
+        "((1 + CAST(floor(northing) AS BIGINT) // 100000) % 20) AS _row, "
+        "((CAST(floor(easting) AS BIGINT) // 100000) % 8) AS _col, "
+        "(CASE WHEN longitude_zone % 6 = 0 THEN 6 ELSE longitude_zone % 6 END) AS _set, "
+        "CAST(floor(easting % 100000) AS BIGINT) AS grid_easting, "
+        "CAST(floor(northing % 100000) AS BIGINT) AS grid_northing "
+        "FROM (" + q + ")"
+    )
+    q = (
+        "SELECT *, "
+        "(CASE WHEN _col = 0 THEN 7 ELSE _col - 1 END) AS _acol, "
+        "(CASE WHEN _row = 0 THEN 19 ELSE _row - 1 END) AS _arow "
+        "FROM (" + q + ")"
+    )
+    col_cases = " ".join(
+        f"WHEN _set = {s} THEN substr('{kmgrs._COL_LETTERS[s]}', "
+        "CAST(_acol AS INT) + 1, 1)"
+        for s in range(1, 7)
+    )
+    row_cases = " ".join(
+        f"WHEN _set = {s} THEN "
+        f"substr('{kmgrs._ROW_EVEN if s % 2 == 0 else kmgrs._ROW_ODD}', "
+        "CAST(_arow AS INT) + 1, 1)"
+        for s in range(1, 7)
+    )
+    q = (
+        f"SELECT *, (CASE {col_cases} END) AS grid_col, "
+        f"(CASE {row_cases} END) AS grid_row FROM (" + q + ")"
+    )
+    # inverse: MgrsCoordinate.toUtm (mgrs.kt:202-225)
+    col_idx_cases = " ".join(
+        f"WHEN grid_col IN ({', '.join(repr(c) for c in letters)}) THEN {i}"
+        for i, letters in enumerate(kmgrs._EASTING_ARRAY)
+        if letters
+    )
+    row_idx_cases = " ".join(
+        f"WHEN _set = {s} THEN "
+        f"(strpos('{kmgrs._ROW_EVEN if s % 2 == 0 else kmgrs._ROW_ODD}', "
+        "grid_row) - 1)"
+        for s in range(1, 7)
+    )
+    min_n_cases = " ".join(
+        f"WHEN latitude_zone_letter = '{ch}' THEN CAST({mn!r} AS DOUBLE)"
+        for ch, (mn, _off) in kmgrs._BAND.items()
+    )
+    off_n_cases = " ".join(
+        f"WHEN latitude_zone_letter = '{ch}' THEN CAST({off!r} AS DOUBLE)"
+        for ch, (_mn, off) in kmgrs._BAND.items()
+    )
+    q = (
+        f"SELECT *, (CASE {col_idx_cases} ELSE 0 END) AS _colidx, "
+        f"(CASE {row_idx_cases} END) AS _rowidx, "
+        f"(CASE {min_n_cases} END) AS _minn, "
+        f"(CASE {off_n_cases} END) AS _offn FROM (" + q + ")"
+    )
+    q = (
+        "SELECT *, "
+        "(CAST(_colidx * 100000 + grid_easting AS DOUBLE)) AS easting_back, "
+        "(CAST(_rowidx * 100000 AS DOUBLE) + _offn) AS _nb FROM (" + q + ")"
+    )
+    for _ in range(6):  # bounded while utm_n < min_n: += 2_000_000
+        q = (
+            "SELECT * EXCLUDE (_nb), "
+            "(CASE WHEN _nb < _minn THEN _nb + 2000000 ELSE _nb END) AS _nb "
+            "FROM (" + q + ")"
+        )
+    q = (
+        "SELECT *, (_nb + grid_northing) AS northing_back FROM (" + q + ")"
+    )
+    usng = (
+        "(CAST(longitude_zone AS VARCHAR) || latitude_zone_letter || ' ' || "
+        "grid_col || grid_row || ' ' || "
+        "lpad(CAST(grid_easting AS VARCHAR), 5, '0') || ' ' || "
+        "lpad(CAST(grid_northing AS VARCHAR), 5, '0'))"
+    )
+    return (
+        "SELECT doc_id, longitude_zone, latitude_zone_letter, grid_col, "
+        f"grid_row, {usng} AS usng, "
+        "abs(floor(easting) - easting_back) AS err_easting, "
+        "abs(floor(northing) - northing_back) AS err_northing "
+        "FROM (" + q + ")"
     )
 
 
@@ -619,15 +743,29 @@ def _distances_oracle() -> str:
 
 
 def q_vincenty(spark, sf_dir):
-    # iterative kernel -> no SQL oracle (rows-only check by the driver)
+    """Vincenty distance + initial bearing to the Berlin vector point.
+    Oracle unrolls the lambda iteration as 100 convergence-guarded CTE
+    layers (kernels.vincenty.vincenty_oracle_sql).  Distance compared at
+    centimeter precision: numpy trig and DuckDB libm drift by <= ~4e-9 m
+    through the iteration, so r2 keeps boundary flips at ~1e-6/row."""
     df = _docs_coords(spark, sf_dir)
     v = vincenty_full(
         F.col("lat"), F.col("lon"), F.lit(BERLIN[0]), F.lit(BERLIN[1])
     )
     return df.select(
         "doc_id",
-        F.round(v["distance_m"], 3).alias("vincenty_r3"),
+        F.round(v["distance_m"], 2).alias("vincenty_r2"),
         F.round(v["initial_bearing"], 3).alias("bearing_r3"),
+    )
+
+
+def _vincenty_oracle() -> str:
+    from .kernels.vincenty import vincenty_oracle_sql
+
+    inner = vincenty_oracle_sql(_COORD_SUBQ, BERLIN[0], BERLIN[1])
+    return (
+        "SELECT doc_id, round(distance_m, 2) AS vincenty_r2, "
+        f"round(initial_bearing, 3) AS bearing_r3 FROM ({inner})"
     )
 
 
@@ -1297,8 +1435,14 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_minhash_candidates(spark, sf_dir):
+    """LSH candidate pairs with the md5_60 token hash so DuckDB can
+    replay the full shingle -> minhash -> band -> bucket-join pipeline
+    (production default stays xxhash64 — same plan shape, cheaper hash;
+    pytest covers both paths)."""
     docs = src.load_table(spark, sf_dir, "documents")
-    return dedup.minhash_candidates(docs, num_hashes=16, bands=4)
+    return dedup.minhash_candidates(
+        docs, num_hashes=16, bands=4, token_hash="md5_60"
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -1448,9 +1592,17 @@ def build_oracles() -> dict[str, str]:
         "ann_brute": O_ANN_BRUTE,
         "media_features": O_MEDIA,
         "frame_sample": O_FRAME_SAMPLE,
+        # rows-only (legitimately non-SQL): cover_cells / convex_hull /
+        # concave_hull / simplify / hull_area (iterative geometry
+        # algorithms), ann_lsh / ann_ivf (plan-side hyperplane/centroid
+        # constants)
         "simhash": dedup.simhash_oracle_sql(),
+        "minhash_candidates": dedup.minhash_candidates_oracle_sql(),
         "intersects": _intersects_oracle(),
         "poly_intersects": _poly_intersects_oracle(),
+        "vincenty": _vincenty_oracle(),
+        "utm_roundtrip": _utm_roundtrip_oracle(),
+        "mgrs": _mgrs_oracle(),
         # no oracle (rows-only): ann_lsh (plan-side hyperplane
         # constants), minhash_candidates (xxhash64 has no DuckDB twin)
     }

@@ -475,3 +475,251 @@ def format_utm(lon_zone, letters, easting, northing) -> np.ndarray:
         ],
         dtype=object,
     )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twin (UTM band only)
+# --------------------------------------------------------------------------
+
+def _arc_sql(phi: str) -> str:
+    """meridionalArcRadians (utm.kt:664-684) with the series constants
+    precomputed in python float64 (same ops as the numpy scalar path)."""
+    n = _F / (2.0 - _F)
+    n2 = n * n
+    n3 = n2 * n
+    n4 = n3 * n
+    n5 = n4 * n
+    n1n2 = n - n2
+    n2n3 = n2 - n3
+    n3n4 = n3 - n4
+    n4n5 = n4 - n5
+    ap = _A * (1.0 - n + 5.0 / 4.0 * n2n3 + 81.0 / 64.0 * n4n5)
+    bp = 3.0 / 2.0 * _A * (n1n2 + 7.0 / 8.0 * n3n4 + 55.0 / 64.0 * n5)
+    cp = 15.0 / 16.0 * _A * (n2n3 + 3.0 / 4.0 * n4n5)
+    dp = 35.0 / 48.0 * _A * (n3n4 + 11.0 / 16.0 * n5)
+    ep = 315.0 / 512.0 * _A * n4n5
+    return (
+        f"(CAST({ap!r} AS DOUBLE) * ({phi}) - CAST({bp!r} AS DOUBLE) * sin(2.0 * ({phi}))"
+        f" + CAST({cp!r} AS DOUBLE) * sin(4.0 * ({phi}))"
+        f" - CAST({dp!r} AS DOUBLE) * sin(6.0 * ({phi}))"
+        f" + CAST({ep!r} AS DOUBLE) * sin(8.0 * ({phi})))"
+    )
+
+
+def _nu_sql(phi: str) -> str:
+    return f"({_A!r} / sqrt(1.0 - {_E2!r} * sin({phi}) * sin({phi})))"
+
+
+def _rho_sql(phi: str) -> str:
+    return f"({_nu_sql(phi)} / (1.0 + {_EB2!r} * cos({phi}) * cos({phi})))"
+
+
+def _letter_sql(lat: str) -> str:
+    """CASE-ladder twin of latitude_zone_letter for the UTM band
+    [-80, 84] (utm.kt:168-208; polar Y/Z/A/B rows are filtered out)."""
+    letters = "CDEFGHJKLMNPQRSTUVWX"
+    parts = [
+        f"WHEN ({lat}) < {edge!r} THEN '{letters[i]}'"
+        for i, edge in enumerate(_BAND_EDGES)
+    ]
+    return f"(CASE {' '.join(parts)} ELSE 'X' END)"
+
+
+def utm_roundtrip_oracle_sql(src: str, footpoint_iters: int = 5) -> str:
+    """DuckDB twin of to_utm -> from_utm (utm.kt:314-485) for rows in
+    the UTM validity band lat in [-80, 84] (``src`` must pre-filter;
+    UPS stays pytest-covered).  Yields (doc_id, lat, lon,
+    longitude_zone, latitude_zone_letter, easting, northing, lat2,
+    lon2); easting/northing carry the kernel's roundToDecimals(2).
+
+    The footpoint iteration's ulp-based stop (np.spacing) is emulated
+    with power(2, floor(log2(|phi|)) - 52); like the vincenty twin,
+    numpy-vs-libm trig drift keeps exact-double parity only to ~1e-9,
+    so consumers compare at r2/r4 rounding."""
+    d2r = repr(_DEG2RAD)
+    letters = _letter_sql("lat")
+    zone_base = "(CAST(trunc((lon + 180.0) / 6.0) AS BIGINT) + 1)"
+    x_zone = (
+        "(CASE WHEN lon < 9.0 THEN 31 WHEN lon < 21.0 THEN 33"
+        " WHEN lon < 33.0 THEN 35 ELSE 37 END)"
+    )
+    v_zone = "(CASE WHEN lon < 3.0 THEN 31 ELSE 32 END)"
+    zone = (
+        f"(CASE WHEN letter = 'X' AND lon > 0.0 AND lon < 42.0 THEN {x_zone}"
+        f" WHEN letter = 'V' AND lon > 0.0 AND lon < 12.0 THEN {v_zone}"
+        f" ELSE {zone_base} END)"
+    )
+    # central meridian (utm.kt:274-297), polar branch unreachable here
+    lam0 = (
+        "(CASE"
+        f" WHEN letter = 'X' AND zone = 31 THEN 9.0 * {d2r}"
+        f" WHEN letter = 'X' AND zone = 33 THEN 15.0 * {d2r}"
+        f" WHEN letter = 'X' AND zone = 35 THEN 27.0 * {d2r}"
+        f" WHEN letter = 'X' AND zone = 37 THEN 33.0 * {d2r}"
+        f" WHEN letter = 'V' AND zone = 31 THEN 3.0 * {d2r}"
+        f" WHEN letter = 'V' AND zone = 32 THEN 9.0 * {d2r}"
+        f" ELSE CAST((zone - 1) * 6 - 180 + 3 AS DOUBLE) * {d2r} END)"
+    )
+    q = (
+        f"SELECT doc_id, lat, lon, {letters} AS letter FROM {src}"
+    )
+    q = f"SELECT *, {zone} AS zone FROM ({q})"
+    q = (
+        f"SELECT *, (lat * {d2r}) AS phi, (lon * {d2r}) AS lam, "
+        f"{lam0} AS lam0 FROM ({q})"
+    )
+    q = (
+        "SELECT *, cos(phi) AS cos_phi, tan(phi) AS tan_phi, "
+        f"{_nu_sql('phi')} AS nu, {_arc_sql('phi')} AS arc, "
+        "(lam - lam0) AS dl FROM (" + q + ")"
+    )
+    q = (
+        "SELECT *, (cos_phi * cos_phi) AS cos2, (tan_phi * tan_phi) AS tan2, "
+        f"({_K0!r} * nu * sin(phi)) AS kn1, ({_K0!r} * nu) AS kn2, "
+        "(dl * dl) AS dl2 FROM (" + q + ")"
+    )
+    eb2, eb4, eb6, eb8 = _EB2, _EB2 * _EB2, _EB2**2 * _EB2, _EB2**2 * _EB2 * _EB2
+    q = (
+        "SELECT *, (cos2 * cos_phi) AS cos3, (tan2 * tan2) AS tan4, "
+        f"({eb2!r} * cos2) AS e2c2, ({eb4!r} * cos2 * cos2) AS e4c4, "
+        f"({eb6!r} * cos2 * cos2 * cos2) AS e6c6, "
+        f"({eb8!r} * cos2 * cos2 * cos2 * cos2) AS e8c8 FROM (" + q + ")"
+    )
+    q = (
+        "SELECT *, (cos3 * cos2) AS cos5, (tan4 * tan2) AS tan6, "
+        "(tan2 * e2c2) AS t2e2c2, (tan2 * e4c4) AS t2e4c4, "
+        "(tan2 * e6c6) AS t2e6c6, (tan2 * e8c8) AS t2e8c8 FROM (" + q + ")"
+    )
+    q = "SELECT *, (cos5 * cos2) AS cos7 FROM (" + q + ")"
+    # forward series terms (utm.kt:314-393)
+    q = (
+        "SELECT *, "
+        f"({_K0!r} * arc) AS t1, "
+        "(kn1 * cos_phi / 2.0) AS t2, "
+        "(kn1 * cos3 / 24.0 * (5.0 - tan2 + 9.0 * e2c2 + 4.0 * e4c4)) AS t3, "
+        "(kn1 * cos5 / 720.0 * (61.0 - 58.0 * tan2 + tan4 + 270.0 * e2c2"
+        " - 330.0 * t2e2c2 + 445.0 * e4c4 - 680.0 * t2e4c4 + 324.0 * e6c6"
+        " - 600.0 * t2e6c6 + 88.0 * e8c8 - 192.0 * t2e8c8)) AS t4, "
+        "(kn1 * cos7 / 40320.0 * (1385.0 - 3111.0 * tan2 + 543.0 * tan4 - tan6)) AS t5, "
+        "(kn2 * cos_phi) AS t6, "
+        "(kn2 * cos3 / 6.0 * (1.0 - tan2 + e2c2)) AS t7, "
+        "(kn2 * cos5 / 120.0 * (5.0 - 18.0 * tan2 + tan4 + 14.0 * e2c2"
+        " - 58.0 * t2e2c2 + 13.0 * e4c4 - 64.0 * t2e4c4 + 4.0 * e6c6"
+        " - 24.0 * t2e6c6)) AS t8, "
+        "(kn2 * cos7 / 50.40 * (61.0 - 479.0 * tan2 + 179.0 * tan4 - tan6)) AS t9, "
+        "(dl2 * dl) AS dl3 FROM (" + q + ")"
+    )
+    q = (
+        "SELECT *, (dl3 * dl) AS dl4, (dl3 * dl2) AS dl5, (dl3 * dl3) AS dl6, "
+        "(dl3 * dl3 * dl) AS dl7, (dl3 * dl3 * dl2) AS dl8 FROM (" + q + ")"
+    )
+    rnd2 = "(floor(({x}) * 100.0 + 0.5) / 100.0)"
+    northing_raw = (
+        f"((CASE WHEN phi < 0.0 THEN {UTM_FALSE_NORTHING!r} ELSE 0.0 END)"
+        " + t1 + dl2 * t2 + dl4 * t3 + dl6 * t4 + dl8 * t5)"
+    )
+    easting_raw = (
+        f"({UTM_FALSE_EASTING!r} + dl * t6 + dl3 * t7 + dl5 * t8 + dl7 * t9)"
+    )
+    q = (
+        "SELECT doc_id, lat, lon, letter, zone, "
+        f"{rnd2.format(x=easting_raw)} AS easting, "
+        f"{rnd2.format(x=northing_raw)} AS northing, lam0 FROM (" + q + ")"
+    )
+    # ---- inverse (utm.kt:396-485): footpoint iteration then series ----
+    rho0 = float(_A / np.sqrt(1.0 - _E2 * np.sin(0.0) ** 2) / (1.0 + _EB2 * np.cos(0.0) ** 2))
+    q = (
+        "SELECT *, "
+        f"((CASE WHEN letter < 'N' THEN northing - {UTM_FALSE_NORTHING!r}"
+        f" ELSE northing END) / {_K0!r}) AS arc0 FROM (" + q + ")"
+    )
+    q = (
+        f"SELECT *, (arc0 / {rho0!r}) AS fphi, CAST({rho0!r} AS DOUBLE) AS frho, "
+        "TRUE AS factive FROM (" + q + ")"
+    )
+    spacing = "power(2.0, floor(log2(abs(fphi))) - 52)"
+    for _ in range(footpoint_iters):
+        q = (
+            "SELECT * EXCLUDE (fphi, frho, factive, _arc, _rhon, _diff, _step), "
+            "(CASE WHEN _step THEN fphi + _diff ELSE fphi END) AS fphi, "
+            "(CASE WHEN factive THEN _rhon ELSE frho END) AS frho, "
+            "_step AS factive FROM ("
+            "SELECT *, (factive AND abs(_diff) >= " + spacing + ") AS _step FROM ("
+            "SELECT *, ((arc0 - _arc) / (CASE WHEN factive THEN _rhon ELSE frho END)) AS _diff FROM ("
+            f"SELECT *, {_arc_sql('fphi')} AS _arc, {_rho_sql('fphi')} AS _rhon "
+            "FROM (" + q + "))))"
+        )
+    q = (
+        "SELECT *, cos(fphi) AS fcos, tan(fphi) AS ftan, "
+        f"{_nu_sql('fphi')} AS fnu, (easting - {UTM_FALSE_EASTING!r}) AS de "
+        "FROM (" + q + ")"
+    )
+    q = (
+        "SELECT *, (fcos * fcos) AS fcos2, (ftan * ftan) AS ftan2, "
+        "(fnu * fnu) AS fnu2, (de * de) AS de2 FROM (" + q + ")"
+    )
+    q = (
+        "SELECT *, (ftan2 * ftan2) AS ftan4, (fnu2 * fnu) AS fnu3, "
+        f"({eb2!r} * fcos2) AS fe2c2, ({eb4!r} * fcos2 * fcos2) AS fe4c4, "
+        f"({eb6!r} * fcos2 * fcos2 * fcos2) AS fe6c6, "
+        f"({eb8!r} * fcos2 * fcos2 * fcos2 * fcos2) AS fe8c8, "
+        "(de2 * de) AS de3 FROM (" + q + ")"
+    )
+    q = (
+        "SELECT *, (ftan4 * ftan2) AS ftan6, (fnu3 * fnu2) AS fnu5, "
+        "(ftan2 * fe2c2) AS ft2e2c2, (ftan2 * fe4c4) AS ft2e4c4, "
+        "(ftan2 * fe6c6) AS ft2e6c6, (ftan2 * fe8c8) AS ft2e8c8, "
+        "(ftan4 * fe2c2) AS ft4e2c2, (ftan4 * fe4c4) AS ft4e4c4, "
+        "(de3 * de) AS de4, (de3 * de2) AS de5, (de3 * de3) AS de6 "
+        "FROM (" + q + ")"
+    )
+    q = (
+        "SELECT *, (fnu5 * fnu2) AS fnu7, (de6 * de) AS de7, (de6 * de2) AS de8 "
+        "FROM (" + q + ")"
+    )
+    q = (
+        "SELECT *, "
+        f"(ftan / (2.0 * frho * fnu * {_K02!r})) AS t10, "
+        f"(ftan / (24.0 * frho * fnu3 * {_K04!r})"
+        " * (5.0 + 3.0 * ftan2 + fe2c2 - 9.0 * ft2e2c2 - 4.0 * fe4c4)) AS t11, "
+        f"(ftan / (720.0 * frho * fnu5 * {_K06!r})"
+        " * (61.0 + 90.0 * ftan2 + 45.0 * ftan4 + 46.0 * fe2c2 - 252.0 * ft2e2c2"
+        " - 90.0 * ft4e2c2 - 3.0 * fe4c4 - 66.0 * ft2e4c4 + 225.0 * ft4e4c4"
+        " + 100.0 * fe6c6 + 84.0 * ft2e6c6 + 88.0 * fe8c8 - 192.0 * ft2e8c8)) AS t12, "
+        f"(ftan / (40320.0 * frho * fnu7 * {_K08!r})"
+        " * (1385.0 + 3633.0 * ftan2 + 4095.0 * ftan4 + 1575.0 * ftan6)) AS t13, "
+        f"(1.0 / (fcos * fnu * {_K0!r})) AS t14, "
+        f"(1.0 / (6.0 * fcos * fnu3 * {_K03!r}) * (1.0 + 2.0 * ftan2 + fe2c2)) AS t15, "
+        f"(1.0 / (120.0 * fcos * fnu5 * {_K05!r})"
+        " * (5.0 + 28.0 * ftan2 + 24.0 * ftan4 + 6.0 * fe2c2 + 8.0 * ft2e2c2"
+        " - 3.0 * fe4c4 + 4.0 * ft2e4c4 - 4.0 * fe6c6 + 24.0 * ft2e6c6)) AS t16, "
+        f"(1.0 / (5040.0 * fcos * fnu7 * {_K07!r})"
+        " * (61.0 + 662.0 * ftan2 + 1320.0 * ftan4 + 720.0 * ftan6)) AS t17 "
+        "FROM (" + q + ")"
+    )
+    q = (
+        "SELECT *, "
+        "((fphi - de2 * t10 + de4 * t11 - de6 * t12 + de8 * t13)"
+        f" / {_DEG2RAD!r}) AS lat2_raw, "
+        "((lam0 + de * t14 - de3 * t15 + de5 * t16 - de7 * t17)"
+        f" / {_DEG2RAD!r}) AS lon2_raw FROM (" + q + ")"
+    )
+    # normalize_lonlat (geojson.kt:319-342)
+    nlon = "(((lon2_raw + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)"
+    nlat0 = "(((lat2_raw + 90.0) % 360.0 + 360.0) % 360.0 - 90.0)"
+    nlat = (
+        f"(CASE WHEN {nlat0} >= 90.0 AND {nlat0} <= 180.0 THEN 180.0 - {nlat0}"
+        f" WHEN {nlat0} >= -180.0 AND {nlat0} < -90.0 THEN -180.0 - {nlat0}"
+        f" ELSE {nlat0} END)"
+    )
+    need = (
+        "(lon2_raw < -180.0 OR lon2_raw > 180.0"
+        " OR lat2_raw < -90.0 OR lat2_raw > 90.0)"
+    )
+    return (
+        "SELECT doc_id, lat, lon, zone AS longitude_zone, "
+        "letter AS latitude_zone_letter, easting, northing, "
+        f"(CASE WHEN {need} THEN {nlat} ELSE lat2_raw END) AS lat2, "
+        f"(CASE WHEN {need} THEN {nlon} ELSE lon2_raw END) AS lon2 "
+        "FROM (" + q + ")"
+    )

@@ -54,26 +54,42 @@ def _shingles(text_col: str, n: int) -> F.Column:
     )
 
 
+def _seeded_hash(col: F.Column, seed: int, token_hash: str) -> F.Column:
+    if token_hash == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if token_hash == "md5_60":
+        # 60-bit hash DuckDB reproduces exactly:
+        # ('0x' || substr(md5(seed || '#' || s), 1, 15))::BIGINT
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}#"), col)), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown token_hash={token_hash!r}")
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, h0..h{num_hashes-1}) — hj = min over shingles of
-    xxhash64(shingle, seed=j).
+    hash(shingle, seed=j).
 
     Shape: explode shingles -> hash-aggregate per doc.  The min() per
     permutation is a map-side partial aggregation (the shuffle carries
-    num_hashes longs per doc, never the shingles), and each xxhash64 is
+    num_hashes longs per doc, never the shingles), and each hash is
     evaluated on the exploded rows once — inlining num_hashes array
-    folds into one projection blows up codegen instead."""
+    folds into one projection blows up codegen instead.
+
+    token_hash: 'xxhash64' (default, fastest) or 'md5_60' (DuckDB-
+    reproducible; used by the oracle-checked contract query)."""
     ex = docs.select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("sh")
     )
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(j))).alias(f"h{j}")
+        F.min(_seeded_hash(F.col("sh"), j, token_hash)).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)
@@ -86,6 +102,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, n_shared_bands).
 
@@ -93,22 +110,23 @@ def minhash_candidates(
     (band, band_hash) distributes uniformly by construction (hash
     values), so the self-join shuffle is skew-free."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_n, token_hash
+    )
+
+    def band_hash(b: int) -> F.Column:
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if token_hash == "xxhash64":
+            return F.xxhash64(*cols)
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(",", *cols)), 1, 15), 16, 10
+        ).cast("long")
+
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col(f"h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
+            "band", "band_hash"
+        ),
     )
     left = banded.alias("a")
     right = banded.alias("b")
@@ -123,6 +141,49 @@ def minhash_candidates(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_candidates_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB twin of ``minhash_candidates(token_hash='md5_60')``."""
+    rows_per_band = num_hashes // bands
+    toks = f"string_split({text_col}, ' ')"
+    shingles = (
+        f"list_distinct(list_transform("
+        f"range(0, greatest(len({toks}) - {shingle_n}, 0) + 1), "
+        f"i -> array_to_string({toks}[i + 1 : i + {shingle_n}], ' ')))"
+    )
+    mins = ", ".join(
+        f"min(('0x' || substr(md5('{j}#' || sh), 1, 15))::BIGINT) AS h{j}"
+        for j in range(num_hashes)
+    )
+    def band_hash(b: int) -> str:
+        concat = " || ',' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        return f"('0x' || substr(md5({concat}), 1, 15))::BIGINT"
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, {band_hash(b)} AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+    return (
+        f"WITH sh AS (SELECT {id_col}, unnest({shingles}) AS sh FROM {table}), "
+        f"sigs AS (SELECT {id_col}, {mins} FROM sh GROUP BY {id_col}), "
+        f"banded AS ({band_rows}) "
+        f"SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, "
+        f"count(*) AS n_shared_bands "
+        f"FROM banded a JOIN banded b ON a.band = b.band "
+        f"AND a.band_hash = b.band_hash AND a.{id_col} < b.{id_col} "
+        f"GROUP BY a.{id_col}, b.{id_col}"
     )
 
 
