@@ -70,9 +70,28 @@ def parse_points(df: DataFrame, col: str, keep: list[str]) -> DataFrame:
 
 
 def feature_collection(df: DataFrame, geometry_json_col: str,
-                       props: list[str]) -> DataFrame:
+                       props: list[str],
+                       max_features: int | None = 100_000) -> DataFrame:
     """Aggregate rows into one GeoJSON FeatureCollection string
-    (geojson.kt:783-823; FeatureCollection.fromGeoHashes-style sink)."""
+    (geojson.kt:783-823; FeatureCollection.fromGeoHashes-style sink).
+
+    SMALL-OUTPUT SINK ONLY: the collect_list funnels every feature
+    through one reducer — that is the correct shape for its reference
+    use (a geohash-set or query-result FeatureCollection, thousands of
+    rows), and the wrong one for bulk export.  ``max_features`` guards
+    against pointing it at a large result (raises instead of OOMing the
+    reducer); pass None to disable when you know the row count.  For
+    large outputs write newline-delimited Feature rows instead
+    (df.select(feature_json).write.text(...)) — one file per partition,
+    no single-reducer concat."""
+    if max_features is not None:
+        n = df.limit(max_features + 1).count()
+        if n > max_features:
+            raise ValueError(
+                f"feature_collection is a small-output sink: input exceeds "
+                f"max_features={max_features} rows; write NDJSON features "
+                f"instead, or raise/disable the guard explicitly"
+            )
     feature = F.to_json(
         F.struct(
             F.lit("Feature").alias("type"),

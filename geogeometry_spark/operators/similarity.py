@@ -181,6 +181,72 @@ def ivf_assign(
     return embeddings.withColumn("ivf_list", assign(F.col(vec_col)))
 
 
+def write_ivf_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the embeddings table partitioned by ivf_list — the
+    storage layout of the 100 TB ANN path: a probe query filtering on
+    ivf_list prunes entire partition directories at the parquet scan
+    (PartitionFilters), so nprobe/n_clusters of the corpus is READ, not
+    just post-filtered.  Pair with a high n_clusters (e.g. 4096) so each
+    list is a few GB."""
+    ivf_assign(embeddings, centroids, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("ivf_list").parquet(path)
+
+
+def ivf_probe_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over an ivf-partitioned table: the isin() filter on the
+    partition column becomes PartitionFilters in the scan (asserted in
+    tests), then exact cosine + TakeOrderedAndProject inside the probed
+    lists only."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = [int(p) for p in np.argsort(-(cent @ qn))[:nprobe]]
+    df = spark.read.parquet(path).where(F.col("ivf_list").isin(*probes))
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim")
+    )
+    return ranked_topk(scored, k, "cos_sim", id_col).select(
+        "rank", id_col, "cos_sim"
+    )
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 42,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic hash-ordered sample -> driver-side k-means (see
+    ivf_topk for the sampling rationale)."""
+    sample = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    vecs = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    return _kmeans(vecs, min(n_clusters, len(vecs)), seed)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -204,15 +270,9 @@ def ivf_topk(
     # so the sample is unbiased w.r.t. file/partition enumeration order,
     # unlike a bare limit() which takes whichever partitions answer
     # first (skewed on sorted/partitioned production tables).
-    sample = (
-        embeddings.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(train_sample)
-        .select(vec_col)
-        .collect()
+    cent = train_centroids(
+        embeddings, n_clusters, seed, train_sample, id_col, vec_col
     )
-    vecs = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    cent = _kmeans(vecs, min(n_clusters, len(vecs)), seed)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     probes = np.argsort(-(cent @ qn))[:nprobe].tolist()

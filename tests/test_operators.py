@@ -381,3 +381,27 @@ def test_hull_area_values_order_independent(spark):
         # F.round is HALF_UP; allow the half-step of the r3 rounding
         # plus float noise at ~1e12 magnitude
         assert abs(got[cell] - expect) <= 2e-3, cell
+
+
+def test_ivf_partitioned_storage_prunes(spark, tmp_path):
+    """VERDICT r1 item 9: the scale path stores ivf_list as a partition
+    column; a probe query must show PartitionFilters in the parquet scan
+    (directories pruned at planning, not rows post-filtered)."""
+    from geogeometry_spark.operators.similarity import (
+        ivf_probe_partitioned,
+        train_centroids,
+        write_ivf_partitioned,
+    )
+
+    emb = src.load_table(spark, SF, "embeddings")
+    cent = train_centroids(emb, n_clusters=8)
+    path = str(tmp_path / "emb_ivf")
+    write_ivf_partitioned(emb, path, cent)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = ivf_probe_partitioned(spark, path, q, cent, k=5, nprobe=2)
+    plan = _executed_plan(out)
+    seg = plan.split("PartitionFilters")[1][:160]
+    assert "ivf_list" in seg, plan
+    assert "TakeOrderedAndProject" in plan
+    rows = out.collect()
+    assert len(rows) == 5 and rows[0]["vec_id"] == 0
