@@ -1,0 +1,127 @@
+"""Streaming operators with event-time and cross-batch state.
+
+Two engine-side capabilities the batch layer cannot express:
+
+- stream_tile_heatmap: event-time windowed tile counts with a watermark
+  — late events inside the watermark still update their window; events
+  later than the watermark are dropped and the window state is evicted
+  (bounded state at 100 TB/day ingest).  Batch twin: the oracle-checked
+  ``events_tile_hourly`` contract query.
+- stream_dedup_first_seen: cross-micro-batch exact dedup via
+  applyInPandasWithState — per text-hash GroupState remembers whether
+  the hash was emitted before, so re-ingested duplicates are suppressed
+  across batches AND across restarts (state lives in the checkpoint).
+  The shuffle key is the 128-bit md5 (uniform), so state is evenly
+  spread over partitions; per-key state is one boolean.
+
+The reference has no streams (SURVEY.md §2.12) — this is the
+Spark-first surface of the same operators.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+    ]
+)
+
+
+def stream_tile_heatmap(
+    events: DataFrame,
+    zoom: int = 12,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed tile heat counts over a streaming DataFrame.
+
+    Rows later than ``watermark`` behind the max seen event time are
+    dropped and their windows finalized (state eviction keeps the agg
+    bounded); anything newer still updates its window.  The aggregation
+    is the same native tile math as the batch ``events_tile_hourly``
+    query, so batch and stream answers agree for on-time data."""
+    from ..functions import columns as C
+
+    x, y = C.tile_xy(F.col("lat"), F.col("lon"), zoom)
+    tiled = events.withWatermark(ts_col, watermark).select(
+        F.col(ts_col), x.alias("tile_x"), y.alias("tile_y")
+    )
+    return (
+        tiled.groupBy(F.window(F.col(ts_col), window), "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "tile_x",
+            "tile_y",
+            "n",
+        )
+    )
+
+
+_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+
+_DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("text_md5", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _first_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Emit the first row for a hash key; afterwards the GroupState
+    marks the key seen and every later occurrence (same batch or any
+    future batch) is dropped."""
+    if state.exists:
+        # already emitted in an earlier micro-batch
+        for _ in pdfs:
+            pass
+        return
+    first = None
+    for pdf in pdfs:
+        if len(pdf) and first is None:
+            first = pdf.iloc[:1]
+    state.update((True,))
+    if first is not None:
+        yield first[["text_md5", "doc_id", "text"]]
+
+
+def stream_dedup_first_seen(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-batch exact dedup: keep the first-ever row per md5(text).
+
+    applyInPandasWithState keyed on the text hash; state (one boolean
+    per distinct hash) lives in the streaming checkpoint, so duplicates
+    are suppressed across micro-batches and across restarts.  At scale
+    the state store grows with DISTINCT corpus size only, spread evenly
+    by the uniform hash key."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = docs.select(
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -56,3 +56,111 @@ def test_streaming_matches_batch_and_resumes(spark, tmp_path, spans_batches):
     # span sequences survive the streaming path untouched
     row = out2.select("doc_id", "spans").limit(1).collect()[0]
     assert row["spans"][0]["kind"] == "text"
+
+
+def test_windowed_heatmap_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windowed tile counts: on-time rows aggregate per
+    window; a row arriving later than the watermark behind max event
+    time is dropped (state already evicted)."""
+    import datetime as dt
+
+    from geogeometry_spark.streaming.stateful import (
+        EVENTS_SCHEMA,
+        stream_tile_heatmap,
+    )
+
+    inp = tmp_path / "events_in"
+    base = dt.datetime(2026, 1, 1, 0, 30)
+
+    def mk(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode("append").parquet(
+            str(inp)
+        )
+
+    # batch 1: two events in hour 0, one in hour 5 (advances watermark
+    # for batch 2 to 5:30 - 2h = 3:30)
+    mk([
+        (1, base, 52.5, 13.4),
+        (2, base + dt.timedelta(minutes=5), 52.5, 13.4),
+        (3, base + dt.timedelta(hours=5), 52.5, 13.4),
+    ])
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(inp))
+    agg = stream_tile_heatmap(stream, zoom=12, window="1 hour", watermark="2 hours")
+
+    outdir = str(tmp_path / "hm_out")
+
+    def drain(_name):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            ((r["window_start"].hour), r["tile_x"], r["tile_y"]): r["n"]
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    got1 = drain("hm1")
+    # append mode only emits windows the watermark has closed; hour-0
+    # window (< 3:30 watermark) must be final with both on-time rows
+    key0 = [k for k in got1 if k[0] == 0]
+    assert len(key0) == 1 and got1[key0[0]] == 2
+
+    # batch 2: a LATE row for hour 0 (event time far behind watermark)
+    # plus a fresh row advancing time further
+    mk([
+        (4, base + dt.timedelta(minutes=10), 52.5, 13.4),  # late, dropped
+        (5, base + dt.timedelta(hours=8), 52.5, 13.4),
+    ])
+    got2 = drain("hm2")
+    # cumulative output: the hour-0 window must NOT gain the late row
+    key0 = [k for k in got2 if k[0] == 0]
+    assert len(key0) == 1 and got2[key0[0]] == 2, got2
+
+
+def test_stateful_dedup_across_batches_and_restart(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: duplicates are dropped
+    within a batch, across micro-batches, and across query restarts
+    (state restored from the checkpoint)."""
+    from geogeometry_spark.streaming.stateful import stream_dedup_first_seen
+
+    inp = tmp_path / "docs_in"
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    def mk(rows):
+        spark.createDataFrame(rows, "doc_id string, text string").write.mode(
+            "append"
+        ).parquet(str(inp))
+
+    mk([("1", "alpha"), ("2", "beta"), ("3", "alpha")])  # in-batch dup
+
+    outdir = str(tmp_path / "dd_out")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id string, text string").parquet(
+            str(inp)
+        )
+        out = stream_dedup_first_seen(stream)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(outdir).collect()
+
+    r1 = drain()
+    assert sorted(r["text"] for r in r1) == ["alpha", "beta"]
+
+    # second drop: "alpha" again (cross-batch dup after restart) + new
+    mk([("4", "alpha"), ("5", "gamma")])
+    r2 = drain()  # restarted query, state restored from checkpoint
+    assert sorted(r["text"] for r in r2) == ["alpha", "beta", "gamma"]
