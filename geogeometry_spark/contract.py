@@ -694,6 +694,52 @@ def q_knn_window(spark, sf_dir):
     )
 
 
+def q_knn_bulk(spark, sf_dir):
+    """Distributed bulk kNN: every 50th doc is a query; ring-2
+    precision-5 candidate cells via pure index arithmetic, shuffle
+    equi-join on the cell key, window top-k per query (operators.knn.
+    knn_bulk — the millions-of-queries path with no driver loop).
+    Oracle expresses the identical ring membership as Chebyshev index
+    distance with longitude wrap."""
+    from .operators.knn import knn_bulk
+
+    pts = _with_cell(_docs_coords(spark, sf_dir))
+    qs = _docs_coords(spark, sf_dir).where(
+        F.col("doc_id").cast("long") % 50 == 0
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+    )
+    out = knn_bulk(pts, qs, k=5, precision=5, ring=2)
+    return out.select(
+        "query_id", "rank", "doc_id",
+        F.round(F.col("dist_m"), 3).alias("dist_r3"),
+    )
+
+
+def _knn_bulk_oracle() -> str:
+    lat_bits, lon_bits = C.cell_bits(5)
+    n_lon = 1 << lon_bits
+    ia = C.cell_index_sql("lat", -90.0, 180.0, lat_bits)
+    io = C.cell_index_sql("lon", -180.0, 360.0, lon_bits)
+    hav = C.haversine_sql("p.lat", "p.lon", "q.qlat", "q.qlon")
+    return (
+        f"WITH pts AS (SELECT doc_id, lat, lon, {ia} AS ia, {io} AS io "
+        f"FROM {_COORD_SUBQ}), "
+        "qs AS (SELECT doc_id AS query_id, lat AS qlat, lon AS qlon, "
+        "ia AS qia, io AS qio FROM pts WHERE CAST(doc_id AS BIGINT) % 50 = 0) "
+        "SELECT query_id, rank, doc_id, dist_r3 FROM ("
+        f"SELECT q.query_id, p.doc_id, round({hav}, 3) AS dist_r3, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id "
+        f"ORDER BY {hav} ASC, p.doc_id ASC) AS INT) AS rank "
+        "FROM qs q JOIN pts p ON abs(p.ia - q.qia) <= 2 "
+        f"AND least((p.io - q.qio + {n_lon}) % {n_lon}, "
+        f"(q.qio - p.io + {n_lon}) % {n_lon}) <= 2"
+        ") WHERE rank <= 5"
+    )
+
+
 O_KNN_WINDOW = " UNION ALL ".join(
     "SELECT query_id, rank, doc_id, round(d, 3) AS dist_r3 FROM ("
     f"SELECT '{qid}' AS query_id, doc_id, d, "
@@ -1516,6 +1562,7 @@ QUERIES = {
     "radius_join": q_radius_join,
     "knn": q_knn,
     "knn_window": q_knn_window,
+    "knn_bulk": q_knn_bulk,
     "distances": q_distances,
     "vincenty": q_vincenty,
     "dms": q_dms,
@@ -1571,6 +1618,7 @@ def build_oracles() -> dict[str, str]:
         "radius_join": O_RADIUS,
         "knn": O_KNN,
         "knn_window": O_KNN_WINDOW,
+        "knn_bulk": _knn_bulk_oracle(),
         "distances": _distances_oracle(),
         "dms": _dms_oracle(),
         "translate": _translate_oracle(),

@@ -96,14 +96,27 @@ def _spread(c: Column, bits: int = 30) -> Column:
 
 
 
-def geohash_interleaved(lat: Column, lon: Column, length: int) -> Column:
-    """The geohash's 5*length bits packed into a LongType (sortable range
-    key — prefix relationships become integer ranges)."""
+def cell_bits(length: int) -> tuple[int, int]:
+    """(lat_bits, lon_bits) of a ``length``-char geohash."""
     nbits = 5 * length
-    lon_bits = (nbits + 1) // 2
-    lat_bits = nbits // 2
-    ilon = _cell_index(lon, -180.0, 360.0, lon_bits)
-    ilat = _cell_index(lat, -90.0, 180.0, lat_bits)
+    return nbits // 2, (nbits + 1) // 2
+
+
+def cell_indices(lat: Column, lon: Column, length: int) -> tuple[Column, Column]:
+    """Native (ilat, ilon) bisection cell indices of a ``length``-char
+    geohash — the integer grid the neighbor/k-ring math works in."""
+    lat_bits, lon_bits = cell_bits(length)
+    return (
+        _cell_index(lat, -90.0, 180.0, lat_bits),
+        _cell_index(lon, -180.0, 360.0, lon_bits),
+    )
+
+
+def interleave_indices(ilat: Column, ilon: Column, length: int) -> Column:
+    """Morton-interleave arbitrary (ilat, ilon) index Columns into the
+    ``length``-char cell long — lets k-ring expansion address neighbor
+    cells by pure index arithmetic (wrap/clamp) with zero UDFs."""
+    lat_bits, lon_bits = cell_bits(length)
     if lon_bits > lat_bits:
         low = _spread(
             ilon.bitwiseAND(F.lit((1 << lat_bits) - 1)), lat_bits
@@ -111,7 +124,16 @@ def geohash_interleaved(lat: Column, lon: Column, length: int) -> Column:
         return low.bitwiseOR(
             F.shiftleft(F.shiftright(ilon, lat_bits), 2 * lat_bits)
         )
-    return F.shiftleft(_spread(ilon, lon_bits), 1).bitwiseOR(_spread(ilat, lat_bits))
+    return F.shiftleft(_spread(ilon, lon_bits), 1).bitwiseOR(
+        _spread(ilat, lat_bits)
+    )
+
+
+def geohash_interleaved(lat: Column, lon: Column, length: int) -> Column:
+    """The geohash's 5*length bits packed into a LongType (sortable range
+    key — prefix relationships become integer ranges)."""
+    ilat, ilon = cell_indices(lat, lon, length)
+    return interleave_indices(ilat, ilon, length)
 
 
 _STD_BASE32_UPPER = "0123456789ABCDEFGHIJKLMNOPQRSTUV"

@@ -164,6 +164,83 @@ def knn(
     return spark.createDataFrame(results, schema_cols)
 
 
+def knn_bulk(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_id_col: str = "cell_id",
+    query_id_col: str = "query_id",
+    qlat_col: str = "qlat",
+    qlon_col: str = "qlon",
+    precision: int = 5,
+    ring: int = 1,
+) -> DataFrame:
+    """kNN for a DATAFRAME of queries — the millions-of-queries scale
+    path (the driver-loop :func:`knn` collects k rows per query, which
+    is right up to ~10^5 queries; beyond that the answer set itself must
+    stay distributed).
+
+    Shape: each query explodes its Chebyshev ``ring`` of precision-p
+    cells via pure index arithmetic (lon wraps mod 2^lon_bits, lat
+    clamps — built with interleave_indices, zero UDFs, (2*ring+1)^2
+    array entries deduped) -> shuffle equi-join against the points'
+    cell prefix (both sides hash-partition on the cell key; bucketing
+    the points table by the prefix removes its shuffle entirely) ->
+    native haversine -> window top-k PER QUERY (partitionBy(query_id),
+    never a global sort).
+
+    Fixed-radius rings make the answer approximate at the margin: the
+    ``guaranteed`` column is true when the kth candidate is provably
+    exact (closer than the (ring-1)-cell covered disk, same bound as
+    :func:`knn`); callers re-run the false rows with a bigger ring.
+    """
+    lat_bits, lon_bits = C.cell_bits(precision)
+    n_lon = 1 << lon_bits
+    max_ia = (1 << lat_bits) - 1
+    qia, qio = C.cell_indices(F.col(qlat_col), F.col(qlon_col), precision)
+    ring_cells = []
+    for di in range(-ring, ring + 1):
+        ia = F.greatest(F.lit(0), F.least(F.lit(max_ia), qia + F.lit(di)))
+        for dj in range(-ring, ring + 1):
+            io = (qio + F.lit(dj + n_lon)) % F.lit(n_lon)
+            ring_cells.append(C.interleave_indices(ia, io, precision))
+    qx = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(qlat_col).alias("qlat"),
+        F.col(qlon_col).alias("qlon"),
+        F.explode(F.array_distinct(F.array(*ring_cells))).alias("cell_key"),
+    )
+    key = C.cell_prefix(F.col(cell_id_col), precision)
+    id_col = points.columns[0]
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_m").asc(), F.col(id_col).asc()
+    )
+    # guaranteed-covered disk radius: every point outside the ring is at
+    # least (ring-1) * min cell dimension away (same bound as knn());
+    # cell height is constant in degrees, width shrinks with cos(lat)
+    height_m = (180.0 / (1 << lat_bits)) * 111194.92664455873  # deg * mean-earth m/deg
+    width_m = F.lit(360.0 / n_lon * 111194.92664455873) * F.cos(
+        F.radians(F.col("qlat"))
+    )
+    bound = F.lit(float(ring - 1)) * F.least(F.lit(height_m), width_m)
+    return (
+        points.withColumn("_pkey", key)
+        .join(qx, F.col("_pkey") == F.col("cell_key"), "inner")
+        .withColumn(
+            "dist_m",
+            C.haversine(
+                F.col(lat_col), F.col(lon_col), F.col("qlat"), F.col("qlon")
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("guaranteed", F.col("dist_m") <= bound)
+        .drop("_pkey", "cell_key", "qlat", "qlon")
+    )
+
+
 def knn_window(
     points: DataFrame,
     queries: list[tuple[str, float, float]],

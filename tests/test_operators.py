@@ -405,3 +405,31 @@ def test_ivf_partitioned_storage_prunes(spark, tmp_path):
     assert "TakeOrderedAndProject" in plan
     rows = out.collect()
     assert len(rows) == 5 and rows[0]["vec_id"] == 0
+
+
+def test_knn_bulk_guaranteed_matches_exact(spark, coords_df):
+    """knn_bulk's guaranteed rows must equal the exact window kNN; the
+    plan must window per query_id (no global sort) and join on the cell
+    key."""
+    from geogeometry_spark.operators.knn import knn_bulk, knn_window
+
+    qs_rows = [
+        ("q0", 52.516279, 13.377157),
+        ("q1", 52.503663, 13.410717),
+    ]
+    qs = spark.createDataFrame(qs_rows, "query_id string, qlat double, qlon double")
+    bulk = knn_bulk(coords_df, qs, k=5, precision=5, ring=3)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["dist_m"], 6))
+        for r in bulk.collect()
+        if r["guaranteed"]
+    }
+    assert got, "expected at least some guaranteed rows at ring=3"
+    exact = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["dist_m"], 6))
+        for r in knn_window(coords_df, qs_rows, k=5).collect()
+    }
+    for key, val in got.items():
+        assert exact[key] == val, key
+    plan = _executed_plan(bulk)
+    assert "hashpartitioning(query_id" in plan, plan
