@@ -569,6 +569,21 @@ def q_pip_join(spark, sf_dir):
     return pip_join(df, max_length=6).select("doc_id", "polygon_id")
 
 
+def q_pip_join_big(spark, sf_dir):
+    """PIP join where the polygons are a RELATION, not a broadcast dict
+    (operators.pip_join.pip_join_distributed): distributed covering via
+    mapInPandas, shuffle equi-join on the cell key, border re-check
+    joining each row's own rings — the 10^5+-polygon path.  Same answer
+    as pip_join on the fixture set, so it shares the pip oracle."""
+    from .operators.pip_join import pip_join_distributed, polygons_as_df
+
+    df = _with_cell(_docs_coords(spark, sf_dir))
+    polys = polygons_as_df(spark)
+    return pip_join_distributed(df, polys, cell_length=6).select(
+        "doc_id", "polygon_id"
+    )
+
+
 def _pip_oracle() -> str:
     selects = [
         f"SELECT doc_id, '{pid}' AS polygon_id FROM {_COORD_SUBQ} "
@@ -1556,6 +1571,7 @@ QUERIES = {
     "prefix_scan": q_prefix_scan,
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
+    "pip_join_big": q_pip_join_big,
     "pip_semi": q_pip_semi,
     "pip_anti": q_pip_anti,
     "events_tile_hourly": q_events_tile_hourly,
@@ -1612,6 +1628,7 @@ def build_oracles() -> dict[str, str]:
         "prefix_scan": O_PREFIX,
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),
+        "pip_join_big": _pip_oracle(),
         "pip_semi": O_PIP_SEMI,
         "pip_anti": O_PIP_ANTI,
         "events_tile_hourly": _events_oracle(),

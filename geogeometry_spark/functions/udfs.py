@@ -345,6 +345,36 @@ def make_segment_intersects_udf(ring: np.ndarray):
     return seg_intersects
 
 
+def make_pip_rings_udf():
+    """pandas UDF ``(polygon_id, rings: array<array<array<double>>>,
+    lat, lon) -> bool`` — hole-aware exact containment where the
+    polygon rings ride IN THE ROW (the distributed-polygon-relation
+    path, no closure dict).  Rows are grouped by polygon_id inside the
+    Arrow batch so each polygon's rings convert to numpy once per
+    batch; only the border fraction of rows ever reaches this UDF."""
+
+    @F.pandas_udf(T.BooleanType())
+    def pip_rings(
+        polygon_id: pd.Series, rings: pd.Series, lat: pd.Series, lon: pd.Series
+    ) -> pd.Series:
+        out = np.zeros(len(lat), dtype=bool)
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        vals = rings.to_numpy()
+        for _pid, idx in polygon_id.groupby(polygon_id).groups.items():
+            ii = np.asarray(idx)
+            rr = [
+                np.stack([np.asarray(p, dtype=np.float64) for p in r])
+                for r in vals[ii[0]]
+            ]
+            out[ii] = kgeo.polygon_with_holes_contains(
+                la[ii], lo[ii], rr[0], rr[1:]
+            )
+        return pd.Series(out)
+
+    return pip_rings
+
+
 def make_intersects_udf(fixed: dict | None = None):
     """Geometry-pair intersects as a pandas UDF over GeoJSON strings.
 

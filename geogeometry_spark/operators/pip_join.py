@@ -24,6 +24,7 @@ few-thousand-row) cell relation, and never shuffled.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -156,6 +157,116 @@ def pip_join(
     )
     keep = matched if how == "left_semi" else ~matched
     return joined.where(keep).select(*points.columns)
+
+
+POLYGONS_SCHEMA = (
+    "polygon_id string, rings array<array<array<double>>>"
+)
+
+
+def polygons_as_df(spark, polygons: dict[str, list] | None = None):
+    """Fixture/dict polygons -> the (polygon_id, rings) relation shape
+    ``pip_join_distributed`` consumes (rings = [[[lon, lat], ...], ...],
+    outer ring first)."""
+    polys = polygons_np(polygons)
+    rows = [
+        (pid, [[[float(p[0]), float(p[1])] for p in np.asarray(r)] for r in rings])
+        for pid, rings in polys.items()
+    ]
+    return spark.createDataFrame(rows, POLYGONS_SCHEMA)
+
+
+def cover_polygons_df(
+    polygons: DataFrame, cell_length: int = 6
+) -> DataFrame:
+    """DISTRIBUTED covering: one worker task covers each polygon
+    (mapInPandas over the polygon relation — the covering kernel is
+    driver-side in :func:`pip_join`, which caps the polygon count;
+    here 10^5+ polygons cover in parallel).  Output is the same
+    (polygon_id, cell_key, is_border) relation, normalized to ONE fixed
+    ``cell_length`` so the probe side needs a single cheap prefix."""
+    import pandas as pd
+
+    def cover_iter(pdfs):
+        for pdf in pdfs:
+            out: list[tuple[str, int, bool]] = []
+            for pid, rings in zip(pdf["polygon_id"], pdf["rings"]):
+                # Arrow hands nested lists as object arrays of arrays —
+                # stack each ring's points explicitly
+                rings_np = [
+                    np.stack([np.asarray(p, dtype=np.float64) for p in r])
+                    for r in rings
+                ]
+                full, border = covering.cover_with_borders(
+                    rings_np, max_length=cell_length
+                )
+                for cell_set, is_border in ((full, False), (border, True)):
+                    for c in cell_set:
+                        out.extend(
+                            (pid, string_cell_to_long(e), is_border)
+                            for e in _expand(c, cell_length)
+                        )
+            yield pd.DataFrame(out, columns=["polygon_id", "cell_key", "is_border"])
+
+    return polygons.mapInPandas(
+        cover_iter, "polygon_id string, cell_key long, is_border boolean"
+    )
+
+
+def pip_join_distributed(
+    points: DataFrame,
+    polygons: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_id_col: str = "cell_id",
+    cell_length: int = 6,
+    broadcast_polygons: bool | None = None,
+) -> DataFrame:
+    """PIP join against a polygon RELATION (DataFrame) — the large-
+    polygon-set path.  :func:`pip_join` closure-captures a driver-side
+    polygon dict and broadcasts its cell cover, which is right for
+    10^2-10^4 polygons; beyond that the cover no longer broadcasts and
+    the dict no longer pickles cheaply, so everything here stays
+    distributed:
+
+    1. cover each polygon in parallel (:func:`cover_polygons_df`);
+    2. equi-join points on the cell prefix — both sides hash-partition
+       on the cell key (bucket the points table by the prefix to delete
+       its shuffle); AQE skew-join splits hot cells;
+    3. interior-cell rows pass by the covering guarantee; border rows
+       join their polygon's rings and run the exact hole-aware ray-cast
+       in one Arrow batch per partition (rings deserialized once per
+       distinct polygon per batch).
+
+    ``broadcast_polygons``: hint the border-stage rings join (default:
+    let AQE/statistics decide)."""
+    from ..functions.udfs import make_pip_rings_udf
+
+    cells = cover_polygons_df(polygons, cell_length=cell_length)
+    key = cell_prefix(F.col(cell_id_col), cell_length)
+    matched = points.join(cells, key == F.col("cell_key"), "inner").drop(
+        "cell_key"
+    )
+    interior = matched.where(~F.col("is_border")).drop("is_border")
+    rings_rel = polygons
+    if broadcast_polygons:
+        rings_rel = F.broadcast(rings_rel)
+    pip = make_pip_rings_udf()
+    border = (
+        matched.where(F.col("is_border"))
+        .drop("is_border")
+        .join(rings_rel, "polygon_id")
+        .where(
+            pip(
+                F.col("polygon_id"),
+                F.col("rings"),
+                F.col(lat_col),
+                F.col(lon_col),
+            )
+        )
+        .drop("rings")
+    )
+    return interior.unionByName(border)
 
 
 def radius_join(

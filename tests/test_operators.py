@@ -433,3 +433,25 @@ def test_knn_bulk_guaranteed_matches_exact(spark, coords_df):
         assert exact[key] == val, key
     plan = _executed_plan(bulk)
     assert "hashpartitioning(query_id" in plan, plan
+
+
+def test_pip_join_distributed_matches_broadcast(spark, coords_df):
+    """The polygon-relation PIP join must agree exactly with the
+    broadcast-dict pip_join on the fixture set."""
+    from geogeometry_spark.operators.pip_join import (
+        pip_join_distributed,
+        polygons_as_df,
+    )
+
+    broadcast = {
+        (r["doc_id"], r["polygon_id"])
+        for r in pip_join(coords_df).select("doc_id", "polygon_id").collect()
+    }
+    polys = polygons_as_df(spark)
+    distributed = {
+        (r["doc_id"], r["polygon_id"])
+        for r in pip_join_distributed(coords_df, polys)
+        .select("doc_id", "polygon_id")
+        .collect()
+    }
+    assert distributed == broadcast
