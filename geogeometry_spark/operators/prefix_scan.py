@@ -53,6 +53,35 @@ def prefix_filter_many(
     return df.where(pred) if pred is not None else df
 
 
+def write_cell_bucketed(
+    df: DataFrame,
+    table_name: str,
+    cell_length: int = 6,
+    n_buckets: int = 32,
+    cell_id_col: str = "cell_id",
+) -> None:
+    """Persist the points bucketed (and sorted) by the precision-p cell
+    key — the co-located-join layout: every spatial equi-join on the
+    cell key (PIP cover join, radius cover join, knn_bulk ring join)
+    then reads pre-hashed buckets and Spark drops the points-side
+    Exchange entirely (asserted in tests).  At 100 TB this converts the
+    biggest shuffle of every query into a one-time write cost.
+
+    Parquet bucketed tables require saveAsTable (bucket metadata lives
+    in the catalog; on Iceberg use ``bucket(n, cell_key)`` hidden
+    partitioning for the same effect)."""
+    from ..functions.columns import cell_prefix
+
+    (
+        df.withColumn("cell_key", cell_prefix(F.col(cell_id_col), cell_length))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "cell_key")
+        .sortBy("cell_key")
+        .saveAsTable(table_name)
+    )
+
+
 def write_cell_sorted(
     df: DataFrame, path: str, cell_col: str = "cell12", prefix_len: int = 3
 ) -> None:

@@ -455,3 +455,39 @@ def test_pip_join_distributed_matches_broadcast(spark, coords_df):
         .collect()
     }
     assert distributed == broadcast
+
+
+def test_bucketed_points_join_has_no_points_side_exchange(spark, coords_df, tmp_path):
+    """Bucketing the points by the cell key deletes their shuffle in
+    cell-key equi-joins (the co-located-join layout for every spatial
+    join at scale): the bucketed plan carries exactly one less Exchange
+    than the identical join over plain parquet."""
+    from geogeometry_spark.operators.prefix_scan import write_cell_bucketed
+    from geogeometry_spark.functions.columns import cell_prefix
+
+    # (warehouse dir is a static conf — the table lands in the session
+    # default spark-warehouse and is dropped below)
+    name = "pts_bucketed_test"
+    write_cell_bucketed(coords_df, name, cell_length=5, n_buckets=8)
+    plain_path = str(tmp_path / "pts_plain")
+    coords_df.withColumn(
+        "cell_key", cell_prefix(F.col("cell_id"), 5)
+    ).write.mode("overwrite").parquet(plain_path)
+    keys = spark.createDataFrame(
+        [(k,) for k in range(1 << 20)], "cell_key long"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        bucketed_plan = _executed_plan(spark.table(name).join(keys, "cell_key"))
+        plain_plan = _executed_plan(
+            spark.read.parquet(plain_path).join(keys, "cell_key")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    assert "SelectedBucketsCount" in bucketed_plan
+    nb = bucketed_plan.count("Exchange")
+    np_ = plain_plan.count("Exchange")
+    assert nb == np_ - 1, (bucketed_plan, plain_plan)
