@@ -1402,13 +1402,67 @@ O_ANN_BRUTE = (
 
 
 def q_ann_lsh(spark, sf_dir):
-    # LSH-bucketed ANN: recall checked against brute force in pytest;
-    # rows-only for the driver (bucket membership isn't SQL-portable
-    # since the hyperplanes are plan-side constants).
+    """LSH-bucketed ANN top-10 — now hash-checked: the hyperplanes are
+    deterministic constants (similarity.lsh_planes), so the oracle
+    recomputes every bucket in SQL and expresses the multi-probe set as
+    bit_count(xor(bucket, query_bucket)) <= probe_hamming."""
     emb = src.load_table(spark, sf_dir, "embeddings")
     out = similarity.ann_topk(emb, _query_vec(spark, sf_dir), k=10)
     return out.select(
         "rank", "vec_id", F.round(F.col("cos_sim"), 9).alias("cos_r9")
+    )
+
+
+_COS_64 = (
+    "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+)
+
+
+def _ann_lsh_oracle() -> str:
+    planes = similarity.lsh_planes(8, 64, 42)
+    bucket = similarity.hyperplane_bucket_sql("embedding", planes)
+    qbucket = similarity.hyperplane_bucket_sql("qe", planes)
+    cos = _COS_64.format(a="c.embedding", b="q.qe")
+    return (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        f"b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings), "
+        f"qb AS (SELECT {qbucket} AS qbucket FROM q), "
+        "cand AS (SELECT b.vec_id, b.embedding FROM b, qb "
+        "WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 2), "
+        f"scored AS (SELECT c.vec_id, {cos} AS cos_sim FROM cand c, q) "
+        "SELECT rank, vec_id, round(cos_sim, 9) AS cos_r9 FROM ("
+        "SELECT vec_id, cos_sim, CAST(ROW_NUMBER() OVER ("
+        "ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank FROM scored) "
+        "WHERE rank <= 10"
+    )
+
+
+def q_embed_near_dups(spark, sf_dir):
+    """Embedding near-dup pairs at threshold via LSH bucket self-join +
+    exact cosine verify (similarity.embedding_near_dup_pairs — the
+    scale path of the brute-force embed_pairs_topk; no O(n^2) stage).
+    Sandbox embeddings are random, so a low threshold keeps the checked
+    result non-trivial."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup_pairs(emb, threshold=0.3)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("cos_sim"), 9).alias("cos_r9")
+    )
+
+
+def _embed_near_dups_oracle() -> str:
+    planes = similarity.lsh_planes(8, 64, 42)
+    bucket = similarity.hyperplane_bucket_sql("embedding", planes)
+    cos = _COS_64.format(a="a.embedding", b="c.embedding")
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket "
+        "FROM embeddings) "
+        f"SELECT id_a, id_b, round(cos_sim, 9) AS cos_r9 FROM ("
+        f"SELECT a.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cos_sim "
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) "
+        "WHERE cos_sim >= 0.3"
     )
 
 
@@ -1606,6 +1660,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
+    "embed_near_dups": q_embed_near_dups,
     "ann_ivf": q_ann_ivf,
     "minhash_candidates": q_minhash_candidates,
     "simhash": q_simhash,
@@ -1655,6 +1710,8 @@ def build_oracles() -> dict[str, str]:
         "lang_id": _lang_oracle(),
         "fingerprint": O_FINGERPRINT,
         "ann_brute": O_ANN_BRUTE,
+        "ann_lsh": _ann_lsh_oracle(),
+        "embed_near_dups": _embed_near_dups_oracle(),
         "media_features": O_MEDIA,
         "frame_sample": O_FRAME_SAMPLE,
         # rows-only (legitimately non-SQL): cover_cells / convex_hull /

@@ -88,8 +88,7 @@ def hyperplane_buckets(
     a long).  Vectors in the same bucket are cosine-close with high
     probability; the planes are seeded numpy constants baked into the
     plan as array literals — no UDF."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = lsh_planes(n_planes, dim, seed)
     bucket = F.lit(0).cast("long")
     v = _as_double(F.col(vec_col))
     for i in range(n_planes):
@@ -119,8 +118,7 @@ def ann_topk(
     fraction small at your corpus size; recall/qps trade-off verified
     against brute force in tests."""
     dim = len(query_vec)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = lsh_planes(n_planes, dim, seed)
     qb = 0
     qv = np.asarray(query_vec, dtype=np.float64)
     for i in range(n_planes):
@@ -143,6 +141,70 @@ def ann_topk(
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
     return ranked_topk(scored, k, "cos_sim", id_col).select(
         "rank", id_col, "cos_sim"
+    )
+
+
+def lsh_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """The deterministic hyperplane constants (shared by the Column
+    builder, the DuckDB oracle, and driver-side probe computation)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_bucket_sql(vec: str, planes: np.ndarray) -> str:
+    """DuckDB twin of :func:`hyperplane_buckets`'s bucket expression —
+    the planes are plan-side constants, so the sign-bit bucket is plain
+    SQL over the embedding list (same left-fold dot product the
+    ann_brute oracle already proves matches Spark's F.aggregate)."""
+    dim = planes.shape[1]
+    terms = []
+    for i, p in enumerate(planes):
+        lst = ", ".join(repr(float(x)) for x in p)
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"j -> CAST(({vec})[j] AS DOUBLE) * ([{lst}]::DOUBLE[])[j]))"
+        )
+        terms.append(
+            f"(CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at corpus scale: bucket
+    self-join on the hyperplane signature (candidates only — near-dup
+    vectors land in the same bucket with high probability; recall is
+    pytest-gated against the brute-force pair scan), exact cosine
+    verify >= threshold.  The join key is the bucket long, so the
+    shuffle carries one long per row and there is no O(n^2) stage —
+    the scale path of the brute-force ``embed_pairs_topk``."""
+    b = hyperplane_buckets(
+        embeddings, n_planes=n_planes, dim=dim, seed=seed, vec_col=vec_col
+    ).select(F.col(id_col), F.col(vec_col), F.col("bucket"))
+    a = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("ea"),
+        F.col("bucket"),
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("eb"),
+        F.col("bucket"),
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(c, ["bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
     )
 
 

@@ -491,3 +491,31 @@ def test_bucketed_points_join_has_no_points_side_exchange(spark, coords_df, tmp_
     nb = bucketed_plan.count("Exchange")
     np_ = plain_plan.count("Exchange")
     assert nb == np_ - 1, (bucketed_plan, plain_plan)
+
+
+def test_embedding_near_dup_pairs_recall(spark):
+    """LSH bucket self-join must recover planted near-duplicate pairs
+    (tiny perturbations of the same base vector) that brute force finds."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(40):
+        v = rng.randn(64)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.randn(64) * 0.05]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    # 8-plane buckets split a few twins across a boundary; most survive
+    assert len(got & planted) >= 30
+    # and nothing that isn't a true >=0.95 pair gets through (exact verify)
+    a = emb.toPandas()
+    import numpy as _np
+
+    vecs = {r.vec_id: _np.asarray(r.embedding, dtype=float) for r in a.itertuples()}
+    for ia, ib in got:
+        va, vb = vecs[ia], vecs[ib]
+        cos = va @ vb / (_np.linalg.norm(va) * _np.linalg.norm(vb))
+        assert cos >= 0.95 - 1e-9
