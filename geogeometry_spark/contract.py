@@ -1073,29 +1073,26 @@ def q_intersects(spark, sf_dir):
     (geojson-intersect.kt:5-171): each doc's ~400m eastward segment as a
     GeoJSON LineString against the Berlin big ring — bbox prefilter,
     antimeridian-normalized linesCross per edge, hole-aware containment
-    of the segment start.  Oracle unrolls the same math in SQL (the bbox
+    of the segment start.  Runs the VECTORIZED uniform-type kernel
+    (line_intersects_polygon; parity with the per-row JSON dispatch is
+    pytest-pinned).  Oracle unrolls the same math in SQL (the bbox
     prefilter is a pure shortcut — crossing or containment implies bbox
-    overlap — so the oracle skips it)."""
-    from .functions.udfs import make_intersects_udf
+    overlap — so both kernel and oracle skip it)."""
+    from .functions.udfs import make_line_poly_intersects_udf
     from .operators import transform as tr
 
     df = _docs_coords(spark, sf_dir)
     lat2, lon2 = tr.translate_cols(
         F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(400.0)
     )
-    gj = F.to_json(
-        F.struct(
-            F.lit("LineString").alias("type"),
-            F.array(
-                F.array(F.col("lon"), F.col("lat")),
-                F.array(lon2, lat2),
-            ).alias("coordinates"),
-        )
-    )
-    udf = make_intersects_udf(_berlin_geom())
-    return df.select("doc_id", udf(gj).alias("intersects")).where(
-        F.col("intersects")
-    )
+    df = df.withColumns({"lat2": lat2, "lon2": lon2})
+    udf = make_line_poly_intersects_udf(_berlin_geom()["coordinates"])
+    return df.select(
+        "doc_id",
+        udf(
+            F.col("lat"), F.col("lon"), F.col("lat2"), F.col("lon2")
+        ).alias("intersects"),
+    ).where(F.col("intersects"))
 
 
 def _intersects_oracle() -> str:

@@ -345,6 +345,31 @@ def make_segment_intersects_udf(ring: np.ndarray):
     return seg_intersects
 
 
+def make_line_poly_intersects_udf(rings):
+    """Vectorized (lat1, lon1, lat2, lon2) -> bool: segment intersects
+    the closure-captured polygon under the FULL dispatch semantics
+    (kernels.geometry.line_intersects_polygon — AM-aware crossings +
+    hole-aware start containment).  The uniform-type hot path of
+    make_intersects_udf."""
+    rr = [np.asarray(r, dtype=np.float64) for r in rings]
+
+    @F.pandas_udf(T.BooleanType())
+    def line_poly(
+        lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            kgeo.line_intersects_polygon(
+                lat1.to_numpy(np.float64),
+                lon1.to_numpy(np.float64),
+                lat2.to_numpy(np.float64),
+                lon2.to_numpy(np.float64),
+                rr,
+            )
+        )
+
+    return line_poly
+
+
 def make_pip_rings_udf():
     """pandas UDF ``(polygon_id, rings: array<array<array<double>>>,
     lat, lon) -> bool`` — hole-aware exact containment where the

@@ -520,6 +520,51 @@ def segment_intersects_ring(lat1, lon1, lat2, lon2, ring: np.ndarray):
     return hit
 
 
+def _normalize_lon_vec(ref, lon):
+    """normalizedLongitude (geojson-intersect.kt:146-157) vectorized —
+    one adjustment suffices for inputs within one wrap of ±180."""
+    ref = np.asarray(ref, dtype=np.float64)
+    lon = np.broadcast_to(np.asarray(lon, dtype=np.float64), ref.shape).copy()
+    d = lon - ref
+    lon = np.where(d > 180.0, lon - 360.0, lon)
+    lon = np.where(d < -180.0, lon + 360.0, lon)
+    return lon
+
+
+def line_intersects_polygon(lat1, lon1, lat2, lon2, rings: list[np.ndarray]):
+    """Vectorized Geometry.intersects(LineString[p1,p2], Polygon) with
+    the FULL dispatch semantics (geojson-intersect.kt:5-19 + 55-71):
+    any antimeridian-normalized crossing of an outer-ring edge OR
+    hole-aware containment of the segment start.  The reference's bbox
+    prefilter is a pure shortcut (a crossing or containment implies
+    bbox overlap), so skipping it preserves every verdict — parity with
+    kernels.intersect.intersects is pytest-pinned.  This is the
+    uniform-type hot path; the per-row JSON dispatch
+    (functions.udfs.make_intersects_udf) remains the generality path."""
+    lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
+    lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
+    lat2 = np.atleast_1d(np.asarray(lat2, dtype=np.float64))
+    lon2 = np.atleast_1d(np.asarray(lon2, dtype=np.float64))
+    outer = np.asarray(rings[0], dtype=np.float64)
+    holes = [np.asarray(h, dtype=np.float64) for h in rings[1:]]
+    # hole-aware contains of the segment start (geojson.kt:186-191)
+    hit = polygon_with_holes_contains(lat1, lon1, outer, holes)
+    # antimeridian-normalized crossing per outer edge (zipWithNext —
+    # closed GeoJSON rings supply the closing edge themselves)
+    nlon2 = _normalize_lon_vec(lon1, lon2)
+    for i in range(outer.shape[0] - 1):
+        todo = ~hit
+        if not todo.any():
+            break
+        u1 = _normalize_lon_vec(lon1[todo], outer[i, 0])
+        u2 = _normalize_lon_vec(lon1[todo], outer[i + 1, 0])
+        hit[todo] = lines_cross_vec(
+            lon1[todo], lat1[todo], nlon2[todo], lat2[todo],
+            u1, outer[i, 1], u2, outer[i + 1, 1],
+        )
+    return hit
+
+
 def random_points_in_polygon(rings: list, n: int, seed: int = 42) -> np.ndarray:
     """Seeded, hole-aware rejection sampler over a polygon's bbox —
     the engine's deterministic take on Geometry.randomPoints

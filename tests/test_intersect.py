@@ -271,3 +271,29 @@ def test_intersects_udf_matrix(spark):
         for r in df2.select("i", fixed_udf(F.col("ga")).alias("x")).collect()
     }
     assert got2 == {0: True, 1: False, 2: False}
+
+
+def test_vectorized_line_polygon_matches_dispatch():
+    """kernels.geometry.line_intersects_polygon (the uniform-type hot
+    path) must agree with the full kx.intersects dispatch on random and
+    antimeridian segments."""
+    rng = np.random.RandomState(3)
+    poly = Poly([
+        [13.376599, 52.509515], [13.377157, 52.516279],
+        [13.381921, 52.531188], [13.412949, 52.532755],
+        [13.410717, 52.503663], [13.376599, 52.509515],
+    ])
+    rings = [np.asarray(r) for r in poly["coordinates"]]
+    lat1 = np.concatenate([
+        52.49 + rng.rand(300) * 0.06, np.array([0.5, 0.5, 52.51])
+    ])
+    lon1 = np.concatenate([
+        13.36 + rng.rand(300) * 0.07, np.array([179.9, -179.95, 13.39])
+    ])
+    lat2 = lat1 + (rng.rand(303) - 0.5) * 0.02
+    lon2 = lon1 + (rng.rand(303) - 0.5) * 0.04
+    got = kgeo.line_intersects_polygon(lat1, lon1, lat2, lon2, rings)
+    for i in range(len(lat1)):
+        line = Line([lon1[i], lat1[i]], [lon2[i], lat2[i]])
+        expect = kx.intersects(line, poly)
+        assert bool(got[i]) == expect, (i, lat1[i], lon1[i])
