@@ -1534,15 +1534,80 @@ SELECT rank, id_a, id_b, round(cos_sim, 9) AS cos_r9 FROM (
 
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN: seeded k-means coarse quantizer + exact cosine inside
-    nprobe lists (the second scale path besides hyperplane LSH;
-    recall pytest-gated, rows-only for the driver since the centroids
-    are plan-side constants)."""
+    nprobe lists (the second scale path besides hyperplane LSH).  The
+    contract query trains on the md5-ordered sample so the oracle
+    builder can re-derive the identical sample (and therefore identical
+    centroids/probes) without Spark; production default stays xxhash64
+    ordering."""
     emb = src.load_table(spark, sf_dir, "embeddings")
     out = similarity.ivf_topk(
-        emb, _query_vec(spark, sf_dir), k=10, n_clusters=16, nprobe=6
+        emb,
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_clusters=16,
+        nprobe=6,
+        sample_hash="md5_60",
     )
     return out.select(
         "rank", "vec_id", F.round(F.col("cos_sim"), 9).alias("cos_r9")
+    )
+
+
+def _ann_ivf_oracle() -> str | None:
+    """Re-derives the training sample (md5-ordered, identical to the
+    Spark query's), runs the same driver-side k-means, and bakes the
+    centroids into SQL: per-row list assignment = argmax of normalized
+    dot over the 16 centroid constants, candidate filter on the probed
+    lists, cosine top-10.  Returns None (rows-only fallback) when the
+    sf0.01 embeddings parquet isn't where the sandbox puts it."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    sample = con.execute(
+        f"SELECT embedding FROM '{path}' ORDER BY "
+        "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT "
+        "LIMIT 4096"
+    ).fetchall()
+    qrow = con.execute(
+        f"SELECT embedding FROM '{path}' WHERE vec_id = 0"
+    ).fetchone()
+    con.close()
+    vecs = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    cent = similarity._kmeans(vecs, min(16, len(vecs)), 42)
+    probes = similarity.ivf_probes(cent, [float(x) for x in qrow[0]], 6)
+
+    def dot_norm(c: np.ndarray) -> str:
+        lst = ", ".join(repr(float(x)) for x in c)
+        return (
+            "list_sum(list_transform(range(1, 65), "
+            f"j -> (CAST(embedding[j] AS DOUBLE) / nrm) * ([{lst}]::DOUBLE[])[j]))"
+        )
+
+    dl = ", ".join(dot_norm(c) for c in cent)
+    probe_list = ", ".join(str(p) for p in probes)
+    cos = _COS_64.format(a="c.embedding", b="q.qe")
+    return (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "n AS (SELECT vec_id, embedding, sqrt(list_sum(list_transform("
+        "range(1, 65), j -> CAST(embedding[j] AS DOUBLE) "
+        "* CAST(embedding[j] AS DOUBLE)))) AS nrm FROM embeddings), "
+        f"dls AS (SELECT vec_id, embedding, [{dl}] AS dl FROM n), "
+        "assigned AS (SELECT vec_id, embedding, "
+        "(list_position(dl, list_max(dl)) - 1) AS ivf_list FROM dls), "
+        f"cand AS (SELECT vec_id, embedding FROM assigned "
+        f"WHERE ivf_list IN ({probe_list})), "
+        f"scored AS (SELECT c.vec_id, {cos} AS cos_sim FROM cand c, q) "
+        "SELECT rank, vec_id, round(cos_sim, 9) AS cos_r9 FROM ("
+        "SELECT vec_id, cos_sim, CAST(ROW_NUMBER() OVER ("
+        "ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank FROM scored) "
+        "WHERE rank <= 10"
     )
 
 
@@ -1667,6 +1732,14 @@ QUERIES = {
 
 
 def build_oracles() -> dict[str, str]:
+    oracles = _static_oracles()
+    ivf = _ann_ivf_oracle()
+    if ivf is not None:
+        oracles["ann_ivf"] = ivf
+    return oracles
+
+
+def _static_oracles() -> dict[str, str]:
     return {
         "extract_coords": O_EXTRACT,
         "geohash_encode": O_GEOHASH,

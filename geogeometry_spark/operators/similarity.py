@@ -288,6 +288,19 @@ def ivf_probe_partitioned(
     )
 
 
+def _sample_order_col(id_col: str, seed: int, sample_hash: str) -> Column:
+    if sample_hash == "xxhash64":
+        return F.xxhash64(F.col(id_col), F.lit(seed))
+    if sample_hash == "md5_60":
+        # reproducible outside Spark (hashlib / DuckDB md5) — used by
+        # the oracle-checked contract query so the k-means training set
+        # can be re-derived when building the SQL twin
+        return F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown sample_hash={sample_hash!r}")
+
+
 def train_centroids(
     embeddings: DataFrame,
     n_clusters: int = 16,
@@ -295,18 +308,26 @@ def train_centroids(
     train_sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_hash: str = "xxhash64",
 ) -> np.ndarray:
     """Deterministic hash-ordered sample -> driver-side k-means (see
     ivf_topk for the sampling rationale)."""
     sample = (
         embeddings.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy(_sample_order_col(id_col, seed, sample_hash))
         .limit(train_sample)
         .select(vec_col)
         .collect()
     )
     vecs = np.array([list(r[0]) for r in sample], dtype=np.float64)
     return _kmeans(vecs, min(n_clusters, len(vecs)), seed)
+
+
+def ivf_probes(centroids: np.ndarray, query_vec: list[float], nprobe: int) -> list[int]:
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    return [int(p) for p in np.argsort(-(cent @ qn))[:nprobe]]
 
 
 def ivf_topk(
@@ -319,6 +340,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     train_sample: int = 4096,
+    sample_hash: str = "xxhash64",
 ) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (trained driver-side on a
     seeded sample), exact cosine re-rank inside the nprobe nearest
@@ -333,14 +355,12 @@ def ivf_topk(
     # unlike a bare limit() which takes whichever partitions answer
     # first (skewed on sorted/partitioned production tables).
     cent = train_centroids(
-        embeddings, n_clusters, seed, train_sample, id_col, vec_col
+        embeddings, n_clusters, seed, train_sample, id_col, vec_col, sample_hash
     )
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    probes = np.argsort(-(cent @ qn))[:nprobe].tolist()
+    probes = ivf_probes(cent, query_vec, nprobe)
 
     assigned = ivf_assign(embeddings, cent, vec_col=vec_col)
-    cand = assigned.where(F.col("ivf_list").isin(*[int(p) for p in probes]))
+    cand = assigned.where(F.col("ivf_list").isin(*probes))
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = cand.select(
         F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim")
