@@ -1198,6 +1198,38 @@ O_GEOJSON = (
 )
 
 
+def q_geojson_io_url(spark, sf_dir):
+    """Per-doc geojson.io URL (json-helpers.kt:6-33): Point GeoJSON ->
+    'https://geojson.io/#data=' + RFC3986('data:application/json,'+json).
+    Oracle encodes the same alphabet with a replace chain (the JSON
+    payload only ever contains : / , { } " [ ] and unreserved chars)."""
+    from .operators.geojson import geojson_io_url_col, point_geojson
+
+    df = _docs_coords(spark, sf_dir)
+    gj = point_geojson(F.col("lat"), F.col("lon"))
+    return df.select(
+        "doc_id", geojson_io_url_col(gj).alias("url")
+    )
+
+
+def _geojson_io_url_oracle() -> str:
+    gj = (
+        "'{\"type\":\"Point\",\"coordinates\":['"
+        " || CAST(lon AS VARCHAR) || ',' || CAST(lat AS VARCHAR) || ']}'"
+    )
+    enc = f"('data:application/json,' || {gj})"
+    for ch, code in (
+        (":", "%3A"), ("/", "%2F"), (",", "%2C"), ("{", "%7B"),
+        ("}", "%7D"), ('"', "%22"), ("[", "%5B"), ("]", "%5D"),
+        ("+", "%2B"),
+    ):
+        enc = f"replace({enc}, '{ch}', '{code}')"
+    return (
+        f"SELECT doc_id, 'https://geojson.io/#data=' || {enc} AS url "
+        f"FROM {_COORD_SUBQ}"
+    )
+
+
 def q_bbox_area(spark, sf_dir):
     """Bbox area via two haversines (GeoGeometry.kt:1266-1273), per
     cell3 bbox from the min/max aggregation — native end to end."""
@@ -1712,6 +1744,7 @@ QUERIES = {
     "intersects": q_intersects,
     "poly_intersects": q_poly_intersects,
     "geojson_roundtrip": q_geojson_roundtrip,
+    "geojson_io_url": q_geojson_io_url,
     "bbox_area": q_bbox_area,
     "hull_area": q_hull_area,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1772,6 +1805,7 @@ def _static_oracles() -> dict[str, str]:
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_head": O_DEDUP_HEAD,
         "geojson_roundtrip": O_GEOJSON,
+        "geojson_io_url": _geojson_io_url_oracle(),
         "bbox_area": _bbox_area_oracle(),
         "ngram_jaccard": O_NGRAM_JACCARD,
         "embed_pairs_topk": O_EMBED_PAIRS,

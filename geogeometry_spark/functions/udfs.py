@@ -345,6 +345,15 @@ def make_segment_intersects_udf(ring: np.ndarray):
     return seg_intersects
 
 
+@F.pandas_udf(T.StringType())
+def geojson_io_url_udf(js: pd.Series) -> pd.Series:
+    """geojson.io URL (json-helpers.kt:6-33): RFC 3986 byte-loop
+    percent-encode of 'data:application/json,' + the GeoJSON string."""
+    from ..kernels.intersect import geojson_io_url
+
+    return js.map(geojson_io_url)
+
+
 def make_line_poly_intersects_udf(rings):
     """Vectorized (lat1, lon1, lat2, lon2) -> bool: segment intersects
     the closure-captured polygon under the FULL dispatch semantics

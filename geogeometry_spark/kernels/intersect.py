@@ -357,6 +357,35 @@ def stringify(coords) -> str:
     return "[" + ", ".join(stringify(c) for c in coords) + "]"
 
 
+_URL_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX = "0123456789ABCDEF"
+
+
+def url_encode(s: str) -> str:
+    """RFC 3986 percent-encode over UTF-8 bytes, byte-for-byte the
+    reference's String.urlEncode (json-helpers.kt:17-33): unreserved
+    ASCII kept, everything else %XX uppercase-hex."""
+    out = []
+    for b in s.encode("utf-8"):
+        c = chr(b)
+        if c in _URL_UNRESERVED:
+            out.append(c)
+        else:
+            out.append("%" + _HEX[b >> 4] + _HEX[b & 0x0F])
+    return "".join(out)
+
+
+def geojson_io_url(feature_collection_json: str) -> str:
+    """geojson.io inspection URL for a FeatureCollection JSON string
+    (json-helpers.kt:6-12)."""
+    return (
+        "https://geojson.io/#data="
+        + url_encode("data:application/json," + feature_collection_json)
+    )
+
+
 def _kt_double(v: float) -> str:
     """Kotlin/Java Double.toString: integral doubles render as '1.0',
     others shortest-repr (matches python repr for float64)."""

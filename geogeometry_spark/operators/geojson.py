@@ -69,6 +69,15 @@ def parse_points(df: DataFrame, col: str, keep: list[str]) -> DataFrame:
     )
 
 
+def geojson_io_url_col(json_col):
+    """geojson.io URL per row (json-helpers.kt:6-33) as an Arrow UDF —
+    the reference's RFC 3986 byte-loop percent-encode, applied to
+    'data:application/json,' + the row's GeoJSON string."""
+    from ..functions.udfs import geojson_io_url_udf
+
+    return geojson_io_url_udf(json_col)
+
+
 def feature_collection(df: DataFrame, geometry_json_col: str,
                        props: list[str],
                        max_features: int | None = 100_000) -> DataFrame:

@@ -297,3 +297,22 @@ def test_vectorized_line_polygon_matches_dispatch():
         line = Line([lon1[i], lat1[i]], [lon2[i], lat2[i]])
         expect = kx.intersects(line, poly)
         assert bool(got[i]) == expect, (i, lat1[i], lon1[i])
+
+
+class TestUrlEncode:
+    # json-helpers.kt:17-33
+    def test_unreserved_kept(self):
+        assert kx.url_encode("Az09-._~") == "Az09-._~"
+
+    def test_reserved_escaped_uppercase_hex(self):
+        assert kx.url_encode(" ") == "%20"
+        assert kx.url_encode("{\"a\":[1,2]}") == "%7B%22a%22%3A%5B1%2C2%5D%7D"
+        assert kx.url_encode("a/b+c") == "a%2Fb%2Bc"
+
+    def test_utf8_multibyte(self):
+        assert kx.url_encode("é") == "%C3%A9"  # UTF-8 bytes each escaped
+
+    def test_geojson_io_url(self):
+        url = kx.geojson_io_url('{"type":"FeatureCollection","features":[]}')
+        assert url.startswith("https://geojson.io/#data=data%3Aapplication%2Fjson%2C")
+        assert "%7B%22type%22" in url
