@@ -119,3 +119,71 @@ def test_neighbors_share_edges(lat, lon):
     we, se, ee, ne = kgh.decode_bbox_scalar(nb["east"])
     if e < 180.0 - 1e-6:
         assert abs(we - e) < 1e-9
+
+
+@given(st.integers(0, (1 << 22) - 1), st.integers(0, (1 << 22) - 1),
+       st.integers(1, 22))
+def test_tile_neighbor_involution_and_range(x, y, zoom):
+    """Tile.kt:104-123 invariants: east/west are inverse (wrap), all
+    neighbors stay on the zoom grid, north/south clamp at the rows."""
+    from geogeometry_spark.kernels import tiles as kt
+
+    n = 1 << zoom
+    x, y = x % n, y % n
+    nb = kt.neighbors(x, y, zoom)
+    for (nx, ny, nz) in nb.values():
+        assert nz == zoom and 0 <= nx < n and 0 <= ny < n
+    ex, ey, _ = nb["east"]
+    assert kt.neighbors(ex, ey, zoom)["west"][:2] == (x, y)
+    wx, wy, _ = nb["west"]
+    assert kt.neighbors(wx, wy, zoom)["east"][:2] == (x, y)
+    # north/south invert except at the clamped rows
+    nx_, ny_, _ = nb["north"]
+    if y > 0:
+        assert kt.neighbors(nx_, ny_, zoom)["south"][:2] == (x, y)
+    else:
+        assert (nx_, ny_) == (x, 0)
+    sx, sy, _ = nb["south"]
+    if y < n - 1:
+        assert kt.neighbors(sx, sy, zoom)["north"][:2] == (x, y)
+    else:
+        assert (sx, sy) == (x, n - 1)
+
+
+@given(st.text(max_size=60))
+def test_url_encode_matches_stdlib_rfc3986(s):
+    """The reference byte-loop percent-encode (json-helpers.kt:17-33)
+    must agree with urllib.parse.quote(safe='-._~') — an independent
+    RFC 3986 implementation — on arbitrary unicode."""
+    import urllib.parse
+
+    from geogeometry_spark.kernels.intersect import url_encode
+
+    assert url_encode(s) == urllib.parse.quote(s, safe="-._~")
+
+
+@given(lats, lons, lats, lons)
+def test_on_line_segment_endpoints(lat1, lon1, lat2, lon2):
+    """Segment endpoints always lie on the segment (geojson.kt:202-213)."""
+    from geogeometry_spark.kernels.intersect import on_line_segment
+
+    a, b = [lon1, lat1], [lon2, lat2]
+    assert on_line_segment(a, a, b)
+    assert on_line_segment(b, a, b)
+
+
+@given(st.floats(-80.0, 80.0, allow_nan=False), st.floats(-170.0, 170.0, allow_nan=False),
+       st.floats(-80.0, 80.0, allow_nan=False), st.floats(-170.0, 170.0, allow_nan=False))
+def test_vincenty_close_to_haversine(lat1, lon1, lat2, lon2):
+    """Ellipsoidal and spherical distances agree within ~0.6% (the
+    WGS84 flattening bound) away from poles/antipodes."""
+    import numpy as np
+
+    from geogeometry_spark.kernels.geometry import haversine_scalar
+    from geogeometry_spark.kernels.vincenty import vincenty_distance
+
+    h = haversine_scalar(lat1, lon1, lat2, lon2)
+    if h < 1000.0 or h > 1.9e7:  # degenerate / near-antipodal
+        return
+    v = float(vincenty_distance(lat1, lon1, lat2, lon2)[0])
+    assert abs(v - h) / h < 0.0075
