@@ -183,9 +183,11 @@ def embedding_near_dup_pairs(
     self-join on the hyperplane signature (candidates only — near-dup
     vectors land in the same bucket with high probability; recall is
     pytest-gated against the brute-force pair scan), exact cosine
-    verify >= threshold.  The join key is the bucket long, so the
-    shuffle carries one long per row and there is no O(n^2) stage —
-    the scale path of the brute-force ``embed_pairs_topk``."""
+    verify >= threshold.  Each side shuffles once on the bucket long
+    (rows carry their vector — ~dim*4 bytes — so the verify join needs
+    no second fetch) and there is no O(n^2) stage — the scale path of
+    the brute-force ``embed_pairs_topk``.  Bucket sizes are ~n/2^planes
+    by construction; raise n_planes when buckets outgrow a task."""
     b = hyperplane_buckets(
         embeddings, n_planes=n_planes, dim=dim, seed=seed, vec_col=vec_col
     ).select(F.col(id_col), F.col(vec_col), F.col("bucket"))
