@@ -1591,7 +1591,12 @@ def _ann_ivf_oracle() -> str | None:
     centroids into SQL: per-row list assignment = argmax of normalized
     dot over the 16 centroid constants, candidate filter on the probed
     lists, cosine top-10.  Returns None (rows-only fallback) when the
-    sf0.01 embeddings parquet isn't where the sandbox puts it."""
+    sf0.01 embeddings parquet isn't where the sandbox puts it.
+
+    COUPLING: the baked constants are only valid for the table the SQL
+    will be run against — the driver contract pins the oracle gate to
+    sf=0.01, and SPARK_GRAFT_SF_DIR overrides the path for local runs
+    at other scales (tools/check_correctness.py sets it)."""
     import os
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -1818,10 +1823,6 @@ def _static_oracles() -> dict[str, str]:
         "embed_near_dups": _embed_near_dups_oracle(),
         "media_features": O_MEDIA,
         "frame_sample": O_FRAME_SAMPLE,
-        # rows-only (legitimately non-SQL): cover_cells / convex_hull /
-        # concave_hull / simplify / hull_area (iterative geometry
-        # algorithms), ann_lsh / ann_ivf (plan-side hyperplane/centroid
-        # constants)
         "simhash": dedup.simhash_oracle_sql(),
         "minhash_candidates": dedup.minhash_candidates_oracle_sql(),
         "intersects": _intersects_oracle(),
@@ -1829,6 +1830,8 @@ def _static_oracles() -> dict[str, str]:
         "vincenty": _vincenty_oracle(),
         "utm_roundtrip": _utm_roundtrip_oracle(),
         "mgrs": _mgrs_oracle(),
-        # no oracle (rows-only): ann_lsh (plan-side hyperplane
-        # constants), minhash_candidates (xxhash64 has no DuckDB twin)
+        # rows-only (set-mutating iterative geometry, no SQL twin):
+        # cover_cells, convex_hull, concave_hull, simplify, hull_area.
+        # ann_ivf's oracle is added dynamically in build_oracles()
+        # (centroids re-derived from the sf0.01 parquet).
     }

@@ -348,10 +348,11 @@ def make_segment_intersects_udf(ring: np.ndarray):
 @F.pandas_udf(T.StringType())
 def geojson_io_url_udf(js: pd.Series) -> pd.Series:
     """geojson.io URL (json-helpers.kt:6-33): RFC 3986 byte-loop
-    percent-encode of 'data:application/json,' + the GeoJSON string."""
+    percent-encode of 'data:application/json,' + the GeoJSON string.
+    NULL rows stay NULL (quarantine posture)."""
     from ..kernels.intersect import geojson_io_url
 
-    return js.map(geojson_io_url)
+    return js.map(geojson_io_url, na_action="ignore")
 
 
 def make_line_poly_intersects_udf(rings):

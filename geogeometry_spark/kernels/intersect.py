@@ -237,6 +237,15 @@ def _intersects_line(line, other: Geom) -> bool:
     geometry's type."""
     ot = other["type"]
     oc = other.get("coordinates")
+    if ot == "GeometryCollection":
+        # the reference re-evaluates this whole-line recursion inside
+        # its per-segment any{} (geojson-intersect.kt:79) — the member
+        # check is segment-independent, so hoisting is result-identical
+        # (both yield false for a segmentless line) and avoids
+        # O(segments^2) duplicated work
+        if len(line) < 2:
+            return False
+        return any(_intersects_line(line, g) for g in other["geometries"])
     for start, end in _segments(line):
         if ot == "Point":
             if oc is not None and on_line_segment(oc, start, end):

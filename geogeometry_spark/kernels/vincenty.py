@@ -68,7 +68,11 @@ def vincenty(lat1, lon1, lat2, lon2) -> tuple[np.ndarray, np.ndarray, np.ndarray
             sin_alpha = cos_u1 * cos_u2 * sl / ss
             csa = 1 - sin_alpha * sin_alpha
             c2sm = cs - 2 * sin_u1 * sin_u2 / csa
-        c2sm = np.where(np.isnan(c2sm), 0.0, c2sm)  # equatorial line
+        # equatorial line; NaN ONLY — the reference (vicenty.kt:110)
+        # leaves a ±inf c2sm (cosSqAlpha rounds to 0 while
+        # sinU1*sinU2 != 0, i.e. both points within float rounding of
+        # the equator) unguarded and returns NaN; kept bit-faithful
+        c2sm = np.where(np.isnan(c2sm), 0.0, c2sm)
         c = _F / 16 * csa * (4 + _F * (4 - 3 * csa))
         lam_new = lon_diff + (1 - c) * _F * sin_alpha * (
             sig + c * ss * (c2sm + c * cs * (-1 + 2 * c2sm * c2sm))

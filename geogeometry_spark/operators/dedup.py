@@ -249,7 +249,9 @@ def simhash(
         bits = min(bits, 60)
     else:
         raise ValueError(f"unknown token_hash={token_hash!r}")
-    ex = docs.select(
+    # NULL-text docs are excluded (nothing to hash) — this also matches
+    # the SQL twin, where unnest(string_split(NULL)) yields no rows
+    ex = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.explode_outer(F.split(F.col(text_col), " ")).alias("_tok"),
     ).select(

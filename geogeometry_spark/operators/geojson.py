@@ -88,19 +88,14 @@ def feature_collection(df: DataFrame, geometry_json_col: str,
     through one reducer — that is the correct shape for its reference
     use (a geohash-set or query-result FeatureCollection, thousands of
     rows), and the wrong one for bulk export.  ``max_features`` guards
-    against pointing it at a large result (raises instead of OOMing the
-    reducer); pass None to disable when you know the row count.  For
-    large outputs write newline-delimited Feature rows instead
+    against pointing it at a large result: the count rides the SAME
+    aggregation (no second scan of the upstream DAG) and the job fails
+    with a clear raise_error — at the default threshold the collected
+    list is only ~tens of MB when the guard fires, far below reducer
+    OOM territory; pass None to disable when you know the row count.  For large outputs write
+    newline-delimited Feature rows instead
     (df.select(feature_json).write.text(...)) — one file per partition,
     no single-reducer concat."""
-    if max_features is not None:
-        n = df.limit(max_features + 1).count()
-        if n > max_features:
-            raise ValueError(
-                f"feature_collection is a small-output sink: input exceeds "
-                f"max_features={max_features} rows; write NDJSON features "
-                f"instead, or raise/disable the guard explicitly"
-            )
     feature = F.to_json(
         F.struct(
             F.lit("Feature").alias("type"),
@@ -111,10 +106,32 @@ def feature_collection(df: DataFrame, geometry_json_col: str,
             F.struct(*[F.col(p) for p in props]).alias("properties"),
         )
     )
-    return df.select(feature.alias("f")).agg(
-        F.concat(
-            F.lit('{"type":"FeatureCollection","features":['),
-            F.concat_ws(",", F.collect_list("f")),
-            F.lit("]}"),
-        ).alias("feature_collection")
+    fc = F.concat(
+        F.lit('{"type":"FeatureCollection","features":['),
+        F.concat_ws(",", F.collect_list("f")),
+        F.lit("]}"),
+    )
+    agg = df.select(feature.alias("f")).agg(
+        fc.alias("feature_collection"), F.count(F.lit(1)).alias("_n")
+    )
+    if max_features is None:
+        return agg.select("feature_collection")
+    return agg.select(
+        F.when(
+            F.col("_n") > max_features,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "feature_collection is a small-output sink: input has "
+                    ),
+                    F.col("_n").cast("string"),
+                    F.lit(
+                        f" rows > max_features={max_features}; write NDJSON "
+                        "features instead, or raise/disable the guard"
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.col("feature_collection"))
+        .alias("feature_collection")
     )
