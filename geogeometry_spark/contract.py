@@ -709,6 +709,62 @@ def q_knn_window(spark, sf_dir):
     )
 
 
+def q_radius_join_bulk(spark, sf_dir):
+    """Bulk radius join: every 40th doc is a circle of doc-dependent
+    radius (2-6 km); per-query ring extent from its own radius, shuffle
+    equi-join on the cell key, exact haversine filter (operators.knn.
+    radius_join_bulk — the many-circles path; radius_join serves one
+    driver-side center).  Oracle mirrors the ring membership (Chebyshev
+    index distance with the same per-query extent formula) + haversine."""
+    from .operators.knn import radius_join_bulk
+
+    pts = _with_cell(_docs_coords(spark, sf_dir))
+    qs = _docs_coords(spark, sf_dir).where(
+        F.col("doc_id").cast("long") % 40 == 0
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        (
+            F.lit(2000.0) + (F.col("doc_id").cast("long") % 5) * F.lit(1000.0)
+        ).alias("radius_m"),
+    )
+    out = radius_join_bulk(pts, qs, precision=5, max_ring=3)
+    return out.select(
+        "query_id", "doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3")
+    )
+
+
+def _radius_join_bulk_oracle() -> str:
+    lat_bits, lon_bits = C.cell_bits(5)
+    n_lon = 1 << lon_bits
+    deg_m = 111194.92664455873
+    height_m = (180.0 / (1 << lat_bits)) * deg_m
+    ia = C.cell_index_sql("lat", -90.0, 180.0, lat_bits)
+    io = C.cell_index_sql("lon", -180.0, 360.0, lon_bits)
+    worst_lat = f"least(89.9, abs(qlat) + radius_m / {deg_m!r})"
+    width = f"({360.0 / n_lon * deg_m!r} * cos(radians({worst_lat})))"
+    ext = (
+        f"least(CAST(ceil(radius_m / least({height_m!r}, {width})) AS INT), 3)"
+    )
+    raw_ext = f"ceil(radius_m / least({height_m!r}, {width}))"
+    hav = C.haversine_sql("p.lat", "p.lon", "q.qlat", "q.qlon")
+    return (
+        f"WITH pts AS (SELECT doc_id, lat, lon, {ia} AS ia, {io} AS io "
+        f"FROM {_COORD_SUBQ}), "
+        "qs0 AS (SELECT doc_id AS query_id, lat AS qlat, lon AS qlon, "
+        "ia AS qia, io AS qio, "
+        "2000.0 + (CAST(doc_id AS BIGINT) % 5) * 1000.0 AS radius_m "
+        "FROM pts WHERE CAST(doc_id AS BIGINT) % 40 = 0), "
+        f"qs AS (SELECT *, {ext} AS ext FROM qs0 WHERE {raw_ext} <= 3) "
+        f"SELECT q.query_id, p.doc_id, round({hav}, 3) AS dist_r3 "
+        "FROM qs q JOIN pts p ON abs(p.ia - q.qia) <= q.ext "
+        f"AND least((p.io - q.qio + {n_lon}) % {n_lon}, "
+        f"(q.qio - p.io + {n_lon}) % {n_lon}) <= q.ext "
+        f"WHERE {hav} <= q.radius_m"
+    )
+
+
 def q_knn_bulk(spark, sf_dir):
     """Distributed bulk kNN: every 50th doc is a query; ring-2
     precision-5 candidate cells via pure index arithmetic, shuffle
@@ -1732,6 +1788,7 @@ QUERIES = {
     "knn": q_knn,
     "knn_window": q_knn_window,
     "knn_bulk": q_knn_bulk,
+    "radius_join_bulk": q_radius_join_bulk,
     "distances": q_distances,
     "vincenty": q_vincenty,
     "dms": q_dms,
@@ -1799,6 +1856,7 @@ def _static_oracles() -> dict[str, str]:
         "knn": O_KNN,
         "knn_window": O_KNN_WINDOW,
         "knn_bulk": _knn_bulk_oracle(),
+        "radius_join_bulk": _radius_join_bulk_oracle(),
         "distances": _distances_oracle(),
         "dms": _dms_oracle(),
         "translate": _translate_oracle(),

@@ -241,6 +241,80 @@ def knn_bulk(
     )
 
 
+def radius_join_bulk(
+    points: DataFrame,
+    queries: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_id_col: str = "cell_id",
+    query_id_col: str = "query_id",
+    qlat_col: str = "qlat",
+    qlon_col: str = "qlon",
+    radius_col: str = "radius_m",
+    precision: int = 5,
+    max_ring: int = 3,
+) -> DataFrame:
+    """Radius join for a DATAFRAME of circles (query_id, qlat, qlon,
+    radius_m) — the bulk twin of :func:`..pip_join.radius_join` (which
+    serves ONE driver-side center): each query explodes only the cells
+    its own radius can reach (per-row Chebyshev extent = ceil(radius /
+    min cell dimension at its latitude), capped at ``max_ring``), then
+    the same shuffle equi-join on the cell key + exact native haversine
+    filter.  Queries whose extent exceeds the cap get NO rows and a
+    caller should re-run them at a coarser precision — better explicit
+    than a silent (2*cap+1)^2 explosion.
+
+    Plan: zero UDFs; per-query output is the answer set itself so
+    everything stays distributed."""
+    lat_bits, lon_bits = C.cell_bits(precision)
+    n_lon = 1 << lon_bits
+    max_ia = (1 << lat_bits) - 1
+    deg_m = 111194.92664455873
+    height_m = (180.0 / (1 << lat_bits)) * deg_m
+    # cell width shrinks poleward — size the extent at the WORST
+    # latitude the radius can reach, so the ring covers the disk even
+    # when the query sits equatorward of its matches
+    worst_lat = F.least(
+        F.lit(89.9), F.abs(F.col(qlat_col)) + F.col(radius_col) / F.lit(deg_m)
+    )
+    width_m = F.lit(360.0 / n_lon * deg_m) * F.cos(F.radians(worst_lat))
+    min_dim = F.least(F.lit(height_m), width_m)
+    extent = F.ceil(F.col(radius_col) / min_dim).cast("int")
+    qia, qio = C.cell_indices(F.col(qlat_col), F.col(qlon_col), precision)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(qlat_col).alias("qlat"),
+        F.col(qlon_col).alias("qlon"),
+        F.col(radius_col).alias("_radius"),
+        F.least(extent, F.lit(max_ring)).alias("_ext"),
+        qia.alias("_qia"),
+        qio.alias("_qio"),
+    ).where(extent <= max_ring)
+    di = F.explode(F.sequence(-F.col("_ext"), F.col("_ext"))).alias("_di")
+    q = q.select("*", di)
+    dj = F.explode(F.sequence(-F.col("_ext"), F.col("_ext"))).alias("_dj")
+    q = q.select("*", dj)
+    ia = F.greatest(
+        F.lit(0), F.least(F.lit(max_ia), F.col("_qia") + F.col("_di"))
+    )
+    io = (F.col("_qio") + F.col("_dj") + F.lit(n_lon)) % F.lit(n_lon)
+    qx = q.select(
+        "query_id", "qlat", "qlon", "_radius",
+        C.interleave_indices(ia, io, precision).alias("cell_key"),
+    ).dropDuplicates(["query_id", "cell_key"])
+    key = C.cell_prefix(F.col(cell_id_col), precision)
+    dist = C.haversine(
+        F.col(lat_col), F.col(lon_col), F.col("qlat"), F.col("qlon")
+    )
+    return (
+        points.withColumn("_pkey", key)
+        .join(qx, F.col("_pkey") == F.col("cell_key"), "inner")
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= F.col("_radius"))
+        .drop("_pkey", "cell_key", "qlat", "qlon", "_radius")
+    )
+
+
 def knn_window(
     points: DataFrame,
     queries: list[tuple[str, float, float]],

@@ -519,3 +519,31 @@ def test_embedding_near_dup_pairs_recall(spark):
         va, vb = vecs[ia], vecs[ib]
         cos = va @ vb / (_np.linalg.norm(va) * _np.linalg.norm(vb))
         assert cos >= 0.95 - 1e-9
+
+
+def test_radius_join_bulk_matches_brute_force(spark, coords_df):
+    """Bulk radius join == brute-force haversine filter for every query
+    whose ring extent fits the cap."""
+    from geogeometry_spark.operators.knn import radius_join_bulk
+
+    qs = spark.createDataFrame(
+        [
+            ("q0", 52.516279, 13.377157, 3000.0),
+            ("q1", 52.503663, 13.410717, 1500.0),
+            ("q2", 52.6, 13.2, 5000.0),
+        ],
+        "query_id string, qlat double, qlon double, radius_m double",
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in radius_join_bulk(coords_df, qs, precision=5, max_ring=3)
+        .select("query_id", "doc_id")
+        .collect()
+    }
+    rows = coords_df.collect()
+    expected = set()
+    for qid, qlat, qlon, rad in qs.collect():
+        for r in rows:
+            if kgeo.haversine_scalar(r["lat"], r["lon"], qlat, qlon) <= rad:
+                expected.add((qid, r["doc_id"]))
+    assert got == expected
