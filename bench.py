@@ -164,6 +164,8 @@ def main() -> None:
         "ann_brute",
         "token_stats",
         "pip_semi",
+        "knn_bulk",
+        "radius_join_bulk",
     ):
         builder = contract.QUERIES[name]
         timed(

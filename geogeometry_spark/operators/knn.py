@@ -200,18 +200,28 @@ def knn_bulk(
     n_lon = 1 << lon_bits
     max_ia = (1 << lat_bits) - 1
     qia, qio = C.cell_indices(F.col(qlat_col), F.col(qlon_col), precision)
-    ring_cells = []
-    for di in range(-ring, ring + 1):
-        ia = F.greatest(F.lit(0), F.least(F.lit(max_ia), qia + F.lit(di)))
-        for dj in range(-ring, ring + 1):
-            io = (qio + F.lit(dj + n_lon)) % F.lit(n_lon)
-            ring_cells.append(C.interleave_indices(ia, io, precision))
-    qx = queries.select(
+    # explode the (di, dj) offsets FIRST, then interleave once per row:
+    # building a (2*ring+1)^2 array of interleave expressions instead
+    # would inline that many copies of the 32k-entry spread lookup
+    # table into the plan (~200 KB of constant each — measured 7x
+    # slower at ring=2)
+    di = F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("_di")
+    dj = F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("_dj")
+    q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(qlat_col).alias("qlat"),
         F.col(qlon_col).alias("qlon"),
-        F.explode(F.array_distinct(F.array(*ring_cells))).alias("cell_key"),
+        qia.alias("_qia"),
+        qio.alias("_qio"),
+    ).select("*", di).select("*", dj)
+    ia = F.greatest(
+        F.lit(0), F.least(F.lit(max_ia), F.col("_qia") + F.col("_di"))
     )
+    io = (F.col("_qio") + F.col("_dj") + F.lit(n_lon)) % F.lit(n_lon)
+    qx = q.select(
+        "query_id", "qlat", "qlon",
+        C.interleave_indices(ia, io, precision).alias("cell_key"),
+    ).dropDuplicates(["query_id", "cell_key"])
     key = C.cell_prefix(F.col(cell_id_col), precision)
     id_col = points.columns[0]
     w = Window.partitionBy("query_id").orderBy(
