@@ -736,18 +736,18 @@ def q_radius_join_bulk(spark, sf_dir):
 
 
 def _radius_join_bulk_oracle() -> str:
+    from .kernels.geometry import DEGREE_LATITUDE_METERS as deg_m
+
     lat_bits, lon_bits = C.cell_bits(5)
     n_lon = 1 << lon_bits
-    deg_m = 111194.92664455873
     height_m = (180.0 / (1 << lat_bits)) * deg_m
     ia = C.cell_index_sql("lat", -90.0, 180.0, lat_bits)
     io = C.cell_index_sql("lon", -180.0, 360.0, lon_bits)
-    worst_lat = f"least(89.9, abs(qlat) + radius_m / {deg_m!r})"
+    worst_lat = f"least(90.0, abs(qlat) + radius_m / {deg_m!r})"
     width = f"({360.0 / n_lon * deg_m!r} * cos(radians({worst_lat})))"
-    ext = (
-        f"least(CAST(ceil(radius_m / least({height_m!r}, {width})) AS INT), 3)"
-    )
     raw_ext = f"ceil(radius_m / least({height_m!r}, {width}))"
+    # over-cap queries are filtered out below, so the extent needs no cap
+    ext = f"CAST({raw_ext} AS INT)"
     hav = C.haversine_sql("p.lat", "p.lon", "q.qlat", "q.qlon")
     return (
         f"WITH pts AS (SELECT doc_id, lat, lon, {ia} AS ia, {io} AS io "
@@ -1131,9 +1131,12 @@ def q_intersects(spark, sf_dir):
     antimeridian-normalized linesCross per edge, hole-aware containment
     of the segment start.  Runs the VECTORIZED uniform-type kernel
     (line_intersects_polygon; parity with the per-row JSON dispatch is
-    pytest-pinned).  Oracle unrolls the same math in SQL (the bbox
-    prefilter is a pure shortcut — crossing or containment implies bbox
-    overlap — so both kernel and oracle skip it)."""
+    pytest-pinned, incl. the shorter-arc bbox prefilter).  The oracle
+    unrolls crossing+containment only: for THIS fixture (Berlin polygon
+    span << 180°, segments <= 400 m) a true crossing or containment
+    implies bbox overlap, so the prefilter never changes a verdict —
+    it is semantic only for polygons whose raw lon span exceeds 180°
+    (see the wide-span kernel test)."""
     from .functions.udfs import make_line_poly_intersects_udf
     from .operators import transform as tr
 

@@ -531,29 +531,75 @@ def _normalize_lon_vec(ref, lon):
     return lon
 
 
+def _bboxes_intersect_vec(w1, s1, e1, n1, poly_bbox) -> np.ndarray:
+    """Vectorized twin of the reference's bboxesIntersect
+    (geojson-intersect.kt:21-53): per bbox pick the shorter east-going
+    longitude arc (span mod 360 > 180 -> swap), split wrap-around arcs
+    at ±180, interval-overlap any pair; plain latitude interval."""
+    pw, ps, pe, pn = (float(v) for v in poly_bbox)
+
+    def norm(w, e):
+        span = (e - w + 360.0) % 360.0
+        swap = span > 180.0
+        return np.where(swap, e, w), np.where(swap, w, e)
+
+    def arcs(w, e):
+        nw, ne = norm(w, e)
+        wrapped = nw > ne
+        # arc1 always [nw, min(ne, 180)-ish]; arc2 only when wrapped
+        a1 = (nw, np.where(wrapped, 180.0, ne))
+        a2 = (np.where(wrapped, -180.0, nw), ne)
+        return a1, a2, wrapped
+
+    (l1a, l1b), (l2a, l2b), lwrap = arcs(
+        np.asarray(w1, dtype=np.float64), np.asarray(e1, dtype=np.float64)
+    )
+    (p1a, p1b), (p2a, p2b), pwrap = arcs(np.float64(pw), np.float64(pe))
+
+    def overlap(a0, a1_, b0, b1_):
+        return ~((a0 > b1_) | (a1_ < b0))
+
+    lon_ok = overlap(l1a, l1b, p1a, p1b)
+    lon_ok |= pwrap & overlap(l1a, l1b, p2a, p2b)
+    lon_ok |= lwrap & overlap(l2a, l2b, p1a, p1b)
+    lon_ok |= lwrap & pwrap & overlap(l2a, l2b, p2a, p2b)
+    lat_ok = ~((np.asarray(n1) < ps) | (np.asarray(s1) > pn))
+    return lon_ok & lat_ok
+
+
 def line_intersects_polygon(lat1, lon1, lat2, lon2, rings: list[np.ndarray]):
     """Vectorized Geometry.intersects(LineString[p1,p2], Polygon) with
     the FULL dispatch semantics (geojson-intersect.kt:5-19 + 55-71):
-    any antimeridian-normalized crossing of an outer-ring edge OR
-    hole-aware containment of the segment start.  The reference's bbox
-    prefilter is a pure shortcut (a crossing or containment implies
-    bbox overlap), so skipping it preserves every verdict — parity with
-    kernels.intersect.intersects is pytest-pinned.  This is the
-    uniform-type hot path; the per-row JSON dispatch
-    (functions.udfs.make_intersects_udf) remains the generality path."""
+    the shorter-arc bbox prefilter (which is SEMANTIC, not just a
+    shortcut — a polygon whose raw lon span exceeds 180° is read as
+    antimeridian-crossing and can veto pairs a planar reading would
+    accept), then any antimeridian-normalized crossing of an outer-ring
+    edge OR hole-aware containment of the segment start.  Parity with
+    kernels.intersect.intersects is pytest-pinned incl. a >180°-span
+    polygon.  This is the uniform-type hot path; the per-row JSON
+    dispatch (functions.udfs.make_intersects_udf) remains the
+    generality path."""
     lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
     lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
     lat2 = np.atleast_1d(np.asarray(lat2, dtype=np.float64))
     lon2 = np.atleast_1d(np.asarray(lon2, dtype=np.float64))
     outer = np.asarray(rings[0], dtype=np.float64)
     holes = [np.asarray(h, dtype=np.float64) for h in rings[1:]]
+    pts = np.concatenate([outer] + holes)
+    poly_bbox = (
+        pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()
+    )
+    in_bbox = _bboxes_intersect_vec(
+        np.minimum(lon1, lon2), np.minimum(lat1, lat2),
+        np.maximum(lon1, lon2), np.maximum(lat1, lat2), poly_bbox,
+    )
     # hole-aware contains of the segment start (geojson.kt:186-191)
-    hit = polygon_with_holes_contains(lat1, lon1, outer, holes)
+    hit = in_bbox & polygon_with_holes_contains(lat1, lon1, outer, holes)
     # antimeridian-normalized crossing per outer edge (zipWithNext —
     # closed GeoJSON rings supply the closing edge themselves)
     nlon2 = _normalize_lon_vec(lon1, lon2)
     for i in range(outer.shape[0] - 1):
-        todo = ~hit
+        todo = in_bbox & ~hit
         if not todo.any():
             break
         u1 = _normalize_lon_vec(lon1[todo], outer[i, 0])

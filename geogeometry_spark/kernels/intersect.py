@@ -291,10 +291,8 @@ def _intersects_line(line, other: Geom) -> bool:
                 for poly in oc
             ):
                 return True
-        elif ot == "GeometryCollection":
-            if any(_intersects_line(line, g) for g in other["geometries"]):
-                return True
         else:
+            # GeometryCollection handled by the hoisted early return
             raise ValueError(f"unknown geometry type {ot!r}")
     return False
 
@@ -396,10 +394,34 @@ def geojson_io_url(feature_collection_json: str) -> str:
 
 
 def _kt_double(v: float) -> str:
-    """Kotlin/Java Double.toString: integral doubles render as '1.0',
-    others shortest-repr (matches python repr for float64)."""
+    """Kotlin/JVM Double.toString: shortest digits (JDK 19+ semantics,
+    same digits python repr produces), rendered plain for 1e-3 <= |v| <
+    1e7 and as computerized scientific notation ('5.0E-4', '1.23E7' —
+    uppercase E, no '+', one digit before the point) outside — python
+    repr switches at 1e-4/1e16, so plain repr would diverge there."""
+    import math as _math
+    from decimal import Decimal
+
     f = float(v)
-    return repr(f)
+    if _math.isnan(f):
+        return "NaN"
+    if _math.isinf(f):
+        return "Infinity" if f > 0 else "-Infinity"
+    sign = "-" if _math.copysign(1.0, f) < 0 else ""
+    if f == 0.0:
+        return sign + "0.0"
+    d = Decimal(repr(abs(f))).normalize()
+    tup = d.as_tuple()
+    digits = "".join(map(str, tup.digits))
+    e = len(digits) - 1 + tup.exponent  # decimal exponent of the value
+    if -3 <= e <= 6:
+        if e >= 0:
+            int_part = digits[: e + 1].ljust(e + 1, "0")
+            frac = digits[e + 1 :] or "0"
+            return f"{sign}{int_part}.{frac}"
+        return sign + "0." + "0" * (-e - 1) + digits
+    frac = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{frac}E{e}"
 
 
 def ensure_has_altitude(geom: Geom) -> Geom:

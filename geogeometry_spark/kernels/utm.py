@@ -609,9 +609,14 @@ def utm_roundtrip_oracle_sql(src: str, footpoint_iters: int = 5) -> str:
         "(kn2 * cos7 / 50.40 * (61.0 - 479.0 * tan2 + 179.0 * tan4 - tan6)) AS t9, "
         "(dl2 * dl) AS dl3 FROM (" + q + ")"
     )
+    # chained products in kernel op order (dl4=dl3*dl, dl5=dl4*dl, ...)
+    # via DuckDB lateral column references — a different association
+    # would drift by ulps from the claimed same-op-order parity
     q = (
-        "SELECT *, (dl3 * dl) AS dl4, (dl3 * dl2) AS dl5, (dl3 * dl3) AS dl6, "
-        "(dl3 * dl3 * dl) AS dl7, (dl3 * dl3 * dl2) AS dl8 FROM (" + q + ")"
+        "SELECT *, (dl3 * dl) AS dl4, ((dl3 * dl) * dl) AS dl5, "
+        "(((dl3 * dl) * dl) * dl) AS dl6, "
+        "((((dl3 * dl) * dl) * dl) * dl) AS dl7, "
+        "(((((dl3 * dl) * dl) * dl) * dl) * dl) AS dl8 FROM (" + q + ")"
     )
     rnd2 = "(floor(({x}) * 100.0 + 0.5) / 100.0)"
     northing_raw = (
@@ -670,11 +675,11 @@ def utm_roundtrip_oracle_sql(src: str, footpoint_iters: int = 5) -> str:
         "(ftan2 * fe2c2) AS ft2e2c2, (ftan2 * fe4c4) AS ft2e4c4, "
         "(ftan2 * fe6c6) AS ft2e6c6, (ftan2 * fe8c8) AS ft2e8c8, "
         "(ftan4 * fe2c2) AS ft4e2c2, (ftan4 * fe4c4) AS ft4e4c4, "
-        "(de3 * de) AS de4, (de3 * de2) AS de5, (de3 * de3) AS de6 "
+        "(de3 * de) AS de4, ((de3 * de) * de) AS de5, (((de3 * de) * de) * de) AS de6 "
         "FROM (" + q + ")"
     )
     q = (
-        "SELECT *, (fnu5 * fnu2) AS fnu7, (de6 * de) AS de7, (de6 * de2) AS de8 "
+        "SELECT *, (fnu5 * fnu2) AS fnu7, (de6 * de) AS de7, ((de6 * de) * de) AS de8 "
         "FROM (" + q + ")"
     )
     q = (

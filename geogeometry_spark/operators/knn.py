@@ -228,11 +228,18 @@ def knn_bulk(
         F.col("dist_m").asc(), F.col(id_col).asc()
     )
     # guaranteed-covered disk radius: every point outside the ring is at
-    # least (ring-1) * min cell dimension away (same bound as knn());
-    # cell height is constant in degrees, width shrinks with cos(lat)
-    height_m = (180.0 / (1 << lat_bits)) * 111194.92664455873  # deg * mean-earth m/deg
-    width_m = F.lit(360.0 / n_lon * 111194.92664455873) * F.cos(
-        F.radians(F.col("qlat"))
+    # least (ring-1) * min cell dimension away (same bound as knn()).
+    # Cell height is constant in degrees; width shrinks with cos(lat),
+    # so size the bound at the WORST latitude the ring itself reaches
+    # (|qlat| + ring rows poleward) — using cos(qlat) would overstate
+    # the guarantee near the poles.
+    height_deg = 180.0 / (1 << lat_bits)
+    height_m = height_deg * kgeo.DEGREE_LATITUDE_METERS
+    ring_worst_lat = F.least(
+        F.lit(90.0), F.abs(F.col("qlat")) + F.lit(float(ring) * height_deg)
+    )
+    width_m = F.lit(360.0 / n_lon * kgeo.DEGREE_LATITUDE_METERS) * F.cos(
+        F.radians(ring_worst_lat)
     )
     bound = F.lit(float(ring - 1)) * F.least(F.lit(height_m), width_m)
     return (
@@ -279,13 +286,16 @@ def radius_join_bulk(
     lat_bits, lon_bits = C.cell_bits(precision)
     n_lon = 1 << lon_bits
     max_ia = (1 << lat_bits) - 1
-    deg_m = 111194.92664455873
+    deg_m = kgeo.DEGREE_LATITUDE_METERS
     height_m = (180.0 / (1 << lat_bits)) * deg_m
     # cell width shrinks poleward — size the extent at the WORST
     # latitude the radius can reach, so the ring covers the disk even
-    # when the query sits equatorward of its matches
+    # when the query sits equatorward of its matches.  The clamp is at
+    # 90 (cos -> ~0, extent -> huge), so near-polar queries fall out of
+    # the explicit extent<=max_ring exclusion below instead of being
+    # served an under-sized ring with silently missing matches.
     worst_lat = F.least(
-        F.lit(89.9), F.abs(F.col(qlat_col)) + F.col(radius_col) / F.lit(deg_m)
+        F.lit(90.0), F.abs(F.col(qlat_col)) + F.col(radius_col) / F.lit(deg_m)
     )
     width_m = F.lit(360.0 / n_lon * deg_m) * F.cos(F.radians(worst_lat))
     min_dim = F.least(F.lit(height_m), width_m)
@@ -296,7 +306,9 @@ def radius_join_bulk(
         F.col(qlat_col).alias("qlat"),
         F.col(qlon_col).alias("qlon"),
         F.col(radius_col).alias("_radius"),
-        F.least(extent, F.lit(max_ring)).alias("_ext"),
+        # the where() below drops over-cap queries, so extent is
+        # already <= max_ring here — no truncated-ring serving
+        extent.alias("_ext"),
         qia.alias("_qia"),
         qio.alias("_qio"),
     ).where(extent <= max_ring)

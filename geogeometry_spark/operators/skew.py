@@ -44,12 +44,18 @@ def with_salt(
     seed_col: str | None = None,
 ) -> DataFrame:
     """Add a ``salt`` column: 0 for cold cells; [0, salt_factor) for hot
-    cells, derived deterministically from ``seed_col`` (or pmod of a
-    monotonically increasing id when None — deterministic within a run)."""
+    cells, derived deterministically from ``seed_col`` (or, when None, a
+    hash of the full row content).  The salt MUST be retry-stable — it
+    feeds a groupBy key, and a nondeterministic source (e.g.
+    monotonically_increasing_id) would re-salt recomputed rows
+    differently on a stage retry, double-counting or losing them in the
+    final merge.  Caveat of the content-hash default: byte-identical
+    duplicate rows share a salt, so a hot cell made of ONE repeated row
+    stays hot — pass a distinct seed_col there."""
     seed = (
         F.abs(F.hash(F.col(seed_col)))
         if seed_col
-        else F.monotonically_increasing_id()
+        else F.abs(F.xxhash64(*[F.col(c) for c in df.columns]))
     )
     joined = df.join(
         F.broadcast(hot.select(cell_col, "salt_factor")), cell_col, "left"

@@ -62,10 +62,14 @@ def write_resumable(
     )
     data_dir = os.path.join(path, "data")
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # scope dynamic overwrite to THIS writer — mutating the session conf
+    # would silently change overwrite semantics for every later job in
+    # the session
     pending.withColumnRenamed("_bucket", "bucket").write.mode(
         "overwrite"
-    ).partitionBy("bucket").parquet(data_dir)
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "bucket"
+    ).parquet(data_dir)
     elapsed = time.time() - t0
     # per-bucket row counts from the written files (cheap: parquet
     # footers only), then commit lineage records atomically

@@ -316,3 +316,52 @@ class TestUrlEncode:
         url = kx.geojson_io_url('{"type":"FeatureCollection","features":[]}')
         assert url.startswith("https://geojson.io/#data=data%3Aapplication%2Fjson%2C")
         assert "%7B%22type%22" in url
+
+
+def test_vectorized_line_polygon_wide_span_bbox_veto():
+    """A polygon whose raw lon span exceeds 180° is read as antimeridian-
+    crossing by the reference's shorter-arc bbox normalization, vetoing
+    segments a planar reading would accept — the vectorized kernel must
+    reproduce that verdict (code-review r2 finding)."""
+    wide = Poly([
+        [-170.0, -10.0], [170.0, -10.0], [170.0, 10.0],
+        [-170.0, 10.0], [-170.0, -10.0],
+    ])
+    rings = [np.asarray(r) for r in wide["coordinates"]]
+    cases = [
+        (0.0, 0.0, 1.0, 1.0),       # planar-inside, wrap-reading outside
+        (5.0, -175.0, 5.5, -174.5), # inside the wrap arc
+        (0.0, 175.0, 0.5, 175.5),
+        (0.0, 160.0, 0.0, 161.0),   # outside both readings
+    ]
+    lat1 = np.array([c[0] for c in cases]); lon1 = np.array([c[1] for c in cases])
+    lat2 = np.array([c[2] for c in cases]); lon2 = np.array([c[3] for c in cases])
+    got = kgeo.line_intersects_polygon(lat1, lon1, lat2, lon2, rings)
+    for i, c in enumerate(cases):
+        line = Line([c[1], c[0]], [c[3], c[2]])
+        assert bool(got[i]) == kx.intersects(line, wide), c
+
+
+class TestKtDoubleRendering:
+    """Java Double.toString thresholds (plain for 1e-3 <= |v| < 1e7,
+    scientific outside) — python repr switches at 1e-4/1e16 and would
+    diverge (code-review r2 finding)."""
+
+    def test_scientific_low(self):
+        assert kx.point_to_string([0.0005, 52.0]) == "(5.0E-4,52.0)"
+        assert kx.stringify([0.0009, -5e-4]) == "[9.0E-4,-5.0E-4]"
+
+    def test_scientific_high(self):
+        assert kx._kt_double(1e7) == "1.0E7"
+        assert kx._kt_double(12345678.9) == "1.23456789E7"
+
+    def test_plain_boundaries(self):
+        assert kx._kt_double(0.001) == "0.001"
+        assert kx._kt_double(9999999.5) == "9999999.5"
+        assert kx._kt_double(-0.001) == "-0.001"
+
+    def test_zero_and_specials(self):
+        assert kx._kt_double(0.0) == "0.0"
+        assert kx._kt_double(-0.0) == "-0.0"
+        assert kx._kt_double(float("nan")) == "NaN"
+        assert kx._kt_double(float("inf")) == "Infinity"
