@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from .fixtures import BIG_RING, CONCAVE_RING, SMALL_RING
 from .functions import columns as C
+from .functions import s2cell as S2
+from .kernels import s2 as s2k
 from .operators import dedup, similarity, text
 from .operators.extract import extract_coordinates
 from .operators.knn import knn, knn_window
@@ -250,6 +252,66 @@ O_PREFIX = (
     f"{C.geohash_sql('lat', 'lon', 12)} AS cell12 FROM {_COORD_SUBQ}) "
     "WHERE substr(cell12, 1, 3) = 'u33'"
 )
+
+
+# --------------------------------------------------------------------------
+# §2.4bis S2 cell index (north-rule "H3/S2 index"; kernels/s2.py +
+# functions/s2cell.py — native Column encode, no UDF)
+# --------------------------------------------------------------------------
+
+_S2_LSB12 = 1 << (2 * (30 - 12))
+# level-8 ancestor covering the Berlin hot cluster (sources.tables puts
+# 20% of docs at lat 52.45-52.57, lon 13.35-13.43)
+_S2_BERLIN8 = int(s2k.cell_id(52.5, 13.39, 8)[0])
+_S2_SCAN_LO = int(s2k.sortable(s2k.range_min(_S2_BERLIN8))[0])
+_S2_SCAN_HI = int(s2k.sortable(s2k.range_max(_S2_BERLIN8))[0])
+
+
+def q_s2_encode(spark, sf_dir):
+    """Leaf + level-12 ancestor + token + sortable form, all native
+    Columns (the Hilbert fold is one F.aggregate plan node)."""
+    df = _docs_coords(spark, sf_dir)
+    leaf = S2.s2_cell_id(F.col("lat"), F.col("lon"), 30)
+    parent12 = S2.s2_parent(leaf, 12)
+    return df.select(
+        "doc_id",
+        leaf.alias("s2_30"),
+        parent12.alias("s2_12"),
+        S2.s2_token(parent12).alias("token12"),
+        S2.s2_sortable(leaf).alias("sort30"),
+    )
+
+
+def _s2_encode_oracle() -> str:
+    inner = S2.s2_encode_oracle(_COORD_SUBQ, 30, id_alias="s2_30")
+    return (
+        "SELECT doc_id, s2_30, s2_12, "
+        "rtrim(lpad(lower(hex(s2_12)), 16, '0'), '0') AS token12, "
+        "xor(s2_30, (-9223372036854775807 - 1)) AS sort30 FROM "
+        f"(SELECT doc_id, s2_30, (s2_30 & {-_S2_LSB12}) | {_S2_LSB12} AS s2_12 "
+        f"FROM ({inner}))"
+    )
+
+
+def q_s2_range_scan(spark, sf_dir):
+    """All docs inside one ancestor cell = ONE integer range predicate on
+    the leaf id (sign-bit-flipped so BETWEEN is unsigned order).  On a
+    leaf-sorted/partitioned table this is the S2 analogue of the geohash
+    prefix scan: pure min/max row-group + partition pruning."""
+    df = _docs_coords(spark, sf_dir)
+    df = df.withColumn("s2_30", S2.s2_cell_id(F.col("lat"), F.col("lon"), 30))
+    return df.where(
+        S2.s2_sortable(F.col("s2_30")).between(_S2_SCAN_LO, _S2_SCAN_HI)
+    ).select("doc_id", "s2_30")
+
+
+def _s2_range_oracle() -> str:
+    inner = S2.s2_encode_oracle(_COORD_SUBQ, 30, id_alias="s2_30")
+    return (
+        f"SELECT doc_id, s2_30 FROM ({inner}) "
+        "WHERE xor(s2_30, (-9223372036854775807 - 1)) "
+        f"BETWEEN {_S2_SCAN_LO} AND {_S2_SCAN_HI}"
+    )
 
 
 def q_gh_decode(spark, sf_dir):
@@ -1781,6 +1843,8 @@ QUERIES = {
     "tile_neighbors": q_tile_neighbors,
     "cover_cells": q_cover_cells,
     "prefix_scan": q_prefix_scan,
+    "s2_encode": q_s2_encode,
+    "s2_range_scan": q_s2_range_scan,
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
     "pip_join_big": q_pip_join_big,
@@ -1849,6 +1913,8 @@ def _static_oracles() -> dict[str, str]:
         "tile_bbox": _tile_bbox_oracle(),
         "tile_neighbors": _tile_neighbors_oracle(),
         "prefix_scan": O_PREFIX,
+        "s2_encode": _s2_encode_oracle(),
+        "s2_range_scan": _s2_range_oracle(),
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),
         "pip_join_big": _pip_oracle(),

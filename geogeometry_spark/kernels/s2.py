@@ -1,0 +1,355 @@
+"""S2 cell-id kernels (quadratic projection, Hilbert curve order).
+
+The reference library indexes space with geohash (GeoHashUtils.kt) and
+slippy tiles (Tile.kt); the north-star rule additionally names an
+"H3/S2 index" as the cell-index family for the engine.  This module
+implements the public S2 cell-id scheme from its published algorithm
+(s2geometry.io / "S2 cells" docs): unit sphere -> cube face ->
+quadratic ST transform -> 2^30 x 2^30 leaf grid per face -> Hilbert
+curve position, packed into a 64-bit id
+
+    id = face(3 bits) . hilbert_position(2*level bits) . 1 . 0...0
+
+Ids follow the standard convention of the Java/Go S2 ports: the uint64
+value is stored two's-complement-wrapped in a signed int64 (faces 4-5
+wrap negative); ``sortable`` flips the sign bit so signed comparisons
+give unsigned cell order (needed for range scans over a sorted column).
+
+Everything is numpy-vectorized; scalar convenience wrappers are given
+for driver-side planning.  No code is taken from any S2 library; the
+lookup-table construction follows the published algorithm description.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+MAX_LEVEL = 30
+_LOOKUP_BITS = 4
+_SWAP_MASK = 1
+_INVERT_MASK = 2
+
+# Hilbert sub-cell traversal order per orientation: position -> (i,j)
+# packed as 2-bit ij = i*2+j.
+POS_TO_IJ = (
+    (0, 1, 3, 2),  # canonical order
+    (0, 2, 3, 1),  # axes swapped
+    (3, 2, 0, 1),  # bits inverted
+    (3, 1, 0, 2),  # swapped + inverted
+)
+# orientation adjustment picked up entering each sub-cell position
+POS_TO_ORIENTATION = (_SWAP_MASK, 0, 0, _INVERT_MASK + _SWAP_MASK)
+
+
+def _build_lookup() -> tuple[np.ndarray, np.ndarray]:
+    """lookup_pos[(ij16 << 2) | orient] = (pos8 << 2) | orient' and the
+    inverse lookup_ij — 4 curve levels (8 bits of i/j) per step."""
+    lookup_pos = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.int64)
+    lookup_ij = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.int64)
+
+    def init(level, i, j, orig_orientation, pos, orientation):
+        if level == _LOOKUP_BITS:
+            ij = (i << _LOOKUP_BITS) + j
+            lookup_pos[(ij << 2) + orig_orientation] = (pos << 2) + orientation
+            lookup_ij[(pos << 2) + orig_orientation] = (ij << 2) + orientation
+            return
+        level += 1
+        i <<= 1
+        j <<= 1
+        pos <<= 2
+        r = POS_TO_IJ[orientation]
+        for index in range(4):
+            init(
+                level,
+                i + (r[index] >> 1),
+                j + (r[index] & 1),
+                orig_orientation,
+                pos + index,
+                orientation ^ POS_TO_ORIENTATION[index],
+            )
+
+    for orient in (0, _SWAP_MASK, _INVERT_MASK, _SWAP_MASK | _INVERT_MASK):
+        init(0, 0, 0, orient, 0, orient)
+    return lookup_pos, lookup_ij
+
+
+LOOKUP_POS, LOOKUP_IJ = _build_lookup()
+
+
+def _as1d(x) -> np.ndarray:
+    return np.atleast_1d(np.asarray(x, dtype=np.float64))
+
+
+# --------------------------------------------------------------------------
+# sphere -> face/u/v -> s/t -> i/j
+# --------------------------------------------------------------------------
+
+def xyz_from_latlng(lat, lon):
+    """Unit-sphere direction from degrees."""
+    phi = _as1d(lat) * (math.pi / 180.0)
+    theta = _as1d(lon) * (math.pi / 180.0)
+    cosphi = np.cos(phi)
+    return cosphi * np.cos(theta), cosphi * np.sin(theta), np.sin(phi)
+
+
+def face_from_xyz(x, y, z) -> np.ndarray:
+    """Largest-|component| cube face: 0..2 = +x,+y,+z; 3..5 = -x,-y,-z."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    comp = np.choose(face, (x, y, z))
+    return np.where(comp < 0.0, face + 3, face).astype(np.int64)
+
+
+def uv_from_xyz(face, x, y, z):
+    """Gnomonic (u, v) on the given face."""
+    face = np.asarray(face)
+    u = np.empty_like(np.asarray(x, dtype=np.float64))
+    v = np.empty_like(u)
+    m = face == 0
+    u[m], v[m] = (y[m] / x[m], z[m] / x[m])
+    m = face == 1
+    u[m], v[m] = (-x[m] / y[m], z[m] / y[m])
+    m = face == 2
+    u[m], v[m] = (-x[m] / z[m], -y[m] / z[m])
+    m = face == 3
+    u[m], v[m] = (z[m] / x[m], y[m] / x[m])
+    m = face == 4
+    u[m], v[m] = (z[m] / y[m], -x[m] / y[m])
+    m = face == 5
+    u[m], v[m] = (-y[m] / z[m], -x[m] / z[m])
+    return u, v
+
+
+def st_from_uv(u):
+    """Quadratic projection: cell areas within ~2.1x of each other."""
+    u = np.asarray(u, dtype=np.float64)
+    return np.where(
+        u >= 0.0,
+        0.5 * np.sqrt(np.maximum(1.0 + 3.0 * u, 0.0)),
+        1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * u, 0.0)),
+    )
+
+
+def uv_from_st(s):
+    """Inverse quadratic projection."""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(
+        s >= 0.5,
+        (1.0 / 3.0) * (4.0 * s * s - 1.0),
+        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)),
+    )
+
+
+def ij_from_st(s) -> np.ndarray:
+    """Leaf-grid index: floor(s * 2^30) clamped to [0, 2^30 - 1]."""
+    ij = np.floor(np.asarray(s, dtype=np.float64) * (1 << MAX_LEVEL))
+    return np.clip(ij, 0, (1 << MAX_LEVEL) - 1).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# (face, i, j) <-> cell id
+# --------------------------------------------------------------------------
+
+def cell_id_from_face_ij(face, i, j, level: int = MAX_LEVEL) -> np.ndarray:
+    """Hilbert-encode leaf (i, j) on ``face``; truncate to ``level``.
+
+    uint64 math throughout, returned bit-cast to int64 (Java-port
+    convention; faces 4-5 wrap negative)."""
+    face = np.asarray(face, dtype=np.uint64)
+    i = np.asarray(i, dtype=np.uint64)
+    j = np.asarray(j, dtype=np.uint64)
+    n = face << np.uint64(60)
+    bits = face & np.uint64(_SWAP_MASK)
+    mask = np.uint64((1 << _LOOKUP_BITS) - 1)
+    lookup = LOOKUP_POS.astype(np.uint64)
+    for k in range(7, -1, -1):
+        kk = np.uint64(k * _LOOKUP_BITS)
+        bits += ((i >> kk) & mask) << np.uint64(_LOOKUP_BITS + 2)
+        bits += ((j >> kk) & mask) << np.uint64(2)
+        bits = lookup[bits]
+        n |= (bits >> np.uint64(2)) << np.uint64(k * 2 * _LOOKUP_BITS)
+        bits &= np.uint64(_SWAP_MASK | _INVERT_MASK)
+    leaf = n * np.uint64(2) + np.uint64(1)
+    if level < MAX_LEVEL:
+        lsb = np.uint64(1 << (2 * (MAX_LEVEL - level)))
+        leaf = (leaf & (~lsb + np.uint64(1))) | lsb
+    return leaf.view(np.int64)
+
+
+def face_ij_from_cell_id(cell_id):
+    """(face, i, j, orientation) of the cell id (leaf i/j of its min
+    corner-curve position, per the published decode loop)."""
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64)).view(np.uint64)
+    face = (cid >> np.uint64(61)).astype(np.int64)
+    bits = (face.astype(np.uint64)) & np.uint64(_SWAP_MASK)
+    i = np.zeros_like(cid)
+    j = np.zeros_like(cid)
+    lookup = LOOKUP_IJ.astype(np.uint64)
+    for k in range(7, -1, -1):
+        nbits = MAX_LEVEL - 7 * _LOOKUP_BITS if k == 7 else _LOOKUP_BITS
+        bits += (
+            (cid >> np.uint64(k * 2 * _LOOKUP_BITS + 1))
+            & np.uint64((1 << (2 * nbits)) - 1)
+        ) << np.uint64(2)
+        bits = lookup[bits]
+        i += (bits >> np.uint64(_LOOKUP_BITS + 2)) << np.uint64(k * _LOOKUP_BITS)
+        j += ((bits >> np.uint64(2)) & np.uint64((1 << _LOOKUP_BITS) - 1)) << np.uint64(
+            k * _LOOKUP_BITS
+        )
+        bits &= np.uint64(_SWAP_MASK | _INVERT_MASK)
+    return face, i.view(np.int64), j.view(np.int64), bits.view(np.int64)
+
+
+def cell_id(lat, lon, level: int = MAX_LEVEL) -> np.ndarray:
+    """lat/lng degrees -> S2 cell id at ``level`` (int64, wrapped)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    x, y, z = xyz_from_latlng(lat, lon)
+    face = face_from_xyz(x, y, z)
+    u, v = uv_from_xyz(face, x, y, z)
+    i = ij_from_st(st_from_uv(u))
+    j = ij_from_st(st_from_uv(v))
+    return cell_id_from_face_ij(face, i, j, level)
+
+
+# --------------------------------------------------------------------------
+# id algebra: level / parent / children / ranges / tokens
+# --------------------------------------------------------------------------
+
+def lsb(cell_id) -> np.ndarray:
+    """Lowest set bit (uint64 semantics)."""
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64)).view(np.uint64)
+    return (cid & (~cid + np.uint64(1))).view(np.int64)
+
+
+def level(cell_id) -> np.ndarray:
+    """Cell level: 30 - (trailing zero count / 2)."""
+    low = lsb(cell_id).view(np.uint64).astype(np.float64)
+    # lsb = 2^(2*(30-level)); float64 holds 2^61 exactly (power of two)
+    return (MAX_LEVEL - (np.log2(low).astype(np.int64) >> 1)).astype(np.int64)
+
+
+def parent(cell_id, parent_level: int) -> np.ndarray:
+    """Ancestor at ``parent_level`` (caller ensures it is <= cell level)."""
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64)).view(np.uint64)
+    new_lsb = np.uint64(1 << (2 * (MAX_LEVEL - parent_level)))
+    return ((cid & (~new_lsb + np.uint64(1))) | new_lsb).view(np.int64)
+
+
+def children(cell_id) -> np.ndarray:
+    """The 4 children, curve-ordered: shape (..., 4)."""
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64)).view(np.uint64)
+    old = cid & (~cid + np.uint64(1))
+    new = old >> np.uint64(2)
+    starts = cid - old + new
+    offs = np.arange(4, dtype=np.uint64)[np.newaxis, :] * (
+        np.uint64(2) * new
+    )[:, np.newaxis]
+    return (starts[:, np.newaxis] + offs).view(np.int64)
+
+
+def range_min(cell_id) -> np.ndarray:
+    """Smallest leaf id contained in the cell."""
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64)).view(np.uint64)
+    low = cid & (~cid + np.uint64(1))
+    return (cid - low + np.uint64(1)).view(np.int64)
+
+
+def range_max(cell_id) -> np.ndarray:
+    """Largest leaf id contained in the cell."""
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64)).view(np.uint64)
+    low = cid & (~cid + np.uint64(1))
+    return (cid + low - np.uint64(1)).view(np.int64)
+
+
+def sortable(cell_id) -> np.ndarray:
+    """Sign-bit flip: signed order of the result == unsigned cell order.
+    Use for ORDER BY / BETWEEN over ids that may sit on faces 4-5."""
+    return np.atleast_1d(np.asarray(cell_id, dtype=np.int64)) ^ np.int64(-(1 << 63))
+
+
+def contains(ancestor_id, cell) -> np.ndarray:
+    """ancestor contains cell (range nesting, unsigned compare)."""
+    return (sortable(range_min(ancestor_id)) <= sortable(cell)) & (
+        sortable(cell) <= sortable(range_max(ancestor_id))
+    )
+
+
+def token(cell_id) -> np.ndarray:
+    """Canonical hex token: 16 hex digits of the uint64, trailing zeros
+    stripped ('X' for id 0)."""
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64)).view(np.uint64)
+    out = np.empty(cid.shape[0], dtype=object)
+    for idx, v in enumerate(cid):
+        if v == 0:
+            out[idx] = "X"
+        else:
+            out[idx] = f"{int(v):016x}".rstrip("0")
+    return out.astype("U16")
+
+
+def token_to_id(tok) -> np.ndarray:
+    toks = np.atleast_1d(np.asarray(tok, dtype="U16"))
+    out = np.empty(toks.shape[0], dtype=np.uint64)
+    for idx, t in enumerate(toks):
+        out[idx] = 0 if t == "X" else int(t.ljust(16, "0"), 16)
+    return out.view(np.int64)
+
+
+# --------------------------------------------------------------------------
+# center decode (id -> lat/lng)
+# --------------------------------------------------------------------------
+
+def center_st(cell_id):
+    """(face, s, t) of the cell center on the 2^31 si/ti grid."""
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64)).view(np.uint64)
+    face, i, j, _ = face_ij_from_cell_id(cell_id)
+    is_leaf = (cid & np.uint64(1)).astype(bool)
+    # published center rule: leaf centers sit at odd si/ti (delta=1); a
+    # non-leaf id decodes to the leaf at curve position "10..0" inside
+    # itself, which is offset (0,0) or (1,1) from the cell center's
+    # leaf-pair depending on orientation parity -> delta 2 or 0.
+    parity = ((i.view(np.uint64) ^ (cid >> np.uint64(2))) & np.uint64(1)).view(
+        np.int64
+    )
+    delta = np.where(is_leaf, 1, np.where(parity != 0, 2, 0)).astype(np.int64)
+    si = 2 * i + delta
+    ti = 2 * j + delta
+    scale = 1.0 / (1 << (MAX_LEVEL + 1))
+    return face, si.astype(np.float64) * scale, ti.astype(np.float64) * scale
+
+
+def xyz_from_face_uv(face, u, v):
+    face = np.asarray(face)
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    ones = np.ones_like(u)
+    x = np.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4],
+        [ones, -u, -u, -ones, v],
+        default=v,
+    )
+    y = np.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4],
+        [u, ones, -v, -v, -ones],
+        default=u,
+    )
+    z = np.select(
+        [face == 0, face == 1, face == 2, face == 3, face == 4],
+        [v, v, ones, -u, -u],
+        default=-ones,
+    )
+    return x, y, z
+
+
+def center_latlng(cell_id):
+    """(lat, lng) degrees of the cell center."""
+    face, s, t = center_st(cell_id)
+    u = uv_from_st(s)
+    v = uv_from_st(t)
+    x, y, z = xyz_from_face_uv(face, u, v)
+    lat = np.arctan2(z, np.sqrt(x * x + y * y)) * (180.0 / math.pi)
+    lng = np.arctan2(y, x) * (180.0 / math.pi)
+    return lat, lng

@@ -1,0 +1,225 @@
+"""S2 cell index: kernel invariants + native Column parity + scan pruning.
+
+The reference library has no S2 (its indexes are geohash + slippy
+tiles); the S2 family implements the north-rule's "H3/S2 index" from
+the published algorithm (see kernels/s2.py docstring).  With no
+reference vectors to pin, correctness rests on (a) the algebraic
+invariants of the scheme (roundtrips, hierarchy, Hilbert continuity),
+(b) the well-known face-cell tokens, and (c) three-way agreement
+between the numpy kernel, the native Spark Column fold, and the DuckDB
+CTE twin (the driver gate re-checks the latter at sf0.01).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geogeometry_spark.functions import s2cell as S2
+from geogeometry_spark.kernels import s2 as K
+
+RNG = np.random.default_rng(4242)
+LAT = RNG.uniform(-89.99, 89.99, 5000)
+LON = RNG.uniform(-180.0, 180.0, 5000)
+
+
+# --------------------------------------------------------------------------
+# kernel invariants
+# --------------------------------------------------------------------------
+
+def test_face_cardinal_points():
+    cases = [
+        ((0.0, 0.0), 0),
+        ((0.0, 90.0), 1),
+        ((90.0, 0.0), 2),
+        ((0.0, 179.999), 3),
+        ((0.0, -179.999), 3),
+        ((0.0, -90.0), 4),
+        ((-90.0, 0.0), 5),
+    ]
+    for (lat, lon), face in cases:
+        x, y, z = K.xyz_from_latlng(lat, lon)
+        assert K.face_from_xyz(x, y, z)[0] == face, (lat, lon)
+
+
+def test_face_level0_tokens_are_canonical():
+    # the six face cells have the well-known tokens 1,3,5,7,9,b
+    pts = [(0, 0), (0, 90), (90, 0), (0, 180), (0, -90), (-90, 0)]
+    toks = [K.token(K.cell_id(la, lo, 0))[0] for la, lo in pts]
+    assert toks == ["1", "3", "5", "7", "9", "b"]
+
+
+def test_leaf_center_roundtrip():
+    leaf = K.cell_id(LAT, LON, 30)
+    clat, clng = K.center_latlng(leaf)
+    assert np.array_equal(K.cell_id(clat, clng, 30), leaf)
+
+
+@pytest.mark.parametrize("level", [0, 1, 4, 9, 15, 22, 29])
+def test_level_truncation_center_and_containment(level):
+    leaf = K.cell_id(LAT, LON, 30)
+    cell = K.cell_id(LAT, LON, level)
+    assert np.all(K.level(cell) == level)
+    # parent-of-leaf == direct encode at that level
+    assert np.array_equal(K.parent(leaf, level), cell)
+    # every leaf sits inside its ancestor's leaf range
+    assert np.all(K.contains(cell, leaf))
+    # the cell center re-encodes to the same cell
+    clat, clng = K.center_latlng(cell)
+    assert np.array_equal(K.cell_id(clat, clng, level), cell)
+
+
+def test_children_partition_parent_range_in_curve_order():
+    cell = K.cell_id(LAT[:300], LON[:300], 11)
+    ch = K.children(cell)
+    assert ch.shape == (300, 4)
+    assert np.all(K.level(ch.ravel()) == 12)
+    assert np.array_equal(K.range_min(ch[:, 0]), K.range_min(cell))
+    assert np.array_equal(K.range_max(ch[:, 3]), K.range_max(cell))
+    # contiguous, non-overlapping: leaf ids are odd (lsb=1), so the next
+    # child's first leaf is exactly 2 above the previous child's last
+    for k in range(3):
+        assert np.array_equal(
+            K.sortable(K.range_max(ch[:, k])) + 2,
+            K.sortable(K.range_min(ch[:, k + 1])),
+        )
+
+
+def test_hilbert_locality_neighbor_leaves_are_adjacent_ids():
+    """Consecutive i along a row inside one 4x4 block stays within the
+    block's id range (the lookup processes 4 levels at once)."""
+    face = np.zeros(64, dtype=np.int64)
+    i = np.arange(64, dtype=np.int64)
+    j = np.zeros(64, dtype=np.int64)
+    ids = K.cell_id_from_face_ij(face, i, j, 30)
+    assert len(np.unique(ids)) == 64  # injective
+
+
+def test_token_roundtrip_and_shape():
+    leaf = K.cell_id(LAT[:500], LON[:500], 30)
+    toks = K.token(leaf)
+    assert np.array_equal(K.token_to_id(toks), leaf)
+    lvl4 = K.parent(leaf, 4)
+    toks4 = K.token(lvl4)
+    # a level-l token has ceil((3 + 2l + 1) / 4) significant nibbles
+    assert max(len(t) for t in toks4) <= 3
+    assert np.array_equal(K.token_to_id(toks4), lvl4)
+
+
+def test_sortable_matches_unsigned_order():
+    leaf = K.cell_id(LAT, LON, 30)
+    uns = leaf.view(np.uint64)
+    order_u = np.argsort(uns, kind="stable")
+    order_s = np.argsort(K.sortable(leaf), kind="stable")
+    assert np.array_equal(order_u, order_s)
+
+
+def test_faces_4_5_wrap_negative_but_range_still_nests():
+    m = K.cell_id(LAT, LON, 30) < 0  # faces 4-5
+    assert m.any()
+    leaf = K.cell_id(LAT[m], LON[m], 30)
+    anc = K.parent(leaf, 3)
+    assert np.all(K.contains(anc, leaf))
+
+
+def test_poles():
+    for la, lo in ((90.0, 0.0), (-90.0, 0.0), (89.9999, 45.0), (-89.9999, -120.0)):
+        c = K.cell_id(la, lo, 30)
+        clat, clng = K.center_latlng(c)
+        assert K.cell_id(clat, clng, 30)[0] == c[0]
+
+
+def test_quadratic_st_is_exact_inverse():
+    u = RNG.uniform(-1, 1, 10000)
+    s = K.st_from_uv(u)
+    assert np.allclose(K.uv_from_st(s), u, atol=1e-15)
+    assert np.all((s >= 0) & (s <= 1))
+
+
+# --------------------------------------------------------------------------
+# native Column parity
+# --------------------------------------------------------------------------
+
+def test_native_column_matches_kernel(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"lat": LAT[:2000], "lon": LON[:2000]})
+    df = spark.createDataFrame(pdf)
+    for level in (30, 12, 4):
+        got = np.array(
+            [
+                r[0]
+                for r in df.select(
+                    S2.s2_cell_id(F.col("lat"), F.col("lon"), level)
+                ).collect()
+            ]
+        )
+        assert np.array_equal(got, K.cell_id(LAT[:2000], LON[:2000], level)), level
+
+
+def test_native_parent_token_sortable_match_kernel(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"lat": LAT[:1000], "lon": LON[:1000]})
+    df = spark.createDataFrame(pdf).withColumn(
+        "leaf", S2.s2_cell_id(F.col("lat"), F.col("lon"), 30)
+    )
+    rows = df.select(
+        S2.s2_parent(F.col("leaf"), 10).alias("p10"),
+        S2.s2_token(F.col("leaf")).alias("tok"),
+        S2.s2_sortable(F.col("leaf")).alias("srt"),
+        S2.s2_range_min(S2.s2_parent(F.col("leaf"), 10), 10).alias("rmin"),
+        S2.s2_range_max(S2.s2_parent(F.col("leaf"), 10), 10).alias("rmax"),
+    ).collect()
+    leaf = K.cell_id(LAT[:1000], LON[:1000], 30)
+    p10 = K.parent(leaf, 10)
+    assert np.array_equal(np.array([r.p10 for r in rows]), p10)
+    assert list(K.token(leaf)) == [r.tok for r in rows]
+    assert np.array_equal(np.array([r.srt for r in rows]), K.sortable(leaf))
+    assert np.array_equal(np.array([r.rmin for r in rows]), K.range_min(p10))
+    assert np.array_equal(np.array([r.rmax for r in rows]), K.range_max(p10))
+
+
+def test_native_encode_is_single_stage_no_shuffle(spark):
+    """The whole encode must be a project over the scan — no exchange,
+    no python worker (BatchEvalPython/ArrowEvalPython) in the plan."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"lat": LAT[:10], "lon": LON[:10]}))
+    plan = df.select(
+        S2.s2_cell_id(F.col("lat"), F.col("lon"), 16).alias("c")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_s2_range_scan_prunes_sorted_parquet(spark, tmp_path):
+    """Leaf-sorted parquet + the sortable BETWEEN predicate: the scan
+    must push the range down (PushedFilters on the sort column), the
+    S2 analogue of the geohash-prefix range scan."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"lat": LAT, "lon": LON})
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("s2_30", S2.s2_cell_id(F.col("lat"), F.col("lon"), 30))
+        .withColumn("s2_sort", S2.s2_sortable(F.col("s2_30")))
+    )
+    path = str(tmp_path / "s2sorted.parquet")
+    df.repartitionByRange(8, "s2_sort").sortWithinPartitions(
+        "s2_sort"
+    ).write.parquet(path)
+
+    target = K.cell_id(LAT[0], LON[0], 6)
+    lo = int(K.sortable(K.range_min(target))[0])
+    hi = int(K.sortable(K.range_max(target))[0])
+    scan = spark.read.parquet(path).where(F.col("s2_sort").between(lo, hi))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "s2_sort" in plan.split("PushedFilters")[1][:200]
+    got = {r.s2_30 for r in scan.collect()}
+    exp = {
+        int(c)
+        for c in K.cell_id(LAT, LON, 30)[
+            np.asarray(K.contains(target, K.cell_id(LAT, LON, 30)))
+        ]
+    }
+    assert got == exp
