@@ -314,6 +314,18 @@ def _s2_range_oracle() -> str:
     )
 
 
+def q_s2_radius_join(spark, sf_dir):
+    """Same result set as ``radius_join`` (the oracle is the bare
+    distance predicate), pruned through the S2 cap covering instead of
+    the geohash circle cover — so a hash mismatch here would mean the
+    covering dropped a true match."""
+    from .operators.s2_join import s2_radius_join
+
+    df = _docs_coords(spark, sf_dir)
+    out = s2_radius_join(df, BERLIN[0], BERLIN[1], 4000.0)
+    return out.select("doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3"))
+
+
 def q_gh_decode(spark, sf_dir):
     """Geohash decode: cell12 -> bbox + center (GeoHashUtils.kt:158-213;
     bisection kernel == closed-form dyadic grid bit-for-bit, so the SQL
@@ -1845,6 +1857,7 @@ QUERIES = {
     "prefix_scan": q_prefix_scan,
     "s2_encode": q_s2_encode,
     "s2_range_scan": q_s2_range_scan,
+    "s2_radius_join": q_s2_radius_join,
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
     "pip_join_big": q_pip_join_big,
@@ -1915,6 +1928,7 @@ def _static_oracles() -> dict[str, str]:
         "prefix_scan": O_PREFIX,
         "s2_encode": _s2_encode_oracle(),
         "s2_range_scan": _s2_range_oracle(),
+        "s2_radius_join": O_RADIUS,
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),
         "pip_join_big": _pip_oracle(),

@@ -353,3 +353,103 @@ def center_latlng(cell_id):
     lat = np.arctan2(z, np.sqrt(x * x + y * y)) * (180.0 / math.pi)
     lng = np.arctan2(y, x) * (180.0 / math.pi)
     return lat, lng
+
+
+# --------------------------------------------------------------------------
+# spherical-cap covering (the S2 analogue of geoHashesForCircle,
+# GeoHashUtils.kt:829-843): driver-side planning, output = broadcast
+# join build side
+# --------------------------------------------------------------------------
+
+EARTH_RADIUS_METERS = 6371000.0  # GeoGeometry.kt:62 (haversine sphere)
+
+
+def suitable_level(radius_m: float) -> int:
+    """Largest level whose cell edge is still >= ~radius/2 — keeps a cap
+    covering at a few dozen cells.  Face edge spans 90 deg, so edge at
+    level l ~ (pi/2) * R / 2^l meters."""
+    if radius_m <= 0:
+        return MAX_LEVEL
+    l = int(math.floor(math.log2((math.pi / 2) * EARTH_RADIUS_METERS / radius_m))) + 1
+    return max(0, min(MAX_LEVEL, l))
+
+
+def _cell_geom(face: int, lvl: int, ic: int, jc: int):
+    """(unit center xyz, circumradius angle) of cell (face, lvl, ic, jc).
+
+    Cells are spherical quads with great-circle edges; the geodesic
+    distance from the center to any cell point is maximized at a corner
+    (distance along a geodesic edge is quasi-convex), so the max corner
+    angle is a true circumradius."""
+    shift = MAX_LEVEL - lvl
+    s_lo = (ic << shift) / float(1 << MAX_LEVEL)
+    s_hi = ((ic + 1) << shift) / float(1 << MAX_LEVEL)
+    t_lo = (jc << shift) / float(1 << MAX_LEVEL)
+    t_hi = ((jc + 1) << shift) / float(1 << MAX_LEVEL)
+    s_c = (s_lo + s_hi) / 2.0
+    t_c = (t_lo + t_hi) / 2.0
+    ss = np.array([s_c, s_lo, s_lo, s_hi, s_hi])
+    tt = np.array([t_c, t_lo, t_hi, t_lo, t_hi])
+    x, y, z = xyz_from_face_uv(
+        np.full(5, face, dtype=np.int64), uv_from_st(ss), uv_from_st(tt)
+    )
+    norm = np.sqrt(x * x + y * y + z * z)
+    x, y, z = x / norm, y / norm, z / norm
+    dots = np.clip(x[0] * x[1:] + y[0] * y[1:] + z[0] * z[1:], -1.0, 1.0)
+    circ = float(np.max(np.arccos(dots)))
+    return (float(x[0]), float(y[0]), float(z[0])), circ
+
+
+def cap_covering(
+    lat: float, lon: float, radius_m: float, level: int | None = None
+):
+    """Level-``level`` cells intersecting the spherical cap — a
+    conservative superset (never a false negative): a cell is kept iff
+    angle(cell_center, cap_center) <= cap_angle + circumradius.
+
+    Returns (ids int64 array, interior bool array); ``interior`` cells
+    lie entirely inside the cap (distance re-check skippable).
+    """
+    if level is None:
+        level = suitable_level(radius_m)
+    cx, cy, cz = (float(v[0]) for v in xyz_from_latlng(lat, lon))
+    cap_angle = radius_m / EARTH_RADIUS_METERS
+    out_ids: list[int] = []
+    out_interior: list[bool] = []
+
+    def emit(face: int, lvl: int, ic: int, jc: int, interior: bool) -> None:
+        if lvl == level:
+            cid = cell_id_from_face_ij(
+                np.array([face]),
+                np.array([ic << (MAX_LEVEL - lvl)]),
+                np.array([jc << (MAX_LEVEL - lvl)]),
+                lvl,
+            )
+            out_ids.append(int(cid[0]))
+            out_interior.append(interior)
+            return
+        for di in (0, 1):
+            for dj in (0, 1):
+                if interior:
+                    emit(face, lvl + 1, 2 * ic + di, 2 * jc + dj, True)
+                else:
+                    rec(face, lvl + 1, 2 * ic + di, 2 * jc + dj)
+
+    def rec(face: int, lvl: int, ic: int, jc: int) -> None:
+        (x, y, z), circ = _cell_geom(face, lvl, ic, jc)
+        d = math.acos(max(-1.0, min(1.0, x * cx + y * cy + z * cz)))
+        if d > cap_angle + circ:
+            return  # provably disjoint
+        if d + circ <= cap_angle:
+            emit(face, lvl, ic, jc, True)  # provably contained
+            return
+        if lvl == level:
+            emit(face, lvl, ic, jc, False)
+            return
+        for di in (0, 1):
+            for dj in (0, 1):
+                rec(face, lvl + 1, 2 * ic + di, 2 * jc + dj)
+
+    for face in range(6):
+        rec(face, 0, 0, 0)
+    return np.array(out_ids, dtype=np.int64), np.array(out_interior, dtype=bool)

@@ -223,3 +223,101 @@ def test_s2_range_scan_prunes_sorted_parquet(spark, tmp_path):
         ]
     }
     assert got == exp
+
+
+# --------------------------------------------------------------------------
+# cap covering + radius join through the S2 index
+# --------------------------------------------------------------------------
+
+BERLIN = (52.530888, 13.394904)
+
+
+def _hav_m(lat1, lon1, lat2, lon2):
+    R = 6371000.0
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    a = (
+        np.sin((p2 - p1) / 2) ** 2
+        + np.cos(p1) * np.cos(p2) * np.sin(np.radians(lon2 - lon1) / 2) ** 2
+    )
+    return 2 * R * np.arcsin(np.sqrt(a))
+
+
+@pytest.mark.parametrize("radius_m", [500.0, 4000.0, 50_000.0, 2_000_000.0])
+def test_cap_covering_is_conservative(radius_m):
+    lat0, lon0 = BERLIN
+    level = K.suitable_level(radius_m)
+    ids, interior = K.cap_covering(lat0, lon0, radius_m, level)
+    assert 1 <= len(ids) <= 2000
+    assert np.all(K.level(ids) == level)
+    # every point inside the cap lands in a covering cell
+    span = np.degrees(radius_m / 6371000.0) * 2.0
+    la = RNG.uniform(max(lat0 - span, -90), min(lat0 + span, 90), 5000)
+    lo = (lon0 + RNG.uniform(-span, span, 5000) + 180.0) % 360.0 - 180.0
+    inside = _hav_m(lat0, lo, la, lo) * 0 + _hav_m(lat0, lon0, la, lo) <= radius_m
+    if inside.any():
+        cells = K.cell_id(la[inside], lo[inside], level)
+        assert np.all(np.isin(cells, ids))
+    # interior cells: centers at least (radius - circumradius-ish) within
+    if interior.any():
+        cl, cg = K.center_latlng(ids[interior])
+        assert np.all(_hav_m(lat0, lon0, cl, cg) <= radius_m)
+
+
+def test_cap_covering_polar_cap_spans_faces():
+    ids, interior = K.cap_covering(89.9, 0.0, 300_000.0)
+    # a polar cap touches the 4 side faces around face 2's corner area
+    faces = set(int(f) for f in np.asarray(K.face_ij_from_cell_id(ids)[0]))
+    assert 2 in faces and len(ids) >= 4
+
+
+def test_s2_radius_join_matches_brute_force(spark):
+    import pandas as pd
+
+    from geogeometry_spark.operators.s2_join import s2_radius_join
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(4000),
+            "lat": np.concatenate(
+                [RNG.uniform(52.3, 52.8, 2000), RNG.uniform(-89, 89, 2000)]
+            ),
+            "lon": np.concatenate(
+                [RNG.uniform(13.1, 13.7, 2000), RNG.uniform(-180, 180, 2000)]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = s2_radius_join(df, BERLIN[0], BERLIN[1], 4000.0)
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    exp = set(
+        pdf.doc_id[
+            _hav_m(BERLIN[0], BERLIN[1], pdf.lat.to_numpy(), pdf.lon.to_numpy())
+            <= 4000.0
+        ]
+    )
+    assert got == exp and len(exp) > 0
+
+
+def test_s2_radius_join_plan_is_broadcast_no_points_shuffle(spark, tmp_path):
+    import pandas as pd
+
+    from geogeometry_spark.operators.s2_join import s2_radius_join
+
+    path = str(tmp_path / "pts.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"lat": LAT[:100], "lon": LON[:100]})
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = (
+        s2_radius_join(df, BERLIN[0], BERLIN[1], 4000.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    # the only Exchange is the broadcast of the covering relation
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("Broadcast" in e or "SinglePartition" in e for e in exchanges), plan
