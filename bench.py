@@ -166,6 +166,8 @@ def main() -> None:
         "pip_semi",
         "knn_bulk",
         "radius_join_bulk",
+        "s2_encode",
+        "s2_radius_join",
     ):
         builder = contract.QUERIES[name]
         timed(

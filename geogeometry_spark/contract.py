@@ -268,17 +268,22 @@ _S2_SCAN_HI = int(s2k.sortable(s2k.range_max(_S2_BERLIN8))[0])
 
 
 def q_s2_encode(spark, sf_dir):
-    """Leaf + level-12 ancestor + token + sortable form, all native
-    Columns (the Hilbert fold is one F.aggregate plan node)."""
-    df = _docs_coords(spark, sf_dir)
-    leaf = S2.s2_cell_id(F.col("lat"), F.col("lon"), 30)
-    parent12 = S2.s2_parent(leaf, 12)
+    """Leaf via the Arrow-batched encode UDF (the hot path — 8.4M
+    rows/s; the native F.aggregate fold is 430x slower, see
+    udfs.s2_cell_udf), then ancestor/token/sortable as native bit
+    algebra on the leaf column."""
+    from .functions.udfs import s2_cell_udf
+
+    df = _docs_coords(spark, sf_dir).withColumn(
+        "s2_30", s2_cell_udf(30)(F.col("lat"), F.col("lon"))
+    )
+    parent12 = S2.s2_parent(F.col("s2_30"), 12)
     return df.select(
         "doc_id",
-        leaf.alias("s2_30"),
+        "s2_30",
         parent12.alias("s2_12"),
         S2.s2_token(parent12).alias("token12"),
-        S2.s2_sortable(leaf).alias("sort30"),
+        S2.s2_sortable(F.col("s2_30")).alias("sort30"),
     )
 
 
@@ -298,8 +303,10 @@ def q_s2_range_scan(spark, sf_dir):
     the leaf id (sign-bit-flipped so BETWEEN is unsigned order).  On a
     leaf-sorted/partitioned table this is the S2 analogue of the geohash
     prefix scan: pure min/max row-group + partition pruning."""
+    from .functions.udfs import s2_cell_udf
+
     df = _docs_coords(spark, sf_dir)
-    df = df.withColumn("s2_30", S2.s2_cell_id(F.col("lat"), F.col("lon"), 30))
+    df = df.withColumn("s2_30", s2_cell_udf(30)(F.col("lat"), F.col("lon")))
     return df.where(
         S2.s2_sortable(F.col("s2_30")).between(_S2_SCAN_LO, _S2_SCAN_HI)
     ).select("doc_id", "s2_30")
@@ -324,6 +331,19 @@ def q_s2_radius_join(spark, sf_dir):
     df = _docs_coords(spark, sf_dir)
     out = s2_radius_join(df, BERLIN[0], BERLIN[1], 4000.0)
     return out.select("doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3"))
+
+
+def q_s2_knn(spark, sf_dir):
+    """Expanding-cap S2 kNN; the oracle is the same exact top-k by
+    haversine as the geohash-ring knn (O_KNN), so a hash mismatch means
+    the cap expansion stopped before the true kth neighbor."""
+    from .operators.s2_join import s2_knn
+
+    df = _docs_coords(spark, sf_dir)
+    out = s2_knn(df, [("berlin", BERLIN[0], BERLIN[1])], k=10)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3")
+    )
 
 
 def q_gh_decode(spark, sf_dir):
@@ -1858,6 +1878,7 @@ QUERIES = {
     "s2_encode": q_s2_encode,
     "s2_range_scan": q_s2_range_scan,
     "s2_radius_join": q_s2_radius_join,
+    "s2_knn": q_s2_knn,
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
     "pip_join_big": q_pip_join_big,
@@ -1929,6 +1950,7 @@ def _static_oracles() -> dict[str, str]:
         "s2_encode": _s2_encode_oracle(),
         "s2_range_scan": _s2_range_oracle(),
         "s2_radius_join": O_RADIUS,
+        "s2_knn": O_KNN,
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),
         "pip_join_big": _pip_oracle(),

@@ -468,3 +468,31 @@ def make_ring_area_udf():
         return pd.Series(out)
 
     return ring_area
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def s2_cell_udf(level: int = 30):
+    """Arrow-batched S2 encode (kernels/s2.py) — the HOT-PATH form.
+
+    Measured at 5M rows / local[32]: 8.4M rows/s vs 0.017M rows/s for the
+    native ``F.aggregate`` Hilbert fold (functions/s2cell.py s2_cell_id)
+    — higher-order functions are interpreted per element, the same
+    anti-pattern the one-pass SimHash rewrite removed (BASELINE.md r2
+    item 3), so operators default to this UDF and keep the native fold
+    for tiny relations and oracle-parity tests."""
+    from ..kernels import s2 as ks2
+
+    @F.pandas_udf(T.LongType())
+    def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(
+            ks2.cell_id(
+                lat.to_numpy(dtype=np.float64),
+                lon.to_numpy(dtype=np.float64),
+                level,
+            )
+        )
+
+    return _enc

