@@ -129,7 +129,16 @@ def s2_cell_id(lat: Column, lon: Column, level: int = MAX_LEVEL) -> Column:
     if level < MAX_LEVEL:
         lsb = 1 << (2 * (MAX_LEVEL - level))
         leaf = leaf.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
-    return leaf
+    # NULL/NaN coords -> NULL id (Java casts NaN to 0L, which would
+    # otherwise fabricate a face-0 cell) — same quarantine posture as
+    # udfs.s2_cell_udf
+    valid = (
+        lat.isNotNull()
+        & lon.isNotNull()
+        & ~F.isnan(lat)
+        & ~F.isnan(lon)
+    )
+    return F.when(valid, leaf)
 
 
 def s2_parent(cell: Column, level: int) -> Column:
@@ -155,8 +164,11 @@ def s2_sortable(cell: Column) -> Column:
 def s2_token(cell: Column) -> Column:
     """Canonical hex token: the 16-nibble zero-padded hex of the uint64
     with trailing zeros stripped (hex() drops leading zeros — face-0
-    ids can start with nibble 0 — so re-pad before stripping)."""
-    return F.regexp_replace(F.lpad(F.lower(F.hex(cell)), 16, "0"), "0+$", "")
+    ids can start with nibble 0 — so re-pad before stripping).  The
+    sentinel id 0 renders as "X", matching the kernel twin."""
+    return F.when(cell == 0, F.lit("X")).otherwise(
+        F.regexp_replace(F.lpad(F.lower(F.hex(cell)), 16, "0"), "0+$", "")
+    )
 
 
 # --------------------------------------------------------------------------

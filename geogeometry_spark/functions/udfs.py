@@ -10,6 +10,8 @@ regex-based coordinate extraction with lookaround.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -470,9 +472,6 @@ def make_ring_area_udf():
     return ring_area
 
 
-from functools import lru_cache as _lru_cache
-
-
 @_lru_cache(maxsize=None)
 def s2_cell_udf(level: int = 30):
     """Arrow-batched S2 encode (kernels/s2.py) — the HOT-PATH form.
@@ -482,17 +481,22 @@ def s2_cell_udf(level: int = 30):
     — higher-order functions are interpreted per element, the same
     anti-pattern the one-pass SimHash rewrite removed (BASELINE.md r2
     item 3), so operators default to this UDF and keep the native fold
-    for tiny relations and oracle-parity tests."""
+    for tiny relations and oracle-parity tests.
+
+    NULL/NaN coordinates yield NULL ids (quarantine posture — never a
+    fabricated cell; Arrow turns NULL into NaN on the way in, and a
+    NaN->int cast is platform-defined garbage)."""
     from ..kernels import s2 as ks2
 
     @F.pandas_udf(T.LongType())
     def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        return pd.Series(
-            ks2.cell_id(
-                lat.to_numpy(dtype=np.float64),
-                lon.to_numpy(dtype=np.float64),
-                level,
-            )
-        )
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        ok = np.isfinite(la) & np.isfinite(lo)
+        out = pd.array(np.zeros(len(la), dtype=np.int64), dtype="Int64")
+        if ok.any():
+            out[ok] = ks2.cell_id(la[ok], lo[ok], level)
+        out[~ok] = pd.NA
+        return pd.Series(out)
 
     return _enc

@@ -361,7 +361,10 @@ def center_latlng(cell_id):
 # join build side
 # --------------------------------------------------------------------------
 
-EARTH_RADIUS_METERS = 6371000.0  # GeoGeometry.kt:62 (haversine sphere)
+from .geometry import EARTH_RADIUS_METERS  # noqa: E402  GeoGeometry.kt:62
+# (single definition — cap_angle below MUST use the same sphere radius
+# as the haversine re-check in s2_radius_join, or "conservative
+# covering" silently stops being conservative)
 
 
 def suitable_level(radius_m: float) -> int:

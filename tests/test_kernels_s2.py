@@ -253,7 +253,7 @@ def test_cap_covering_is_conservative(radius_m):
     span = np.degrees(radius_m / 6371000.0) * 2.0
     la = RNG.uniform(max(lat0 - span, -90), min(lat0 + span, 90), 5000)
     lo = (lon0 + RNG.uniform(-span, span, 5000) + 180.0) % 360.0 - 180.0
-    inside = _hav_m(lat0, lo, la, lo) * 0 + _hav_m(lat0, lon0, la, lo) <= radius_m
+    inside = _hav_m(lat0, lon0, la, lo) <= radius_m
     if inside.any():
         cells = K.cell_id(la[inside], lo[inside], level)
         assert np.all(np.isin(cells, ids))
@@ -316,7 +316,7 @@ def test_s2_radius_join_plan_is_broadcast_no_points_shuffle(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan
     # the encode is the sanctioned Arrow-batched hot path, never per-row
-    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
     # the only Exchange is the broadcast of the covering relation
     import re
 
@@ -375,3 +375,24 @@ def test_s2_knn_fallback_when_rounds_exhausted(spark):
     out = s2_knn(df, [("q", 0.0, 0.0)], k=3, r0_m=1000.0, max_rounds=1).collect()
     assert len(out) == 3
     assert [r.rank for r in sorted(out, key=lambda r: r.dist_m)] == [1, 2, 3]
+
+
+def test_null_and_nan_coords_yield_null_ids_not_fabricated_cells(spark):
+    import pandas as pd
+
+    from geogeometry_spark.functions.udfs import s2_cell_udf
+
+    pdf = pd.DataFrame(
+        {
+            "lat": [52.5, None, float("nan"), 10.0],
+            "lon": [13.4, 10.0, 20.0, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = df.select(
+        s2_cell_udf(30)(F.col("lat"), F.col("lon")).alias("u"),
+        S2.s2_cell_id(F.col("lat"), F.col("lon"), 30).alias("n"),
+    ).collect()
+    assert rows[0].u is not None and rows[0].u == rows[0].n
+    for r in rows[1:]:
+        assert r.u is None and r.n is None
