@@ -333,6 +333,50 @@ def q_s2_radius_join(spark, sf_dir):
     return out.select("doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3"))
 
 
+_S2_HEAT_LEVELS = (4, 8, 12)
+
+
+def q_s2_heatmap(spark, sf_dir):
+    """Multi-level S2 cell counts (the pyramid rollup of tile_heatmap on
+    the S2 index): leaf once via the Arrow UDF, ancestors by native bit
+    algebra, one explode + one hash aggregation (map-side partial)."""
+    from .functions.udfs import s2_cell_udf
+
+    df = _docs_coords(spark, sf_dir).withColumn(
+        "s2_30", s2_cell_udf(30)(F.col("lat"), F.col("lon"))
+    )
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(lv).alias("level"),
+                S2.s2_parent(F.col("s2_30"), lv).alias("cell"),
+            )
+            for lv in _S2_HEAT_LEVELS
+        ]
+    )
+    return (
+        df.select(F.explode(levels).alias("lc"))
+        .groupBy(F.col("lc.level").alias("level"), F.col("lc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _s2_heatmap_oracle() -> str:
+    inner = S2.s2_encode_oracle(_COORD_SUBQ, 30, id_alias="s2_30")
+    parts = []
+    for lv in _S2_HEAT_LEVELS:
+        lsb = 1 << (2 * (30 - lv))
+        parts.append(
+            f"SELECT {lv} AS level, (s2_30 & {-lsb}) | {lsb} AS cell "
+            f"FROM ({inner})"
+        )
+    return (
+        "SELECT level, cell, COUNT(*) AS n_docs FROM ("
+        + " UNION ALL ".join(parts)
+        + ") GROUP BY level, cell"
+    )
+
+
 def q_s2_knn(spark, sf_dir):
     """Expanding-cap S2 kNN; the oracle is the same exact top-k by
     haversine as the geohash-ring knn (O_KNN), so a hash mismatch means
@@ -1879,6 +1923,7 @@ QUERIES = {
     "s2_range_scan": q_s2_range_scan,
     "s2_radius_join": q_s2_radius_join,
     "s2_knn": q_s2_knn,
+    "s2_heatmap": q_s2_heatmap,
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
     "pip_join_big": q_pip_join_big,
@@ -1951,6 +1996,7 @@ def _static_oracles() -> dict[str, str]:
         "s2_range_scan": _s2_range_oracle(),
         "s2_radius_join": O_RADIUS,
         "s2_knn": O_KNN,
+        "s2_heatmap": _s2_heatmap_oracle(),
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),
         "pip_join_big": _pip_oracle(),
