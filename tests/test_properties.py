@@ -195,3 +195,48 @@ def test_vincenty_close_to_haversine(lat1, lon1, lat2, lon2):
         return
     v = float(vincenty_distance(lat1, lon1, lat2, lon2)[0])
     assert abs(v - h) / h < 0.0075
+
+
+# --------------------------------------------------------------------------
+# S2 (SURVEY §2.4bis): scheme invariants under shrinking
+# --------------------------------------------------------------------------
+
+from geogeometry_spark.kernels import s2 as ks2  # noqa: E402
+
+full_lats = st.floats(-90.0, 90.0, allow_nan=False)
+full_lons = st.floats(-180.0, 180.0, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(full_lats, full_lons, st.integers(0, 30))
+def test_s2_center_reencodes_to_same_cell(lat, lon, level):
+    c = ks2.cell_id(lat, lon, level)
+    clat, clng = ks2.center_latlng(c)
+    assert ks2.cell_id(float(clat[0]), float(clng[0]), level)[0] == c[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(full_lats, full_lons, st.integers(0, 29), st.integers(1, 30))
+def test_s2_ancestor_range_contains_descendant(lat, lon, anc_level, extra):
+    child_level = min(30, anc_level + extra)
+    anc = ks2.cell_id(lat, lon, anc_level)
+    child = ks2.cell_id(lat, lon, child_level)
+    assert ks2.contains(anc, child)[0]
+    assert ks2.parent(child, anc_level)[0] == anc[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(full_lats, full_lons)
+def test_s2_token_roundtrip_property(lat, lon):
+    c = ks2.cell_id(lat, lon, 30)
+    assert ks2.token_to_id(ks2.token(c))[0] == c[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(full_lats, full_lons, st.floats(100.0, 1_000_000.0, allow_nan=False))
+def test_s2_cap_covering_covers_the_center(lat, lon, radius_m):
+    level = ks2.suitable_level(radius_m)
+    ids, interior = ks2.cap_covering(lat, lon, radius_m, level)
+    assert len(ids) >= 1
+    center_cell = ks2.cell_id(lat, lon, level)
+    assert center_cell[0] in set(int(i) for i in ids)
