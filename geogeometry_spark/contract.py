@@ -377,6 +377,16 @@ def _s2_heatmap_oracle() -> str:
     )
 
 
+def q_s2_pip_join(spark, sf_dir):
+    """PIP join through the S2 index (polygon_covering + border
+    re-check); shares the pip oracle — identical answer to the
+    geohash-path pip_join on the same fixture polygons."""
+    from .operators.s2_join import s2_pip_join
+
+    df = _docs_coords(spark, sf_dir)
+    return s2_pip_join(df).select("doc_id", "polygon_id")
+
+
 def q_s2_knn(spark, sf_dir):
     """Expanding-cap S2 kNN; the oracle is the same exact top-k by
     haversine as the geohash-ring knn (O_KNN), so a hash mismatch means
@@ -1924,6 +1934,7 @@ QUERIES = {
     "s2_radius_join": q_s2_radius_join,
     "s2_knn": q_s2_knn,
     "s2_heatmap": q_s2_heatmap,
+    "s2_pip_join": q_s2_pip_join,
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
     "pip_join_big": q_pip_join_big,
@@ -1997,6 +2008,7 @@ def _static_oracles() -> dict[str, str]:
         "s2_radius_join": O_RADIUS,
         "s2_knn": O_KNN,
         "s2_heatmap": _s2_heatmap_oracle(),
+        "s2_pip_join": _pip_oracle(),
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),
         "pip_join_big": _pip_oracle(),

@@ -456,3 +456,185 @@ def cap_covering(
     for face in range(6):
         rec(face, 0, 0, 0)
     return np.array(out_ids, dtype=np.int64), np.array(out_interior, dtype=bool)
+
+
+# --------------------------------------------------------------------------
+# polygon covering (the S2 analogue of geoHashesForPolygon,
+# GeoHashUtils.kt:442-607): driver-side planning, broadcast build side
+# --------------------------------------------------------------------------
+
+def _cell_corners_latlng(face: int, lvl: int, ic: int, jc: int):
+    """(lats, lons) of the 4 exact cell corners, curve order irrelevant."""
+    shift = MAX_LEVEL - lvl
+    s_lo = (ic << shift) / float(1 << MAX_LEVEL)
+    s_hi = ((ic + 1) << shift) / float(1 << MAX_LEVEL)
+    t_lo = (jc << shift) / float(1 << MAX_LEVEL)
+    t_hi = ((jc + 1) << shift) / float(1 << MAX_LEVEL)
+    ss = np.array([s_lo, s_lo, s_hi, s_hi])
+    tt = np.array([t_lo, t_hi, t_lo, t_hi])
+    x, y, z = xyz_from_face_uv(
+        np.full(4, face, dtype=np.int64), uv_from_st(ss), uv_from_st(tt)
+    )
+    lat = np.arctan2(z, np.sqrt(x * x + y * y)) * (180.0 / math.pi)
+    lng = np.arctan2(y, x) * (180.0 / math.pi)
+    return lat, lng
+
+
+def _wrap_deg(d):
+    return (np.asarray(d) + 180.0) % 360.0 - 180.0
+
+
+def polygon_covering(
+    rings: list, level: int | None = None, max_cells: int = 8192
+):
+    """Level-``level`` cells intersecting the polygon (outer ring +
+    holes, each (m, 2) [lon, lat]) with an ``is_border`` flag.
+
+    Conservative by construction: each candidate cell is replaced by the
+    padded axis-aligned lat/lng bbox of its exact corners, where the pad
+    (sagitta bound theta^2/4 radians, lon scaled by 1/cos lat) covers
+    how far the true great-circle cell edges can bow away from the
+    corner chords.  bbox disjoint from the polygon => the cell is
+    provably disjoint; bbox fully inside the outer ring and clear of
+    every hole => the cell is provably interior (no re-check needed);
+    anything else is border and gets the exact ray-cast downstream —
+    the same splitAndFilter contract as the geohash covering
+    (GeoHashUtils.kt:609-645).
+
+    Like the reference covering, polar (|lat| > 89.5) and
+    antimeridian-crossing polygons are rejected; cell corner longitudes
+    are normalized into the polygon's frame so cells straddling +-180
+    classify correctly against a non-crossing polygon.
+    """
+    from . import geometry as kgeo
+
+    outer = np.asarray(rings[0], dtype=np.float64)
+    holes = [np.asarray(h, dtype=np.float64) for h in rings[1:]]
+    if np.abs(outer[:, 1]).max() > 89.5:
+        raise ValueError("polar polygons are not supported (reference parity)")
+    lon_span = outer[:, 0].max() - outer[:, 0].min()
+    if lon_span > 180.0:
+        raise ValueError("antimeridian-crossing polygons are not supported")
+    frame_lon = float(outer[:, 0].mean())
+
+    w, s, e, n = (
+        outer[:, 0].min(), outer[:, 1].min(),
+        outer[:, 0].max(), outer[:, 1].max(),
+    )
+    if level is None:
+        diag_m = kgeo.haversine_scalar(s, w, n, e)
+        level = suitable_level(max(diag_m, 1.0) / 3.0)
+
+    # rings arrive closed (first == last) per the GeoJSON convention, so
+    # consecutive-pair iteration covers every edge
+    all_rings = [outer] + holes
+
+    out_ids: list[int] = []
+    out_border: list[bool] = []
+
+    def emit_descendants(face, lvl, ic, jc, border):
+        if lvl == level:
+            cid = cell_id_from_face_ij(
+                np.array([face]),
+                np.array([ic << (MAX_LEVEL - lvl)]),
+                np.array([jc << (MAX_LEVEL - lvl)]),
+                lvl,
+            )
+            out_ids.append(int(cid[0]))
+            out_border.append(border)
+            if len(out_ids) > max_cells:
+                raise ValueError(
+                    f"covering exceeds max_cells={max_cells}; lower `level`"
+                )
+            return
+        for di in (0, 1):
+            for dj in (0, 1):
+                emit_descendants(face, lvl + 1, 2 * ic + di, 2 * jc + dj, border)
+
+    # Per-ring edge bboxes, precomputed vectorized.  The BOUNDARY the
+    # covering must respect is the reference's, and polygonContains
+    # accepts any point inside an edge's axis-aligned segment bbox (the
+    # onSegment shortcut, GeoGeometry.kt:268-274/682-690) — i.e. the
+    # effective polygon is fattened by those bboxes.  Classifying
+    # "border" whenever a segment bbox overlaps the rect (a superset of
+    # true edge crossings) therefore (a) never misses a crossing — the
+    # gradient linesCross provably does for near-axis edges — and
+    # (b) covers the reference's edge-accept halo, so interior/disjoint
+    # verdicts agree with the oracle's fattened semantics exactly.
+    _edges = []
+    for _r in all_rings:
+        _x1, _y1 = _r[:-1, 0], _r[:-1, 1]
+        _x2, _y2 = _r[1:, 0], _r[1:, 1]
+        _edges.append(
+            (
+                np.minimum(_x1, _x2), np.maximum(_x1, _x2),
+                np.minimum(_y1, _y2), np.maximum(_y1, _y2),
+            )
+        )
+
+    def classify_bbox(bw, bs, be, bn):
+        """'disjoint' | 'interior' | 'border' of the padded rect.
+
+        No segment bbox touching the rect means the rect is strictly
+        off the (fattened) boundary of every ring, so it lies wholly
+        inside or wholly outside each — one representative corner
+        decides which (and polygon_contains is exact there: its
+        vertex/edge accepts only fire inside segment bboxes)."""
+        if be < w or bw > e or bn < s or bs > n:
+            return "disjoint"
+        for ex_lo, ex_hi, ey_lo, ey_hi in _edges:
+            if (
+                (ex_lo <= be) & (ex_hi >= bw) & (ey_lo <= bn) & (ey_hi >= bs)
+            ).any():
+                return "border"
+        if not kgeo.polygon_contains_scalar(bs, bw, outer):
+            return "disjoint"
+        for h in holes:
+            if kgeo.polygon_contains_scalar(bs, bw, h):
+                return "disjoint"  # rect entirely inside this hole
+        return "interior"
+
+    def rec(face, lvl, ic, jc):
+        lat_c, lon_c = _cell_corners_latlng(face, lvl, ic, jc)
+        # sagitta bound: great-circle edges bow <= theta^2/4 rad off the
+        # corner chords (theta = max corner-pair angle ~ edge length)
+        theta = (math.pi / 2) / (1 << lvl)
+        pad_lat = (theta * theta / 4.0) * (180.0 / math.pi)
+        # latitude-only reject FIRST: pole-touching cells have >180 deg
+        # corner-lon spread at every depth (the lon frame can't resolve
+        # them), but their lat band leaves a non-polar polygon's within
+        # a few levels — without this the pole cells subdivide 4^level
+        if lat_c.max() + pad_lat < s or lat_c.min() - pad_lat > n:
+            return
+        lon_adj = frame_lon + _wrap_deg(lon_c - frame_lon)
+        coslat = max(0.05, math.cos(math.radians(np.abs(lat_c).max())))
+        pad_lon = pad_lat / coslat
+        bw, be = lon_adj.min() - pad_lon, lon_adj.max() + pad_lon
+        bs, bn = lat_c.min() - pad_lat, lat_c.max() + pad_lat
+        if be - bw > 180.0:
+            # face-scale cell wrapping the frame: can't classify, split
+            verdict = "border" if lvl < level else None
+            if lvl == level:
+                emit_descendants(face, lvl, ic, jc, True)
+                return
+        else:
+            verdict = classify_bbox(bw, bs, be, bn)
+            if verdict == "disjoint":
+                return
+            if verdict == "interior":
+                emit_descendants(face, lvl, ic, jc, False)
+                return
+            if lvl == level:
+                emit_descendants(face, lvl, ic, jc, True)
+                return
+        for di in (0, 1):
+            for dj in (0, 1):
+                rec(face, lvl + 1, 2 * ic + di, 2 * jc + dj)
+
+    for face in range(6):
+        rec(face, 0, 0, 0)
+    return (
+        np.array(out_ids, dtype=np.int64),
+        np.array(out_border, dtype=bool),
+        level,
+    )

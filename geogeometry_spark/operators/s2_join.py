@@ -14,6 +14,7 @@ exchanges on the points side.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -140,3 +141,56 @@ def s2_knn(
         ]
     )
     return spark.createDataFrame(results, schema_cols)
+
+
+def s2_pip_join(
+    points: DataFrame,
+    polygons: dict[str, list] | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    level: int | None = None,
+) -> DataFrame:
+    """Point-in-polygon join through the S2 index — the flagship's
+    broadcast PIP pattern (operators/pip_join.py) with the geohash
+    covering replaced by kernels/s2.py polygon_covering.
+
+    One common cell level serves every polygon (max of the per-polygon
+    defaults) so the probe side computes a single Arrow-batched cell
+    key; interior cells accept by the covering guarantee (which matches
+    the reference's fattened onSegment boundary semantics — see
+    polygon_covering), border cells re-check with the exact ray-cast
+    UDF.  Output = input columns + polygon_id.
+    """
+    from ..fixtures import polygons_np
+    from ..functions.udfs import make_pip_udf
+    from ..kernels import geometry as kgeo
+
+    spark = points.sparkSession
+    polys = polygons_np(polygons)
+    if level is None:
+        level = 0
+        for rings in polys.values():
+            outer = np.asarray(rings[0], dtype=np.float64)
+            w, s = outer[:, 0].min(), outer[:, 1].min()
+            e, n = outer[:, 0].max(), outer[:, 1].max()
+            diag = kgeo.haversine_scalar(s, w, n, e)
+            level = max(level, ks2.suitable_level(max(diag, 1.0) / 3.0))
+    rows = []
+    for pid, rings in polys.items():
+        ids, border, _ = ks2.polygon_covering(rings, level=level)
+        rows.extend(
+            (pid, int(c), bool(b)) for c, b in zip(ids, border)
+        )
+    cells = spark.createDataFrame(
+        rows, "polygon_id string, cell_key long, is_border boolean"
+    )
+    key = s2_cell_udf(level)(F.col(lat_col), F.col(lon_col))
+    pip = make_pip_udf(polys)
+    return (
+        points.join(F.broadcast(cells), key == F.col("cell_key"), "inner")
+        .where(
+            ~F.col("is_border")
+            | pip(F.col("polygon_id"), F.col(lat_col), F.col(lon_col))
+        )
+        .drop("cell_key", "is_border")
+    )

@@ -396,3 +396,108 @@ def test_null_and_nan_coords_yield_null_ids_not_fabricated_cells(spark):
     assert rows[0].u is not None and rows[0].u == rows[0].n
     for r in rows[1:]:
         assert r.u is None and r.n is None
+
+
+# --------------------------------------------------------------------------
+# polygon covering + PIP join through the S2 index
+# --------------------------------------------------------------------------
+
+def _fixture_rings(pid):
+    from geogeometry_spark.fixtures import polygons_np
+
+    return polygons_np(None)[pid]
+
+
+@pytest.mark.parametrize(
+    "pid", ["berlin_big_ring", "berlin_small_ring", "berlin_concave"]
+)
+def test_polygon_covering_conservative_vs_reference_contains(pid):
+    from geogeometry_spark.kernels import geometry as kgeo
+
+    rings = _fixture_rings(pid)
+    outer = rings[0]
+    ids, border, lvl = K.polygon_covering(rings)
+    assert 1 <= len(ids) <= 1000
+    rng = np.random.default_rng(11)
+    la = rng.uniform(outer[:, 1].min() - 0.01, outer[:, 1].max() + 0.01, 40000)
+    lo = rng.uniform(outer[:, 0].min() - 0.01, outer[:, 0].max() + 0.01, 40000)
+    inside = kgeo.polygon_contains(la, lo, outer)
+    for h in rings[1:]:
+        inside &= ~kgeo.polygon_contains(la, lo, h)
+    # conservativeness vs the REFERENCE's (onSegment-fattened) contains
+    assert np.isin(K.cell_id(la[inside], lo[inside], lvl), ids).all()
+    # interior cells need no re-check: every point in them is contained
+    if (~border).any():
+        m = np.isin(K.cell_id(la, lo, lvl), ids[~border])
+        assert inside[m].all()
+
+
+def test_polygon_covering_hole_semantics():
+    from geogeometry_spark.kernels import geometry as kgeo
+
+    t = np.linspace(0, 2 * np.pi, 33)
+    outer = np.stack([13.40 + 0.02 * np.cos(t), 52.52 + 0.012 * np.sin(t)], axis=1)
+    hole = np.stack(
+        [13.40 + 0.007 * np.cos(t[::-1]), 52.52 + 0.004 * np.sin(t[::-1])], axis=1
+    )
+    ids, border, lvl = K.polygon_covering([outer, hole])
+    rng = np.random.default_rng(12)
+    la = rng.uniform(52.50, 52.54, 60000)
+    lo = rng.uniform(13.37, 13.43, 60000)
+    inside = kgeo.polygon_contains(la, lo, outer) & ~kgeo.polygon_contains(
+        la, lo, hole
+    )
+    assert np.isin(K.cell_id(la[inside], lo[inside], lvl), ids).all()
+    if (~border).any():
+        m = np.isin(K.cell_id(la, lo, lvl), ids[~border])
+        assert inside[m].all()
+    # the hole's interior core must NOT be fully covered (cells wholly
+    # inside the hole are pruned)
+    hole_core = K.cell_id(52.52, 13.40, lvl)
+    assert hole_core[0] not in set(int(i) for i in ids) or border[
+        np.where(ids == hole_core[0])[0][0]
+    ]
+
+
+def test_polygon_covering_rejects_polar_and_antimeridian():
+    polar = np.array([[0.0, 89.8], [1.0, 89.8], [0.5, 89.9], [0.0, 89.8]])
+    with pytest.raises(ValueError):
+        K.polygon_covering([polar])
+    crossing = np.array(
+        [[179.0, 0.0], [-179.0, 0.0], [-179.0, 1.0], [179.0, 1.0], [179.0, 0.0]]
+    )
+    with pytest.raises(ValueError):
+        K.polygon_covering([crossing])
+
+
+def test_s2_pip_join_matches_geohash_pip_join(spark):
+    import pandas as pd
+
+    from geogeometry_spark.functions import columns as C
+    from geogeometry_spark.operators.pip_join import pip_join
+    from geogeometry_spark.operators.s2_join import s2_pip_join
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000),
+            "lat": np.concatenate(
+                [RNG.uniform(52.50, 52.56, 2000), RNG.uniform(-89, 89, 1000)]
+            ),
+            "lon": np.concatenate(
+                [RNG.uniform(13.37, 13.42, 2000), RNG.uniform(-180, 180, 1000)]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.doc_id, r.polygon_id)
+        for r in s2_pip_join(df).select("doc_id", "polygon_id").collect()
+    }
+    gh = df.withColumn(
+        "cell_id", C.geohash_interleaved(F.col("lat"), F.col("lon"), 12)
+    )
+    exp = {
+        (r.doc_id, r.polygon_id)
+        for r in pip_join(gh).select("doc_id", "polygon_id").collect()
+    }
+    assert got == exp and len(exp) > 0
