@@ -125,3 +125,27 @@ def stream_dedup_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_s2_heatmap(
+    events: DataFrame,
+    level: int = 12,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed S2 cell counts — ``stream_tile_heatmap`` on
+    the S2 index (SURVEY §2.4bis).  The Arrow-batched encode UDF runs
+    inside the streaming micro-batch exactly as in batch plans; the
+    watermark bounds the window state identically."""
+    from ..functions.udfs import s2_cell_udf
+
+    cells = events.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        s2_cell_udf(level)(F.col("lat"), F.col("lon")).alias("cell"),
+    )
+    return (
+        cells.groupBy(F.window(F.col(ts_col), window), "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "cell", "n")
+    )

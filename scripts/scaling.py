@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in the sandbox, so the proxy is the identical
+flagship job on the identical materialized input at two (or three)
+parallelism levels, one fresh Spark session each, ≥1 warm-up + best-of-N
+timed runs per level.  Prints one JSON line:
+
+  {"points": {"2": {"wall_s": ..., "docs_per_sec": ...}, ...},
+   "efficiency_n_to_4n": ..., "n_docs": ...}
+
+Efficiency = throughput(4N) / (4 x throughput(N)) for the 2->8 pair —
+both sit below the shared host's contention knee (see BASELINE.md), the
+regime a real multi-executor cluster occupies.
+
+Usage: python scripts/scaling.py [cpus ...]   (default: 2 8 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RUNS = int(os.environ.get("SCALING_RUNS", "2"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "1000"))
+
+
+def measure(cpus: int) -> dict:
+    from bench import materialize_input
+    from geogeometry_spark.plans.flagship import flagship
+    from geogeometry_spark.plans.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    path, n_docs = materialize_input(spark, SF_DIR, AMPLIFY)
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    split = min(max(total // (cpus * 4), 256 * 1024), 128 * 1024 * 1024)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(split // 8))
+    docs = spark.read.parquet(path)
+
+    def run():
+        flagship(spark, SF_DIR, keep_spans=True, docs=docs).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    spark.stop()
+    return {
+        "wall_s": round(best, 3),
+        "docs_per_sec": round(n_docs / best, 1),
+        "n_docs": n_docs,
+    }
+
+
+def main() -> None:
+    cpus = [int(a) for a in sys.argv[1:]] or [2, 8, 32]
+    points = {str(c): measure(c) for c in cpus}
+    out = {"points": points, "n_docs": next(iter(points.values()))["n_docs"]}
+    if "2" in points and "8" in points:
+        out["efficiency_n_to_4n"] = round(
+            points["8"]["docs_per_sec"] / (4 * points["2"]["docs_per_sec"]), 3
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

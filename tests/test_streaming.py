@@ -164,3 +164,66 @@ def test_stateful_dedup_across_batches_and_restart(spark, tmp_path):
     mk([("4", "alpha"), ("5", "gamma")])
     r2 = drain()  # restarted query, state restored from checkpoint
     assert sorted(r["text"] for r in r2) == ["alpha", "beta", "gamma"]
+
+
+def test_stream_s2_heatmap_matches_batch(spark, tmp_path):
+    """Streamed S2 cell counts (availableNow drain) equal the batch
+    aggregation over the same rows — the Arrow encode UDF and the
+    native bit algebra behave identically inside micro-batches."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from geogeometry_spark.functions.udfs import s2_cell_udf
+    from geogeometry_spark.streaming.stateful import (
+        EVENTS_SCHEMA,
+        stream_s2_heatmap,
+    )
+
+    inp = tmp_path / "s2_events_in"
+    base = dt.datetime(2026, 1, 1, 0, 15)
+    rows = [
+        (1, base, 52.5, 13.4),
+        (2, base + dt.timedelta(minutes=9), 52.5, 13.4),
+        (3, base + dt.timedelta(minutes=20), -33.86, 151.21),
+        (4, base + dt.timedelta(hours=1, minutes=5), 52.5, 13.4),
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(str(inp))
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(inp))
+    agg = stream_s2_heatmap(stream, level=12)
+    outdir = str(tmp_path / "s2_hm_out")
+
+    def drain():
+        (
+            agg.writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "s2_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    drain()
+    # append-mode emits a window only once the watermark passes its end;
+    # a far-future event advances it past every window above
+    spark.createDataFrame(
+        [(99, base + dt.timedelta(hours=6), 0.0, 0.0)], EVENTS_SCHEMA
+    ).write.mode("append").parquet(str(inp))
+    drain()
+    got = {
+        (r.window_start, r.cell, r.n)
+        for r in spark.read.parquet(outdir).collect()
+    }
+    batch = (
+        spark.createDataFrame(rows, EVENTS_SCHEMA)
+        .select(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("cell"),
+        )
+        .groupBy("window_start", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp = {(r.window_start, r.cell, r.n) for r in batch.collect()}
+    assert got == exp and len(exp) == 3
