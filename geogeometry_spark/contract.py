@@ -387,6 +387,22 @@ def q_s2_pip_join(spark, sf_dir):
     return s2_pip_join(df).select("doc_id", "polygon_id")
 
 
+def q_s2_pip_semi(spark, sf_dir):
+    """One-pass broadcast semi join on the S2 index (same grouped-cell
+    shape as the geohash pip_semi; shares its oracle)."""
+    from .operators.s2_join import s2_pip_semi_anti
+
+    df = _docs_coords(spark, sf_dir)
+    return s2_pip_semi_anti(df, how="left_semi").select("doc_id", "lat", "lon")
+
+
+def q_s2_pip_anti(spark, sf_dir):
+    from .operators.s2_join import s2_pip_semi_anti
+
+    df = _docs_coords(spark, sf_dir)
+    return s2_pip_semi_anti(df, how="left_anti").select("doc_id", "lat", "lon")
+
+
 def q_s2_knn(spark, sf_dir):
     """Expanding-cap S2 kNN; the oracle is the same exact top-k by
     haversine as the geohash-ring knn (O_KNN), so a hash mismatch means
@@ -1935,6 +1951,8 @@ QUERIES = {
     "s2_knn": q_s2_knn,
     "s2_heatmap": q_s2_heatmap,
     "s2_pip_join": q_s2_pip_join,
+    "s2_pip_semi": q_s2_pip_semi,
+    "s2_pip_anti": q_s2_pip_anti,
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
     "pip_join_big": q_pip_join_big,
@@ -2009,6 +2027,8 @@ def _static_oracles() -> dict[str, str]:
         "s2_knn": O_KNN,
         "s2_heatmap": _s2_heatmap_oracle(),
         "s2_pip_join": _pip_oracle(),
+        "s2_pip_semi": O_PIP_SEMI,
+        "s2_pip_anti": O_PIP_ANTI,
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),
         "pip_join_big": _pip_oracle(),

@@ -638,3 +638,25 @@ def polygon_covering(
         np.array(out_border, dtype=bool),
         level,
     )
+
+
+def multipolygon_covering(
+    polygons: list, level: int, max_cells: int = 8192
+):
+    """Union of per-polygon coverings (the S2 analogue of
+    geoHashesForMultiPolygon, GeoHashUtils.kt:466-478): each element of
+    ``polygons`` is a ring list ([outer, *holes]); a cell that is
+    interior to ANY member is interior (no re-check needed), otherwise
+    it keeps its border flag."""
+    best: dict[int, bool] = {}
+    for rings in polygons:
+        ids, border, _ = polygon_covering(rings, level=level, max_cells=max_cells)
+        for c, b in zip(ids, border):
+            c = int(c)
+            best[c] = best.get(c, True) and bool(b)
+    items = sorted(best.items())
+    return (
+        np.array([c for c, _ in items], dtype=np.int64),
+        np.array([b for _, b in items], dtype=bool),
+        level,
+    )

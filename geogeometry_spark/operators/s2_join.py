@@ -194,3 +194,63 @@ def s2_pip_join(
         )
         .drop("cell_key", "is_border")
     )
+
+
+def s2_pip_semi_anti(
+    points: DataFrame,
+    polygons: dict[str, list] | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    level: int | None = None,
+    how: str = "left_semi",
+) -> DataFrame:
+    """Matched/unmatched points vs the polygon set through the S2 index,
+    one pass: the covering relation is pre-grouped per cell key
+    (interior_any + border_pids) so each point meets at most one
+    broadcast row — the join cannot duplicate, no distinct(), zero
+    points-side exchanges (the same shape as the geohash semi/anti,
+    VERDICT r1 item 2)."""
+    from ..fixtures import polygons_np
+    from ..functions.udfs import make_pip_any_udf
+    from ..kernels import geometry as kgeo
+
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    spark = points.sparkSession
+    polys = polygons_np(polygons)
+    if level is None:
+        level = 0
+        for rings in polys.values():
+            outer = np.asarray(rings[0], dtype=np.float64)
+            diag = kgeo.haversine_scalar(
+                outer[:, 1].min(), outer[:, 0].min(),
+                outer[:, 1].max(), outer[:, 0].max(),
+            )
+            level = max(level, ks2.suitable_level(max(diag, 1.0) / 3.0))
+    by_key: dict[int, tuple[bool, set]] = {}
+    for pid, rings in polys.items():
+        ids, border, _ = ks2.polygon_covering(rings, level=level)
+        for c, b in zip(ids, border):
+            interior_any, border_pids = by_key.setdefault(int(c), (False, set()))
+            if b:
+                border_pids.add(pid)
+            else:
+                interior_any = True
+            by_key[int(c)] = (interior_any, border_pids)
+    grouped = [
+        (k, interior, sorted(border) if not interior else [])
+        for k, (interior, border) in by_key.items()
+    ]
+    cells = spark.createDataFrame(
+        grouped, "cell_key long, interior_any boolean, border_pids array<string>"
+    )
+    key = s2_cell_udf(level)(F.col(lat_col), F.col(lon_col))
+    pip_any = make_pip_any_udf(polys)
+    matched = F.coalesce(
+        F.col("interior_any")
+        | pip_any(F.col("border_pids"), F.col(lat_col), F.col(lon_col)),
+        F.lit(False),
+    )
+    joined = points.join(F.broadcast(cells), key == F.col("cell_key"), "left")
+    keep = matched if how == "left_semi" else ~matched
+    return joined.where(keep).select(*points.columns)

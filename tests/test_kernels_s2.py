@@ -501,3 +501,46 @@ def test_s2_pip_join_matches_geohash_pip_join(spark):
         for r in pip_join(gh).select("doc_id", "polygon_id").collect()
     }
     assert got == exp and len(exp) > 0
+
+
+def test_multipolygon_covering_union_semantics():
+    from geogeometry_spark.kernels import geometry as kgeo
+
+    a = _fixture_rings("berlin_big_ring")
+    b = _fixture_rings("berlin_concave")
+    level = 14
+    ids, border, _ = K.multipolygon_covering([a, b], level)
+    ia, ba, _ = K.polygon_covering(a, level=level)
+    ib, bb, _ = K.polygon_covering(b, level=level)
+    assert set(map(int, ids)) == set(map(int, ia)) | set(map(int, ib))
+    # a cell interior to either member is interior in the union
+    interior_union = set(map(int, ia[~ba])) | set(map(int, ib[~bb]))
+    assert set(map(int, ids[~border])) == interior_union
+
+
+def test_s2_pip_semi_anti_partition_points(spark):
+    import pandas as pd
+
+    from geogeometry_spark.operators.s2_join import (
+        s2_pip_join,
+        s2_pip_semi_anti,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(2000),
+            "lat": np.concatenate(
+                [RNG.uniform(52.50, 52.56, 1200), RNG.uniform(-89, 89, 800)]
+            ),
+            "lon": np.concatenate(
+                [RNG.uniform(13.37, 13.42, 1200), RNG.uniform(-180, 180, 800)]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    semi = {r.doc_id for r in s2_pip_semi_anti(df, how="left_semi").collect()}
+    anti = {r.doc_id for r in s2_pip_semi_anti(df, how="left_anti").collect()}
+    assert semi | anti == set(pdf.doc_id)
+    assert semi & anti == set()
+    inner = {r.doc_id for r in s2_pip_join(df).select("doc_id").collect()}
+    assert semi == inner and len(inner) > 0
