@@ -10,7 +10,9 @@ function as file:line), re-architected for Spark:
                 vectorized pandas/Arrow UDF wrappers around the kernels.
 - ``operators`` DataFrame-level operators: PIP broadcast join, kNN via
                 cell-ring expansion, radius join, tile assignment,
-                geohash-prefix scans, dedup/similarity/text-analysis ops.
+                geohash-prefix scans, the S2-index join family
+                (operators/s2_join.py — engine-extra, north-rule
+                "H3/S2"), dedup/similarity/text-analysis ops.
 - ``sources``   table loading, deterministic spans synthesis, lineage
                 manifests for resumable batch writes.
 - ``plans``     end-to-end pipelines (flagship PIP + tiling job) and session

@@ -254,3 +254,38 @@ def s2_pip_semi_anti(
     joined = points.join(F.broadcast(cells), key == F.col("cell_key"), "left")
     keep = matched if how == "left_semi" else ~matched
     return joined.where(keep).select(*points.columns)
+
+
+def write_s2_sorted(
+    df: DataFrame,
+    path: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    partition_level: int = 4,
+) -> None:
+    """Persist leaf-id-sorted + coarse-ancestor-partitioned parquet:
+    the S2 twin of ``write_cell_sorted`` (operators/prefix_scan.py).
+
+    Layout: directory partition = sortable level-``partition_level``
+    ancestor (directory pruning for ancestor-containment scans), rows
+    sorted by the sortable leaf id within files (parquet min/max
+    row-group skipping for the BETWEEN range predicate).  Readers scan
+    with ``s2_sortable(leaf) BETWEEN range_min..range_max`` — see
+    q_s2_range_scan and the pruning pytest.
+    """
+    from ..functions import s2cell as S2
+
+    leaf = s2_cell_udf(30)(F.col(lat_col), F.col(lon_col))
+    (
+        df.withColumn("s2_30", leaf)
+        .withColumn("s2_sort", S2.s2_sortable(F.col("s2_30")))
+        .withColumn(
+            "s2_part",
+            S2.s2_sortable(S2.s2_parent(F.col("s2_30"), partition_level)),
+        )
+        .repartition(F.col("s2_part"))
+        .sortWithinPartitions("s2_sort")
+        .write.mode("overwrite")
+        .partitionBy("s2_part")
+        .parquet(path)
+    )

@@ -544,3 +544,31 @@ def test_s2_pip_semi_anti_partition_points(spark):
     assert semi & anti == set()
     inner = {r.doc_id for r in s2_pip_join(df).select("doc_id").collect()}
     assert semi == inner and len(inner) > 0
+
+
+def test_write_s2_sorted_prunes_directories_and_row_groups(spark, tmp_path):
+    import pandas as pd
+
+    from geogeometry_spark.operators.s2_join import write_s2_sorted
+
+    pdf = pd.DataFrame({"doc_id": np.arange(5000), "lat": LAT, "lon": LON})
+    path = str(tmp_path / "s2_layout.parquet")
+    write_s2_sorted(spark.createDataFrame(pdf), path)
+
+    target = K.cell_id(LAT[0], LON[0], 6)
+    part = int(K.sortable(K.parent(target, 4))[0])
+    lo = int(K.sortable(K.range_min(target))[0])
+    hi = int(K.sortable(K.range_max(target))[0])
+    scan = (
+        spark.read.parquet(path)
+        .where(F.col("s2_part") == part)
+        .where(F.col("s2_sort").between(lo, hi))
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "s2_part" in plan.split("PartitionFilters")[1][:300]
+    got = {r.doc_id for r in scan.collect()}
+    exp = {
+        int(d)
+        for d in pdf.doc_id[np.asarray(K.contains(target, K.cell_id(LAT, LON, 30)))]
+    }
+    assert got == exp and len(exp) > 0
