@@ -129,14 +129,17 @@ def s2_cell_id(lat: Column, lon: Column, level: int = MAX_LEVEL) -> Column:
     if level < MAX_LEVEL:
         lsb = 1 << (2 * (MAX_LEVEL - level))
         leaf = leaf.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
-    # NULL/NaN coords -> NULL id (Java casts NaN to 0L, which would
-    # otherwise fabricate a face-0 cell) — same quarantine posture as
-    # udfs.s2_cell_udf
+    # NULL/NaN/±Inf coords -> NULL id (Java casts NaN to 0L and carries
+    # Inf through trig to NaN, either way fabricating a cell) — same
+    # quarantine posture as udfs.s2_cell_udf (np.isfinite there)
+    inf = float("inf")
     valid = (
         lat.isNotNull()
         & lon.isNotNull()
         & ~F.isnan(lat)
         & ~F.isnan(lon)
+        & (F.abs(lat) != F.lit(inf))
+        & (F.abs(lon) != F.lit(inf))
     )
     return F.when(valid, leaf)
 

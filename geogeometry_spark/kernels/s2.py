@@ -595,25 +595,37 @@ def polygon_covering(
         return "interior"
 
     def rec(face, lvl, ic, jc):
+        # latitude reject FIRST, from the TRUE spherical bound: every
+        # cell point lies within angular distance `circ` of the cell
+        # center, so its latitude differs from the center's by <= circ.
+        # (Corner latitudes are NOT a bound — the level-0 polar face has
+        # corners at ±35.26° while its interior reaches the pole, which
+        # a corner-based reject silently pruned for any polygon above
+        # ~70.6°.)  Pole-hugging cells leave a non-polar polygon's band
+        # within a few levels, terminating the >180°-lon-spread cells
+        # the frame below cannot resolve.
+        (cx2, cy2, cz2), circ = _cell_geom(face, lvl, ic, jc)
+        lat_center = math.degrees(math.atan2(cz2, math.hypot(cx2, cy2)))
+        circ_deg = math.degrees(circ)
+        band_lo, band_hi = lat_center - circ_deg, lat_center + circ_deg
+        if band_hi < s or band_lo > n:
+            return
         lat_c, lon_c = _cell_corners_latlng(face, lvl, ic, jc)
         # sagitta bound: great-circle edges bow <= theta^2/4 rad off the
-        # corner chords (theta = max corner-pair angle ~ edge length)
+        # corner chords (theta = max corner-pair angle ~ edge length);
+        # the lon pad scales by the worst meridian convergence over the
+        # cell's whole lat band (no floor — a floored cos understated
+        # the pad ~3x for cells between 87° and the 89.5° limit)
         theta = (math.pi / 2) / (1 << lvl)
         pad_lat = (theta * theta / 4.0) * (180.0 / math.pi)
-        # latitude-only reject FIRST: pole-touching cells have >180 deg
-        # corner-lon spread at every depth (the lon frame can't resolve
-        # them), but their lat band leaves a non-polar polygon's within
-        # a few levels — without this the pole cells subdivide 4^level
-        if lat_c.max() + pad_lat < s or lat_c.min() - pad_lat > n:
-            return
-        lon_adj = frame_lon + _wrap_deg(lon_c - frame_lon)
-        coslat = max(0.05, math.cos(math.radians(np.abs(lat_c).max())))
+        abs_band = min(89.999, max(abs(band_lo), abs(band_hi)))
+        coslat = max(1e-9, math.cos(math.radians(abs_band)))
         pad_lon = pad_lat / coslat
+        lon_adj = frame_lon + _wrap_deg(lon_c - frame_lon)
         bw, be = lon_adj.min() - pad_lon, lon_adj.max() + pad_lon
         bs, bn = lat_c.min() - pad_lat, lat_c.max() + pad_lat
         if be - bw > 180.0:
-            # face-scale cell wrapping the frame: can't classify, split
-            verdict = "border" if lvl < level else None
+            # pole/face-scale cell wrapping the frame: can't classify
             if lvl == level:
                 emit_descendants(face, lvl, ic, jc, True)
                 return

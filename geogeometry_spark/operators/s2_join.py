@@ -143,6 +143,46 @@ def s2_knn(
     return spark.createDataFrame(results, schema_cols)
 
 
+def _pip_level(polys: dict) -> int:
+    """One common cell level for a polygon set: fine enough for the
+    smallest member but clamped to the LARGEST member's natural level
+    + 3 (≤ 4^3 = 64x its natural cell count), so a set mixing a city
+    block with a region neither crashes the covering's max_cells cap
+    nor blows the broadcast — coarse-covered small polygons just route
+    more rows through the border re-check (correctness unchanged)."""
+    from ..kernels import geometry as kgeo
+
+    levels = []
+    for rings in polys.values():
+        outer = np.asarray(rings[0], dtype=np.float64)
+        diag = kgeo.haversine_scalar(
+            outer[:, 1].min(), outer[:, 0].min(),
+            outer[:, 1].max(), outer[:, 0].max(),
+        )
+        levels.append(ks2.suitable_level(max(diag, 1.0) / 3.0))
+    return min(max(levels), min(levels) + 3)
+
+
+# default-fixture covering relation, memoized per level (mirrors
+# pip_join's _DEFAULT_RELATION_CACHE — ~0.2 s of driver recursion per
+# call otherwise, byte-identical result)
+_DEFAULT_S2_RELATION: dict[int, list] = {}
+
+
+def _s2_cell_relation(polys: dict, level: int, is_default: bool) -> list:
+    if is_default and level in _DEFAULT_S2_RELATION:
+        return _DEFAULT_S2_RELATION[level]
+    rows = []
+    for pid, rings in polys.items():
+        ids, border, _ = ks2.polygon_covering(
+            rings, level=level, max_cells=65536
+        )
+        rows.extend((pid, int(c), bool(b)) for c, b in zip(ids, border))
+    if is_default:
+        _DEFAULT_S2_RELATION[level] = rows
+    return rows
+
+
 def s2_pip_join(
     points: DataFrame,
     polygons: dict[str, list] | None = None,
@@ -154,33 +194,21 @@ def s2_pip_join(
     broadcast PIP pattern (operators/pip_join.py) with the geohash
     covering replaced by kernels/s2.py polygon_covering.
 
-    One common cell level serves every polygon (max of the per-polygon
-    defaults) so the probe side computes a single Arrow-batched cell
-    key; interior cells accept by the covering guarantee (which matches
-    the reference's fattened onSegment boundary semantics — see
+    One common cell level serves every polygon (see ``_pip_level``) so
+    the probe side computes a single Arrow-batched cell key; interior
+    cells accept by the covering guarantee (which matches the
+    reference's fattened onSegment boundary semantics — see
     polygon_covering), border cells re-check with the exact ray-cast
     UDF.  Output = input columns + polygon_id.
     """
     from ..fixtures import polygons_np
     from ..functions.udfs import make_pip_udf
-    from ..kernels import geometry as kgeo
 
     spark = points.sparkSession
     polys = polygons_np(polygons)
     if level is None:
-        level = 0
-        for rings in polys.values():
-            outer = np.asarray(rings[0], dtype=np.float64)
-            w, s = outer[:, 0].min(), outer[:, 1].min()
-            e, n = outer[:, 0].max(), outer[:, 1].max()
-            diag = kgeo.haversine_scalar(s, w, n, e)
-            level = max(level, ks2.suitable_level(max(diag, 1.0) / 3.0))
-    rows = []
-    for pid, rings in polys.items():
-        ids, border, _ = ks2.polygon_covering(rings, level=level)
-        rows.extend(
-            (pid, int(c), bool(b)) for c, b in zip(ids, border)
-        )
+        level = _pip_level(polys)
+    rows = _s2_cell_relation(polys, level, is_default=polygons is None)
     cells = spark.createDataFrame(
         rows, "polygon_id string, cell_key long, is_border boolean"
     )
@@ -212,31 +240,21 @@ def s2_pip_semi_anti(
     VERDICT r1 item 2)."""
     from ..fixtures import polygons_np
     from ..functions.udfs import make_pip_any_udf
-    from ..kernels import geometry as kgeo
 
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"unsupported how={how!r}")
     spark = points.sparkSession
     polys = polygons_np(polygons)
     if level is None:
-        level = 0
-        for rings in polys.values():
-            outer = np.asarray(rings[0], dtype=np.float64)
-            diag = kgeo.haversine_scalar(
-                outer[:, 1].min(), outer[:, 0].min(),
-                outer[:, 1].max(), outer[:, 0].max(),
-            )
-            level = max(level, ks2.suitable_level(max(diag, 1.0) / 3.0))
+        level = _pip_level(polys)
     by_key: dict[int, tuple[bool, set]] = {}
-    for pid, rings in polys.items():
-        ids, border, _ = ks2.polygon_covering(rings, level=level)
-        for c, b in zip(ids, border):
-            interior_any, border_pids = by_key.setdefault(int(c), (False, set()))
-            if b:
-                border_pids.add(pid)
-            else:
-                interior_any = True
-            by_key[int(c)] = (interior_any, border_pids)
+    for pid, c, b in _s2_cell_relation(polys, level, is_default=polygons is None):
+        interior_any, border_pids = by_key.setdefault(c, (False, set()))
+        if b:
+            border_pids.add(pid)
+        else:
+            interior_any = True
+        by_key[c] = (interior_any, border_pids)
     grouped = [
         (k, interior, sorted(border) if not interior else [])
         for k, (interior, border) in by_key.items()

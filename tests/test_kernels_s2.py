@@ -572,3 +572,71 @@ def test_write_s2_sorted_prunes_directories_and_row_groups(spark, tmp_path):
         for d in pdf.doc_id[np.asarray(K.contains(target, K.cell_id(LAT, LON, 30)))]
     }
     assert got == exp and len(exp) > 0
+
+
+def test_polygon_covering_high_latitude():
+    """Regression: the old corner-latitude reject pruned the polar face
+    (corners at ±35.26°, interior to the pole) for any polygon above
+    ~70.6°, silently returning an empty covering."""
+    from geogeometry_spark.kernels import geometry as kgeo
+
+    for latc in (72.0, 80.0, 88.0):
+        t = np.linspace(0, 2 * np.pi, 33)
+        span = 0.03 / np.cos(np.radians(latc))
+        outer = np.stack(
+            [30.0 + span * np.cos(t), latc + 0.02 * np.sin(t)], axis=1
+        )
+        ids, border, lvl = K.polygon_covering([outer])
+        assert len(ids) > 0, latc
+        rng = np.random.default_rng(7)
+        la = rng.uniform(latc - 0.03, latc + 0.03, 10000)
+        lo = rng.uniform(30.0 - span - 0.01, 30.0 + span + 0.01, 10000)
+        inside = kgeo.polygon_contains(la, lo, outer)
+        assert np.isin(K.cell_id(la[inside], lo[inside], lvl), ids).all(), latc
+
+
+def test_s2_pip_join_mixed_polygon_sizes(spark):
+    """Regression: a set mixing a tiny and a huge polygon must clamp
+    the common level instead of blowing the covering's cell cap."""
+    import pandas as pd
+
+    from geogeometry_spark.kernels import geometry as kgeo
+    from geogeometry_spark.operators.s2_join import s2_pip_join
+
+    t = np.linspace(0, 2 * np.pi, 33)
+    tiny = [
+        np.stack(
+            [13.40 + 0.001 * np.cos(t), 52.52 + 0.0006 * np.sin(t)], axis=1
+        ).tolist()
+    ]
+    huge = [
+        np.stack([13.0 + 3.0 * np.cos(t), 52.0 + 2.0 * np.sin(t)], axis=1).tolist()
+    ]
+    polys = {"tiny": tiny, "huge": huge}
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(1500),
+            "lat": RNG.uniform(49.5, 54.5, 1500),
+            "lon": RNG.uniform(9.5, 16.5, 1500),
+        }
+    )
+    out = s2_pip_join(spark.createDataFrame(pdf), polys)
+    got = {(r.doc_id, r.polygon_id) for r in out.select("doc_id", "polygon_id").collect()}
+    la, lo = pdf.lat.to_numpy(), pdf.lon.to_numpy()
+    exp = set()
+    for pid, rings in polys.items():
+        inside = kgeo.polygon_contains(la, lo, np.asarray(rings[0]))
+        exp |= {(int(d), pid) for d in pdf.doc_id[inside]}
+    assert got == exp and len(exp) > 0
+
+
+def test_native_encode_infinity_yields_null(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": [float("inf"), 10.0], "lon": [10.0, float("-inf")]})
+    )
+    rows = df.select(
+        S2.s2_cell_id(F.col("lat"), F.col("lon"), 30).alias("n")
+    ).collect()
+    assert all(r.n is None for r in rows)
