@@ -387,6 +387,21 @@ def q_s2_pip_join(spark, sf_dir):
     return s2_pip_join(df).select("doc_id", "polygon_id")
 
 
+def q_s2_pip_join_big(spark, sf_dir):
+    """PIP join vs a polygon RELATION through the S2 index (distributed
+    mapInPandas covering, border rows ray-cast against their own rings
+    — the 10^5+-polygon path).  Same answer as s2_pip_join/pip_join on
+    the fixtures, so it shares the pip oracle."""
+    from .operators.pip_join import polygons_as_df
+    from .operators.s2_join import s2_pip_join_distributed
+
+    df = _docs_coords(spark, sf_dir)
+    polys = polygons_as_df(spark)
+    return s2_pip_join_distributed(df, polys, level=13).select(
+        "doc_id", "polygon_id"
+    )
+
+
 def q_s2_pip_semi(spark, sf_dir):
     """One-pass broadcast semi join on the S2 index (same grouped-cell
     shape as the geohash pip_semi; shares its oracle)."""
@@ -1953,6 +1968,7 @@ QUERIES = {
     "s2_pip_join": q_s2_pip_join,
     "s2_pip_semi": q_s2_pip_semi,
     "s2_pip_anti": q_s2_pip_anti,
+    "s2_pip_join_big": q_s2_pip_join_big,
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
     "pip_join_big": q_pip_join_big,
@@ -2029,6 +2045,7 @@ def _static_oracles() -> dict[str, str]:
         "s2_pip_join": _pip_oracle(),
         "s2_pip_semi": O_PIP_SEMI,
         "s2_pip_anti": O_PIP_ANTI,
+        "s2_pip_join_big": _pip_oracle(),
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),
         "pip_join_big": _pip_oracle(),

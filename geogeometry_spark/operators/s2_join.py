@@ -307,3 +307,75 @@ def write_s2_sorted(
         .partitionBy("s2_part")
         .parquet(path)
     )
+
+
+def s2_cover_polygons_df(polygons: DataFrame, level: int) -> DataFrame:
+    """DISTRIBUTED S2 covering: one worker task covers each polygon
+    (mapInPandas over the (polygon_id, rings) relation — the S2 twin of
+    cover_polygons_df, operators/pip_join.py).  Output is the same
+    (polygon_id, cell_key, is_border) relation at ONE fixed level."""
+    import pandas as pd
+
+    def cover_iter(pdfs):
+        for pdf in pdfs:
+            out: list[tuple[str, int, bool]] = []
+            for pid, rings in zip(pdf["polygon_id"], pdf["rings"]):
+                rings_np = [
+                    np.stack([np.asarray(p, dtype=np.float64) for p in r])
+                    for r in rings
+                ]
+                ids, border, _ = ks2.polygon_covering(
+                    rings_np, level=level, max_cells=65536
+                )
+                out.extend(
+                    (pid, int(c), bool(b)) for c, b in zip(ids, border)
+                )
+            yield pd.DataFrame(
+                out, columns=["polygon_id", "cell_key", "is_border"]
+            )
+
+    return polygons.mapInPandas(
+        cover_iter, "polygon_id string, cell_key long, is_border boolean"
+    )
+
+
+def s2_pip_join_distributed(
+    points: DataFrame,
+    polygons: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    level: int = 13,
+    broadcast_polygons: bool | None = None,
+) -> DataFrame:
+    """PIP join against a polygon RELATION through the S2 index — the
+    10^5+-polygon path (S2 twin of pip_join_distributed; same staging:
+    distributed covering -> cell equi-join with AQE skew splitting ->
+    interior passes by the covering guarantee -> border rows join their
+    own rings and ray-cast in Arrow batches)."""
+    from ..functions.udfs import make_pip_rings_udf
+
+    cells = s2_cover_polygons_df(polygons, level=level)
+    key = s2_cell_udf(level)(F.col(lat_col), F.col(lon_col))
+    matched = points.join(cells, key == F.col("cell_key"), "inner").drop(
+        "cell_key"
+    )
+    interior = matched.where(~F.col("is_border")).drop("is_border")
+    rings_rel = polygons
+    if broadcast_polygons:
+        rings_rel = F.broadcast(rings_rel)
+    pip = make_pip_rings_udf()
+    border = (
+        matched.where(F.col("is_border"))
+        .drop("is_border")
+        .join(rings_rel, "polygon_id")
+        .where(
+            pip(
+                F.col("polygon_id"),
+                F.col("rings"),
+                F.col(lat_col),
+                F.col(lon_col),
+            )
+        )
+        .drop("rings")
+    )
+    return interior.unionByName(border)

@@ -640,3 +640,38 @@ def test_native_encode_infinity_yields_null(spark):
         S2.s2_cell_id(F.col("lat"), F.col("lon"), 30).alias("n")
     ).collect()
     assert all(r.n is None for r in rows)
+
+
+def test_s2_pip_join_distributed_matches_broadcast_path(spark):
+    import pandas as pd
+
+    from geogeometry_spark.operators.pip_join import polygons_as_df
+    from geogeometry_spark.operators.s2_join import (
+        s2_pip_join,
+        s2_pip_join_distributed,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(2000),
+            "lat": np.concatenate(
+                [RNG.uniform(52.50, 52.56, 1200), RNG.uniform(-89, 89, 800)]
+            ),
+            "lon": np.concatenate(
+                [RNG.uniform(13.37, 13.42, 1200), RNG.uniform(-180, 180, 800)]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    polys = polygons_as_df(spark)
+    got = {
+        (r.doc_id, r.polygon_id)
+        for r in s2_pip_join_distributed(df, polys, level=13)
+        .select("doc_id", "polygon_id")
+        .collect()
+    }
+    exp = {
+        (r.doc_id, r.polygon_id)
+        for r in s2_pip_join(df).select("doc_id", "polygon_id").collect()
+    }
+    assert got == exp and len(exp) > 0
