@@ -387,6 +387,44 @@ def q_s2_pip_join(spark, sf_dir):
     return s2_pip_join(df).select("doc_id", "polygon_id")
 
 
+def q_s2_radius_join_bulk(spark, sf_dir):
+    """Bulk radius join via distributed per-query S2 cap coverings; the
+    covering is a conservative cap superset, so the oracle is the bare
+    per-query distance predicate — no ring/extent mirroring needed."""
+    from .operators.s2_join import s2_radius_join_bulk
+
+    pts = _docs_coords(spark, sf_dir)
+    qs = (
+        _docs_coords(spark, sf_dir)
+        .where(F.col("doc_id").cast("long") % 40 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("lat").alias("qlat"),
+            F.col("lon").alias("qlon"),
+            (
+                F.lit(2000.0)
+                + (F.col("doc_id").cast("long") % 5) * F.lit(1000.0)
+            ).alias("radius_m"),
+        )
+    )
+    out = s2_radius_join_bulk(pts, qs, level=13)
+    return out.select(
+        "query_id", "doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3")
+    )
+
+
+def _s2_radius_bulk_oracle() -> str:
+    hav = C.haversine_sql("p.lat", "p.lon", "q.qlat", "q.qlon")
+    return (
+        f"WITH pts AS (SELECT doc_id, lat, lon FROM {_COORD_SUBQ}), "
+        "qs AS (SELECT doc_id AS query_id, lat AS qlat, lon AS qlon, "
+        "2000.0 + (CAST(doc_id AS BIGINT) % 5) * 1000.0 AS radius_m "
+        "FROM pts WHERE CAST(doc_id AS BIGINT) % 40 = 0) "
+        f"SELECT q.query_id, p.doc_id, round({hav}, 3) AS dist_r3 "
+        f"FROM qs q JOIN pts p ON {hav} <= q.radius_m"
+    )
+
+
 def q_s2_pip_join_big(spark, sf_dir):
     """PIP join vs a polygon RELATION through the S2 index (distributed
     mapInPandas covering, border rows ray-cast against their own rings
@@ -1969,6 +2007,7 @@ QUERIES = {
     "s2_pip_semi": q_s2_pip_semi,
     "s2_pip_anti": q_s2_pip_anti,
     "s2_pip_join_big": q_s2_pip_join_big,
+    "s2_radius_join_bulk": q_s2_radius_join_bulk,
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
     "pip_join_big": q_pip_join_big,
@@ -2046,6 +2085,7 @@ def _static_oracles() -> dict[str, str]:
         "s2_pip_semi": O_PIP_SEMI,
         "s2_pip_anti": O_PIP_ANTI,
         "s2_pip_join_big": _pip_oracle(),
+        "s2_radius_join_bulk": _s2_radius_bulk_oracle(),
         "bbox_filter": O_BBOX,
         "pip_join": _pip_oracle(),
         "pip_join_big": _pip_oracle(),

@@ -379,3 +379,60 @@ def s2_pip_join_distributed(
         .drop("rings")
     )
     return interior.unionByName(border)
+
+
+def s2_radius_join_bulk(
+    points: DataFrame,
+    queries: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    level: int = 13,
+) -> DataFrame:
+    """Bulk radius join through the S2 index: ``queries`` is a relation
+    (query_id, qlat, qlon, radius_m) — per-query cap coverings run
+    DISTRIBUTED (mapInPandas over the query relation, like the
+    distributed polygon covering), then one shuffle equi-join on the
+    level-``level`` cell key with AQE skew splitting, then the exact
+    haversine per-query-radius filter.
+
+    The covering is a conservative superset of each cap, so the result
+    is exactly the distance predicate — no ring caps, no extent
+    formulas.  ``level`` must be fine enough that the largest radius
+    covers in a bounded cell count (~(2r/edge)^2).
+    """
+    import pandas as pd
+
+    def cover_iter(pdfs):
+        for pdf in pdfs:
+            out: list[tuple] = []
+            for qid, qlat, qlon, r in zip(
+                pdf["query_id"], pdf["qlat"], pdf["qlon"], pdf["radius_m"]
+            ):
+                ids, _ = ks2.cap_covering(
+                    float(qlat), float(qlon), float(r), level
+                )
+                out.extend(
+                    (qid, float(qlat), float(qlon), float(r), int(c))
+                    for c in ids
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["query_id", "qlat", "qlon", "radius_m", "cell_key"],
+            )
+
+    qid_type = queries.schema["query_id"].dataType.simpleString()
+    cells = queries.mapInPandas(
+        cover_iter,
+        f"query_id {qid_type}, qlat double, qlon double, radius_m double, "
+        "cell_key long",
+    )
+    key = s2_cell_udf(level)(F.col(lat_col), F.col(lon_col))
+    dist = C.haversine(
+        F.col(lat_col), F.col(lon_col), F.col("qlat"), F.col("qlon")
+    )
+    return (
+        points.join(cells, key == F.col("cell_key"), "inner")
+        .drop("cell_key")
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= F.col("radius_m"))
+    )

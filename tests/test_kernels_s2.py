@@ -675,3 +675,38 @@ def test_s2_pip_join_distributed_matches_broadcast_path(spark):
         for r in s2_pip_join(df).select("doc_id", "polygon_id").collect()
     }
     assert got == exp and len(exp) > 0
+
+
+def test_s2_radius_join_bulk_matches_brute_force(spark):
+    import pandas as pd
+
+    from geogeometry_spark.operators.s2_join import s2_radius_join_bulk
+
+    pts = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000),
+            "lat": np.concatenate(
+                [RNG.uniform(52.3, 52.8, 1500), RNG.uniform(-89, 89, 1500)]
+            ),
+            "lon": np.concatenate(
+                [RNG.uniform(13.1, 13.7, 1500), RNG.uniform(-180, 180, 1500)]
+            ),
+        }
+    )
+    qs = pd.DataFrame(
+        {
+            "query_id": ["a", "b", "c"],
+            "qlat": [52.5, 52.55, -33.86],
+            "qlon": [13.4, 13.45, 151.21],
+            "radius_m": [3000.0, 1500.0, 250_000.0],
+        }
+    )
+    out = s2_radius_join_bulk(
+        spark.createDataFrame(pts), spark.createDataFrame(qs), level=12
+    )
+    got = {(r.query_id, r.doc_id) for r in out.select("query_id", "doc_id").collect()}
+    exp = set()
+    for _, q in qs.iterrows():
+        d = _hav_m(q.qlat, q.qlon, pts.lat.to_numpy(), pts.lon.to_numpy())
+        exp |= {(q.query_id, int(i)) for i in pts.doc_id[d <= q.radius_m]}
+    assert got == exp and len(exp) > 0
