@@ -168,6 +168,7 @@ def main() -> None:
         "radius_join_bulk",
         "s2_encode",
         "s2_radius_join",
+        "s2_radius_join_bulk",
         "s2_pip_join",
     ):
         builder = contract.QUERIES[name]
