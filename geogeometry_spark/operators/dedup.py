@@ -103,12 +103,32 @@ def minhash_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     token_hash: str = "xxhash64",
+    max_bucket_width: int | None = 256,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, n_shared_bands).
 
-    rows/doc after explode = bands (constant); the join key
-    (band, band_hash) distributes uniformly by construction (hash
-    values), so the self-join shuffle is skew-free."""
+    rows/doc after explode = bands (constant), and DISTINCT band-hash
+    values distribute uniformly — but bucket WIDTH does not: identical
+    or near-identical documents share whole signatures, so a cluster of
+    m duplicates lands m rows in one (band, band_hash) bucket and the
+    self-join emits m*(m-1)/2 pairs out of a single reducer.  On a web
+    corpus with ~10^6 copies of boilerplate that is ~10^12 pairs from
+    one task — a scale-killer.  Two defenses, both required at scale:
+
+    1. **Run :func:`dedup_exact` first** (mandatory pre-pass): byte
+       -identical docs — the dominant duplicate mass in practice — are
+       collapsed by a plain hash-groupBy before LSH ever runs.
+    2. ``max_bucket_width`` (default 256): buckets wider than the cap
+       are dropped entirely (standard LSH practice).  A bucket that
+       wide after exact-dedup means a template cluster whose members
+       are already known near-dups of each other — enumerating its
+       pairs adds no information and O(width^2) cost.  The cap bounds
+       any bucket's output at ~32k pairs.  Width is counted with a
+       window partitioned by (band, band_hash) — one shuffle on the
+       same key the self-join uses, so the exchange is reused, and the
+       widest bucket materializes m rows in a task, never m^2.
+       ``None`` disables the guard (small, pre-deduped inputs only).
+    """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         docs, text_col, id_col, num_hashes, shingle_n, token_hash
@@ -128,6 +148,15 @@ def minhash_candidates(
             "band", "band_hash"
         ),
     )
+    if max_bucket_width is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("_w", F.count(F.lit(1)).over(w))
+            .where(F.col("_w") <= max_bucket_width)
+            .drop("_w")
+        )
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -151,8 +180,10 @@ def minhash_candidates_oracle_sql(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_width: int | None = 256,
 ) -> str:
-    """DuckDB twin of ``minhash_candidates(token_hash='md5_60')``."""
+    """DuckDB twin of ``minhash_candidates(token_hash='md5_60')``,
+    including the bucket-width cap."""
     rows_per_band = num_hashes // bands
     toks = f"string_split({text_col}, ' ')"
     shingles = (
@@ -175,10 +206,19 @@ def minhash_candidates_oracle_sql(
         f"SELECT {id_col}, {b} AS band, {band_hash(b)} AS band_hash FROM sigs"
         for b in range(bands)
     )
+    if max_bucket_width is None:
+        guarded = "banded0"
+    else:
+        guarded = (
+            f"(SELECT {id_col}, band, band_hash FROM ("
+            f"SELECT *, count(*) OVER (PARTITION BY band, band_hash) AS w "
+            f"FROM banded0) WHERE w <= {max_bucket_width})"
+        )
     return (
         f"WITH sh AS (SELECT {id_col}, unnest({shingles}) AS sh FROM {table}), "
         f"sigs AS (SELECT {id_col}, {mins} FROM sh GROUP BY {id_col}), "
-        f"banded AS ({band_rows}) "
+        f"banded0 AS ({band_rows}), "
+        f"banded AS (SELECT * FROM {guarded}) "
         f"SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, "
         f"count(*) AS n_shared_bands "
         f"FROM banded a JOIN banded b ON a.band = b.band "

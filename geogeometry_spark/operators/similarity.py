@@ -1,17 +1,30 @@
 """Similarity search over the embeddings table (vec_id, embedding:
 array<float>, label).
 
-- brute-force cosine top-k: native array fold (element-wise double
-  multiply + left-fold sum — deterministic summation order), then
+- brute-force cosine top-k: Arrow-batched left-fold cosine kernel, then
   orderBy().limit(k) => TakeOrderedAndProject (per-partition partial
   top-k + tiny driver merge).  The correctness baseline.
 - LSH-bucketed ANN: random-hyperplane signs -> bucket key -> search only
   matching buckets (the scale path: the bucket join replaces the full
   cross product; recall < 1 by design, verified against brute force in
   tests).
+
+Scoring kernel (VERDICT r2 "What's wrong" #1): Spark evaluates
+higher-order functions (F.aggregate / F.zip_with) INTERPRETED, per
+element — measured 430x slower than an Arrow pandas-UDF kernel on the
+S2 Hilbert fold (BASELINE.md).  The hot path here is therefore an
+Arrow-batched numpy kernel that reproduces the HOF's exact left-fold
+float64 operation order (``acc = (..((0 + x0*y0) + x1*y1)..)``) by
+looping over the dim axis and vectorizing ACROSS the batch — so it is
+bit-for-bit equal to the Column fold and to the DuckDB
+``list_sum(list_transform(...))`` oracle twin while running at numpy
+speed.  The Column forms (``dot``/``norm``/``cosine``) are kept for
+oracle-parity tests and ad-hoc SQL use.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -27,7 +40,9 @@ def _as_double(col: Column) -> Column:
 
 def dot(a: Column, b: Column) -> Column:
     """Left-fold sum of element products in float64 — deterministic and
-    reproducible in the DuckDB oracle (list_sum over list_transform)."""
+    reproducible in the DuckDB oracle (list_sum over list_transform).
+    Interpreted per element: oracle/test twin, NOT the hot path — use
+    :func:`cosine_to_query` / :func:`pair_cosine` in operators."""
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -41,6 +56,75 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- Arrow-batched left-fold kernels (the hot path) -------------------
+
+
+def _stack(vecs: pd.Series) -> np.ndarray:
+    """(batch, dim) float64 matrix from an Arrow array<float> series.
+    float32 -> float64 cast is exact, matching the Column fold's
+    per-element cast("double")."""
+    if len(vecs) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+
+
+def _fold_dot(m: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Batch dot in the exact left-fold order of :func:`dot`: one numpy
+    add over the whole batch per dim step (dim adds total, not
+    batch*dim interpreted steps)."""
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for j in range(m.shape[1]):
+        acc = acc + m[:, j] * q[j]
+    return acc
+
+
+def _fold_dot_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j] * b[:, j]
+    return acc
+
+
+def _fold_norm(m: np.ndarray) -> np.ndarray:
+    return np.sqrt(_fold_dot_pair(m, m))
+
+
+def _scalar_fold_norm(q: np.ndarray) -> float:
+    acc = 0.0
+    for x in q:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cosine_to_query(vec_col: Column, query_vec: list[float]) -> Column:
+    """cos(vec, query) as an Arrow-batched kernel, bit-identical to
+    ``cosine(vec_col, F.array(*lits))`` (same left-fold order, same
+    ``dot/(norm_a*norm_b)`` evaluation order)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    nq = _scalar_fold_norm(q)
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(vecs: pd.Series) -> pd.Series:
+        m = _stack(vecs)
+        return pd.Series(_fold_dot(m, q) / (_fold_norm(m) * nq))
+
+    return cos(vec_col)
+
+
+def pair_cosine(a_col: Column, b_col: Column) -> Column:
+    """cos(a, b) over two vector columns — Arrow twin of
+    :func:`cosine`, bit-identical fold order."""
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = _stack(a), _stack(b)
+        return pd.Series(
+            _fold_dot_pair(ma, mb) / (_fold_norm(ma) * _fold_norm(mb))
+        )
+
+    return cos(a_col, b_col)
 
 
 def ranked_topk(scored: DataFrame, k: int, *order_cols: str) -> DataFrame:
@@ -68,9 +152,9 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(rank, vec_id, cos_sim) of the k most similar vectors."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = embeddings.select(
-        F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
+        F.col(id_col),
+        cosine_to_query(F.col(vec_col), query_vec).alias("cos_sim"),
     )
     return ranked_topk(scored, k, "cos_sim", id_col).select(
         "rank", id_col, "cos_sim"
@@ -86,20 +170,22 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign bits packed into
     a long).  Vectors in the same bucket are cosine-close with high
-    probability; the planes are seeded numpy constants baked into the
-    plan as array literals — no UDF."""
+    probability.  One Arrow kernel computes all n_planes sign bits per
+    batch (n_planes x dim vectorized adds), replacing r2's n_planes
+    interpreted HOF folds per row; sign bits are bit-identical to the
+    fold (same left-fold order), so :func:`hyperplane_bucket_sql`
+    remains the exact DuckDB twin."""
     planes = lsh_planes(n_planes, dim, seed)
-    bucket = F.lit(0).cast("long")
-    v = _as_double(F.col(vec_col))
-    for i in range(n_planes):
-        p = F.array(*[F.lit(float(x)) for x in planes[i]])
-        d = F.aggregate(
-            F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        bucket = bucket.bitwiseOR(
-            F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        )
-    return embeddings.withColumn("bucket", bucket)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = _stack(vecs)
+        out = np.zeros(m.shape[0], dtype=np.int64)
+        for i in range(planes.shape[0]):
+            out |= (_fold_dot(m, planes[i]) > 0).astype(np.int64) << i
+        return pd.Series(out)
+
+    return embeddings.withColumn("bucket", bucket(F.col(vec_col)))
 
 
 def ann_topk(
@@ -137,8 +223,10 @@ def ann_topk(
         embeddings, n_planes=n_planes, dim=dim, seed=seed, vec_col=vec_col
     )
     cand = bucketed.where(F.col("bucket").isin(*sorted(probes)))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+    scored = cand.select(
+        F.col(id_col),
+        cosine_to_query(F.col(vec_col), query_vec).alias("cos_sim"),
+    )
     return ranked_topk(scored, k, "cos_sim", id_col).select(
         "rank", id_col, "cos_sim"
     )
@@ -201,7 +289,7 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("eb"),
         F.col("bucket"),
     )
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cos = pair_cosine(F.col("ea"), F.col("eb"))
     return (
         a.join(c, ["bucket"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -281,9 +369,9 @@ def ivf_probe_partitioned(
     qn = q / np.linalg.norm(q)
     probes = [int(p) for p in np.argsort(-(cent @ qn))[:nprobe]]
     df = spark.read.parquet(path).where(F.col("ivf_list").isin(*probes))
-    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = df.select(
-        F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim")
+        F.col(id_col),
+        cosine_to_query(F.col(vec_col), query_vec).alias("cos_sim"),
     )
     return ranked_topk(scored, k, "cos_sim", id_col).select(
         "rank", id_col, "cos_sim"
@@ -363,9 +451,9 @@ def ivf_topk(
 
     assigned = ivf_assign(embeddings, cent, vec_col=vec_col)
     cand = assigned.where(F.col("ivf_list").isin(*probes))
-    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = cand.select(
-        F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim")
+        F.col(id_col),
+        cosine_to_query(F.col(vec_col), query_vec).alias("cos_sim"),
     )
     return ranked_topk(scored, k, "cos_sim", id_col).select(
         "rank", id_col, "cos_sim"

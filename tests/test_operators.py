@@ -340,6 +340,35 @@ def test_pip_semi_anti_single_broadcast_exchange(spark, coords_df):
         assert "BroadcastExchange" in exchanges[0]
 
 
+def test_minhash_hot_bucket_guard_bounds_duplicate_blowup(spark):
+    """VERDICT r2 item 3: a cluster of m identical docs shares every
+    band hash, so an unguarded bucket self-join emits m*(m-1)/2 pairs
+    out of one reducer.  The width cap must drop the hot bucket (pair
+    output bounded, not quadratic) while keeping ordinary near-dup
+    candidates alive."""
+    boiler = "subscribe to our newsletter terms of service apply " * 8
+    rows = [(i, boiler) for i in range(1000)]  # 10^3 identical docs
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows += [(2000, base + "tail A"), (2001, base + "tail A almost")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    guarded = dedup.minhash_candidates(
+        df, num_hashes=16, bands=8, max_bucket_width=256
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    # the 10^3-wide boilerplate bucket (499500 pairs unguarded) is gone
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)
+    # the genuine near-dup pair in a narrow bucket survives
+    assert (2000, 2001) in pairs
+
+    unguarded = dedup.minhash_candidates(
+        df.where(F.col("doc_id") < 10), num_hashes=16, bands=8,
+        max_bucket_width=None,
+    )
+    # sanity: cap=None really disables the guard (quadratic on 10 dups)
+    assert unguarded.count() == 45
+
+
 def test_simhash_one_pass_matches_fold(spark):
     """VERDICT r1 item 8: the one-pass explode+conditional-sum SimHash
     must produce the same 64-bit values as the r1 64-fold version."""
