@@ -180,7 +180,12 @@ def cell_id_from_face_ij(face, i, j, level: int = MAX_LEVEL) -> np.ndarray:
 
 def face_ij_from_cell_id(cell_id):
     """(face, i, j, orientation) of the cell id (leaf i/j of its min
-    corner-curve position, per the published decode loop)."""
+    corner-curve position, per the published decode loop).
+
+    Orientation carries the canonical non-leaf correction (the decode
+    loop walks all 30 levels, which over-rotates ids whose level has
+    opposite parity — the published fix XORs SWAP_MASK whenever the lsb
+    has a bit in 0x1111111111111110; ADVICE r2)."""
     cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64)).view(np.uint64)
     face = (cid >> np.uint64(61)).astype(np.int64)
     bits = (face.astype(np.uint64)) & np.uint64(_SWAP_MASK)
@@ -199,6 +204,9 @@ def face_ij_from_cell_id(cell_id):
             k * _LOOKUP_BITS
         )
         bits &= np.uint64(_SWAP_MASK | _INVERT_MASK)
+    low = cid & (~cid + np.uint64(1))
+    correct = (low & np.uint64(0x1111111111111110)) != 0
+    bits = bits ^ (correct.astype(np.uint64) * np.uint64(_SWAP_MASK))
     return face, i.view(np.int64), j.view(np.int64), bits.view(np.int64)
 
 
@@ -225,10 +233,15 @@ def lsb(cell_id) -> np.ndarray:
 
 
 def level(cell_id) -> np.ndarray:
-    """Cell level: 30 - (trailing zero count / 2)."""
+    """Cell level: 30 - (trailing zero count / 2).  The sentinel/invalid
+    id 0 (no set bit) returns -1 instead of emitting divide-by-zero
+    warnings and garbage (ADVICE r2)."""
     low = lsb(cell_id).view(np.uint64).astype(np.float64)
-    # lsb = 2^(2*(30-level)); float64 holds 2^61 exactly (power of two)
-    return (MAX_LEVEL - (np.log2(low).astype(np.int64) >> 1)).astype(np.int64)
+    # lsb = 2^(2*(30-level)); float64 holds 2^61 exactly (power of two),
+    # and frexp's exponent (= log2 + 1 for powers of two) avoids
+    # np.log2(0) warnings for the id-0 row
+    tz = np.frexp(low)[1].astype(np.int64) - 1
+    return np.where(low == 0.0, -1, MAX_LEVEL - (tz >> 1)).astype(np.int64)
 
 
 def parent(cell_id, parent_level: int) -> np.ndarray:
@@ -404,7 +417,11 @@ def _cell_geom(face: int, lvl: int, ic: int, jc: int):
 
 
 def cap_covering(
-    lat: float, lon: float, radius_m: float, level: int | None = None
+    lat: float,
+    lon: float,
+    radius_m: float,
+    level: int | None = None,
+    max_cells: int = 4096,
 ):
     """Level-``level`` cells intersecting the spherical cap — a
     conservative superset (never a false negative): a cell is kept iff
@@ -412,6 +429,11 @@ def cap_covering(
 
     Returns (ids int64 array, interior bool array); ``interior`` cells
     lie entirely inside the cap (distance re-check skippable).
+
+    ``max_cells`` fails fast (mirroring polygon_covering; ADVICE r2)
+    when radius_m is oversized for ``level`` — the covering grows as
+    ~(2r/edge)^2 cells, so e.g. a 250 km cap at level 12 would silently
+    enumerate ~40k+ cells per query inside a worker otherwise.
     """
     if level is None:
         level = suitable_level(radius_m)
@@ -422,6 +444,12 @@ def cap_covering(
 
     def emit(face: int, lvl: int, ic: int, jc: int, interior: bool) -> None:
         if lvl == level:
+            if len(out_ids) >= max_cells:
+                raise ValueError(
+                    f"cap covering exceeds max_cells={max_cells} "
+                    f"(radius_m={radius_m}, level={level}); lower `level` "
+                    "or raise `max_cells`"
+                )
             cid = cell_id_from_face_ij(
                 np.array([face]),
                 np.array([ic << (MAX_LEVEL - lvl)]),

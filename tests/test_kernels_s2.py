@@ -702,7 +702,8 @@ def test_s2_radius_join_bulk_matches_brute_force(spark):
         }
     )
     out = s2_radius_join_bulk(
-        spark.createDataFrame(pts), spark.createDataFrame(qs), level=12
+        spark.createDataFrame(pts), spark.createDataFrame(qs), level=12,
+        max_cells_per_query=65536,  # the 250 km query covers ~15k level-12 cells
     )
     got = {(r.query_id, r.doc_id) for r in out.select("query_id", "doc_id").collect()}
     exp = set()
@@ -710,3 +711,70 @@ def test_s2_radius_join_bulk_matches_brute_force(spark):
         d = _hav_m(q.qlat, q.qlon, pts.lat.to_numpy(), pts.lon.to_numpy())
         exp |= {(q.query_id, int(i)) for i in pts.doc_id[d <= q.radius_m]}
     assert got == exp and len(exp) > 0
+
+
+def test_level_of_sentinel_id_zero_is_minus_one_no_warnings():
+    """ADVICE r2: id 0 has no set bit — level() must return -1 cleanly
+    (previously np.log2(0) emitted RuntimeWarnings and returned garbage)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = K.level(np.array([0, int(K.cell_id(52.5, 13.4, 12)[0])]))
+    assert out[0] == -1 and out[1] == 12
+
+
+def test_cap_covering_max_cells_fails_fast():
+    """ADVICE r2: an oversized radius relative to the level must raise,
+    not silently enumerate O((r/edge)^2) cells."""
+    with pytest.raises(ValueError, match="max_cells"):
+        K.cap_covering(52.5, 13.4, 250_000.0, level=12, max_cells=4096)
+    # the same cap at its suitable level stays well under the cap
+    ids, _ = K.cap_covering(52.5, 13.4, 250_000.0)
+    assert len(ids) <= 4096
+
+
+def test_face_ij_orientation_matches_curve_accumulation():
+    """ADVICE r2: orientation must carry the canonical non-leaf
+    correction.  Independent check: by definition the orientation of a
+    cell is (face & SWAP) XOR the accumulated POS_TO_ORIENTATION of its
+    2-bit child positions from the root."""
+    rng = np.random.default_rng(11)
+    lats = rng.uniform(-85, 85, 64)
+    lons = rng.uniform(-180, 180, 64)
+    for lvl in (0, 1, 2, 7, 15, 29, 30):
+        ids = K.parent(K.cell_id(lats, lons, 30), lvl) if lvl < 30 else K.cell_id(lats, lons, 30)
+        _, _, _, orient = K.face_ij_from_cell_id(ids)
+        for cid, o in zip(np.asarray(ids), np.asarray(orient)):
+            u = int(cid) & 0xFFFFFFFFFFFFFFFF
+            expect = (u >> 61) & K._SWAP_MASK
+            for k in range(1, lvl + 1):
+                pos = (u >> (2 * (30 - k) + 1)) & 3
+                expect ^= K.POS_TO_ORIENTATION[pos]
+            assert int(o) == expect, (hex(u), lvl)
+
+
+def test_stored_leaf_column_probe_path_native_and_identical(spark):
+    """VERDICT r2 item 4: when points carry the stored s2_30 leaf column
+    (write_s2_sorted layout), probe keys must come from native bit-math
+    s2_parent — zero Python eval in the radius-join plan — and produce
+    the identical result set as the lat/lon encode path."""
+    import pandas as pd
+
+    from geogeometry_spark.functions.udfs import s2_cell_udf
+    from geogeometry_spark.operators.s2_join import s2_radius_join
+
+    pdf = pd.DataFrame({"doc_id": np.arange(4000), "lat": LAT[:4000], "lon": LON[:4000]})
+    raw = spark.createDataFrame(pdf)
+    stored = raw.withColumn(
+        "s2_30", s2_cell_udf(30)(F.col("lat"), F.col("lon"))
+    ).localCheckpoint()  # materialize: the stored-layout table
+
+    a = s2_radius_join(raw, 52.5, 13.4, 300_000.0)
+    b = s2_radius_join(stored, 52.5, 13.4, 300_000.0)
+    got_a = {(r.doc_id, round(r.dist_m, 6)) for r in a.collect()}
+    got_b = {(r.doc_id, round(r.dist_m, 6)) for r in b.select(a.columns).collect()}
+    assert got_a == got_b
+
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan

@@ -220,6 +220,41 @@ def test_frame_sample_and_resize(spark):
         assert abs(r["feature_small"][0] - (f[0] + f[1]) / 2) < 1e-6
 
 
+def test_media_decoder_dispatch_both_branches(spark):
+    """VERDICT r2 item 5: the decode step is feature-flagged.  The stub
+    branch must be deterministic and drive the full Arrow pipeline; the
+    PIL branch must either really decode (when Pillow is installed) or
+    fail fast with NotImplementedError — never a silent fake."""
+    import pytest as _pytest
+
+    from geogeometry_spark.operators import multimodal as mm
+    from geogeometry_spark.sources.tables import documents_with_spans
+
+    docs = documents_with_spans(spark, "/root/testdata/sf0.001")
+    media = mm.media_spans(docs).limit(10)
+
+    stub = mm.extract_media_features(media, decoder="stub").collect()
+    auto = mm.extract_media_features(media, decoder="auto").collect()
+    assert len(stub) == 10
+
+    if not mm.HAS_PIL:
+        # auto falls back to the stub — identical output
+        assert sorted(map(str, stub)) == sorted(map(str, auto))
+        with _pytest.raises(Exception, match="NotImplementedError|Pillow"):
+            mm.extract_media_features(media, decoder="pil").collect()
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_image(b"\x89PNG", decoder="pil")
+    else:
+        # real codec present: decode a genuine PNG through the pipeline
+        import io
+
+        img = mm._PIL_Image.new("L", (32, 16), color=128)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        arr = mm.decode_image(buf.getvalue(), decoder="pil")
+        assert arr.shape == (8, 8) and abs(float(arr.mean()) - 128 / 255) < 1e-3
+
+
 def test_feature_collection_sink(spark):
     import json
 
