@@ -32,7 +32,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "1000"))
-RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 INPUT_DIR = os.environ.get(
     "BENCH_INPUT_DIR", os.path.join(REPO, ".bench_cache")
 )
@@ -74,17 +74,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
 
     def timed(name: str, fn, runs: int = RUNS, warmup: bool = False) -> None:
+        """Median of ``runs`` samples + [min, max] spread (VERDICT r2
+        item 7: the shared VM swings ±40% between minutes, so single
+        samples misstate regressions; the spread makes co-tenant noise
+        visible in the artifact itself)."""
         if warmup:
             fn()
-        best = None
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     input_path, n_docs = materialize_input(spark, SF_DIR, AMPLIFY)
 
@@ -178,7 +184,7 @@ def main() -> None:
             .write.format("noop")
             .mode("overwrite")
             .save(),
-            runs=1,
+            runs=3,
             warmup=True,  # first execution pays python-worker/JIT cold start
         )
 
@@ -208,6 +214,80 @@ def main() -> None:
         warmup=True,
     )
 
+    # --- ANN scoring kernel: Arrow fold vs interpreted HOF twin --------
+    # VERDICT r2 item 2 evidence: score a >=5M-vector table with the
+    # Arrow left-fold kernel (the hot path since r3) and the HOF Column
+    # twin on a slice, reporting rows/s for both (the HOF is too slow to
+    # run at 5M — that is the point).
+    from geogeometry_spark.operators import similarity as sim
+
+    n_vec = 5_000_000
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.pmod(F.col("id") * i, F.lit(997)).cast("float") / 997.0,
+    )
+    emb_path = os.path.join(INPUT_DIR, f"bench_vectors_{n_vec}.parquet")
+    if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+        spark.range(n_vec).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        ).write.mode("overwrite").parquet(emb_path)
+    emb5m = spark.read.parquet(emb_path)
+    qv = [float((7 * i) % 997) / 997.0 for i in range(1, 65)]
+
+    def score_arrow():
+        emb5m.select(
+            sim.cosine_to_query(F.col("embedding"), qv).alias("c")
+        ).selectExpr("sum(c)").write.format("noop").mode("overwrite").save()
+
+    hof_slice = 100_000
+    emb_hof = emb5m.limit(hof_slice)
+
+    def score_hof():
+        qcol = F.array(*[F.lit(v) for v in qv])
+        emb_hof.select(
+            sim.cosine(F.col("embedding"), qcol).alias("c")
+        ).selectExpr("sum(c)").write.format("noop").mode("overwrite").save()
+
+    timed("ann_score_arrow_5m", score_arrow, runs=3, warmup=True)
+    timed("ann_score_hof_100k", score_hof, runs=1, warmup=True)
+    arrow_rps = n_vec / timings["ann_score_arrow_5m"]
+    hof_rps = hof_slice / timings["ann_score_hof_100k"]
+
+    # --- S2 bulk radius join over the STORED-leaf layout ---------------
+    # VERDICT r2 item 4 evidence: with s2_30 materialized at ingest
+    # (write_s2_sorted posture) the probe key is native bit math, so the
+    # bulk join should land within ~1.2x of the native-Morton geohash
+    # radius_join_bulk.
+    from geogeometry_spark.functions.udfs import s2_cell_udf
+    from geogeometry_spark.operators.s2_join import s2_radius_join_bulk
+
+    coords = src.with_true_coords(
+        src.load_table(spark, SF_DIR, "documents").select("doc_id")
+    )
+    stored_path = os.path.join(
+        INPUT_DIR, f"bench_s2stored_{os.path.basename(SF_DIR.rstrip('/'))}.parquet"
+    )
+    if not os.path.exists(os.path.join(stored_path, "_SUCCESS")):
+        coords.withColumn(
+            "s2_30", s2_cell_udf(30)(F.col("lat"), F.col("lon"))
+        ).write.mode("overwrite").parquet(stored_path)
+    pts_stored = spark.read.parquet(stored_path)
+    qs_bulk = coords.where(F.col("doc_id").cast("long") % 40 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        (
+            F.lit(2000.0) + (F.col("doc_id").cast("long") % 5) * F.lit(1000.0)
+        ).alias("radius_m"),
+    )
+
+    def s2_bulk_stored():
+        s2_radius_join_bulk(pts_stored, qs_bulk, level=13).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("s2_radius_join_bulk_stored", s2_bulk_stored, runs=3, warmup=True)
+
     print(
         json.dumps(
             {
@@ -219,6 +299,12 @@ def main() -> None:
                 "value": timings["flagship_pip_tiles"],
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "ann_scoring": {
+                    "arrow_rows_per_sec": round(arrow_rps),
+                    "hof_rows_per_sec": round(hof_rps),
+                    "speedup": round(arrow_rps / hof_rps, 1),
+                },
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "docs_per_sec": docs_per_sec,
                 "n_docs": n_docs,

@@ -6,12 +6,18 @@ entry in DuckDB over the same parquet tables, comparing row count, schema
 (column names), and an order-independent value hash (columns sorted by
 name, rows sorted by their full string form — mirroring the driver).
 
-Usage: python tools/check_correctness.py [query ...]
+Usage: python tools/check_correctness.py [--json PATH] [query ...]
+
+``--json PATH`` writes the per-query results in the driver's
+CORRECTNESS_r{N}.json structure (rows/schema/hash match flags + row
+counts), so the full-sweep artifact can be committed at round close
+(tools/round_gate.py drives this).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -60,9 +66,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from geogeometry_spark.plans.session import get_spark
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    results: dict[str, dict] = {}
 
     spark = get_spark(app_name="correctness", master="local[8]",
                       shuffle_partitions=8)
@@ -87,11 +100,21 @@ def main() -> None:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark: {e}"[:400],
+            }
             n_fail += 1
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": "no_oracle",
+            }
             n_pass += 1
             continue
         try:
@@ -100,6 +123,11 @@ def main() -> None:
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": f"duckdb: {e}"[:400],
+            }
             n_fail += 1
             continue
         problems = []
@@ -109,6 +137,14 @@ def main() -> None:
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
         elif value_hash(scols, srows) != value_hash(ocols, orows):
             problems.append("value hash mismatch")
+        results[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": "; ".join(problems) if problems else None,
+        }
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
@@ -117,6 +153,10 @@ def main() -> None:
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_path} ({len(results)} queries)")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
