@@ -222,9 +222,12 @@ def main() -> None:
     from geogeometry_spark.operators import similarity as sim
 
     n_vec = 5_000_000
+    # +1 keeps every element nonzero (ids = 996 mod 997 would otherwise
+    # produce all-zero vectors whose norm trips ANSI DIVIDE_BY_ZERO)
     vec = F.transform(
         F.sequence(F.lit(1), F.lit(64)),
-        lambda i: F.pmod(F.col("id") * i, F.lit(997)).cast("float") / 997.0,
+        lambda i: (F.pmod(F.col("id") * i, F.lit(997)) + 1).cast("float")
+        / 998.0,
     )
     emb_path = os.path.join(INPUT_DIR, f"bench_vectors_{n_vec}.parquet")
     if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
@@ -232,7 +235,7 @@ def main() -> None:
             F.col("id").alias("vec_id"), vec.alias("embedding")
         ).write.mode("overwrite").parquet(emb_path)
     emb5m = spark.read.parquet(emb_path)
-    qv = [float((7 * i) % 997) / 997.0 for i in range(1, 65)]
+    qv = [float((7 * i) % 997 + 1) / 998.0 for i in range(1, 65)]
 
     def score_arrow():
         emb5m.select(
@@ -253,40 +256,67 @@ def main() -> None:
     arrow_rps = n_vec / timings["ann_score_arrow_5m"]
     hof_rps = hof_slice / timings["ann_score_hof_100k"]
 
-    # --- S2 bulk radius join over the STORED-leaf layout ---------------
-    # VERDICT r2 item 4 evidence: with s2_30 materialized at ingest
-    # (write_s2_sorted posture) the probe key is native bit math, so the
-    # bulk join should land within ~1.2x of the native-Morton geohash
-    # radius_join_bulk.
+    # --- bulk radius joins at 5M points: geohash vs S2 (stored leaf) ---
+    # VERDICT r2 item 4 evidence.  The sf-native contract inputs are a
+    # few thousand rows, where sub-second python-stage setup dominates
+    # and the comparison measures scheduling, not throughput; here both
+    # paths probe the SAME 5M-point relation (the flagship's amplified
+    # coords) against the same 125 circles.  Geohash keys are native
+    # Morton; the S2 stored path reads a materialized s2_30 leaf column
+    # and derives the join key with native bit math (zero python on the
+    # probe side); the S2 udf path pays the Arrow encode round trip.
     from geogeometry_spark.functions.udfs import s2_cell_udf
+    from geogeometry_spark.operators.knn import radius_join_bulk
     from geogeometry_spark.operators.s2_join import s2_radius_join_bulk
 
-    coords = src.with_true_coords(
-        src.load_table(spark, SF_DIR, "documents").select("doc_id")
+    qs_bulk = (
+        src.with_true_coords(
+            src.load_table(spark, SF_DIR, "documents").select("doc_id")
+        )
+        .where(F.col("doc_id").cast("long") % 40 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("lat").alias("qlat"),
+            F.col("lon").alias("qlon"),
+            (
+                F.lit(2000.0)
+                + (F.col("doc_id").cast("long") % 5) * F.lit(1000.0)
+            ).alias("radius_m"),
+        )
     )
     stored_path = os.path.join(
-        INPUT_DIR, f"bench_s2stored_{os.path.basename(SF_DIR.rstrip('/'))}.parquet"
+        INPUT_DIR,
+        f"bench_s2stored_{os.path.basename(SF_DIR.rstrip('/'))}_x{AMPLIFY}.parquet",
     )
     if not os.path.exists(os.path.join(stored_path, "_SUCCESS")):
-        coords.withColumn(
+        pts.withColumn(
             "s2_30", s2_cell_udf(30)(F.col("lat"), F.col("lon"))
         ).write.mode("overwrite").parquet(stored_path)
     pts_stored = spark.read.parquet(stored_path)
-    qs_bulk = coords.where(F.col("doc_id").cast("long") % 40 == 0).select(
-        F.col("doc_id").alias("query_id"),
-        F.col("lat").alias("qlat"),
-        F.col("lon").alias("qlon"),
-        (
-            F.lit(2000.0) + (F.col("doc_id").cast("long") % 5) * F.lit(1000.0)
-        ).alias("radius_m"),
-    )
 
-    def s2_bulk_stored():
-        s2_radius_join_bulk(pts_stored, qs_bulk, level=13).write.format(
-            "noop"
-        ).mode("overwrite").save()
+    def gh_bulk_5m():
+        radius_join_bulk(
+            pts.withColumn(
+                "cell_id", C.geohash_interleaved(F.col("lat"), F.col("lon"), 12)
+            ),
+            qs_bulk,
+            precision=5,
+            max_ring=3,
+        ).write.format("noop").mode("overwrite").save()
 
-    timed("s2_radius_join_bulk_stored", s2_bulk_stored, runs=3, warmup=True)
+    def s2_bulk_stored_5m():
+        s2_radius_join_bulk(
+            pts_stored.drop("cell5"), qs_bulk
+        ).write.format("noop").mode("overwrite").save()
+
+    def s2_bulk_udf_5m():
+        s2_radius_join_bulk(
+            pts.select("doc_id", "lat", "lon"), qs_bulk
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("radius_join_bulk_5m_geohash", gh_bulk_5m, runs=3, warmup=True)
+    timed("s2_radius_join_bulk_5m_stored", s2_bulk_stored_5m, runs=3, warmup=True)
+    timed("s2_radius_join_bulk_5m_udf", s2_bulk_udf_5m, runs=3, warmup=True)
 
     print(
         json.dumps(

@@ -407,7 +407,7 @@ def q_s2_radius_join_bulk(spark, sf_dir):
             ).alias("radius_m"),
         )
     )
-    out = s2_radius_join_bulk(pts, qs, level=13)
+    out = s2_radius_join_bulk(pts, qs)  # level auto-derived from radii
     return out.select(
         "query_id", "doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3")
     )

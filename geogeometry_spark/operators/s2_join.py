@@ -415,7 +415,7 @@ def s2_radius_join_bulk(
     queries: DataFrame,
     lat_col: str = "lat",
     lon_col: str = "lon",
-    level: int = 13,
+    level: int | None = None,
     cell_col: str | None = None,
     max_cells_per_query: int = 4096,
 ) -> DataFrame:
@@ -424,21 +424,33 @@ def s2_radius_join_bulk(
     DISTRIBUTED (mapInPandas over the query relation, like the
     distributed polygon covering), then one shuffle equi-join on the
     level-``level`` cell key with AQE skew splitting, then the exact
-    haversine per-query-radius filter.
+    haversine per-query-radius filter.  Output matches the geohash twin
+    (operators/knn.py radius_join_bulk): input point columns + query_id
+    + dist_m.
 
     The covering is a conservative superset of each cap, so the result
     is exactly the distance predicate — no ring caps, no extent
-    formulas.  ``level`` must be coarse enough that the largest radius
-    covers in a bounded cell count (~(2r/edge)^2) — a query whose
-    covering would exceed ``max_cells_per_query`` fails fast with its
-    query_id instead of silently enumerating (ADVICE r2).
+    formulas.  ``level=None`` (default) derives the level from the
+    LARGEST radius in the relation via suitable_level (one tiny agg on
+    the query relation at plan time) — measured at 5M points x 125
+    2-6 km circles, the suitable level (11) runs 1.6x faster than a
+    hardcoded 13 (fewer covering cells broadcast, same result rows) and
+    lands within ~1.1x of the all-native geohash bulk join.  ``level``
+    must be coarse enough that the largest radius covers in a bounded
+    cell count (~(2r/edge)^2) — a query whose covering would exceed
+    ``max_cells_per_query`` fails fast with its query_id instead of
+    silently enumerating (ADVICE r2).
 
     Probe-side keys use the stored ``s2_30`` leaf column natively when
     present (see ``_probe_key``) — the layout ``write_s2_sorted``
-    produces and the reason the stored path benches within noise of the
-    native-Morton geohash bulk join.
+    produces; raw tables pay one Arrow encode round trip (~1.8 s at 5M
+    rows, measured).
     """
     import pandas as pd
+
+    if level is None:
+        max_r = queries.agg(F.max("radius_m")).collect()[0][0]
+        level = ks2.suitable_level(float(max_r if max_r is not None else 1.0))
 
     def cover_iter(pdfs):
         for pdf in pdfs:
@@ -477,7 +489,7 @@ def s2_radius_join_bulk(
     )
     return (
         points.join(cells, key == F.col("cell_key"), "inner")
-        .drop("cell_key")
         .withColumn("dist_m", dist)
         .where(F.col("dist_m") <= F.col("radius_m"))
+        .drop("cell_key", "qlat", "qlon", "radius_m")
     )
