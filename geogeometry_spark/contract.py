@@ -1944,6 +1944,61 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(docs, token_hash="md5_60")
 
 
+def q_pipeline_near_dup(spark, sf_dir):
+    """END-TO-END training-data dedup pipeline as ONE composed query —
+    the shape a 100 TB corpus job actually runs: exact dedup (hash
+    groupBy keeper) -> quality gate (native token count) -> MinHash LSH
+    candidates (banded bucket join, hot-bucket cap) -> exact n-gram
+    Jaccard verification of the candidate pairs.  Every stage is an
+    existing operator; this query pins their COMPOSITION with a single
+    DuckDB oracle."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    survivors = dedup.dedup_exact(docs).where(
+        F.size(F.split(F.col("text"), " ")) >= 8
+    )
+    cands = dedup.minhash_candidates(
+        survivors, num_hashes=16, bands=4, token_hash="md5_60"
+    )
+    verified = dedup.ngram_jaccard(survivors, cands.select("id_a", "id_b"))
+    return (
+        cands.join(verified, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            F.round(F.col("jaccard"), 9).alias("jaccard_r9"),
+        )
+    )
+
+
+def _pipeline_near_dup_oracle() -> str:
+    """Composes the stage oracles: exact-dedup + quality CTE feeds the
+    (parenthesized, WITH-bearing) minhash twin as its source table; the
+    Jaccard twin re-derives shingles from the same survivors."""
+    minhash = dedup.minhash_candidates_oracle_sql(table="base")
+    toks = "string_split(text, ' ')"
+    shingles = (
+        "list_distinct(list_transform("
+        f"range(0, greatest(len({toks}) - 3, 0) + 1), "
+        f"i -> array_to_string({toks}[i + 1 : i + 3], ' ')))"
+    )
+    return (
+        "WITH base AS ("
+        " SELECT d.doc_id, d.text FROM documents d"
+        " JOIN (SELECT md5(text) AS h, min(doc_id) AS keeper"
+        "       FROM documents GROUP BY md5(text)) k"
+        "   ON md5(d.text) = k.h AND d.doc_id = k.keeper"
+        f" WHERE len({toks}) >= 8), "
+        f"cand AS (SELECT * FROM ({minhash})), "
+        f"sh AS (SELECT doc_id, {shingles} AS sh FROM base) "
+        "SELECT c.id_a, c.id_b, c.n_shared_bands, "
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / len(list_distinct(a.sh || b.sh)), 9) AS jaccard_r9 "
+        "FROM cand c JOIN sh a ON c.id_a = a.doc_id "
+        "JOIN sh b ON c.id_b = b.doc_id"
+    )
+
+
 def q_media_features(spark, sf_dir):
     docs = src.documents_with_spans(spark, sf_dir)
     return extract_media_features(media_spans(docs)).select(
@@ -2051,6 +2106,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "minhash_candidates": q_minhash_candidates,
     "simhash": q_simhash,
+    "pipeline_near_dup": q_pipeline_near_dup,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
 }
@@ -2123,6 +2179,7 @@ def _static_oracles() -> dict[str, str]:
         "frame_sample": O_FRAME_SAMPLE,
         "simhash": dedup.simhash_oracle_sql(),
         "minhash_candidates": dedup.minhash_candidates_oracle_sql(),
+        "pipeline_near_dup": _pipeline_near_dup_oracle(),
         "intersects": _intersects_oracle(),
         "poly_intersects": _poly_intersects_oracle(),
         "vincenty": _vincenty_oracle(),

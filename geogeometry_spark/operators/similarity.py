@@ -98,31 +98,42 @@ def _scalar_fold_norm(q: np.ndarray) -> float:
     return math.sqrt(acc)
 
 
+def _safe_cos(num: np.ndarray, den: np.ndarray) -> pd.Series:
+    """num/den with zero denominators -> NaN (no numpy warnings); the
+    Arrow transfer maps NaN to SQL NULL, so zero-norm vectors get a NULL
+    cosine — well-defined quarantine semantics vs the HOF twin, which
+    raises DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = num / den
+    out[den == 0.0] = np.nan
+    return pd.Series(out)
+
+
 def cosine_to_query(vec_col: Column, query_vec: list[float]) -> Column:
     """cos(vec, query) as an Arrow-batched kernel, bit-identical to
     ``cosine(vec_col, F.array(*lits))`` (same left-fold order, same
-    ``dot/(norm_a*norm_b)`` evaluation order)."""
+    ``dot/(norm_a*norm_b)`` evaluation order).  Zero-norm vectors
+    produce NULL (see ``_safe_cos``)."""
     q = np.asarray(query_vec, dtype=np.float64)
     nq = _scalar_fold_norm(q)
 
     @F.pandas_udf(T.DoubleType())
     def cos(vecs: pd.Series) -> pd.Series:
         m = _stack(vecs)
-        return pd.Series(_fold_dot(m, q) / (_fold_norm(m) * nq))
+        return _safe_cos(_fold_dot(m, q), _fold_norm(m) * nq)
 
     return cos(vec_col)
 
 
 def pair_cosine(a_col: Column, b_col: Column) -> Column:
     """cos(a, b) over two vector columns — Arrow twin of
-    :func:`cosine`, bit-identical fold order."""
+    :func:`cosine`, bit-identical fold order.  Zero-norm rows -> NULL
+    (see ``_safe_cos``)."""
 
     @F.pandas_udf(T.DoubleType())
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
         ma, mb = _stack(a), _stack(b)
-        return pd.Series(
-            _fold_dot_pair(ma, mb) / (_fold_norm(ma) * _fold_norm(mb))
-        )
+        return _safe_cos(_fold_dot_pair(ma, mb), _fold_norm(ma) * _fold_norm(mb))
 
     return cos(a_col, b_col)
 
@@ -136,10 +147,12 @@ def ranked_topk(scored: DataFrame, k: int, *order_cols: str) -> DataFrame:
     window over the already-k-row result, which is free.
 
     ``order_cols``: first column descending (the score), the rest
-    ascending id tiebreakers."""
+    ascending id tiebreakers.  NULL scores (zero-norm vectors — see
+    ``_safe_cos``) are excluded: an undefined cosine never occupies a
+    top-k slot."""
     score, *ids = order_cols
     order = [F.col(score).desc()] + [F.col(c).asc() for c in ids]
-    top = scored.orderBy(*order).limit(k)
+    top = scored.where(F.col(score).isNotNull()).orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 

@@ -611,3 +611,28 @@ def test_radius_join_bulk_matches_brute_force(spark, coords_df):
             if kgeo.haversine_scalar(r["lat"], r["lon"], qlat, qlon) <= rad:
                 expected.add((qid, r["doc_id"]))
     assert got == expected
+
+
+def test_cosine_zero_norm_vectors_are_null_not_ranked(spark):
+    """A zero-norm embedding has no defined cosine: the Arrow kernel
+    must yield NULL (no numpy warnings, no ANSI DIVIDE_BY_ZERO) and
+    top-k must never seat it, even when k exceeds the scorable rows."""
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = [1.0, 0.0, 0.0, 0.0]
+    scored = {
+        r.vec_id: r.c
+        for r in emb.select(
+            "vec_id",
+            similarity.cosine_to_query(F.col("embedding"), q).alias("c"),
+        ).collect()
+    }
+    assert scored[0] is None and scored[1] == 1.0 and scored[2] == 0.0
+    top = similarity.brute_force_topk(emb, q, k=3).collect()
+    assert [r.vec_id for r in top] == [1, 2]  # zero-norm row excluded
+    pair = emb.alias("a").join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id")).select(
+        similarity.pair_cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c")
+    ).collect()
+    assert sum(1 for r in pair if r.c is None) == 2  # both pairs with vec 0
