@@ -240,3 +240,59 @@ def test_s2_cap_covering_covers_the_center(lat, lon, radius_m):
     assert len(ids) >= 1
     center_cell = ks2.cell_id(lat, lon, level)
     assert center_cell[0] in set(int(i) for i in ids)
+
+
+# --- round-3 additions ------------------------------------------------
+
+s2_lats = st.floats(-85.0, 85.0, allow_nan=False)
+s2_lons = st.floats(-179.9, 179.9, allow_nan=False)
+
+
+@settings(max_examples=100, deadline=None)
+@given(s2_lats, s2_lons, st.integers(0, 30))
+def test_s2_parent_of_leaf_equals_direct_encode(lat, lon, level):
+    from geogeometry_spark.kernels import s2 as ks2
+
+    leaf = ks2.cell_id(lat, lon, 30)
+    assert ks2.parent(leaf, level)[0] == ks2.cell_id(lat, lon, level)[0]
+    assert int(ks2.level(ks2.parent(leaf, level))[0]) == level
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-10.0, 10.0, allow_nan=False),
+            st.floats(-10.0, 10.0, allow_nan=False),
+        ),
+        min_size=4,
+        max_size=9,
+        unique=True,
+    )
+)
+def test_remove_self_intersections_vertex_preserving(pts):
+    """The untangle swap only reverses sub-runs: the vertex SET is
+    invariant and the ring stays closed (reference concave-hull.kt
+    semantics — full untangling is only guaranteed within the
+    iteration cap, so we assert the invariants, not simplicity)."""
+    from geogeometry_spark.kernels.concave_hull import (
+        remove_self_intersections,
+    )
+
+    fixed = remove_self_intersections(pts, max_iterations=50)
+    assert (fixed[0] == fixed[-1]).all()
+    assert {tuple(p) for p in fixed} == {(float(a), float(b)) for a, b in pts}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.recursive(
+        st.one_of(st.none(), st.floats(allow_nan=False), st.integers(-9, 9)),
+        lambda kids: st.lists(kids, max_size=3),
+        max_leaves=12,
+    )
+)
+def test_deep_equals_reflexive(x):
+    from geogeometry_spark.operators.geojson import deep_equals
+
+    assert deep_equals(x, x)
