@@ -1924,6 +1924,45 @@ def _ann_ivf_oracle() -> str | None:
     )
 
 
+def q_ann_join(spark, sf_dir):
+    """ANN top-k JOIN: every 50th vector is a QUERY (a relation, not a
+    driver-side constant — the bulk twin of ann_lsh): multi-probe
+    hyperplane buckets both sides, one equi-join, Arrow cosine, window
+    top-5 per query.  The oracle replays buckets + probes in SQL
+    (bit_count(xor) <= hamming) and ranks per query."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qvec_id"),
+        F.col("embedding").alias("qembedding"),
+    )
+    out = similarity.ann_join(emb, qs, k=5, n_planes=8, probe_hamming=1)
+    return out.select(
+        "qvec_id", "rank", "vec_id",
+        F.round(F.col("cos_sim"), 9).alias("cos_r9"),
+    )
+
+
+def _ann_join_oracle() -> str:
+    planes = similarity.lsh_planes(8, 64, 42)
+    bucket = similarity.hyperplane_bucket_sql("embedding", planes)
+    qbucket = similarity.hyperplane_bucket_sql("qe", planes)
+    cos = _COS_64.format(a="c.embedding", b="c.qe")
+    return (
+        f"WITH q AS (SELECT vec_id AS qvec_id, embedding AS qe, "
+        f"{qbucket} AS qb FROM embeddings WHERE vec_id % 50 = 0), "
+        f"b AS (SELECT vec_id, embedding, {bucket} AS bucket "
+        "FROM embeddings), "
+        "cand AS (SELECT q.qvec_id, q.qe, b.vec_id, b.embedding "
+        "FROM q JOIN b ON bit_count(xor(q.qb, b.bucket)) <= 1), "
+        f"scored AS (SELECT qvec_id, vec_id, {cos} AS cos_sim "
+        "FROM cand c) "
+        "SELECT qvec_id, rank, vec_id, round(cos_sim, 9) AS cos_r9 FROM ("
+        "SELECT qvec_id, vec_id, cos_sim, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY qvec_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) "
+        "AS rank FROM scored) WHERE rank <= 5"
+    )
+
+
 def q_minhash_candidates(spark, sf_dir):
     """LSH candidate pairs with the md5_60 token hash so DuckDB can
     replay the full shingle -> minhash -> band -> bucket-join pipeline
@@ -2104,6 +2143,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "embed_near_dups": q_embed_near_dups,
     "ann_ivf": q_ann_ivf,
+    "ann_join": q_ann_join,
     "minhash_candidates": q_minhash_candidates,
     "simhash": q_simhash,
     "pipeline_near_dup": q_pipeline_near_dup,
@@ -2175,6 +2215,7 @@ def _static_oracles() -> dict[str, str]:
         "ann_brute": O_ANN_BRUTE,
         "ann_lsh": _ann_lsh_oracle(),
         "embed_near_dups": _embed_near_dups_oracle(),
+        "ann_join": _ann_join_oracle(),
         "media_features": O_MEDIA,
         "frame_sample": O_FRAME_SAMPLE,
         "simhash": dedup.simhash_oracle_sql(),

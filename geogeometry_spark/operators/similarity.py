@@ -471,3 +471,111 @@ def ivf_topk(
     return ranked_topk(scored, k, "cos_sim", id_col).select(
         "rank", id_col, "cos_sim"
     )
+
+
+def query_probe_buckets(
+    queries: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    qvec_col: str = "qembedding",
+) -> DataFrame:
+    """Each query row exploded to its multi-probe bucket set: the exact
+    bucket plus every bucket within ``probe_hamming`` bit flips
+    (1 + C(n,1) [+ C(n,2)] keys/query — a plan-side constant).  The
+    base bucket comes from the same Arrow sign-fold as the corpus side,
+    so probe membership is bit-consistent."""
+    if probe_hamming not in (0, 1, 2):
+        raise ValueError("probe_hamming must be 0, 1, or 2")
+    planes = lsh_planes(n_planes, dim, seed)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = _stack(vecs)
+        out = np.zeros(m.shape[0], dtype=np.int64)
+        for i in range(planes.shape[0]):
+            out |= (_fold_dot(m, planes[i]) > 0).astype(np.int64) << i
+        return pd.Series(out)
+
+    flips = [0]
+    if probe_hamming >= 1:
+        flips += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    b = queries.withColumn("_qb", bucket(F.col(qvec_col)))
+    probe = F.explode(
+        F.array(*[F.col("_qb").bitwiseXOR(F.lit(x)) for x in flips])
+    ).alias("bucket")
+    return b.select("*", probe).drop("_qb")
+
+
+def ann_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qvec_id",
+    qvec_col: str = "qembedding",
+) -> DataFrame:
+    """ANN top-k JOIN: ``queries`` is a RELATION of query vectors — the
+    bulk twin of :func:`ann_topk` (which serves ONE driver-side vector),
+    completing the pattern radius_join/radius_join_bulk set for the
+    spatial family.
+
+    Shape: both sides bucket on the shared hyperplane signature (Arrow
+    sign-fold); queries explode to their multi-probe set (plan-side
+    constant fan-out), ONE equi-join on the bucket long (AQE skew
+    splitting applies), candidates dedup on (query, id) — a candidate
+    reachable via several probes must score once — exact cosine via the
+    Arrow kernel, then a window top-k PARTITIONED BY query id (bounded
+    per query, never a global sort).  No O(|queries| x |corpus|) stage
+    anywhere; recall vs brute force is pytest-gated.
+
+    Output: (qid, rank, id, cos_sim) one row per query per rank."""
+    corpus = hyperplane_buckets(
+        embeddings, n_planes=n_planes, dim=dim, seed=seed, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.col("bucket"),
+    )
+    probes = query_probe_buckets(
+        queries, n_planes=n_planes, dim=dim, seed=seed,
+        probe_hamming=probe_hamming, qvec_col=qvec_col,
+    ).select(
+        F.col(qid_col).alias("_qid"),
+        F.col(qvec_col).alias("_qvec"),
+        F.col("bucket"),
+    )
+    cand = (
+        probes.join(corpus, "bucket")
+        .dropDuplicates(["_qid", "_cid"])
+    )
+    scored = cand.select(
+        "_qid",
+        "_cid",
+        pair_cosine(F.col("_cvec"), F.col("_qvec")).alias("cos_sim"),
+    ).where(F.col("cos_sim").isNotNull())
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("cos_sim").desc(), F.col("_cid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(qid_col),
+            "rank",
+            F.col("_cid").alias(id_col),
+            "cos_sim",
+        )
+    )

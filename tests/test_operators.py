@@ -636,3 +636,37 @@ def test_cosine_zero_norm_vectors_are_null_not_ranked(spark):
         similarity.pair_cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c")
     ).collect()
     assert sum(1 for r in pair if r.c is None) == 2  # both pairs with vec 0
+
+
+def test_ann_join_recall_vs_brute_force_per_query(spark):
+    """Bulk ANN join: each query's top-k must substantially agree with
+    the exact brute-force top-k for that query vector, and the query
+    vector itself must rank first (cos = 1)."""
+    emb = src.load_table(spark, SF, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qvec_id"),
+        F.col("embedding").alias("qembedding"),
+    )
+    out = similarity.ann_join(emb, qs, k=5, n_planes=8, probe_hamming=2)
+    by_q: dict = {}
+    for r in out.collect():
+        by_q.setdefault(r.qvec_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    assert len(by_q) == qs.count()
+    hits = total = 0
+    for qid, rows in by_q.items():
+        rows.sort()
+        # the query vector itself is always reachable (hamming 0 probe)
+        assert rows[0][1] == qid and abs(rows[0][2] - 1.0) < 1e-12
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]
+        ]
+        brute = {
+            r.vec_id for r in similarity.brute_force_topk(emb, qv, k=5).collect()
+        }
+        hits += len({v for _, v, _ in rows} & brute)
+        total += 5
+    # sandbox embeddings are uniform-random (near-flat cosine spectrum),
+    # the hardest case for LSH — require aggregate recall >= 50%, same
+    # standard as the single-query test_ann_lsh_recall
+    assert hits / total >= 0.5, (hits, total)
