@@ -174,21 +174,11 @@ def brute_force_topk(
     )
 
 
-def hyperplane_buckets(
-    embeddings: DataFrame,
-    n_planes: int = 12,
-    dim: int = 64,
-    seed: int = 42,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector (sign bits packed into
-    a long).  Vectors in the same bucket are cosine-close with high
-    probability.  One Arrow kernel computes all n_planes sign bits per
-    batch (n_planes x dim vectorized adds), replacing r2's n_planes
-    interpreted HOF folds per row; sign bits are bit-identical to the
-    fold (same left-fold order), so :func:`hyperplane_bucket_sql`
-    remains the exact DuckDB twin."""
-    planes = lsh_planes(n_planes, dim, seed)
+def _bucket_udf(planes: np.ndarray):
+    """Arrow kernel: all n_planes hyperplane sign bits per batch
+    (n_planes x dim vectorized adds).  Sign bits are bit-identical to
+    the interpreted fold (same left-fold order), so
+    :func:`hyperplane_bucket_sql` remains the exact DuckDB twin."""
 
     @F.pandas_udf(T.LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
@@ -198,7 +188,24 @@ def hyperplane_buckets(
             out |= (_fold_dot(m, planes[i]) > 0).astype(np.int64) << i
         return pd.Series(out)
 
-    return embeddings.withColumn("bucket", bucket(F.col(vec_col)))
+    return bucket
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign bits packed into
+    a long).  Vectors in the same bucket are cosine-close with high
+    probability.  One Arrow kernel pass (see ``_bucket_udf``), replacing
+    r2's n_planes interpreted HOF folds per row."""
+    planes = lsh_planes(n_planes, dim, seed)
+    return embeddings.withColumn(
+        "bucket", _bucket_udf(planes)(F.col(vec_col))
+    )
 
 
 def ann_topk(
@@ -489,15 +496,7 @@ def query_probe_buckets(
     if probe_hamming not in (0, 1, 2):
         raise ValueError("probe_hamming must be 0, 1, or 2")
     planes = lsh_planes(n_planes, dim, seed)
-
-    @F.pandas_udf(T.LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        m = _stack(vecs)
-        out = np.zeros(m.shape[0], dtype=np.int64)
-        for i in range(planes.shape[0]):
-            out |= (_fold_dot(m, planes[i]) > 0).astype(np.int64) << i
-        return pd.Series(out)
-
+    bucket = _bucket_udf(planes)
     flips = [0]
     if probe_hamming >= 1:
         flips += [1 << i for i in range(n_planes)]
