@@ -175,18 +175,23 @@ def brute_force_topk(
 
 
 def _bucket_udf(planes: np.ndarray):
-    """Arrow kernel: all n_planes hyperplane sign bits per batch
-    (n_planes x dim vectorized adds).  Sign bits are bit-identical to
-    the interpreted fold (same left-fold order), so
+    """Arrow kernel: all n_planes hyperplane sign bits per batch.  The
+    dim loop vectorizes across BOTH the batch and the planes (dim adds
+    total on (batch, n_planes) panels, vs n_planes*dim per-plane folds)
+    while keeping the exact left-fold order per (row, plane):
+    ``acc[:, p] = (..((0 + m0*p0) + m1*p1)..)`` — elementwise float64
+    broadcast ops are the same IEEE operations as the per-plane fold,
+    so sign bits stay bit-identical to the interpreted fold and
     :func:`hyperplane_bucket_sql` remains the exact DuckDB twin."""
+    pw = (np.int64(1) << np.arange(planes.shape[0], dtype=np.int64))
 
     @F.pandas_udf(T.LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
         m = _stack(vecs)
-        out = np.zeros(m.shape[0], dtype=np.int64)
-        for i in range(planes.shape[0]):
-            out |= (_fold_dot(m, planes[i]) > 0).astype(np.int64) << i
-        return pd.Series(out)
+        acc = np.zeros((m.shape[0], planes.shape[0]), dtype=np.float64)
+        for j in range(m.shape[1]):
+            acc = acc + m[:, j : j + 1] * planes[None, :, j]
+        return pd.Series((acc > 0).astype(np.int64) @ pw)
 
     return bucket
 
@@ -525,6 +530,7 @@ def ann_join(
     vec_col: str = "embedding",
     qid_col: str = "qvec_id",
     qvec_col: str = "qembedding",
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """ANN top-k JOIN: ``queries`` is a RELATION of query vectors — the
     bulk twin of :func:`ann_topk` (which serves ONE driver-side vector),
@@ -534,11 +540,22 @@ def ann_join(
     Shape: both sides bucket on the shared hyperplane signature (Arrow
     sign-fold); queries explode to their multi-probe set (plan-side
     constant fan-out), ONE equi-join on the bucket long (AQE skew
-    splitting applies), candidates dedup on (query, id) — a candidate
-    reachable via several probes must score once — exact cosine via the
-    Arrow kernel, then a window top-k PARTITIONED BY query id (bounded
-    per query, never a global sort).  No O(|queries| x |corpus|) stage
-    anywhere; recall vs brute force is pytest-gated.
+    splitting applies), exact cosine via the Arrow kernel, then a
+    window top-k PARTITIONED BY query id (bounded per query, never a
+    global sort).  No dedup stage is needed: a query's probe masks are
+    distinct, so its probe buckets are distinct (xor with distinct
+    masks is injective), and a corpus row carries exactly ONE bucket —
+    each (query, id) pair can match at most once.  No
+    O(|queries| x |corpus|) stage anywhere; recall vs brute force is
+    pytest-gated.
+
+    ``broadcast_queries=True`` hints the exploded probe relation onto
+    the broadcast side — Catalyst can NOT infer its size when
+    ``queries`` derives from a big scan (the estimate is scan-based and
+    the sign-fold UDF is a stats barrier), and a missed broadcast
+    shuffles the full vector-carrying corpus.  Set it whenever the
+    query relation is small (the common case); leave None for a
+    genuinely huge query relation (shuffle join is then correct).
 
     Output: (qid, rank, id, cos_sim) one row per query per rank."""
     corpus = hyperplane_buckets(
@@ -556,10 +573,9 @@ def ann_join(
         F.col(qvec_col).alias("_qvec"),
         F.col("bucket"),
     )
-    cand = (
-        probes.join(corpus, "bucket")
-        .dropDuplicates(["_qid", "_cid"])
-    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    cand = probes.join(corpus, "bucket")
     scored = cand.select(
         "_qid",
         "_cid",

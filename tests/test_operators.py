@@ -670,3 +670,26 @@ def test_ann_join_recall_vs_brute_force_per_query(spark):
     # the hardest case for LSH — require aggregate recall >= 50%, same
     # standard as the single-query test_ann_lsh_recall
     assert hits / total >= 0.5, (hits, total)
+
+
+def test_ann_join_broadcast_hint_plan_and_parity(spark):
+    """broadcast_queries=True must turn the bucket equi-join into a
+    BroadcastHashJoin (Catalyst's scan-derived size estimate misses it
+    when the query relation filters a big table — a missed broadcast
+    shuffles the vector-carrying corpus), and must not change results."""
+    emb = src.load_table(spark, SF, "embeddings")
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qvec_id"),
+        F.col("embedding").alias("qembedding"),
+    )
+    hinted = similarity.ann_join(
+        emb, qs, k=5, n_planes=8, probe_hamming=1, broadcast_queries=True
+    )
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    plain = similarity.ann_join(emb, qs, k=5, n_planes=8, probe_hamming=1)
+    key = lambda r: (r.qvec_id, r.rank, r.vec_id)
+    assert sorted(map(key, hinted.collect())) == sorted(
+        map(key, plain.collect())
+    )
