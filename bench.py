@@ -94,18 +94,31 @@ def main() -> None:
 
     input_path, n_docs = materialize_input(spark, SF_DIR, AMPLIFY)
 
-    # Size input splits so every core gets ~4 tasks at sandbox scale.
-    # At production scale (100 TB) the 128 MB default produces the same
-    # tasks-per-core shape; without this, the whole 45 MB bench input
-    # lands in ONE split and "parallelism" is a single task.
-    total_bytes = sum(
-        os.path.getsize(os.path.join(input_path, f))
-        for f in os.listdir(input_path)
-        if f.endswith(".parquet")
-    )
-    split = min(max(total_bytes // (CPUS * 4), 256 * 1024), 128 * 1024 * 1024)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(split // 8))
+    def size_splits(*paths: str, tasks_per_core: int = 4) -> None:
+        """Size file splits for the SECTION'S dominant input so every
+        core gets ~tasks_per_core tasks.  At production scale (100 TB)
+        the 128 MB default produces the same tasks-per-core shape;
+        without this, the whole 45 MB spans input lands in ONE split
+        and "parallelism" is a single task.  Re-run at every input
+        switch: a split sized for the 227 MB spans table shatters the
+        1.3 GB vector table into ~700 slivers, and per-task Arrow-UDF
+        stream setup then dominates (measured 42 s vs 9.7 s median for
+        ann_join at 5M — the same reason a real job tunes
+        maxPartitionBytes per table, not per cluster)."""
+        total_bytes = sum(
+            os.path.getsize(os.path.join(p, f))
+            for p in paths
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+        split = min(
+            max(total_bytes // (CPUS * tasks_per_core), 256 * 1024),
+            128 * 1024 * 1024,
+        )
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(split // 8))
+
+    size_splits(input_path)
 
     docs = spark.read.parquet(input_path)
 
@@ -246,6 +259,10 @@ def main() -> None:
         spark.range(n_vec).mapInPandas(
             _gen_vectors, "vec_id long, embedding array<float>"
         ).write.mode("overwrite").parquet(emb_path)
+    # ~2 tasks/core: Arrow-UDF sections favor fewer, fatter splits
+    # (per-task python stream setup is the marginal cost; measured
+    # optimum 64 splits at 1.3 GB on 32 cores)
+    size_splits(emb_path, tasks_per_core=2)
     emb5m = spark.read.parquet(emb_path)
     qv = [float(x) for x in __import__("numpy").random.default_rng(0).standard_normal(64)]
 
@@ -327,6 +344,9 @@ def main() -> None:
             "s2_30", s2_cell_udf(30)(F.col("lat"), F.col("lon"))
         ).write.mode("overwrite").parquet(stored_path)
     pts_stored = spark.read.parquet(stored_path)
+    # back to point-table inputs: size for the larger of the two
+    # (stored table carries the extra s2_30 column)
+    size_splits(input_path, stored_path)
 
     def gh_bulk_5m():
         radius_join_bulk(

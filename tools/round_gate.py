@@ -33,6 +33,10 @@ def main() -> None:
     rnd = "0"
     if "--round" in args:
         rnd = args[args.index("--round") + 1]
+    else:
+        positional = [a for a in args if not a.startswith("-")]
+        if positional:
+            rnd = positional[0]
     skip_audit = "--skip-audit" in args
 
     gate: dict = {"round": int(rnd)}
