@@ -1506,6 +1506,90 @@ def _geojson_io_url_oracle() -> str:
     )
 
 
+def q_ndjson_features(spark, sf_dir):
+    """Bulk GeoJSON sink shape (sources/geojson_file.py feature_line):
+    one NDJSON Feature string per doc — native concat around the
+    geometry JSON, properties via to_json(struct).  Oracle rebuilds the
+    byte-identical line (both engines print float64 shortest-repr,
+    proven by geojson_roundtrip)."""
+    from .operators.geojson import point_geojson
+    from .sources.geojson_file import feature_line
+
+    df = src.with_true_coords(
+        src.load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lang", "lat", "lon")
+    df = df.withColumn("gj", point_geojson(F.col("lat"), F.col("lon")))
+    return df.select(
+        "doc_id", feature_line("gj", ["doc_id", "lang"]).alias("feature")
+    )
+
+
+O_NDJSON = (
+    "SELECT doc_id, "
+    "'{\"type\":\"Feature\",\"geometry\":{\"type\":\"Point\",\"coordinates\":['"
+    " || CAST(lon AS VARCHAR) || ',' || CAST(lat AS VARCHAR) || "
+    "']},\"properties\":{\"doc_id\":' || CAST(doc_id AS VARCHAR) || "
+    "',\"lang\":\"' || lang || '\"}}' AS feature "
+    f"FROM (SELECT doc_id, lang, {src.LAT_SQL} AS lat, {src.LON_SQL} AS lon "
+    "FROM documents)"
+)
+
+
+def q_fc_explode(spark, sf_dir):
+    """FeatureCollection round trip: per-lang FeatureCollection string
+    (deterministic doc_id order, the fromGeoHashes-style sink,
+    geojson.kt:783-823) exploded back to one row per Feature via the
+    native Spark 4 VARIANT path (sources/geojson_file.py
+    explode_feature_collection — variant_explode, no Python workers).
+
+    Oracle: variant re-rendering is canonical — object keys sort
+    alphabetically and numbers re-print from the parsed value — so the
+    SQL twin rebuilds that canonical form directly; pos must equal the
+    doc_id rank within lang."""
+    from .operators.geojson import point_geojson
+    from .sources.geojson_file import explode_feature_collection, feature_line
+
+    df = src.with_true_coords(
+        src.load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lang", "lat", "lon")
+    feat = feature_line(
+        point_geojson(F.col("lat"), F.col("lon")), ["doc_id"]
+    )
+    fc = df.select("lang", "doc_id", feat.alias("f")).groupBy("lang").agg(
+        F.concat(
+            F.lit('{"type":"FeatureCollection","features":['),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "f"))),
+                    lambda s: s["f"],
+                ),
+                ",",
+            ),
+            F.lit("]}"),
+        ).alias("fc")
+    )
+    return explode_feature_collection(fc, "fc", keep=["lang"]).select(
+        "lang", "pos", "feature"
+    )
+
+
+def _fc_explode_oracle() -> str:
+    # canonical variant rendering: keys alphabetical within each object
+    feat = (
+        "'{\"geometry\":{\"coordinates\":[' || CAST(lon AS VARCHAR) || ',' "
+        "|| CAST(lat AS VARCHAR) || '],\"type\":\"Point\"},"
+        "\"properties\":{\"doc_id\":' || CAST(doc_id AS VARCHAR) || "
+        "'},\"type\":\"Feature\"}'"
+    )
+    return (
+        "SELECT lang, "
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS pos, "
+        f"{feat} AS feature "
+        f"FROM (SELECT doc_id, lang, {src.LAT_SQL} AS lat, {src.LON_SQL} AS lon "
+        "FROM documents)"
+    )
+
+
 def q_bbox_area(spark, sf_dir):
     """Bbox area via two haversines (GeoGeometry.kt:1266-1273), per
     cell3 bbox from the min/max aggregation — native end to end."""
@@ -2131,6 +2215,8 @@ QUERIES = {
     "poly_intersects": q_poly_intersects,
     "geojson_roundtrip": q_geojson_roundtrip,
     "geojson_io_url": q_geojson_io_url,
+    "ndjson_features": q_ndjson_features,
+    "fc_explode": q_fc_explode,
     "bbox_area": q_bbox_area,
     "hull_area": q_hull_area,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2205,6 +2291,8 @@ def _static_oracles() -> dict[str, str]:
         "dedup_head": O_DEDUP_HEAD,
         "geojson_roundtrip": O_GEOJSON,
         "geojson_io_url": _geojson_io_url_oracle(),
+        "ndjson_features": O_NDJSON,
+        "fc_explode": _fc_explode_oracle(),
         "bbox_area": _bbox_area_oracle(),
         "ngram_jaccard": O_NGRAM_JACCARD,
         "embed_pairs_topk": O_EMBED_PAIRS,

@@ -693,3 +693,87 @@ def test_ann_join_broadcast_hint_plan_and_parity(spark):
     assert sorted(map(key, hinted.collect())) == sorted(
         map(key, plain.collect())
     )
+
+
+def test_geojson_file_roundtrip(spark, tmp_path):
+    """NDJSON Feature sink -> source roundtrip (sources/geojson_file.py):
+    partition-parallel text write, line-splittable read, property pulls,
+    and NULL-geometry passthrough."""
+    import json
+
+    from geogeometry_spark.operators.geojson import point_geojson
+    from geogeometry_spark.sources.geojson_file import (
+        read_geojson_features,
+        write_geojson_features,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 52.5, 13.4), ("b", 48.8, 2.3), ("c", None, None)],
+        "id string, lat double, lon double",
+    ).repartition(2)
+    df = df.withColumn("gj", point_geojson(F.col("lat"), F.col("lon")))
+    path = str(tmp_path / "features")
+    write_geojson_features(df, "gj", props=["id"], path=path)
+
+    back = read_geojson_features(spark, path, props=["id"])
+    rows = {r["id"]: r for r in back.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"]["geom_type"] == "Point"
+    feat_a = json.loads(rows["a"]["feature"])
+    assert feat_a["type"] == "Feature"
+    assert feat_a["geometry"]["coordinates"] == [13.4, 52.5]
+    assert feat_a["properties"]["id"] == "a"
+    # NULL lat/lon -> to_json omits nothing here; point_geojson builds
+    # [null,null] coords, still valid JSON carried through unchanged
+    assert rows["c"]["geom_type"] == "Point"
+    # a line that is not a Feature quarantines to NULL geom_type
+    extra = spark.createDataFrame([("garbage",)], "value string")
+    extra.write.mode("append").text(path)
+    back2 = read_geojson_features(spark, path, props=["id"])
+    assert back2.where(F.col("geom_type").isNull()).count() == 1
+
+
+def test_explode_feature_collection_variant(spark):
+    """FeatureCollection string -> per-feature rows via the native
+    Spark 4 VARIANT lateral (no Python workers); malformed inputs and
+    missing/non-array `features` yield zero rows, not job failure;
+    mixed geometry types pass through without a coordinate schema."""
+    from geogeometry_spark.sources.geojson_file import (
+        explode_feature_collection,
+    )
+    import json
+
+    fc = json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Point", "coordinates": [13.4, 52.5]},
+                    "properties": {"doc_id": 1},
+                },
+                {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]],
+                    },
+                    "properties": {"doc_id": 2},
+                },
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        [("ok", fc), ("bad", "not json"), ("nofeat", '{"type":"Feature"}')],
+        "tag string, fc string",
+    )
+    out = explode_feature_collection(df, "fc", keep=["tag"])
+    rows = sorted(out.collect(), key=lambda r: r["pos"])
+    assert [r["tag"] for r in rows] == ["ok", "ok"]
+    assert [r["pos"] for r in rows] == [0, 1]
+    f1 = json.loads(rows[1]["feature"])
+    assert f1["geometry"]["type"] == "Polygon"
+    assert f1["properties"]["doc_id"] == 2
+    # no python workers in the plan (native variant path)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
