@@ -90,6 +90,27 @@ def read_geojson_features(
     return lines.select(*cols)
 
 
+def stream_geojson_features(
+    spark: SparkSession, path: str, props: list[str] | None = None
+) -> DataFrame:
+    """Streaming twin of ``read_geojson_features``: a Structured
+    Streaming text source over the same NDJSON Feature directory, with
+    the identical native projection — so an ingest pipeline can tail a
+    feature-dump directory (availableNow for catch-up batches, default
+    trigger for continuous ingest) and feed the exact columns the batch
+    reader produces.  Text streaming needs no user schema; new files
+    are discovered per micro-batch and split by line."""
+    lines = spark.readStream.text(path)
+    cols = [
+        F.col("value").alias("feature"),
+        F.get_json_object("value", "$.geometry.type").alias("geom_type"),
+        F.get_json_object("value", "$.geometry").alias("geometry"),
+    ]
+    for p in props or []:
+        cols.append(F.get_json_object("value", f"$.properties.{p}").alias(p))
+    return lines.select(*cols)
+
+
 def explode_feature_collection(
     df: DataFrame, fc_col: str, keep: list[str] | None = None
 ) -> DataFrame:

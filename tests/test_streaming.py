@@ -227,3 +227,60 @@ def test_stream_s2_heatmap_matches_batch(spark, tmp_path):
     )
     exp = {(r.window_start, r.cell, r.n) for r in batch.collect()}
     assert got == exp and len(exp) == 3
+
+
+def test_stream_geojson_features_matches_batch(spark, tmp_path):
+    """The streaming NDJSON Feature source (sources/geojson_file.py
+    stream_geojson_features) drains the same rows the batch reader
+    returns, across two micro-batches (new files discovered per batch),
+    and parse_points recovers the written coordinates exactly."""
+    from pyspark.sql import functions as F
+
+    from geogeometry_spark.operators.geojson import parse_points, point_geojson
+    from geogeometry_spark.sources.geojson_file import (
+        feature_line,
+        read_geojson_features,
+        stream_geojson_features,
+    )
+
+    inp = str(tmp_path / "nd_in")
+    out = str(tmp_path / "nd_out")
+
+    def write_batch(rows, mode):
+        df = spark.createDataFrame(rows, "id long, lat double, lon double")
+        df = df.withColumn("gj", point_geojson(F.col("lat"), F.col("lon")))
+        df.select(feature_line("gj", ["id"]).alias("value")).write.mode(
+            mode
+        ).text(inp)
+
+    write_batch([(1, 52.5, 13.4), (2, 48.8, 2.3)], "overwrite")
+
+    stream = stream_geojson_features(spark, inp, props=["id"])
+
+    def drain():
+        (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    drain()
+    write_batch([(3, -33.86, 151.21)], "append")
+    drain()
+
+    streamed = spark.read.parquet(out)
+    batch = read_geojson_features(spark, inp, props=["id"])
+    assert streamed.columns == batch.columns
+    key = lambda r: r["id"]
+    assert sorted(map(tuple, streamed.collect()), key=lambda t: t[-1]) == sorted(
+        map(tuple, batch.collect()), key=lambda t: t[-1]
+    )
+    parsed = {
+        int(r["id"]): (r["lat"], r["lon"])
+        for r in parse_points(streamed, "geometry", keep=["id"]).collect()
+    }
+    assert parsed == {1: (52.5, 13.4), 2: (48.8, 2.3), 3: (-33.86, 151.21)}
