@@ -1545,7 +1545,13 @@ def q_fc_explode(spark, sf_dir):
     Oracle: variant re-rendering is canonical — object keys sort
     alphabetically and numbers re-print from the parsed value — so the
     SQL twin rebuilds that canonical form directly; pos must equal the
-    doc_id rank within lang."""
+    doc_id rank within lang.
+
+    Scale note: the per-lang FC build is the SMALL-OUTPUT sink pattern
+    (same contract as operators.geojson.feature_collection — a handful
+    of collection rows, thousands of features each); the operator under
+    test is the exploder, whose lateral variant path is per-row and
+    shuffle-free.  Bulk data stays NDJSON (ndjson_features)."""
     from .operators.geojson import point_geojson
     from .sources.geojson_file import explode_feature_collection, feature_line
 
@@ -1686,7 +1692,12 @@ O_DEDUP_EXACT = (
 def q_token_stats(spark, sf_dir):
     docs = src.load_table(spark, sf_dir, "documents")
     return text.with_token_stats(docs).select(
-        "doc_id", "n_tokens", "n_chars_m", "avg_token_len", "est_subwords"
+        "doc_id",
+        "n_tokens",
+        "n_chars_m",
+        "avg_token_len",
+        "bpe_tokens",
+        "est_subwords",
     )
 
 
@@ -1695,6 +1706,9 @@ O_TOKEN_STATS = (
     "length(text) AS n_chars_m, "
     "CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)"
     " / len(string_split(text, ' ')) AS avg_token_len, "
+    "CAST(len(regexp_extract_all(text, '"
+    + text.BPE_SPLIT_PATTERN.replace("'", "''")
+    + "')) AS BIGINT) AS bpe_tokens, "
     "CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_subwords FROM documents"
 )
 

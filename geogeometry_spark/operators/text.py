@@ -25,9 +25,18 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+# GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and
+# RE2 (DuckDB oracle) match byte-for-byte: contraction suffixes, then
+# space-prefixed letter/digit/punctuation runs, then whitespace runs.
+BPE_SPLIT_PATTERN = (
+    r"(?:'(?:[sdmt]|ll|ve|re))| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
 def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """n_tokens (whitespace), n_chars, avg_token_len, and a subword
-    estimate (~chars/4, the common BPE rule of thumb)."""
+    """n_tokens (whitespace), n_chars, avg_token_len, bpe_tokens (count
+    of BPE-ish pre-tokenizer matches — the unit a subword tokenizer
+    would split further), and est_subwords (~chars/4 rule of thumb)."""
     toks = _tokens(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -37,6 +46,14 @@ def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "avg_token_len",
             (n_chars - (n_tokens - 1)).cast("double") / n_tokens,
+        )
+        .withColumn(
+            "bpe_tokens",
+            F.size(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0
+                )
+            ).cast("long"),
         )
         .withColumn("est_subwords", F.ceil(n_chars / F.lit(4.0)).cast("long"))
     )

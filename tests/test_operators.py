@@ -777,3 +777,26 @@ def test_explode_feature_collection_variant(spark):
     # no python workers in the plan (native variant path)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_token_stats_bpe_pattern(spark):
+    """bpe_tokens counts GPT-2-style pre-tokenizer units: contraction
+    suffixes split off, space-prefixed letter/digit/punct runs, CJK
+    handled as letter runs — and stays lookahead-free so the DuckDB
+    oracle replays it byte-for-byte (token_stats contract query)."""
+    from geogeometry_spark.operators.text import with_token_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "it's fine"),      # it | 's | ' fine'          -> 3
+            (2, "abc 123!"),       # abc | ' 123' | !           -> 3
+            (3, "你好 世界"),        # 你好 | ' 世界'              -> 2
+            (4, ""),               # empty                      -> 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in with_token_stats(df).select("doc_id", "bpe_tokens").collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 2, 4: 0}
