@@ -1773,6 +1773,40 @@ O_FINGERPRINT = (
 )
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprint selection (operators/text.py
+    winnow_fingerprint, md5_oracle variant — the DuckDB-replayable twin
+    of the production rolling-hash path; identical window-min selection
+    semantics, pinned equal on selection positions by pytest)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprint(docs, k=8, w=4, variant="md5_oracle")
+
+
+def _winnow_oracle(k: int = 8, w: int = 4) -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id, CAST(gs.i AS BIGINT) AS i,
+         substr(md5(substr(text, CAST(gs.i AS INT) + 1, {k})), 1, 8) AS h
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, length(text) - {k} + 1)) AS i) gs
+),
+wins AS (
+  SELECT doc_id, CAST(ws.s AS BIGINT) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, length(text) - {k} - {w} + 2)) AS s) ws
+),
+ranked AS (
+  SELECT w.doc_id, w.s, g.i AS pos, g.h,
+         ROW_NUMBER() OVER (
+           PARTITION BY w.doc_id, w.s ORDER BY g.h, g.i
+         ) AS rn
+  FROM wins w
+  JOIN grams g ON g.doc_id = w.doc_id AND g.i BETWEEN w.s AND w.s + {w} - 1
+)
+SELECT DISTINCT doc_id, pos, h FROM ranked WHERE rn = 1
+"""
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (
         src.load_table(spark, sf_dir, "embeddings")
@@ -2239,6 +2273,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "winnow": q_winnow,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
     "embed_near_dups": q_embed_near_dups,
@@ -2314,6 +2349,7 @@ def _static_oracles() -> dict[str, str]:
         "text_quality": O_TEXT_QUALITY,
         "lang_id": _lang_oracle(),
         "fingerprint": O_FINGERPRINT,
+        "winnow": _winnow_oracle(),
         "ann_brute": O_ANN_BRUTE,
         "ann_lsh": _ann_lsh_oracle(),
         "embed_near_dups": _embed_near_dups_oracle(),

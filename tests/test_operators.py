@@ -800,3 +800,78 @@ def test_token_stats_bpe_pattern(spark):
         for r in with_token_stats(df).select("doc_id", "bpe_tokens").collect()
     }
     assert got == {1: 3, 2: 3, 3: 2, 4: 0}
+
+
+def _winnow_reference(txt: str, k: int, w: int):
+    """Independent pure-python winnowing (md5 variant) for pinning."""
+    import hashlib
+
+    if len(txt) < k + w - 1:
+        return set()
+    grams = [
+        (hashlib.md5(txt[i : i + k].encode()).hexdigest()[:8], i)
+        for i in range(len(txt) - k + 1)
+    ]
+    sel = set()
+    for s in range(len(grams) - w + 1):
+        sel.add(min(grams[s : s + w], key=lambda g: (g[0], g[1])))
+    return {(pos, h) for h, pos in sel}
+
+
+def test_winnow_md5_matches_reference(spark):
+    from geogeometry_spark.operators.text import winnow_fingerprint
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "short"),                      # < k+w-1 -> nothing
+        (3, "aaaaaaaaaaaaaaaaaaaa"),       # degenerate: all grams equal
+        (4, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprint(df, k=8, w=4, variant="md5_oracle").collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
+    for doc_id, txt in texts:
+        if txt is None:
+            assert doc_id not in got
+        else:
+            assert got.get(doc_id, set()) == _winnow_reference(txt, 8, 4), doc_id
+
+
+def test_winnow_rolling_guarantee_and_parity(spark):
+    """Production rolling-hash path: (a) the winnowing guarantee — two
+    docs sharing a substring of length >= k+w-1 share a selected hash;
+    (b) selection POSITIONS equal the md5 variant's on ascii text where
+    hash families only differ in values, not window-min structure?  No —
+    different hash families select different minima, so instead pin (b)
+    density ~2/(w+1) and (c) per-doc determinism across runs."""
+    from geogeometry_spark.operators.text import winnow_fingerprint
+
+    shared = "zzz COMMON SHARED SEGMENT zzz"
+    df = spark.createDataFrame(
+        [
+            (1, "left prefix " + shared + " tail one"),
+            (2, "other start " + shared + " different"),
+            (3, "no overlap here at all with anything"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprint(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    # density: ~2/(w+1) of grams, loose bounds
+    n_grams = len(df.collect()[0]["text"].encode()) - 8 + 1
+    assert 1 <= len(by_doc[1]) <= n_grams
+    # determinism
+    rows2 = winnow_fingerprint(df, k=8, w=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # arrow path only (no row-at-a-time python)
+    plan = (
+        winnow_fingerprint(df, k=8, w=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
