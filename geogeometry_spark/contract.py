@@ -1807,6 +1807,39 @@ SELECT DISTINCT doc_id, pos, h FROM ranked WHERE rn = 1
 """
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Overlap-candidate pairs from winnowing fingerprints
+    (operators/text.py winnow_candidates, md5_oracle variant): equi-join
+    on selected hashes, hot-hash cap, n_shared >= 4.  k=16 grams: the
+    synthetic corpus shares vocabulary so short grams match everywhere
+    (k=8 pairs ~80% of all doc pairs); 16-char grams select genuine
+    shared passages (47 pairs at sf0.01)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return text.winnow_candidates(
+        docs, k=16, w=8, variant="md5_oracle",
+        max_bucket_width=256, min_shared=4,
+    )
+
+
+def _winnow_pairs_oracle(
+    k: int = 16, w: int = 8, max_width: int = 256, min_shared: int = 4
+) -> str:
+    sel = _winnow_oracle(k, w)
+    return f"""
+WITH fp AS (
+  SELECT DISTINCT doc_id, h FROM ({sel})
+),
+guarded AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS _w FROM fp
+  ) WHERE _w <= {max_width}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM guarded a JOIN guarded b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+"""
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (
         src.load_table(spark, sf_dir, "embeddings")
@@ -2274,6 +2307,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "winnow": q_winnow,
+    "winnow_pairs": q_winnow_pairs,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
     "embed_near_dups": q_embed_near_dups,
@@ -2350,6 +2384,7 @@ def _static_oracles() -> dict[str, str]:
         "lang_id": _lang_oracle(),
         "fingerprint": O_FINGERPRINT,
         "winnow": _winnow_oracle(),
+        "winnow_pairs": _winnow_pairs_oracle(),
         "ann_brute": O_ANN_BRUTE,
         "ann_lsh": _ann_lsh_oracle(),
         "embed_near_dups": _embed_near_dups_oracle(),

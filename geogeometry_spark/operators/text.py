@@ -231,3 +231,55 @@ def winnow_fingerprint(
     return docs.select(id_col, text_col).mapInPandas(
         fn, f"{id_col} long, pos long, h long"
     )
+
+
+def winnow_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    variant: str = "rolling",
+    max_bucket_width: int | None = 256,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Overlap-candidate pairs (id_a < id_b, n_shared) from winnowing
+    fingerprints: docs sharing >= ``min_shared`` selected gram hashes.
+
+    Scale shape mirrors :func:`~..operators.dedup.minhash_candidates`:
+    the pair generation is an equi-join on ``h`` (no all-pairs), and
+    ``max_bucket_width`` drops hashes shared by more than that many
+    docs — a gram common to thousands of documents (boilerplate) is a
+    stop-gram carrying no overlap signal, and without the cap one such
+    hash emits O(width^2) pairs from a single reducer.  The width
+    window shuffles on the same key the self-join uses, so the
+    exchange is reused.  Run dedup_exact first for the same reason as
+    MinHash (byte-identical docs collapse before pair enumeration)."""
+    fp = (
+        winnow_fingerprint(docs, text_col, id_col, k, w, variant)
+        .select(id_col, "h")
+        .distinct()
+    )
+    if max_bucket_width is not None:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("h")
+        fp = (
+            fp.withColumn("_w", F.count(F.lit(1)).over(win))
+            .where(F.col("_w") <= max_bucket_width)
+            .drop("_w")
+        )
+    left, right = fp.alias("a"), fp.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return pairs.where(F.col("n_shared") >= min_shared)

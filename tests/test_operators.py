@@ -875,3 +875,27 @@ def test_winnow_rolling_guarantee_and_parity(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_winnow_candidates_bucket_guard(spark):
+    """A gram hash shared by more docs than max_bucket_width is dropped
+    (boilerplate stop-gram) — pair output stays bounded; genuinely
+    overlapping docs still pair through their other shared grams."""
+    from geogeometry_spark.operators.text import winnow_candidates
+
+    boiler = "COPYRIGHT NOTICE ALL RIGHTS RESERVED "
+    rows = [(i, boiler + f"unique tail {i} " * 3) for i in range(10)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=4: every gram inside the 10-doc boilerplate run is dropped
+    pairs = winnow_candidates(
+        df, k=8, w=4, max_bucket_width=4, min_shared=1
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in ids
+    assert not any(a < 100 and b < 100 for a, b in ids), (
+        "boilerplate-only pairs must be suppressed by the width cap"
+    )
