@@ -227,6 +227,24 @@ def main() -> None:
         warmup=True,
     )
 
+    # winnowing fingerprint, PRODUCTION rolling-hash Arrow path at 500k
+    # docs (the 5k-row native table understates a mapInPandas kernel —
+    # batch setup would dominate).  Cache the amplified input so the
+    # crossJoin amplification isn't billed to the kernel.
+    from geogeometry_spark.operators import text as text_ops
+
+    winnow_docs = src.amplified_documents(spark, SF_DIR, 100).localCheckpoint()
+    n_winnow = winnow_docs.count()
+    timed(
+        "winnow_rolling_500k",
+        lambda: text_ops.winnow_fingerprint(winnow_docs, k=16, w=8)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        runs=3,
+        warmup=True,
+    )
+
     # --- ANN scoring kernel: Arrow fold vs interpreted HOF twin --------
     # VERDICT r2 item 2 evidence: score a >=5M-vector table with the
     # Arrow left-fold kernel (the hot path since r3) and the HOF Column

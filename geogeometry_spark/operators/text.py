@@ -208,24 +208,53 @@ def winnow_fingerprint(
 
     def fn(batches):
         for pdf in batches:
-            out_id, out_pos, out_h = [], [], []
-            for _id, txt in zip(pdf[id_col].values, pdf[text_col].values):
-                if txt is None:
-                    continue
-                b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
-                if b.size < min_len:
-                    continue
-                codes = b.astype(np.uint64)
-                grams = np.lib.stride_tricks.sliding_window_view(codes, k)
-                h = (grams * powers).sum(axis=1, dtype=np.uint64)
-                wins = np.lib.stride_tricks.sliding_window_view(h, w)
-                starts = np.arange(wins.shape[0], dtype=np.int64)
-                sel = np.unique(starts + wins.argmin(axis=1))
-                out_id.extend([_id] * sel.size)
-                out_pos.extend(sel.tolist())
-                out_h.extend(h[sel].astype(np.int64).tolist())
+            # Vectorize across the WHOLE Arrow batch, not per doc (a
+            # per-doc loop is numpy-call-overhead-bound: measured 55k
+            # docs/s vs ~10x batch-wide on 300-char docs).  All docs'
+            # bytes concatenate into one array; gram hashes and window
+            # argmins compute once; per-doc validity is a mask on
+            # window-start positions, so boundary-crossing garbage
+            # grams are never inside a valid window.
+            texts = pdf[text_col]
+            keep = texts.notna().values
+            ids = pdf[id_col].values[keep]
+            blobs = [t.encode("utf-8") for t in texts.values[keep]]
+            lens = np.fromiter(
+                (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
+            )
+            if lens.size == 0 or (lens >= min_len).sum() == 0:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.array([], dtype=np.int64),
+                        "pos": np.array([], dtype=np.int64),
+                        "h": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
+            concat = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(
+                np.uint64
+            )
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            grams = np.lib.stride_tricks.sliding_window_view(concat, k)
+            h = (grams * powers).sum(axis=1, dtype=np.uint64)
+            wins = np.lib.stride_tricks.sliding_window_view(h, w)
+            argmin = wins.argmin(axis=1).astype(np.int64)
+            # valid window starts per doc: offsets[d] + [0, n_d-k-w+1]
+            v = np.maximum(lens - k - w + 2, 0)
+            total = int(v.sum())
+            rep_doc = np.repeat(np.arange(lens.size), v)
+            local = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(v)[:-1])), v
+            )
+            starts = offsets[rep_doc] + local
+            sel_global = np.unique(starts + argmin[starts])
+            doc_idx = np.searchsorted(offsets, sel_global, side="right") - 1
             yield pd.DataFrame(
-                {id_col: out_id, "pos": out_pos, "h": out_h}
+                {
+                    id_col: ids[doc_idx],
+                    "pos": sel_global - offsets[doc_idx],
+                    "h": h[sel_global].astype(np.int64),
+                }
             )
 
     return docs.select(id_col, text_col).mapInPandas(
