@@ -1871,6 +1871,67 @@ O_ANN_BRUTE = (
 )
 
 
+def q_embed_quantize(spark, sf_dir):
+    """int8 scalar quantization (operators/similarity.py
+    quantize_embeddings), exploded to scalar rows for robust hashing.
+    Quantization rule floor(v/scale + 0.5) is chosen because numpy,
+    Spark SQL, and DuckDB all express it identically (round() differs:
+    half-even vs half-away)."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    return q.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("dim", "q")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "q", "scale")
+
+
+O_EMBED_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+           AS scale
+  FROM embeddings
+)
+SELECT vec_id, CAST(gs.i AS BIGINT) AS dim,
+       CASE WHEN scale = 0 THEN 0
+            ELSE CAST(floor(CAST(embedding[CAST(gs.i AS INT) + 1] AS DOUBLE)
+                            / scale + 0.5) AS INT)
+       END AS q,
+       scale
+FROM s, LATERAL (SELECT unnest(range(0, len(embedding))) AS i) gs
+"""
+
+
+def q_ann_quant(spark, sf_dir):
+    """Brute-force top-10 over the int8-quantized store, scored by
+    dequantized cosine (quantized_topk) — the oracle re-derives the
+    quantization AND the dequantized left-fold score in SQL."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    out = similarity.quantized_topk(q, _query_vec(spark, sf_dir), k=10)
+    return out.select(
+        "rank", "vec_id", F.round(F.col("cos_sim"), 9).alias("cos_r9")
+    )
+
+
+O_ANN_QUANT = (
+    "WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+    "s AS (SELECT vec_id, embedding, "
+    " list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale"
+    " FROM embeddings), "
+    "deq AS (SELECT vec_id, list_transform(embedding, x -> "
+    " CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE) "
+    " ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) * scale END) AS d FROM s), "
+    "scored AS (SELECT vec_id, "
+    " list_sum(list_transform(range(1, 65), i -> d[i] * CAST(qe[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> d[i] * d[i])))"
+    "    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))))"
+    " AS cos_sim FROM deq, qv) "
+    "SELECT rank, vec_id, round(cos_sim, 9) AS cos_r9 FROM ("
+    "SELECT vec_id, cos_sim, CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank "
+    "FROM scored) WHERE rank <= 10"
+)
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN top-10 — now hash-checked: the hyperplanes are
     deterministic constants (similarity.lsh_planes), so the oracle
@@ -2309,6 +2370,8 @@ QUERIES = {
     "winnow": q_winnow,
     "winnow_pairs": q_winnow_pairs,
     "ann_brute": q_ann_brute,
+    "embed_quantize": q_embed_quantize,
+    "ann_quant": q_ann_quant,
     "ann_lsh": q_ann_lsh,
     "embed_near_dups": q_embed_near_dups,
     "ann_ivf": q_ann_ivf,
@@ -2386,6 +2449,8 @@ def _static_oracles() -> dict[str, str]:
         "winnow": _winnow_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "ann_brute": O_ANN_BRUTE,
+        "embed_quantize": O_EMBED_QUANTIZE,
+        "ann_quant": O_ANN_QUANT,
         "ann_lsh": _ann_lsh_oracle(),
         "embed_near_dups": _embed_near_dups_oracle(),
         "ann_join": _ann_join_oracle(),

@@ -35,6 +35,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     # numbers ranks with a window over the <= k surviving rows.  The
     # global window input is bounded by the limit, not by the corpus.
     ("ann_brute", "global_window"): "window over limit(k)-bounded rows",
+    ("ann_quant", "global_window"): "window over limit(k)-bounded rows",
     ("ann_ivf", "global_window"): "window over limit(k)-bounded rows",
     ("ann_lsh", "global_window"): "window over limit(k)-bounded rows",
     ("embed_pairs_topk", "global_window"): (
