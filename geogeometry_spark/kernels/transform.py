@@ -105,6 +105,14 @@ def simplify_polygon(rings: list[np.ndarray], tolerance_m: float) -> list[np.nda
     return [simplify_line(r, tolerance_m) for r in rings]
 
 
+def simplify_multipolygon(
+    polygons: list[list[np.ndarray]], tolerance_m: float
+) -> list[list[np.ndarray]]:
+    """simplifyMultiPolygon (GeoGeometry.kt:1335-1346): per-polygon
+    simplifyPolygon, order preserved."""
+    return [simplify_polygon(p, tolerance_m) for p in polygons]
+
+
 # --------------------------------------------------------------------------
 # rotate / scale / expand
 # --------------------------------------------------------------------------

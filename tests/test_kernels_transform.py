@@ -135,3 +135,23 @@ def test_expand_polygon_contains_original():
     grown = kt.expand_polygon(50.0, ring)
     inside = kg.polygon_contains(ring[:, 1], ring[:, 0], grown)
     assert inside.all()
+
+
+def test_simplify_multipolygon_per_polygon():
+    """simplifyMultiPolygon (GeoGeometry.kt:1335-1346): applies
+    simplifyPolygon per polygon, preserving polygon and ring order."""
+    import numpy as np
+
+    ring = np.array(
+        [[0.0, 0.0], [0.001, 0.0000001], [0.002, 0.0], [0.002, 0.002],
+         [0.0, 0.002], [0.0, 0.0]]
+    )
+    mp = [[ring], [ring + 1.0]]
+    out = kt.simplify_multipolygon(mp, tolerance_m=50.0)
+    assert len(out) == 2 and len(out[0]) == 1
+    for poly_in, poly_out in zip(mp, out):
+        expect = kt.simplify_polygon(poly_in, 50.0)
+        for r_e, r_o in zip(expect, poly_out):
+            assert np.array_equal(r_e, r_o)
+    # the near-collinear vertex was dropped
+    assert out[0][0].shape[0] < ring.shape[0]
