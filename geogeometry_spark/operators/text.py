@@ -200,65 +200,71 @@ def winnow_fingerprint(
     if variant != "rolling":
         raise ValueError(f"unknown variant {variant!r}")
 
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            ids, pos, h = winnow_batch(
+                pdf[id_col].values, pdf[text_col], k, w
+            )
+            yield pd.DataFrame({id_col: ids, "pos": pos, "h": h})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, f"{id_col} long, pos long, h long"
+    )
+
+
+def winnow_batch(ids, texts, k: int, w: int):
+    """The rolling-hash winnowing kernel over one Arrow batch,
+    vectorized across the WHOLE batch, not per doc (a per-doc loop is
+    numpy-call-overhead-bound: measured 55k docs/s vs ~1.6x batch-wide
+    on 300-char docs, more on short docs).  All docs' bytes concatenate
+    into one array; gram hashes and window argmins compute once;
+    per-doc validity is a mask on window-start positions, so
+    boundary-crossing garbage grams are never inside a valid window.
+
+    Returns (ids, byte_pos, int64_hash) arrays.  Pure function
+    (numpy-only) — property-tested against a per-doc reference in
+    tests/test_properties.py."""
     import numpy as np
     import pandas as pd
 
     powers = np.uint64(WINNOW_B) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
     min_len = k + w - 1
-
-    def fn(batches):
-        for pdf in batches:
-            # Vectorize across the WHOLE Arrow batch, not per doc (a
-            # per-doc loop is numpy-call-overhead-bound: measured 55k
-            # docs/s vs ~10x batch-wide on 300-char docs).  All docs'
-            # bytes concatenate into one array; gram hashes and window
-            # argmins compute once; per-doc validity is a mask on
-            # window-start positions, so boundary-crossing garbage
-            # grams are never inside a valid window.
-            texts = pdf[text_col]
-            keep = texts.notna().values
-            ids = pdf[id_col].values[keep]
-            blobs = [t.encode("utf-8") for t in texts.values[keep]]
-            lens = np.fromiter(
-                (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
-            )
-            if lens.size == 0 or (lens >= min_len).sum() == 0:
-                yield pd.DataFrame(
-                    {
-                        id_col: np.array([], dtype=np.int64),
-                        "pos": np.array([], dtype=np.int64),
-                        "h": np.array([], dtype=np.int64),
-                    }
-                )
-                continue
-            concat = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(
-                np.uint64
-            )
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            grams = np.lib.stride_tricks.sliding_window_view(concat, k)
-            h = (grams * powers).sum(axis=1, dtype=np.uint64)
-            wins = np.lib.stride_tricks.sliding_window_view(h, w)
-            argmin = wins.argmin(axis=1).astype(np.int64)
-            # valid window starts per doc: offsets[d] + [0, n_d-k-w+1]
-            v = np.maximum(lens - k - w + 2, 0)
-            total = int(v.sum())
-            rep_doc = np.repeat(np.arange(lens.size), v)
-            local = np.arange(total, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(v)[:-1])), v
-            )
-            starts = offsets[rep_doc] + local
-            sel_global = np.unique(starts + argmin[starts])
-            doc_idx = np.searchsorted(offsets, sel_global, side="right") - 1
-            yield pd.DataFrame(
-                {
-                    id_col: ids[doc_idx],
-                    "pos": sel_global - offsets[doc_idx],
-                    "h": h[sel_global].astype(np.int64),
-                }
-            )
-
-    return docs.select(id_col, text_col).mapInPandas(
-        fn, f"{id_col} long, pos long, h long"
+    empty = (
+        np.array([], dtype=object),
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+    )
+    texts = pd.Series(texts) if not hasattr(texts, "notna") else texts
+    keep = texts.notna().values
+    ids = np.asarray(ids)[keep]
+    blobs = [t.encode("utf-8") for t in texts.values[keep]]
+    lens = np.fromiter(
+        (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
+    )
+    if lens.size == 0 or (lens >= min_len).sum() == 0:
+        return empty
+    concat = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    grams = np.lib.stride_tricks.sliding_window_view(concat, k)
+    h = (grams * powers).sum(axis=1, dtype=np.uint64)
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+    argmin = wins.argmin(axis=1).astype(np.int64)
+    # valid window starts per doc: offsets[d] + [0, n_d-k-w+1]
+    v = np.maximum(lens - k - w + 2, 0)
+    total = int(v.sum())
+    rep_doc = np.repeat(np.arange(lens.size), v)
+    local = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(v)[:-1])), v
+    )
+    starts = offsets[rep_doc] + local
+    sel_global = np.unique(starts + argmin[starts])
+    doc_idx = np.searchsorted(offsets, sel_global, side="right") - 1
+    return (
+        ids[doc_idx],
+        sel_global - offsets[doc_idx],
+        h[sel_global].astype(np.int64),
     )
 
 

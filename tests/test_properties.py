@@ -296,3 +296,61 @@ def test_deep_equals_reflexive(x):
     from geogeometry_spark.operators.geojson import deep_equals
 
     assert deep_equals(x, x)
+
+
+# --- winnowing batch kernel vs per-doc reference ---------------------------
+
+
+def _winnow_doc_reference(txt: str, k: int, w: int):
+    """Slow per-doc rolling-hash winnowing — the spec the batch-wide
+    vectorized kernel (boundary masking, global argmin reuse) must
+    match exactly."""
+    b = txt.encode("utf-8")
+    if len(b) < k + w - 1:
+        return set()
+    B = 1099511628211
+    M = 1 << 64
+    h = []
+    for i in range(len(b) - k + 1):
+        acc = 0
+        for j in range(k):
+            acc = (acc + b[i + j] * pow(B, k - 1 - j, M)) % M
+        h.append(acc)
+    sel = set()
+    for s in range(len(h) - w + 1):
+        window = h[s : s + w]
+        a = min(range(w), key=lambda j: (window[j], j))
+        val = h[s + a]
+        sel.add((s + a, val if val < (1 << 63) else val - M))
+    return sel
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    st.integers(2, 6),
+    st.integers(2, 5),
+)
+def test_winnow_batch_matches_per_doc_reference(texts, k, w):
+    from geogeometry_spark.operators.text import winnow_batch
+
+    ids = list(range(len(texts)))
+    out_ids, out_pos, out_h = winnow_batch(ids, texts, k, w)
+    got = {}
+    for i, p, h in zip(out_ids, out_pos, out_h):
+        got.setdefault(int(i), set()).add((int(p), int(h)))
+    for i, txt in enumerate(texts):
+        assert got.get(i, set()) == _winnow_doc_reference(txt, k, w), (
+            i,
+            txt,
+            k,
+            w,
+        )
