@@ -2264,6 +2264,48 @@ def _pipeline_near_dup_oracle() -> str:
     )
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup GROUPS: minhash LSH candidate pairs -> distributed
+    connected components (alternating large-star/small-star, Kiveris
+    et al. 2014) -> every document labeled with its duplicate-group id
+    (min doc_id in the component; singletons label themselves).  The
+    stage a real corpus dedup runs AFTER pair generation, so keepers
+    are chosen per GROUP, not per pair (pairs alone under-delete:
+    a-b + b-c near-dups keep both a and c unless the chain is
+    closed)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidates(
+        docs, num_hashes=16, bands=4, token_hash="md5_60"
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id"),
+        )
+    )
+
+
+def _dedup_groups_oracle() -> str:
+    """Transitive closure by recursive CTE over the minhash-pair twin;
+    component label = min reachable node — the same fixed point the
+    alternating large-star/small-star rounds converge to."""
+    minhash = dedup.minhash_candidates_oracle_sql()
+    return (
+        f"WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({minhash})), "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(u, v) AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+        "labels AS (SELECT u AS node, least(u, min(v)) AS grp "
+        "FROM reach GROUP BY u) "
+        "SELECT d.doc_id, coalesce(l.grp, d.doc_id) AS group_id "
+        "FROM documents d LEFT JOIN labels l ON d.doc_id = l.node"
+    )
+
+
 def q_media_features(spark, sf_dir):
     docs = src.documents_with_spans(spark, sf_dir)
     return extract_media_features(media_spans(docs)).select(
@@ -2379,6 +2421,7 @@ QUERIES = {
     "minhash_candidates": q_minhash_candidates,
     "simhash": q_simhash,
     "pipeline_near_dup": q_pipeline_near_dup,
+    "dedup_groups": q_dedup_groups,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
 }
@@ -2459,6 +2502,7 @@ def _static_oracles() -> dict[str, str]:
         "simhash": dedup.simhash_oracle_sql(),
         "minhash_candidates": dedup.minhash_candidates_oracle_sql(),
         "pipeline_near_dup": _pipeline_near_dup_oracle(),
+        "dedup_groups": _dedup_groups_oracle(),
         "intersects": _intersects_oracle(),
         "poly_intersects": _poly_intersects_oracle(),
         "vincenty": _vincenty_oracle(),

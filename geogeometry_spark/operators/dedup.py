@@ -364,3 +364,103 @@ def simhash_fold(
     for t in bit_terms[1:]:
         sim = sim.bitwiseOR(t)
     return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Distributed connected components over an undirected pair graph —
+    the final stage of a near-dup pipeline: candidate PAIRS (from
+    :func:`minhash_candidates` / the SimHash bucket join /
+    ``embedding_near_dup_pairs``) become duplicate GROUPS, so one
+    canonical document per group can be kept.
+
+    Alternating large-star / small-star (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): each round is a
+    min-aggregation by node plus an equi-join back on the same key —
+    both map-side-combinable and AQE-skew-safe.  A boilerplate cluster
+    of m duplicates is one hot node whose incident edges aggregate with
+    partial min; no stage ever materializes m^2 rows (the pair
+    *generation* cap lives upstream in ``minhash_candidates``).  Round
+    count is O(log n) by the paper's potential argument, and the edge
+    relation is ``localCheckpoint``-ed per round so neither the plan
+    nor the lineage grows with iterations.
+
+    Returns (node, component) — one row per node appearing in ≥1 pair;
+    component = MIN node id in the component (lexicographic for string
+    ids), so labels are deterministic and join-stable across retries.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("u").alias("node")).union(
+        edges.select("v")
+    ).distinct().localCheckpoint()
+    if edges.isEmpty():
+        return nodes.withColumn("component", F.col("node"))
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = _sym(e)
+        m = nbrs.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least(F.col("u"), F.col("_mv")).alias("m")
+        )
+        return (
+            nbrs.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient every edge big -> small, then attach each node's
+        # small neighbors (and itself) to the minimum
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        attach = o.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            attach.union(self_edge)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _checksum(e: DataFrame):
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (sum(xxhash64) throws ARITHMETIC_OVERFLOW in Spark 4)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    edges = edges.localCheckpoint()
+    prev = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: star forest oriented big -> small; a node's label is
+    # the min over its outgoing targets (roots label themselves)
+    labels = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        nodes.join(labels, nodes["node"] == labels["u"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )

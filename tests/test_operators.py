@@ -943,3 +943,91 @@ def test_quantize_embeddings_roundtrip_and_recall(spark):
         quantize_embeddings(zero), qvec, k=5
     ).collect()
     assert topz == []
+
+
+# ---------------------------------------------------------------------------
+# connected components (dedup grouping)
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(pairs):
+    """Reference union-find: node -> min node id in its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ns) for ns in comp.values() for n in ns}
+
+
+def _cc_collect(spark, pairs):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    out = dedup.connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_connected_components_chain_star_and_islands(spark):
+    # chain a-b-c-d collapses to min; star all-to-hub; island pair
+    pairs = (
+        [("a", "b"), ("b", "c"), ("c", "d")]
+        + [("hub", f"leaf{i:02d}") for i in range(20)]
+        + [("x", "y")]
+    )
+    got = _cc_collect(spark, pairs)
+    assert got == _uf_components(pairs)
+    assert got["d"] == "a" and got["leaf19"] == "hub" and got["y"] == "x"
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    for _ in range(3):
+        pairs = [
+            (f"v{rng.randrange(80):02d}", f"v{rng.randrange(80):02d}")
+            for _ in range(70)
+        ]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        assert _cc_collect(spark, pairs) == _uf_components(pairs)
+
+
+def test_connected_components_long_path_converges_in_log_rounds(spark):
+    # a 64-node path is the worst case for naive label propagation
+    # (O(n) rounds); large-star/small-star must close it within
+    # max_rounds=10 ~ O(log n)
+    pairs = [(f"p{i:03d}", f"p{i + 1:03d}") for i in range(63)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    out = dedup.connected_components(df, max_rounds=10)
+    labels = {r["component"] for r in out.collect()}
+    assert labels == {"p000"}
+
+
+def test_dedup_groups_end_to_end_closes_pair_chains(spark):
+    # docs where near-dup PAIRS form a chain: d0~d1, d1~d2 but d0!~d2.
+    # Pair-level dedup keeps d0 and d2; group-level must merge all 3.
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        ("d0", base + "alpha beta gamma delta"),
+        ("d1", base + "alpha beta gamma zzz"),
+        ("d2", base + "alpha beta yyy zzz"),
+        ("solo", "completely different text with no overlap at all here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_candidates(
+        docs, num_hashes=16, bands=8, shingle_n=3
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert got.get("d0") == "d0" and got.get("d1") == "d0"
+    assert "solo" not in got  # singleton: no pair, labels itself downstream
