@@ -1420,9 +1420,15 @@ def q_poly_intersects(spark, sf_dir):
     )
 
 
-def _poly_intersects_oracle() -> str:
-    from .fixtures import polygons_np
+def _box_poly_intersects_cond(ring) -> str:
+    """SQL condition: does the per-doc 0.1 x 0.06 degree query box
+    intersect the (closed, hole-free) polygon ``ring`` — the
+    geojson-intersect.kt:90-131 dispatch expressed over literals:
+    per box edge the line dispatch (edge crossings + containment of the
+    edge start), plus the mutual first-vertex shortcuts (:113-122)."""
+    import numpy as np
 
+    ring = np.asarray(ring, dtype=np.float64)
     w, e = "(lon - 0.05)", "(lon + 0.05)"
     s, n = "(lat - 0.03)", "(lat + 0.03)"
     # OPEN box ring, edges close modularly — identical to the
@@ -1433,27 +1439,84 @@ def _poly_intersects_oracle() -> str:
     box_edges = [
         (*corners[i], *corners[(i + 1) % 4]) for i in range(4)
     ]
-    ring = polygons_np(None)["berlin_big_ring"][0]
-    berlin_edges = _berlin_edges()
+    poly_edges = [
+        (
+            float(ring[i][0]), float(ring[i][1]),
+            float(ring[i + 1][0]), float(ring[i + 1][1]),
+        )
+        for i in range(len(ring) - 1)
+    ]
     per_edge = []
     for bx1, by1, bx2, by2 in box_edges:
         crossings = " OR ".join(
             C.lines_cross_am_sql(
                 bx1, by1, bx2, by2, repr(u1), repr(v1), repr(u2), repr(v2)
             )
-            for u1, v1, u2, v2 in berlin_edges
+            for u1, v1, u2, v2 in poly_edges
         )
         start_inside = C.pip_sql(by1, bx1, ring)
         per_edge.append(f"(({crossings}) OR {start_inside})")
-    # polygon-vs-polygon vertex shortcuts (geojson-intersect.kt:113-122)
-    v0 = _berlin_geom()["coordinates"][0][0]
-    berlin_v0_in_box = C.pip_expr_sql(repr(v0[1]), repr(v0[0]), corners)
-    box_c0_in_berlin = C.pip_sql(s, w, ring)
-    cond = f"({' OR '.join(per_edge)}) OR {berlin_v0_in_box} OR {box_c0_in_berlin}"
+    v0 = ring[0]
+    poly_v0_in_box = C.pip_expr_sql(
+        repr(float(v0[1])), repr(float(v0[0])), corners
+    )
+    box_c0_in_poly = C.pip_sql(s, w, ring)
+    return (
+        f"({' OR '.join(per_edge)}) OR {poly_v0_in_box} OR {box_c0_in_poly}"
+    )
+
+
+def _poly_intersects_oracle() -> str:
+    from .fixtures import polygons_np
+
+    cond = _box_poly_intersects_cond(polygons_np(None)["berlin_big_ring"][0])
     return (
         f"SELECT doc_id, TRUE AS intersects FROM {_COORD_SUBQ} "
         f"WHERE {cond}"
     )
+
+
+def q_overlay_join(spark, sf_dir):
+    """Polygon-relation x polygon-relation OVERLAY join: per-doc query
+    boxes (a data-derived polygon relation) against the fixture
+    polygon set, candidates via shared S2 covering cells, exact
+    geojson-intersect.kt dispatch only for boundary-touching pairs
+    (both-interior cells accept map-side).  The relation-scale twin of
+    poly_intersects' one-fixed-geometry scan."""
+    from .operators.pip_join import polygons_as_df
+    from .operators.s2_join import s2_overlay_join
+
+    df = _docs_coords(spark, sf_dir)
+    w, e = F.col("lon") - F.lit(0.05), F.col("lon") + F.lit(0.05)
+    s, n = F.col("lat") - F.lit(0.03), F.col("lat") + F.lit(0.03)
+    pt = lambda x, y: F.array(x, y)  # noqa: E731
+    ring = F.array(pt(w, s), pt(e, s), pt(e, n), pt(w, n), pt(w, s))
+    boxes = df.select(
+        F.col("doc_id").cast("string").alias("polygon_id"),
+        F.array(ring).alias("rings"),
+    )
+    out = s2_overlay_join(
+        boxes, polygons_as_df(spark), level=13,
+        id_a="doc_id", id_b="polygon_id",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "polygon_id"
+    )
+
+
+def _overlay_oracle() -> str:
+    """UNION ALL of the box-vs-polygon condition over every fixture
+    polygon — brute force over the full cross product, which the Spark
+    side must reproduce through covering-cell candidates + exact
+    re-check."""
+    from .fixtures import polygons_np
+
+    parts = [
+        f"SELECT doc_id, '{pid}' AS polygon_id FROM {_COORD_SUBQ} "
+        f"WHERE {_box_poly_intersects_cond(rings[0])}"
+        for pid, rings in polygons_np(None).items()
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def q_geojson_roundtrip(spark, sf_dir):
@@ -2422,6 +2485,7 @@ QUERIES = {
     "simhash": q_simhash,
     "pipeline_near_dup": q_pipeline_near_dup,
     "dedup_groups": q_dedup_groups,
+    "overlay_join": q_overlay_join,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
 }
@@ -2505,6 +2569,7 @@ def _static_oracles() -> dict[str, str]:
         "dedup_groups": _dedup_groups_oracle(),
         "intersects": _intersects_oracle(),
         "poly_intersects": _poly_intersects_oracle(),
+        "overlay_join": _overlay_oracle(),
         "vincenty": _vincenty_oracle(),
         "utm_roundtrip": _utm_roundtrip_oracle(),
         "mgrs": _mgrs_oracle(),

@@ -493,3 +493,77 @@ def s2_radius_join_bulk(
         .where(F.col("dist_m") <= F.col("radius_m"))
         .drop("cell_key", "qlat", "qlon", "radius_m")
     )
+
+
+def s2_overlay_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    level: int = 13,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Polygon-relation x polygon-relation OVERLAY join: which polygons
+    of A intersect which polygons of B (geojson-intersect.kt:90-131
+    semantics per pair).  Both inputs are (polygon_id, rings) relations
+    — rings = array<array<array<double>>> of [lon, lat] points.
+
+    Plan (no pair ever forms without a shared index cell):
+
+    1. each side gets a DISTRIBUTED S2 covering at one fixed level
+       (mapInPandas, one task per polygon batch);
+    2. candidate pairs come from the cell equi-join — AQE splits
+       skewed cells; a conservative covering guarantees completeness
+       (any true intersection point lies in a level-L cell that both
+       coverings contain);
+    3. a pair whose shared cell is INTERIOR to both polygons is a
+       certain intersection (cell ⊆ A and cell ⊆ B) and skips the
+       exact check entirely — for overlapping area-dominated inputs
+       most pairs resolve here, map-side;
+    4. only boundary-touching pairs run the full type-dispatch
+       ``intersects`` kernel (Arrow batches) on their ring sets.
+
+    Output: distinct (id_a, id_b) intersecting pairs.
+    """
+    from ..functions.udfs import make_intersects_udf
+
+    cov_a = s2_cover_polygons_df(
+        polys_a.select("polygon_id", "rings"), level=level
+    ).select(
+        F.col("polygon_id").alias(id_a),
+        "cell_key",
+        F.col("is_border").alias("_ba"),
+    )
+    cov_b = s2_cover_polygons_df(
+        polys_b.select("polygon_id", "rings"), level=level
+    ).select(
+        F.col("polygon_id").alias(id_b),
+        "cell_key",
+        F.col("is_border").alias("_bb"),
+    )
+    cand = (
+        cov_a.join(cov_b, "cell_key")
+        .groupBy(id_a, id_b)
+        .agg(F.max(~F.col("_ba") & ~F.col("_bb")).alias("_certain"))
+    )
+    certain = cand.where(F.col("_certain")).select(id_a, id_b)
+    gj = lambda: F.to_json(  # noqa: E731
+        F.struct(
+            F.lit("Polygon").alias("type"), F.col("rings").alias("coordinates")
+        )
+    )
+    a_gj = polys_a.select(
+        F.col("polygon_id").alias(id_a), gj().alias("_gja")
+    )
+    b_gj = polys_b.select(
+        F.col("polygon_id").alias(id_b), gj().alias("_gjb")
+    )
+    pair_udf = make_intersects_udf()
+    checked = (
+        cand.where(~F.col("_certain"))
+        .select(id_a, id_b)
+        .join(a_gj, id_a)
+        .join(b_gj, id_b)
+        .where(pair_udf(F.col("_gja"), F.col("_gjb")))
+        .select(id_a, id_b)
+    )
+    return certain.unionByName(checked)

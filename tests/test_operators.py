@@ -1031,3 +1031,95 @@ def test_dedup_groups_end_to_end_closes_pair_chains(spark):
     got = {r["node"]: r["component"] for r in comp.collect()}
     assert got.get("d0") == "d0" and got.get("d1") == "d0"
     assert "solo" not in got  # singleton: no pair, labels itself downstream
+
+
+# ---------------------------------------------------------------------------
+# polygon x polygon overlay join
+# ---------------------------------------------------------------------------
+
+
+def test_s2_overlay_join_matches_bruteforce_kernel(spark):
+    from geogeometry_spark.kernels import intersect as kx
+    from geogeometry_spark.operators.pip_join import polygons_as_df
+    from geogeometry_spark.operators.s2_join import s2_overlay_join
+
+    def box(cx, cy, hw=0.05, hh=0.03):
+        return [[
+            [cx - hw, cy - hh], [cx + hw, cy - hh],
+            [cx + hw, cy + hh], [cx - hw, cy + hh],
+            [cx - hw, cy - hh],
+        ]]
+
+    boxes = {
+        # crosses berlin_big_ring's boundary
+        "edge_cross": box(13.3766, 52.51),
+        # fully contains berlin_small_ring (polygon v0 in box shortcut)
+        "contains_small": box(13.394, 52.5276, hw=0.02, hh=0.006),
+        # tiny box strictly inside berlin_big_ring (box c0 in polygon)
+        "inside_big": box(13.394, 52.515, hw=0.002, hh=0.002),
+        # overlaps nothing
+        "far_away": box(10.0, 50.0),
+        # near-miss: just west of every fixture polygon
+        "near_miss": box(13.30, 52.51, hw=0.01, hh=0.01),
+    }
+    polys = polygons_as_df(spark)
+    boxes_df = polygons_as_df(spark, boxes)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in s2_overlay_join(boxes_df, polys, level=13).collect()
+    }
+
+    from geogeometry_spark.fixtures import polygons_np
+
+    fixture = polygons_np(None)
+    want = set()
+    for bid, brings in boxes.items():
+        ga = {"type": "Polygon", "coordinates": brings}
+        for pid, prings in fixture.items():
+            gb = {
+                "type": "Polygon",
+                "coordinates": [[list(map(float, p)) for p in r] for r in prings],
+            }
+            if kx.intersects(ga, gb):
+                want.add((bid, pid))
+    assert got == want
+    assert ("edge_cross", "berlin_big_ring") in got
+    assert ("contains_small", "berlin_small_ring") in got
+    assert ("inside_big", "berlin_big_ring") in got
+    assert not any(a == "far_away" for a, _ in got)
+
+
+def test_s2_overlay_join_interior_shortcut_pairs_are_exact(spark):
+    # a box engulfing ALL fixtures at a fine level shares interior
+    # cells with each polygon -> pairs resolve via the certain path;
+    # they must still equal the exact kernel's answer
+    from geogeometry_spark.kernels import intersect as kx
+    from geogeometry_spark.operators.pip_join import polygons_as_df
+    from geogeometry_spark.operators.s2_join import s2_overlay_join
+    from geogeometry_spark.fixtures import polygons_np
+
+    big = {
+        "engulf": [[
+            [13.35, 52.49], [13.43, 52.49], [13.43, 52.57],
+            [13.35, 52.57], [13.35, 52.49],
+        ]]
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in s2_overlay_join(
+            polygons_as_df(spark, big), polygons_as_df(spark), level=15
+        ).collect()
+    }
+    ga = {"type": "Polygon", "coordinates": big["engulf"]}
+    want = {
+        ("engulf", pid)
+        for pid, rings in polygons_np(None).items()
+        if kx.intersects(
+            ga,
+            {
+                "type": "Polygon",
+                "coordinates": [[list(map(float, p)) for p in r] for r in rings],
+            },
+        )
+    }
+    assert got == want == {("engulf", p) for p in polygons_np(None)}
