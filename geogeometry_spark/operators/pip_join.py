@@ -187,6 +187,10 @@ def cover_polygons_df(
     ``cell_length`` so the probe side needs a single cheap prefix."""
     import pandas as pd
 
+    from .s2_join import spread_partitions
+
+    polygons = spread_partitions(polygons)
+
     def cover_iter(pdfs):
         for pdf in pdfs:
             out: list[tuple[str, int, bool]] = []

@@ -337,12 +337,28 @@ def write_s2_sorted(
     )
 
 
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Round-robin a low-partition relation across the cluster before a
+    CPU-bound mapInPandas.  A relation arriving from ``limit()`` /
+    ``collect``-shaped plans lands in ONE partition, serializing a
+    per-row kernel onto one core (measured: a 10k-polygon covering ran
+    417 s on one task vs ~13 s spread) — the same reason a real job
+    repartitions before an expensive per-row stage.  Relations already
+    at cluster parallelism pass through untouched (no shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 64):
+        return df.repartition(min(target, 64))
+    return df
+
+
 def s2_cover_polygons_df(polygons: DataFrame, level: int) -> DataFrame:
     """DISTRIBUTED S2 covering: one worker task covers each polygon
     (mapInPandas over the (polygon_id, rings) relation — the S2 twin of
     cover_polygons_df, operators/pip_join.py).  Output is the same
     (polygon_id, cell_key, is_border) relation at ONE fixed level."""
     import pandas as pd
+
+    polygons = spread_partitions(polygons)
 
     def cover_iter(pdfs):
         for pdf in pdfs:
@@ -519,12 +535,18 @@ def s2_overlay_join(
        certain intersection (cell ⊆ A and cell ⊆ B) and skips the
        exact check entirely — for overlapping area-dominated inputs
        most pairs resolve here, map-side;
-    4. only boundary-touching pairs run the full type-dispatch
-       ``intersects`` kernel (Arrow batches) on their ring sets.
+    4. boundary-touching pairs first pass a NATIVE per-pair bbox
+       overlap filter (bboxes computed once per polygon, nulled for
+       antimeridian-wrapping shapes so those always survive to the
+       exact check — pruning within the shared cell's granularity
+       before any ring payload reaches a Python worker), then run the
+       batch polygon-pair intersects kernel (kernels/overlay.py —
+       padded-tensor crossings + ray casts per Arrow batch; per-pair
+       reference dispatch only for holes/multi-ring/antimeridian rows).
 
     Output: distinct (id_a, id_b) intersecting pairs.
     """
-    from ..functions.udfs import make_intersects_udf
+    from ..functions.udfs import make_polygon_pairs_intersects_udf
 
     cov_a = s2_cover_polygons_df(
         polys_a.select("polygon_id", "rings"), level=level
@@ -546,24 +568,73 @@ def s2_overlay_join(
         .agg(F.max(~F.col("_ba") & ~F.col("_bb")).alias("_certain"))
     )
     certain = cand.where(F.col("_certain")).select(id_a, id_b)
-    gj = lambda: F.to_json(  # noqa: E731
-        F.struct(
-            F.lit("Polygon").alias("type"), F.col("rings").alias("coordinates")
-        )
+    a_rel = polygons_with_bbox_df(polys_a, id_a, "_ra", "_boxa")
+    b_rel = polygons_with_bbox_df(polys_b, id_b, "_rb", "_boxb")
+    pair_udf = make_polygon_pairs_intersects_udf()
+    boxes_overlap = ~(
+        (F.col("_boxa.w") > F.col("_boxb.e"))
+        | (F.col("_boxa.e") < F.col("_boxb.w"))
+        | (F.col("_boxa.s") > F.col("_boxb.n"))
+        | (F.col("_boxa.n") < F.col("_boxb.s"))
     )
-    a_gj = polys_a.select(
-        F.col("polygon_id").alias(id_a), gj().alias("_gja")
-    )
-    b_gj = polys_b.select(
-        F.col("polygon_id").alias(id_b), gj().alias("_gjb")
-    )
-    pair_udf = make_intersects_udf()
     checked = (
         cand.where(~F.col("_certain"))
         .select(id_a, id_b)
-        .join(a_gj, id_a)
-        .join(b_gj, id_b)
-        .where(pair_udf(F.col("_gja"), F.col("_gjb")))
+        .join(a_rel, id_a)
+        .join(b_rel, id_b)
+        .where(
+            F.col("_boxa").isNull()
+            | F.col("_boxb").isNull()
+            | boxes_overlap
+        )
+        .where(pair_udf(F.col("_ra"), F.col("_rb")))
         .select(id_a, id_b)
     )
     return certain.unionByName(checked)
+
+
+def polygons_with_bbox_df(
+    polys: DataFrame, id_alias: str, rings_alias: str, box_alias: str
+) -> DataFrame:
+    """(polygon_id, rings) -> (id, rings, box struct<w,s,e,n>|NULL) in
+    one numpy pass.  The box is NULL when the polygon's longitude
+    spread exceeds 180 deg (antimeridian wrap — min/max is not its
+    bbox; geojson-intersect.kt:21-53 picks the shorter arc) or the
+    rings are malformed; NULL means "cannot prune", never "prune"."""
+    import pandas as pd
+
+    from ..kernels.overlay import ring_array
+
+    def bbox_iter(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for pid, rings in zip(pdf["polygon_id"], pdf["rings"]):
+                box = None
+                try:
+                    pts = np.concatenate(
+                        [ring_array(r)[:, :2] for r in rings]
+                    )
+                    if pts.size and np.isfinite(pts).all():
+                        w, s = pts.min(axis=0)
+                        e, n = pts.max(axis=0)
+                        if e - w <= 180.0:
+                            box = (float(w), float(s), float(e), float(n))
+                except (TypeError, ValueError, IndexError):
+                    box = None
+                rows.append((pid, rings, box))
+            yield pd.DataFrame(
+                rows, columns=["polygon_id", "rings", "box"]
+            )
+
+    rings_type = dict(polys.dtypes)["rings"]
+    polys = spread_partitions(polys)
+    out = polys.select("polygon_id", "rings").mapInPandas(
+        bbox_iter,
+        f"polygon_id string, rings {rings_type}, "
+        "box struct<w double, s double, e double, n double>",
+    )
+    return out.select(
+        F.col("polygon_id").alias(id_alias),
+        F.col("rings").alias(rings_alias),
+        F.col("box").alias(box_alias),
+    )
