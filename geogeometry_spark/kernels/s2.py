@@ -758,6 +758,238 @@ def polygon_covering(
     return out_ids, out_border, level
 
 
+def polygon_covering_batch(
+    outers: list, level: int, max_cells: int = 8192
+):
+    """Coverings of MANY single-ring polygons at one level in ONE
+    frontier sweep — the per-batch form of :func:`polygon_covering`
+    for the distributed covering operators (s2_cover_polygons_df),
+    identical verdict logic and output set per polygon.
+
+    ``outers``: list of (m, 2) [lon, lat] outer rings (no holes — the
+    caller routes holed/invalid polygons through the single-polygon
+    path).  Returns (pidx, ids, border): flat int64/int64/bool arrays
+    where ``pidx[k]`` is the index into ``outers`` of cell ``ids[k]``.
+
+    Why batched: the per-polygon sweep costs ~4 ms regardless of size
+    (14 levels x ~25 small-array ops of interpreter overhead); covering
+    10^5 polygons per task is covering-bound at that constant.  Here the
+    level loop runs ONCE for the whole batch — frontier rows carry a
+    polygon index, per-polygon values (bbox, frame, edges, ray-cast
+    ring) gather through it — so the constant amortizes across the
+    batch (~20x at 10k 5-vertex boxes).
+
+    Raises the same polar/antimeridian/max_cells errors as the single
+    path (max_cells is enforced PER POLYGON, as there)."""
+    from . import geometry as kgeo
+    from .overlay import polygon_contains_batch
+
+    P = len(outers)
+    if P == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=bool),
+        )
+    rings = [np.asarray(o, dtype=np.float64) for o in outers]
+    for r in rings:
+        if np.abs(r[:, 1]).max() > 89.5:
+            raise ValueError(
+                "polar polygons are not supported (reference parity)"
+            )
+        if r[:, 0].max() - r[:, 0].min() > 180.0:
+            raise ValueError(
+                "antimeridian-crossing polygons are not supported"
+            )
+
+    # pad rings to (P, M, 2) repeating the last vertex: padded edges are
+    # degenerate POINT bboxes at a real vertex, which lie inside the
+    # union of that vertex's real edge bboxes — any rect touching one
+    # also touches a real edge bbox, so border verdicts are unchanged
+    lens = np.fromiter((r.shape[0] for r in rings), dtype=np.int64, count=P)
+    M = int(lens.max())
+    R = np.empty((P, M, 2), dtype=np.float64)
+    for i, r in enumerate(rings):
+        k = r.shape[0]
+        R[i, :k] = r
+        if k < M:
+            R[i, k:] = r[k - 1]
+    # per-polygon scalars (means over REAL vertices only)
+    pw = np.array([r[:, 0].min() for r in rings])
+    pe = np.array([r[:, 0].max() for r in rings])
+    ps = np.array([r[:, 1].min() for r in rings])
+    pn = np.array([r[:, 1].max() for r in rings])
+    pframe = np.array([float(r[:, 0].mean()) for r in rings])
+    # per-polygon edge bboxes over the padded slots: (P, M-1)
+    ex1, ey1 = R[:, :-1, 0], R[:, :-1, 1]
+    ex2, ey2 = R[:, 1:, 0], R[:, 1:, 1]
+    exl, exh = np.minimum(ex1, ex2), np.maximum(ex1, ex2)
+    eyl, eyh = np.minimum(ey1, ey2), np.maximum(ey1, ey2)
+
+    out_pidx: list[np.ndarray] = []
+    out_ids: list[np.ndarray] = []
+    out_border: list[np.ndarray] = []
+    counts = np.zeros(P, dtype=np.int64)
+
+    def emit(pidx_e, faces_e, ics_e, jcs_e, lvl, border):
+        if faces_e.size == 0:
+            return
+        counts_add = np.bincount(pidx_e, minlength=P)
+        np.add(counts, counts_add, out=counts)
+        if (counts > max_cells).any():
+            raise ValueError(
+                f"covering exceeds max_cells={max_cells}; lower `level`"
+            )
+        shift = MAX_LEVEL - lvl
+        out_pidx.append(pidx_e.astype(np.int64))
+        out_ids.append(
+            cell_id_from_face_ij(faces_e, ics_e << shift, jcs_e << shift, lvl)
+        )
+        out_border.append(
+            np.broadcast_to(border, faces_e.shape).astype(bool)
+            if np.isscalar(border)
+            else border
+        )
+
+    two30 = float(1 << MAX_LEVEL)
+    pidx = np.repeat(np.arange(P, dtype=np.int64), 6)
+    faces = np.tile(np.arange(6, dtype=np.int64), P)
+    ics = np.zeros(6 * P, dtype=np.int64)
+    jcs = np.zeros(6 * P, dtype=np.int64)
+
+    for lvl in range(level + 1):
+        if faces.size == 0:
+            break
+        shift = MAX_LEVEL - lvl
+        s_lo = (ics << shift) / two30
+        s_hi = ((ics + 1) << shift) / two30
+        t_lo = (jcs << shift) / two30
+        t_hi = ((jcs + 1) << shift) / two30
+        s_c = (s_lo + s_hi) / 2.0
+        t_c = (t_lo + t_hi) / 2.0
+        ss = np.stack([s_c, s_lo, s_lo, s_hi, s_hi], axis=1)
+        tt = np.stack([t_c, t_lo, t_hi, t_lo, t_hi], axis=1)
+        fx = np.repeat(faces, 5)
+        x, y, z = xyz_from_face_uv(
+            fx, uv_from_st(ss.ravel()), uv_from_st(tt.ravel())
+        )
+        norm = np.sqrt(x * x + y * y + z * z)
+        x = (x / norm).reshape(-1, 5)
+        y = (y / norm).reshape(-1, 5)
+        z = (z / norm).reshape(-1, 5)
+        dots = np.clip(
+            x[:, :1] * x[:, 1:] + y[:, :1] * y[:, 1:] + z[:, :1] * z[:, 1:],
+            -1.0,
+            1.0,
+        )
+        circ_deg = np.degrees(np.arccos(dots).max(axis=1))
+        lat_center = np.degrees(
+            np.arctan2(z[:, 0], np.hypot(x[:, 0], y[:, 0]))
+        )
+        band_lo, band_hi = lat_center - circ_deg, lat_center + circ_deg
+        keep = ~((band_hi < ps[pidx]) | (band_lo > pn[pidx]))
+        if not keep.any():
+            break
+        pidx, faces, ics, jcs = pidx[keep], faces[keep], ics[keep], jcs[keep]
+        band_lo, band_hi = band_lo[keep], band_hi[keep]
+        lat_c = np.degrees(
+            np.arctan2(z[keep, 1:], np.hypot(x[keep, 1:], y[keep, 1:]))
+        )
+        lon_c = np.degrees(np.arctan2(y[keep, 1:], x[keep, 1:]))
+
+        theta = (math.pi / 2) / (1 << lvl)
+        pad_lat = (theta * theta / 4.0) * (180.0 / math.pi)
+        abs_band = np.minimum(
+            89.999, np.maximum(np.abs(band_lo), np.abs(band_hi))
+        )
+        pad_lon = pad_lat / np.maximum(1e-9, np.cos(np.radians(abs_band)))
+        frame = pframe[pidx]
+        lon_adj = frame[:, None] + _wrap_deg(lon_c - frame[:, None])
+        bw = lon_adj.min(axis=1) - pad_lon
+        be = lon_adj.max(axis=1) + pad_lon
+        bs = lat_c.min(axis=1) - pad_lat
+        bn = lat_c.max(axis=1) + pad_lat
+
+        wrap = (be - bw) > 180.0
+        disjoint = ~wrap & (
+            (be < pw[pidx]) | (bw > pe[pidx]) | (bn < ps[pidx]) | (bs > pn[pidx])
+        )
+        border = np.zeros(faces.shape, dtype=bool)
+        todo = np.flatnonzero(~wrap & ~disjoint)
+        if todo.size:
+            chunk = max(1, (1 << 22) // max(M - 1, 1))
+            for cs in range(0, todo.size, chunk):
+                sel = todo[cs : cs + chunk]
+                rows = pidx[sel]
+                hit = (
+                    (exl[rows] <= be[sel, None])
+                    & (exh[rows] >= bw[sel, None])
+                    & (eyl[rows] <= bn[sel, None])
+                    & (eyh[rows] >= bs[sel, None])
+                ).any(axis=1)
+                border[sel] = hit
+        probe = ~wrap & ~disjoint & ~border
+        interior = np.zeros(faces.shape, dtype=bool)
+        pi = np.flatnonzero(probe)
+        if pi.size:
+            inside = polygon_contains_batch(bs[pi], bw[pi], R[pidx[pi]])
+            interior[pi] = inside
+            disjoint[pi[~inside]] = True
+
+        if lvl == level:
+            final = wrap | border
+            emit(pidx[final], faces[final], ics[final], jcs[final], level, True)
+            emit(
+                pidx[interior],
+                faces[interior],
+                ics[interior],
+                jcs[interior],
+                level,
+                False,
+            )
+            break
+
+        for k in np.flatnonzero(interior):
+            d = level - lvl
+            side = 1 << d
+            base_i, base_j = int(ics[k]) << d, int(jcs[k]) << d
+            ii, jj = np.meshgrid(
+                base_i + np.arange(side, dtype=np.int64),
+                base_j + np.arange(side, dtype=np.int64),
+                indexing="ij",
+            )
+            emit(
+                np.full(side * side, int(pidx[k]), dtype=np.int64),
+                np.full(side * side, int(faces[k]), dtype=np.int64),
+                ii.ravel(),
+                jj.ravel(),
+                level,
+                False,
+            )
+
+        descend = wrap | border
+        nd = int(descend.sum())
+        pidx = np.repeat(pidx[descend], 4)
+        faces = np.repeat(faces[descend], 4)
+        ic0 = np.repeat(ics[descend] * 2, 4)
+        jc0 = np.repeat(jcs[descend] * 2, 4)
+        quad = np.tile(np.array([0, 1, 2, 3], dtype=np.int64), nd)
+        ics = ic0 + (quad >> 1)
+        jcs = jc0 + (quad & 1)
+
+    if out_ids:
+        return (
+            np.concatenate(out_pidx),
+            np.concatenate(out_ids).astype(np.int64),
+            np.concatenate(out_border).astype(bool),
+        )
+    return (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=bool),
+    )
+
+
 def multipolygon_covering(
     polygons: list, level: int, max_cells: int = 8192
 ):

@@ -778,3 +778,53 @@ def test_stored_leaf_column_probe_path_native_and_identical(spark):
 
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_polygon_covering_batch_parity_and_errors():
+    """The batched frontier sweep must produce the identical covering
+    set per polygon as the single-polygon path, and raise the same
+    polar/antimeridian/max_cells errors."""
+    rng = np.random.default_rng(42)
+    polys = []
+    for i in range(150):
+        if i % 4 == 0:
+            k = int(rng.integers(3, 12))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            rad = rng.uniform(0.005, 0.08, k)
+            cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+            ring = np.stack(
+                [cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1
+            )
+            ring = np.vstack([ring, ring[:1]])
+        else:
+            cx, cy = rng.uniform(-170, 170), rng.uniform(-85, 85)
+            hw, hh = rng.uniform(0.002, 0.06, 2)
+            ring = np.array(
+                [[cx - hw, cy - hh], [cx + hw, cy - hh], [cx + hw, cy + hh],
+                 [cx - hw, cy + hh], [cx - hw, cy - hh]]
+            )
+        polys.append(ring)
+    pidx, ids, border = K.polygon_covering_batch(polys, level=13)
+    for i, ring in enumerate(polys):
+        si, sb, _ = K.polygon_covering([ring], level=13, max_cells=65536)
+        m = pidx == i
+        assert dict(zip(ids[m].tolist(), border[m].tolist())) == dict(
+            zip(si.tolist(), sb.tolist())
+        ), f"covering mismatch for polygon {i}"
+
+    with pytest.raises(ValueError, match="polar"):
+        K.polygon_covering_batch(
+            [np.array([[0, 89.9], [1, 89.9], [1, 89.95], [0, 89.9]])], 10
+        )
+    with pytest.raises(ValueError, match="antimeridian"):
+        K.polygon_covering_batch(
+            [np.array([[-170, 0], [170, 0], [170, 1], [-170, 0]])], 10
+        )
+    with pytest.raises(ValueError, match="max_cells"):
+        K.polygon_covering_batch(
+            [np.array([[0, 0], [5, 0], [5, 5], [0, 5], [0, 0]])],
+            13,
+            max_cells=10,
+        )
+    p, i_, b_ = K.polygon_covering_batch([], 10)
+    assert p.size == i_.size == b_.size == 0
