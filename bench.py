@@ -390,6 +390,75 @@ def main() -> None:
     timed("s2_radius_join_bulk_5m_stored", s2_bulk_stored_5m, runs=3, warmup=True)
     timed("s2_radius_join_bulk_5m_udf", s2_bulk_udf_5m, runs=3, warmup=True)
 
+    # --- connected components at 1.5M nodes / ~1.5M edges --------------
+    # dup-cluster-shaped graph: 16-node stars chained into 256-node
+    # components (diameter ~31 — naive label propagation would need
+    # ~31 rounds; large-star/small-star must close it in O(log n)).
+    # Edge generation is native-range arithmetic, checkpointed outside
+    # the timer (the operator reads a stored pair relation in
+    # production).
+    from geogeometry_spark.operators.dedup import connected_components
+
+    n_cc = 1_500_000
+    ids_cc = spark.range(n_cc)
+    star_edges = ids_cc.where(F.col("id") % 16 != 0).select(
+        (F.col("id") - F.col("id") % 16).alias("id_a"),
+        F.col("id").alias("id_b"),
+    )
+    chain_edges = (
+        ids_cc.where((F.col("id") % 16 == 0) & (F.col("id") % 256 != 240))
+        .select(F.col("id").alias("id_a"), (F.col("id") + 16).alias("id_b"))
+    )
+    cc_edges = star_edges.union(chain_edges).localCheckpoint()
+    n_cc_edges = cc_edges.count()
+
+    def cc_run():
+        connected_components(cc_edges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed(f"connected_components_{n_cc_edges // 1000}k_edges", cc_run,
+          runs=1, warmup=True)
+
+    # --- polygon x polygon overlay join: 100k x 500 relations ----------
+    # both sides data-derived boxes over the skewed Berlin hot cluster
+    # (AQE splits the hot covering cells); candidates only through
+    # shared S2 cells, exact intersects dispatch for border pairs.
+    from geogeometry_spark.operators.s2_join import s2_overlay_join
+
+    def _boxes(df, n, hw, hh):
+        w, e2 = F.col("lon") - hw, F.col("lon") + hw
+        s2c, n2 = F.col("lat") - hh, F.col("lat") + hh
+        p = lambda x, y: F.array(x, y)  # noqa: E731
+        ring = F.array(p(w, s2c), p(e2, s2c), p(e2, n2), p(w, n2), p(w, s2c))
+        return (
+            df.limit(n)
+            .select(
+                F.col("doc_id").cast("string").alias("polygon_id"),
+                F.array(ring).alias("rings"),
+            )
+            .localCheckpoint()
+        )
+
+    hot_pts = pts.where(
+        (F.col("lat") > 52.3) & (F.col("lat") < 52.7)
+        & (F.col("lon") > 13.2) & (F.col("lon") < 13.6)
+    )
+    # sizes chosen so the TRUE pair count stays ~1M (at 500 x 0.05-deg
+    # boxes the hot cluster makes ~40% of all candidate pairs real
+    # intersections — 21M pairs — which benchmarks the fixture's
+    # quadratic output, not the operator)
+    boxes_a = _boxes(hot_pts, 100_000, F.lit(0.002), F.lit(0.0012))
+    boxes_b = _boxes(hot_pts.where(F.col("doc_id").cast("long") % 97 == 0),
+                     150, F.lit(0.02), F.lit(0.012))
+
+    def overlay_run():
+        s2_overlay_join(boxes_a, boxes_b, level=13).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("overlay_join_100k_x_150", overlay_run, runs=3, warmup=True)
+
     print(
         json.dumps(
             {
