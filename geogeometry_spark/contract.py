@@ -1396,26 +1396,28 @@ def q_poly_intersects(spark, sf_dir):
     (geojson-intersect.kt:90-131): a 0.1 x 0.06 degree query box around
     each doc's coordinate against the Berlin big ring — per box edge the
     line dispatch (edge crossings + hole-aware containment of the edge
-    start), then the mutual first-vertex containment shortcuts."""
-    from .functions.udfs import make_intersects_udf
+    start), then the mutual first-vertex containment shortcuts.
+
+    Hot form: ring arrays through Arrow into the batch pair-intersects
+    kernel against the broadcast geometry (kernels/overlay.py —
+    bit-exact vs the per-row json dispatch, which remains the
+    mixed-geometry-type generality path in make_intersects_udf)."""
+    from .functions.udfs import make_polygon_vs_fixed_intersects_udf
 
     df = _docs_coords(spark, sf_dir)
     w, e = F.col("lon") - F.lit(0.05), F.col("lon") + F.lit(0.05)
     s, n = F.col("lat") - F.lit(0.03), F.col("lat") + F.lit(0.03)
     corner = lambda x, y: F.array(x, y)  # noqa: E731
-    gj = F.to_json(
-        F.struct(
-            F.lit("Polygon").alias("type"),
-            F.array(
-                F.array(
-                    corner(w, s), corner(e, s), corner(e, n),
-                    corner(w, n), corner(w, s),
-                )
-            ).alias("coordinates"),
+    rings = F.array(
+        F.array(
+            corner(w, s), corner(e, s), corner(e, n),
+            corner(w, n), corner(w, s),
         )
     )
-    udf = make_intersects_udf(_berlin_geom())
-    return df.select("doc_id", udf(gj).alias("intersects")).where(
+    udf = make_polygon_vs_fixed_intersects_udf(
+        _berlin_geom()["coordinates"]
+    )
+    return df.select("doc_id", udf(rings).alias("intersects")).where(
         F.col("intersects")
     )
 

@@ -476,6 +476,26 @@ def make_polygon_pairs_intersects_udf():
     return pairs_intersect
 
 
+def make_polygon_vs_fixed_intersects_udf(fixed_rings):
+    """Polygon-column vs ONE broadcast Polygon — the hot form of
+    ``make_intersects_udf(geom)`` for the polygon x polygon case: the
+    whole Arrow batch runs through the padded-tensor kernel against the
+    closure-captured rings instead of a per-row json.loads + dispatch.
+    ``fixed_rings``: GeoJSON Polygon coordinates (list of rings)."""
+    from ..kernels.overlay import polygon_pairs_intersect_batch, ring_array
+
+    fixed = [ring_array(r) for r in fixed_rings]  # normalize ONCE
+
+    @F.pandas_udf(T.BooleanType())
+    def fixed_pair(ra: pd.Series) -> pd.Series:
+        rl = ra.to_list()
+        return pd.Series(
+            polygon_pairs_intersect_batch(rl, [fixed] * len(rl))
+        )
+
+    return fixed_pair
+
+
 def make_ring_area_udf():
     """Grouped-hull ring area (GeoGeometry.kt:1236-1260) as a pandas UDF
     over (lons: array, lats: array) rows."""
