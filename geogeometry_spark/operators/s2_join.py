@@ -554,7 +554,7 @@ def s2_radius_join_bulk(
 def s2_overlay_join(
     polys_a: DataFrame,
     polys_b: DataFrame,
-    level: int = 13,
+    level: int | None = None,
     id_a: str = "id_a",
     id_b: str = "id_b",
 ) -> DataFrame:
@@ -584,9 +584,51 @@ def s2_overlay_join(
        padded-tensor crossings + ray casts per Arrow batch; per-pair
        reference dispatch only for holes/multi-ring/antimeridian rows).
 
-    Output: distinct (id_a, id_b) intersecting pairs.
+    Output: distinct (id_a, id_b) intersecting pairs — which is
+    level-INDEPENDENT (the certain path and the exact kernel are both
+    correct at any level; the level only moves cost between covering
+    size and candidate-set size).
+
+    ``level=None`` (default) derives the level from the polygons
+    themselves: suitable_level(median bbox diagonal / 3) over BOTH
+    relations (the per-polygon auto rule of polygon_covering applied
+    to the shared-level constraint), clamped so the LARGEST polygon's
+    covering stays within its max_cells guard — one tiny aggregation
+    job, same pattern as s2_radius_join_bulk's radius-derived level.
     """
     from ..functions.udfs import make_polygon_pairs_intersects_udf
+
+    a_rel = polygons_with_bbox_df(polys_a, id_a, "_ra", "_boxa")
+    b_rel = polygons_with_bbox_df(polys_b, id_b, "_rb", "_boxb")
+    if level is None:
+        import math as _math
+
+        def _diags(rel, box):
+            b = F.col(box)
+            # equirectangular diagonal is plenty for an order-of-
+            # magnitude level choice
+            dx = (b["e"] - b["w"]) * F.cos(F.radians((b["n"] + b["s"]) / 2))
+            dy = b["n"] - b["s"]
+            return rel.where(b.isNotNull()).select(
+                (F.sqrt(dx * dx + dy * dy) * F.lit(111_195.0)).alias("diag")
+            )
+        stats = (
+            _diags(a_rel, "_boxa").unionByName(_diags(b_rel, "_boxb"))
+            .agg(
+                F.expr("percentile_approx(diag, 0.5)").alias("med"),
+                F.max("diag").alias("mx"),
+            )
+            .collect()[0]
+        )
+        med = float(stats["med"] or 1.0)
+        mx = float(stats["mx"] or med)
+        level = min(
+            ks2.suitable_level(max(med, 1.0) / 3.0),
+            # largest polygon must cover within max_cells=65536:
+            # (diag/edge)^2 <= 65536 => <= 2^8 edges across => its
+            # suitable level + 7 is a safe floor-preserving cap
+            ks2.suitable_level(max(mx, 1.0) / 3.0) + 7,
+        )
 
     cov_a = s2_cover_polygons_df(
         polys_a.select("polygon_id", "rings"), level=level
@@ -608,8 +650,6 @@ def s2_overlay_join(
         .agg(F.max(~F.col("_ba") & ~F.col("_bb")).alias("_certain"))
     )
     certain = cand.where(F.col("_certain")).select(id_a, id_b)
-    a_rel = polygons_with_bbox_df(polys_a, id_a, "_ra", "_boxa")
-    b_rel = polygons_with_bbox_df(polys_b, id_b, "_rb", "_boxb")
     pair_udf = make_polygon_pairs_intersects_udf()
     boxes_overlap = ~(
         (F.col("_boxa.w") > F.col("_boxb.e"))

@@ -1123,3 +1123,35 @@ def test_s2_overlay_join_interior_shortcut_pairs_are_exact(spark):
         )
     }
     assert got == want == {("engulf", p) for p in polygons_np(None)}
+
+
+def test_s2_overlay_join_auto_level_matches_explicit(spark):
+    """level=None derives a level from the polygon sizes; the pair SET
+    is level-independent, so auto must equal the explicit-level run."""
+    from geogeometry_spark.operators.pip_join import polygons_as_df
+    from geogeometry_spark.operators.s2_join import s2_overlay_join
+
+    def box(cx, cy, hw=0.05, hh=0.03):
+        return [[
+            [cx - hw, cy - hh], [cx + hw, cy - hh],
+            [cx + hw, cy + hh], [cx - hw, cy + hh],
+            [cx - hw, cy - hh],
+        ]]
+
+    boxes = {
+        "edge_cross": box(13.3766, 52.51),
+        "contains_small": box(13.394, 52.5276, hw=0.02, hh=0.006),
+        "far_away": box(10.0, 50.0),
+    }
+    a = polygons_as_df(spark, boxes)
+    b = polygons_as_df(spark)
+    got_auto = {
+        (r["id_a"], r["id_b"])
+        for r in s2_overlay_join(a, b).collect()
+    }
+    got_13 = {
+        (r["id_a"], r["id_b"])
+        for r in s2_overlay_join(a, b, level=13).collect()
+    }
+    assert got_auto == got_13
+    assert got_auto  # non-empty
