@@ -449,7 +449,17 @@ def connected_components(
     edges = edges.localCheckpoint()
     prev = None
     for _ in range(max_rounds):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        # the new checkpoint is EAGER, so the previous round's blocks
+        # are dead the moment it returns — free them explicitly instead
+        # of waiting on the ContextCleaner (lazily-GC'd round blocks
+        # accumulate ~rounds x |edges| of block-manager storage, and
+        # under memory pressure the async cleaner races block reads:
+        # observed as 'blockmgr .../rdd_N (No such file or directory)'
+        # task failures at 24M edges on a 128 GiB heap)
+        old = edges
+        edges = new_edges
+        old.unpersist()
         cur = _checksum(edges)
         if cur == prev:
             break
