@@ -36,7 +36,7 @@ from . import geometry as kgeo
 from . import intersect as kx
 
 # rows per vectorized chunk are sized so the (rows, segA, segB) crossing
-# tensor stays ~16M float64 cells regardless of ring size
+# tensor stays ~2M float64 cells (~16 MB) regardless of ring size
 _CROSS_CELL_BUDGET = 1 << 21
 
 
