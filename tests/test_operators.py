@@ -1155,3 +1155,18 @@ def test_s2_overlay_join_auto_level_matches_explicit(spark):
     }
     assert got_auto == got_13
     assert got_auto  # non-empty
+
+
+def test_spread_partitions_widens_narrow_relations(spark):
+    from geogeometry_spark.operators.s2_join import spread_partitions
+
+    target = min(spark.sparkContext.defaultParallelism, 64)
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = spread_partitions(narrow)
+    assert spread.rdd.getNumPartitions() == target
+    assert spread.count() == 1000
+
+    wide = spark.range(1000).repartition(target)
+    # already at cluster parallelism: passthrough, no extra exchange
+    assert spread_partitions(wide) is wide
