@@ -95,6 +95,76 @@ def geohashes_for_linear_ring(
     return fully_contained
 
 
+def _box_rings(w, s, e, n) -> np.ndarray:
+    """(C,) bbox edges -> (C, 5, 2) closed rings, the exact corner order
+    _split_and_filter's per-child ring used."""
+    c = w.shape[0]
+    out = np.empty((c, 5, 2), dtype=np.float64)
+    out[:, 0, 0] = w
+    out[:, 0, 1] = s
+    out[:, 1, 0] = e
+    out[:, 1, 1] = s
+    out[:, 2, 0] = e
+    out[:, 2, 1] = n
+    out[:, 3, 0] = w
+    out[:, 3, 1] = n
+    out[:, 4, 0] = w
+    out[:, 4, 1] = s
+    return out
+
+
+def _overlap_boxes_vs_ring(w, s, e, n, ring: np.ndarray) -> np.ndarray:
+    """Vectorized ``geo.overlap(child_box_ring, ring)`` over C axis-
+    aligned boxes — the same OR of checks (GeoGeometry.kt:894-925:
+    mutual center containment, mutual vertex containment, edge
+    crossing), order-free booleans, so the per-child short-circuit
+    collapses to one batch evaluation per check.  Profiled: the scalar
+    overlap loop was 70% of a 27 ms/polygon covering."""
+    from .overlay import polygon_contains_batch
+
+    c = w.shape[0]
+    rings_c = _box_rings(w, s, e, n)
+    rc_lon, rc_lat = geo.polygon_center(ring)
+    # polygon_center of an axis-aligned closed box == its bbox midpoint
+    hit = polygon_contains_batch(
+        np.full(c, rc_lat), np.full(c, rc_lon), rings_c
+    )
+    hit |= geo.polygon_contains((s + n) / 2.0, (w + e) / 2.0, ring)
+    # any polygon vertex inside a box
+    m = ring.shape[0]
+    hit |= (
+        polygon_contains_batch(
+            np.tile(ring[:, 1], c),
+            np.tile(ring[:, 0], c),
+            np.repeat(rings_c, m, axis=0),
+        )
+        .reshape(c, m)
+        .any(axis=1)
+    )
+    # any box vertex inside the polygon (all 5 ring rows, like overlap)
+    hit |= (
+        geo.polygon_contains(
+            rings_c[:, :, 1].ravel(), rings_c[:, :, 0].ravel(), ring
+        )
+        .reshape(c, 5)
+        .any(axis=1)
+    )
+    # box edge x polygon edge crossings
+    todo = np.flatnonzero(~hit)
+    if todo.size:
+        bx1 = rings_c[todo, :-1, 0][:, :, None]
+        by1 = rings_c[todo, :-1, 1][:, :, None]
+        bx2 = rings_c[todo, 1:, 0][:, :, None]
+        by2 = rings_c[todo, 1:, 1][:, :, None]
+        rx1 = ring[:-1, 0][None, None, :]
+        ry1 = ring[:-1, 1][None, None, :]
+        rx2 = ring[1:, 0][None, None, :]
+        ry2 = ring[1:, 1][None, None, :]
+        cross = geo.lines_cross_vec(bx1, by1, bx2, by2, rx1, ry1, rx2, ry2)
+        hit[todo] = cross.any(axis=(1, 2))
+    return hit
+
+
 def _split_and_filter(
     ring: np.ndarray, fully_contained: set[str], partially_contained: set[str]
 ) -> set[str]:
@@ -106,7 +176,6 @@ def _split_and_filter(
     """
     still_partial: set[str] = set()
     for h in partially_contained:
-        complete: set[str] = set()
         subs = gh.sub_hashes(h)
         # vectorized corner containment for all 32 children at once
         w, s, e, n = gh.decode_bbox(np.array(subs))
@@ -114,25 +183,18 @@ def _split_and_filter(
         corner_lons = np.concatenate([w, e, w, e])
         inside = geo.polygon_contains(corner_lats, corner_lons, ring).reshape(4, 32)
         all_in = inside.all(axis=0)
-        for i, child in enumerate(subs):
-            if all_in[i]:
-                complete.add(child)
-            else:
-                child_ring = np.array(
-                    [
-                        [w[i], s[i]],
-                        [e[i], s[i]],
-                        [e[i], n[i]],
-                        [w[i], n[i]],
-                        [w[i], s[i]],
-                    ]
-                )
-                if geo.overlap(child_ring, ring):
-                    still_partial.add(child)
-        if len(complete) == 32:
+        not_full = np.flatnonzero(~all_in)
+        if not_full.size:
+            ov = _overlap_boxes_vs_ring(
+                w[not_full], s[not_full], e[not_full], n[not_full], ring
+            )
+            still_partial.update(
+                subs[i] for k, i in enumerate(not_full) if ov[k]
+            )
+        if not not_full.size:
             fully_contained.add(h)
         else:
-            fully_contained.update(complete)
+            fully_contained.update(subs[i] for i in np.flatnonzero(all_in))
     return still_partial
 
 

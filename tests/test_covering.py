@@ -132,3 +132,39 @@ def test_large_quad_cover_vector():
     hashes = covering.geohashes_for_linear_ring(ring, max_length=5)
     assert len(hashes) >= 1000
     assert min(len(h) for h in hashes) == 4
+
+
+def test_overlap_boxes_vs_ring_matches_scalar_overlap():
+    """The batched child-overlap must equal geo.overlap per box — the
+    per-child short-circuit collapses to order-free booleans."""
+    import numpy as np
+
+    from geogeometry_spark.kernels import geometry as geo
+    from geogeometry_spark.kernels.covering import (
+        _box_rings,
+        _overlap_boxes_vs_ring,
+    )
+
+    rng = np.random.default_rng(11)
+    total = hits = 0
+    for _ in range(100):
+        k = int(rng.integers(3, 14))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(0.01, 0.3, k)
+        cx, cy = rng.uniform(-50, 50, 2)
+        ring = np.stack(
+            [cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1
+        )
+        ring = np.vstack([ring, ring[:1]])
+        c = 16
+        w = cx + rng.uniform(-0.5, 0.4, c)
+        e = w + rng.uniform(0.01, 0.3, c)
+        s = cy + rng.uniform(-0.5, 0.4, c)
+        n = s + rng.uniform(0.01, 0.3, c)
+        got = _overlap_boxes_vs_ring(w, s, e, n, ring)
+        boxes = _box_rings(w, s, e, n)
+        want = np.array([geo.overlap(boxes[i], ring) for i in range(c)])
+        assert (got == want).all()
+        total += c
+        hits += int(got.sum())
+    assert 0 < hits < total  # both outcomes exercised
