@@ -187,11 +187,11 @@ def cover_polygons_df(
     ``cell_length`` so the probe side needs a single cheap prefix.
 
     Scale note: the geohash covering kernel is the reference-parity
-    splitAndFilter (string cells, parent collapse — ~24 ms/polygon
-    measured), kept exact against GeoHashUtilsTest vectors; for
-    10^5+-polygon relations prefer the S2 twin (s2_cover_polygons_df),
-    whose batched frontier sweep covers at ~0.8 ms/polygon with the
-    same join contract."""
+    splitAndFilter (string cells, parent collapse — ~9 ms/polygon
+    after the batched child-overlap, kernels/covering.py), kept exact
+    against GeoHashUtilsTest vectors; for 10^5+-polygon relations
+    prefer the S2 twin (s2_cover_polygons_df), whose batched frontier
+    sweep covers at ~0.8 ms/polygon with the same join contract."""
     import pandas as pd
 
     from .s2_join import spread_partitions
