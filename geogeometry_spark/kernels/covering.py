@@ -130,17 +130,22 @@ def _overlap_boxes_vs_ring(w, s, e, n, ring: np.ndarray) -> np.ndarray:
         np.full(c, rc_lat), np.full(c, rc_lon), rings_c
     )
     hit |= geo.polygon_contains((s + n) / 2.0, (w + e) / 2.0, ring)
-    # any polygon vertex inside a box
+    # any polygon vertex inside a box (chunked: C x m point-in-box rows)
     m = ring.shape[0]
-    hit |= (
-        polygon_contains_batch(
-            np.tile(ring[:, 1], c),
-            np.tile(ring[:, 0], c),
-            np.repeat(rings_c, m, axis=0),
+    budget = 1 << 21
+    step = max(1, budget // max(m, 1))
+    for cs in range(0, c, step):
+        sel = slice(cs, min(cs + step, c))
+        k = sel.stop - sel.start
+        hit[sel] |= (
+            polygon_contains_batch(
+                np.tile(ring[:, 1], k),
+                np.tile(ring[:, 0], k),
+                np.repeat(rings_c[sel], m, axis=0),
+            )
+            .reshape(k, m)
+            .any(axis=1)
         )
-        .reshape(c, m)
-        .any(axis=1)
-    )
     # any box vertex inside the polygon (all 5 ring rows, like overlap)
     hit |= (
         geo.polygon_contains(
@@ -149,19 +154,21 @@ def _overlap_boxes_vs_ring(w, s, e, n, ring: np.ndarray) -> np.ndarray:
         .reshape(c, 5)
         .any(axis=1)
     )
-    # box edge x polygon edge crossings
+    # box edge x polygon edge crossings (chunked: C x 4 x (m-1) tensor)
     todo = np.flatnonzero(~hit)
-    if todo.size:
-        bx1 = rings_c[todo, :-1, 0][:, :, None]
-        by1 = rings_c[todo, :-1, 1][:, :, None]
-        bx2 = rings_c[todo, 1:, 0][:, :, None]
-        by2 = rings_c[todo, 1:, 1][:, :, None]
-        rx1 = ring[:-1, 0][None, None, :]
-        ry1 = ring[:-1, 1][None, None, :]
-        rx2 = ring[1:, 0][None, None, :]
-        ry2 = ring[1:, 1][None, None, :]
+    rx1 = ring[:-1, 0][None, None, :]
+    ry1 = ring[:-1, 1][None, None, :]
+    rx2 = ring[1:, 0][None, None, :]
+    ry2 = ring[1:, 1][None, None, :]
+    step = max(1, budget // max(4 * (m - 1), 1))
+    for cs in range(0, todo.size, step):
+        sel = todo[cs : cs + step]
+        bx1 = rings_c[sel, :-1, 0][:, :, None]
+        by1 = rings_c[sel, :-1, 1][:, :, None]
+        bx2 = rings_c[sel, 1:, 0][:, :, None]
+        by2 = rings_c[sel, 1:, 1][:, :, None]
         cross = geo.lines_cross_vec(bx1, by1, bx2, by2, rx1, ry1, rx2, ry2)
-        hit[todo] = cross.any(axis=(1, 2))
+        hit[sel] = cross.any(axis=(1, 2))
     return hit
 
 
@@ -175,26 +182,36 @@ def _split_and_filter(
     children are full the parent is kept whole (broadcast-size win).
     """
     still_partial: set[str] = set()
-    for h in partially_contained:
-        subs = gh.sub_hashes(h)
-        # vectorized corner containment for all 32 children at once
-        w, s, e, n = gh.decode_bbox(np.array(subs))
-        corner_lats = np.concatenate([n, n, s, s])  # NW, NE, SW, SE
-        corner_lons = np.concatenate([w, e, w, e])
-        inside = geo.polygon_contains(corner_lats, corner_lons, ring).reshape(4, 32)
-        all_in = inside.all(axis=0)
-        not_full = np.flatnonzero(~all_in)
-        if not_full.size:
-            ov = _overlap_boxes_vs_ring(
-                w[not_full], s[not_full], e[not_full], n[not_full], ring
-            )
-            still_partial.update(
-                subs[i] for k, i in enumerate(not_full) if ov[k]
-            )
-        if not not_full.size:
+    parents = list(partially_contained)
+    if not parents:
+        return still_partial
+    # ONE batch for the whole round: every parent's 32 children share
+    # the decode, the corner ray-cast, and the overlap evaluation —
+    # per-parent numpy-call constants were the cost once the per-child
+    # loop was gone (168 parents -> 168 overlap calls -> 2 per round)
+    subs = np.array([c for h in parents for c in gh.sub_hashes(h)])
+    p = len(parents)
+    w, s, e, n = gh.decode_bbox(subs)
+    corner_lats = np.concatenate([n, n, s, s])  # NW, NE, SW, SE
+    corner_lons = np.concatenate([w, e, w, e])
+    all_in = (
+        geo.polygon_contains(corner_lats, corner_lons, ring)
+        .reshape(4, p * 32)
+        .all(axis=0)
+    )
+    not_full = np.flatnonzero(~all_in)
+    if not_full.size:
+        ov = _overlap_boxes_vs_ring(
+            w[not_full], s[not_full], e[not_full], n[not_full], ring
+        )
+        still_partial.update(subs[not_full[ov]].tolist())
+    complete_parent = all_in.reshape(p, 32).all(axis=1)
+    for k, h in enumerate(parents):
+        if complete_parent[k]:
             fully_contained.add(h)
         else:
-            fully_contained.update(subs[i] for i in np.flatnonzero(all_in))
+            block = all_in[k * 32 : (k + 1) * 32]
+            fully_contained.update(subs[k * 32 : (k + 1) * 32][block].tolist())
     return still_partial
 
 
