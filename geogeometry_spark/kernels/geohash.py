@@ -231,17 +231,22 @@ def is_east(l1: float, l2: float) -> bool:
 
 def suitable_hash_length(granularity_m: float, lat: float, lon: float) -> int:
     """Largest hash length whose cell is narrower than granularity_m.
-    GeoHashUtils.kt:851-870 (verbatim shrink-until-wider loop)."""
-    from .geometry import haversine_scalar
+    GeoHashUtils.kt:851-870 — the reference's shrink-until-wider loop
+    replayed over ONE batched decode of every prefix (the per-prefix
+    scalar decodes were half the residual cost of a small covering)."""
+    from .geometry import haversine
 
     h = str(encode(lat, lon, DEFAULT_LENGTH)[0])
+    prefixes = [h[:k] for k in range(len(h), 0, -1)]
+    w, s, e, n = decode_bbox(np.array(prefixes))
+    widths = haversine(n, w, n, e)
     width = 0.0
     length = len(h)
-    while width < granularity_m and len(h) > 0:
-        length = len(h)
-        w, s, e, n = decode_bbox_scalar(h)
-        width = haversine_scalar(n, w, n, e)
-        h = h[:-1]
+    i = 0
+    while width < granularity_m and i < len(prefixes):
+        length = len(prefixes[i])
+        width = float(widths[i])
+        i += 1
     return min(length + 1, DEFAULT_LENGTH)
 
 
