@@ -313,14 +313,13 @@ def main() -> None:
     )
 
     def ann_join_5m():
-        # broadcast_queries=True: the probe relation derives from the
-        # 5M scan so Catalyst's size estimate misses the broadcast and
-        # plans a SortMergeJoin that shuffles the vector-carrying
-        # corpus (verified via executedPlan); the hint restores the
-        # zero-corpus-exchange BroadcastHashJoin.
+        # broadcast_queries left at None: the operator's bounded size
+        # probe (r4) detects the 125-row query relation and applies the
+        # broadcast hint itself — the r3 manual hint is no longer
+        # needed (a missed broadcast was a 10 s SortMergeJoin shuffling
+        # the vector-carrying corpus).
         sim.ann_join(
             emb5m, qs_ann, k=10, n_planes=12, probe_hamming=1,
-            broadcast_queries=True,
         ).write.format("noop").mode("overwrite").save()
 
     timed("ann_join_5m_125q", ann_join_5m, runs=3, warmup=True)
@@ -459,31 +458,49 @@ def main() -> None:
 
     timed("overlay_join_100k_x_150", overlay_run, runs=3, warmup=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "flagship PIP join + tile assignment wall time, "
-                    f"{n_docs}-doc materialized spans table, warm best-of-"
-                    f"{RUNS} + operator suite"
-                ),
-                "value": timings["flagship_pip_tiles"],
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "ann_scoring": {
-                    "arrow_rows_per_sec": round(arrow_rps),
-                    "hof_rows_per_sec": round(hof_rps),
-                    "speedup": round(arrow_rps / hof_rps, 1),
-                },
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "docs_per_sec": docs_per_sec,
-                "n_docs": n_docs,
-                "cpus": CPUS,
-            }
-        )
+    # Full payload (spreads, ann kernel rates) goes to a FILE; stdout gets
+    # a compact one-line summary as the LAST line.  The driver captures a
+    # bounded tail of stdout, and the r3 full line (~3 KB with spread
+    # tables) overflowed it, leaving BENCH_r03.json with "parsed": null
+    # (VERDICT r3 item 4).
+    full = {
+        "metric": (
+            "flagship PIP join + tile assignment wall time, "
+            f"{n_docs}-doc materialized spans table, warm best-of-"
+            f"{RUNS} + operator suite"
+        ),
+        "value": timings["flagship_pip_tiles"],
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "ann_scoring": {
+            "arrow_rows_per_sec": round(arrow_rps),
+            "hof_rows_per_sec": round(hof_rps),
+            "speedup": round(arrow_rps / hof_rps, 1),
+        },
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "docs_per_sec": docs_per_sec,
+        "n_docs": n_docs,
+        "cpus": CPUS,
+    }
+    full_path = os.environ.get(
+        "BENCH_FULL_OUT", os.path.join(REPO, "bench_full.json")
     )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
     spark.stop()
+    compact = {
+        "metric": "flagship PIP+tiles sec (full detail in bench_full.json)",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": full["sf"],
+        "docs_per_sec": docs_per_sec,
+        "n_docs": n_docs,
+        "cpus": CPUS,
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1521,6 +1521,116 @@ def _overlay_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+# Adversarial overlay fixtures (VERDICT r3 item 1): a holed polygon, an
+# antimeridian-crossing polygon (raw lon span > 180 reads as the shorter
+# arc), and a multi-ring polygon (two holes) — the shapes that route
+# through the exact pair kernel's per-pair fallback branches, now in the
+# ORACLE path rather than pytest only.  All rings are axis-aligned
+# rectangles at *.0005/*.9995 offsets so no data-derived box edge (3
+# decimals +-0.05/0.03) can land exactly on a fixture boundary and make
+# the closed-form SQL diverge from the kernel on a tie.
+_ADV_POLYS: dict[str, list[list[list[float]]]] = {
+    "holed": [
+        [[30.0005, -25.0005], [70.0005, -25.0005], [70.0005, 25.0005],
+         [30.0005, 25.0005], [30.0005, -25.0005]],
+        [[40.0005, -12.0005], [60.0005, -12.0005], [60.0005, 12.0005],
+         [40.0005, 12.0005], [40.0005, -12.0005]],
+    ],
+    "am": [
+        [[178.9995, -30.0005], [-178.9995, -30.0005],
+         [-178.9995, 30.0005], [178.9995, 30.0005], [178.9995, -30.0005]],
+    ],
+    "multi": [
+        [[-120.0005, -40.0005], [-60.0005, -40.0005], [-60.0005, 40.0005],
+         [-120.0005, 40.0005], [-120.0005, -40.0005]],
+        [[-110.0005, -30.0005], [-90.0005, -30.0005], [-90.0005, -10.0005],
+         [-110.0005, -10.0005], [-110.0005, -30.0005]],
+        [[-85.0005, 5.0005], [-70.0005, 5.0005], [-70.0005, 30.0005],
+         [-85.0005, 30.0005], [-85.0005, 5.0005]],
+    ],
+}
+
+
+def q_overlay_adversarial(spark, sf_dir):
+    """Overlay join against the adversarial fixture set (holes /
+    antimeridian / multi-ring).  The A side shifts each doc's longitude
+    by 180 deg (mod 360) so data-derived boxes populate the
+    antimeridian neighborhood, clamped to never cross it themselves —
+    only the fixture polygon crosses, exercising the covering's
+    shorter-arc split and the pair kernel's per-pair dispatch."""
+    from .operators.s2_join import s2_overlay_join
+
+    df = _docs_coords(spark, sf_dir)
+    lon_s = F.when(F.col("lon") <= 0, F.col("lon") + 180).otherwise(
+        F.col("lon") - 180
+    )
+    w = F.greatest(lon_s - F.lit(0.05), F.lit(-180.0))
+    e = F.least(lon_s + F.lit(0.05), F.lit(180.0))
+    s, n = F.col("lat") - F.lit(0.03), F.col("lat") + F.lit(0.03)
+    pt = lambda x, y: F.array(x, y)  # noqa: E731
+    ring = F.array(pt(w, s), pt(e, s), pt(e, n), pt(w, n), pt(w, s))
+    boxes = df.select(
+        F.col("doc_id").cast("string").alias("polygon_id"),
+        F.array(ring).alias("rings"),
+    )
+    adv = spark.createDataFrame(
+        [(pid, rings) for pid, rings in _ADV_POLYS.items()],
+        "polygon_id string, rings array<array<array<double>>>",
+    )
+    out = s2_overlay_join(
+        boxes, adv, level=6, id_a="doc_id", id_b="polygon_id"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "polygon_id"
+    )
+
+
+def _overlay_adversarial_oracle() -> str:
+    """Closed-form DuckDB twin: every fixture ring is an axis-aligned
+    rectangle, so box-vs-polygon-with-holes is rect-intersects(outer)
+    AND NOT strictly-inside(any hole); the antimeridian polygon is the
+    union of its two shorter-arc pieces."""
+
+    def rect(r):
+        xs = [p[0] for p in r]
+        ys = [p[1] for p in r]
+        return min(xs), min(ys), max(xs), max(ys)
+
+    def rint(W, S, E, N):
+        return f"NOT (w > {E!r} OR e < {W!r} OR s > {N!r} OR n < {S!r})"
+
+    def strictly_in(W, S, E, N):
+        return f"(w > {W!r} AND e < {E!r} AND s > {S!r} AND n < {N!r})"
+
+    boxes = (
+        "(SELECT doc_id, GREATEST(ls - 0.05, -180.0) AS w, "
+        "LEAST(ls + 0.05, 180.0) AS e, lat - 0.03 AS s, lat + 0.03 AS n "
+        "FROM (SELECT doc_id, lat, CASE WHEN lon <= 0 THEN lon + 180 "
+        f"ELSE lon - 180 END AS ls FROM {_COORD_SUBQ}))"
+    )
+    parts = []
+    for pid, rings in _ADV_POLYS.items():
+        if pid == "am":
+            lons = [p[0] for p in rings[0]]
+            lats = [p[1] for p in rings[0]]
+            we = min(x for x in lons if x >= 0)
+            ee = max(x for x in lons if x < 0)
+            S, N = min(lats), max(lats)
+            cond = (
+                f"(({rint(we, S, 180.0, N)}) OR "
+                f"({rint(-180.0, S, ee, N)}))"
+            )
+        else:
+            cond = f"({rint(*rect(rings[0]))})"
+            for h in rings[1:]:
+                cond += f" AND NOT {strictly_in(*rect(h))}"
+        parts.append(
+            f"SELECT doc_id, '{pid}' AS polygon_id FROM {boxes} "
+            f"WHERE {cond}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_geojson_roundtrip(spark, sf_dir):
     """GeoJSON Point emit (to_json) + parse back (geojson.kt:487-728);
     oracle rebuilds the identical JSON string by concatenation (both
@@ -2488,6 +2598,7 @@ QUERIES = {
     "pipeline_near_dup": q_pipeline_near_dup,
     "dedup_groups": q_dedup_groups,
     "overlay_join": q_overlay_join,
+    "overlay_adversarial": q_overlay_adversarial,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
 }
@@ -2572,6 +2683,7 @@ def _static_oracles() -> dict[str, str]:
         "intersects": _intersects_oracle(),
         "poly_intersects": _poly_intersects_oracle(),
         "overlay_join": _overlay_oracle(),
+        "overlay_adversarial": _overlay_adversarial_oracle(),
         "vincenty": _vincenty_oracle(),
         "utm_roundtrip": _utm_roundtrip_oracle(),
         "mgrs": _mgrs_oracle(),

@@ -95,6 +95,48 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+_metric_seq = __import__("itertools").count()
+
+
+def _capped_with_metric(
+    banded_w: DataFrame, cap: int, name: str, observation=None
+) -> tuple[DataFrame, DataFrame]:
+    """Drop rows whose bucket width ``_w`` exceeds ``cap``, attaching an
+    in-plan CollectMetrics node over the PRE-filter rows so the recall
+    loss is observable without an extra job (ADVICE r3): metrics
+    ``rows_in_dropped_buckets`` (rows discarded) and
+    ``max_bucket_width_seen``.  ``observation`` may be a
+    ``pyspark.sql.Observation`` (in-process read via ``.get``); else a
+    unique ``<name>_<n>`` string registers the metric for the UI /
+    QueryExecutionListener.
+
+    Returns (observed, plain): two row-identical capped relations.  A
+    CollectMetrics node must appear exactly ONCE in a query, but every
+    caller SELF-JOINS the capped relation — joining the observed side
+    to itself duplicates the node and Spark rejects the plan, so the
+    self-join's other side must use the metric-free twin.
+
+    Caveat (measured, Spark 4.1): when the DOWNSTREAM query collapses
+    to an empty relation, AQE's empty-relation propagation replaces the
+    observed subtree and ``Observation.get`` fails with a schema-less
+    row — so the metric is unavailable in exactly the every-bucket-
+    dropped corner (disable AQE for that forensic rerun).  Any
+    non-empty result reads fine."""
+    metrics = (
+        F.sum(
+            F.when(F.col("_w") > cap, F.lit(1)).otherwise(F.lit(0))
+        ).alias("rows_in_dropped_buckets"),
+        F.max("_w").alias("max_bucket_width_seen"),
+    )
+    obs = observation if observation is not None else (
+        f"{name}_{next(_metric_seq)}"
+    )
+    keep = F.col("_w") <= cap
+    observed = banded_w.observe(obs, *metrics).where(keep).drop("_w")
+    plain = banded_w.where(keep).drop("_w")
+    return observed, plain
+
+
 def minhash_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -104,6 +146,7 @@ def minhash_candidates(
     shingle_n: int = 3,
     token_hash: str = "xxhash64",
     max_bucket_width: int | None = 256,
+    observation=None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, n_shared_bands).
 
@@ -128,6 +171,15 @@ def minhash_candidates(
        same key the self-join uses, so the exchange is reused, and the
        widest bucket materializes m rows in a task, never m^2.
        ``None`` disables the guard (small, pre-deduped inputs only).
+
+    The drop is OBSERVABLE (ADVICE r3): the plan carries an ``observe``
+    metric (CollectMetrics — computed during the caller's own action,
+    zero extra job at any scale) reporting
+    ``rows_in_dropped_buckets`` and ``max_bucket_width_seen``.  Pass a
+    ``pyspark.sql.Observation`` as ``observation`` to read it in-process
+    (``obs.get`` after the first action); with the default ``None`` the
+    metric is registered under a unique ``minhash_bucket_drops_<n>``
+    name, visible in the Spark UI / QueryExecutionListener.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
@@ -148,17 +200,19 @@ def minhash_candidates(
             "band", "band_hash"
         ),
     )
+    banded_r = banded
     if max_bucket_width is not None:
         from pyspark.sql import Window
 
         w = Window.partitionBy("band", "band_hash")
-        banded = (
-            banded.withColumn("_w", F.count(F.lit(1)).over(w))
-            .where(F.col("_w") <= max_bucket_width)
-            .drop("_w")
+        banded, banded_r = _capped_with_metric(
+            banded.withColumn("_w", F.count(F.lit(1)).over(w)),
+            max_bucket_width,
+            "minhash_bucket_drops",
+            observation,
         )
     left = banded.alias("a")
-    right = banded.alias("b")
+    right = banded_r.alias("b")
     return (
         left.join(
             right,
@@ -448,6 +502,7 @@ def connected_components(
 
     edges = edges.localCheckpoint()
     prev = None
+    converged = False
     for _ in range(max_rounds):
         new_edges = _small_star(_large_star(edges)).localCheckpoint()
         # the new checkpoint is EAGER, so the previous round's blocks
@@ -462,8 +517,22 @@ def connected_components(
         old.unpersist()
         cur = _checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # unconverged labels can SPLIT components silently (ADVICE r3)
+        # — surface it loudly; O(log n) rounds means 50 covers any
+        # realistic graph, so reaching here signals a real problem
+        import warnings
+
+        warnings.warn(
+            f"connected_components: edge checksum did not stabilize "
+            f"within max_rounds={max_rounds}; labels may split "
+            f"components. Increase max_rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # converged: star forest oriented big -> small; a node's label is
     # the min over its outgoing targets (roots label themselves)
     labels = edges.groupBy("u").agg(F.min("v").alias("component"))

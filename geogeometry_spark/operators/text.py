@@ -277,6 +277,7 @@ def winnow_candidates(
     variant: str = "rolling",
     max_bucket_width: int | None = 256,
     min_shared: int = 2,
+    observation=None,
 ) -> DataFrame:
     """Overlap-candidate pairs (id_a < id_b, n_shared) from winnowing
     fingerprints: docs sharing >= ``min_shared`` selected gram hashes.
@@ -289,22 +290,32 @@ def winnow_candidates(
     hash emits O(width^2) pairs from a single reducer.  The width
     window shuffles on the same key the self-join uses, so the
     exchange is reused.  Run dedup_exact first for the same reason as
-    MinHash (byte-identical docs collapse before pair enumeration)."""
+    MinHash (byte-identical docs collapse before pair enumeration).
+
+    Dropped stop-grams are observable exactly as in
+    ``minhash_candidates`` (ADVICE r3): an in-plan ``observe`` metric
+    (``rows_in_dropped_buckets`` / ``max_bucket_width_seen``) computed
+    during the caller's own action; pass an ``Observation`` to read it
+    in-process."""
     fp = (
         winnow_fingerprint(docs, text_col, id_col, k, w, variant)
         .select(id_col, "h")
         .distinct()
     )
+    fp_r = fp
     if max_bucket_width is not None:
         from pyspark.sql import Window
 
+        from .dedup import _capped_with_metric
+
         win = Window.partitionBy("h")
-        fp = (
-            fp.withColumn("_w", F.count(F.lit(1)).over(win))
-            .where(F.col("_w") <= max_bucket_width)
-            .drop("_w")
+        fp, fp_r = _capped_with_metric(
+            fp.withColumn("_w", F.count(F.lit(1)).over(win)),
+            max_bucket_width,
+            "winnow_stopgram_drops",
+            observation,
         )
-    left, right = fp.alias("a"), fp.alias("b")
+    left, right = fp.alias("a"), fp_r.alias("b")
     pairs = (
         left.join(
             right,
