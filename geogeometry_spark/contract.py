@@ -1206,14 +1206,18 @@ def q_noise_filter(spark, sf_dir):
 
     df = _docs_coords(spark, sf_dir)
     df = df.withColumn("cell3", C.geohash(F.col("lat"), F.col("lon"), 3))
-    out = filter_noise(df, 0.2, group_cols=["cell3"])
+    # doc_id tiebreak: coordinate ties DO reach the trim boundary at
+    # sf0.1 (caught by the full sf0.1 sweep) and the reference leaves
+    # tie order unspecified — pin it identically on both engines
+    out = filter_noise(df, 0.2, group_cols=["cell3"],
+                       tiebreak_cols=["doc_id"])
     return out.select("doc_id", "cell3", "lat", "lon")
 
 
 O_NOISE = (
     "SELECT doc_id, cell3, lat, lon FROM ("
     "SELECT doc_id, cell3, lat, lon, "
-    "ROW_NUMBER() OVER (PARTITION BY cell3 ORDER BY lon, lat) AS rn, "
+    "ROW_NUMBER() OVER (PARTITION BY cell3 ORDER BY lon, lat, doc_id) AS rn, "
     "COUNT(*) OVER (PARTITION BY cell3) AS n FROM ("
     f"SELECT doc_id, lat, lon, {C.geohash_sql('lat', 'lon', 3)} AS cell3 "
     f"FROM {_COORD_SUBQ})) "
@@ -1587,9 +1591,17 @@ def q_overlay_adversarial(spark, sf_dir):
 
 def _overlay_adversarial_oracle() -> str:
     """Closed-form DuckDB twin: every fixture ring is an axis-aligned
-    rectangle, so box-vs-polygon-with-holes is rect-intersects(outer)
-    AND NOT strictly-inside(any hole); the antimeridian polygon is the
-    union of its two shorter-arc pieces."""
+    rectangle, so box-vs-polygon is rect-intersects(OUTER).  Holes are
+    deliberately NOT excluded: the reference's Polygon x Polygon
+    intersects shortcut is GeoGeometry.polygonContains(...,
+    PolygonCoordinates), whose doc says "polygon holes are ignored
+    currently" (GeoGeometry.kt:213, geojson-intersect.kt:110-117) —
+    so a box strictly inside a hole still intersects per reference
+    semantics (verified: the first sf0.1 sweep flagged exactly the 5
+    in-hole boxes when this oracle excluded holes).  The hole rings
+    still matter: they route those pairs through the covering's holed
+    path and the pair kernel's per-pair dispatch.  The antimeridian
+    polygon is the union of its two shorter-arc pieces."""
 
     def rect(r):
         xs = [p[0] for p in r]
@@ -1598,9 +1610,6 @@ def _overlay_adversarial_oracle() -> str:
 
     def rint(W, S, E, N):
         return f"NOT (w > {E!r} OR e < {W!r} OR s > {N!r} OR n < {S!r})"
-
-    def strictly_in(W, S, E, N):
-        return f"(w > {W!r} AND e < {E!r} AND s > {S!r} AND n < {N!r})"
 
     boxes = (
         "(SELECT doc_id, GREATEST(ls - 0.05, -180.0) AS w, "
@@ -1622,8 +1631,6 @@ def _overlay_adversarial_oracle() -> str:
             )
         else:
             cond = f"({rint(*rect(rings[0]))})"
-            for h in rings[1:]:
-                cond += f" AND NOT {strictly_in(*rect(h))}"
         parts.append(
             f"SELECT doc_id, '{pid}' AS polygon_id FROM {boxes} "
             f"WHERE {cond}"
@@ -1755,10 +1762,21 @@ def q_fc_explode(spark, sf_dir):
 
 
 def _fc_explode_oracle() -> str:
-    # canonical variant rendering: keys alphabetical within each object
+    # canonical variant rendering: keys alphabetical within each
+    # object, and INTEGRAL doubles print without the trailing ".0"
+    # (Spark's variant number re-render; DuckDB's CAST keeps it — the
+    # sf0.1 sweep caught lon=168 rendering as "168" vs "168.0";
+    # sf0.01 happens to contain no integral coordinate)
+    def num(col: str) -> str:
+        return (
+            f"CASE WHEN {col} = trunc({col}) "
+            f"THEN CAST(CAST({col} AS BIGINT) AS VARCHAR) "
+            f"ELSE CAST({col} AS VARCHAR) END"
+        )
+
     feat = (
-        "'{\"geometry\":{\"coordinates\":[' || CAST(lon AS VARCHAR) || ',' "
-        "|| CAST(lat AS VARCHAR) || '],\"type\":\"Point\"},"
+        "'{\"geometry\":{\"coordinates\":[' || " + num("lon") + " || ',' "
+        "|| " + num("lat") + " || '],\"type\":\"Point\"},"
         "\"properties\":{\"doc_id\":' || CAST(doc_id AS VARCHAR) || "
         "'},\"type\":\"Feature\"}'"
     )

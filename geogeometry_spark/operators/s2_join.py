@@ -670,16 +670,29 @@ def s2_overlay_join(
             ks2.suitable_level(max(mx, 1.0) / 3.0) + 7,
         )
 
-    cov_a = s2_cover_polygons_df(
-        polys_a.select("polygon_id", "rings"), level=level
-    ).select(
+    # Candidates + certain-accept come from OUTER-RING coverings: the
+    # reference's Polygon x Polygon intersects shortcut is
+    # polygonContains(..., PolygonCoordinates), which "ignores holes
+    # currently" (GeoGeometry.kt:213, geojson-intersect.kt:110-117), so
+    # a polygon lying wholly inside another's hole still intersects it
+    # per reference semantics.  A holes-punched covering omits the
+    # hole-interior cells and silently DROPS those true pairs (caught
+    # by the sf0.1 adversarial oracle: 77 of 82 in-hole pairs missing);
+    # the outer covering is complete for these semantics, and
+    # certain-accept stays sound — a cell interior to both outers means
+    # the outers overlap in area, which always satisfies the
+    # reference's edge-crossing-or-vertex-containment test.
+    def _outer_only(polys):
+        return polys.select(
+            "polygon_id", F.slice(F.col("rings"), 1, 1).alias("rings")
+        )
+
+    cov_a = s2_cover_polygons_df(_outer_only(polys_a), level=level).select(
         F.col("polygon_id").alias(id_a),
         "cell_key",
         F.col("is_border").alias("_ba"),
     )
-    cov_b = s2_cover_polygons_df(
-        polys_b.select("polygon_id", "rings"), level=level
-    ).select(
+    cov_b = s2_cover_polygons_df(_outer_only(polys_b), level=level).select(
         F.col("polygon_id").alias(id_b),
         "cell_key",
         F.col("is_border").alias("_bb"),

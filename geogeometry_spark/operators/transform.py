@@ -140,12 +140,22 @@ def rotate_around_sql(anchor_lat: str, anchor_lon: str, lat: str, lon: str,
 
 def filter_noise(df: DataFrame, percentage: float, lat_col: str = "lat",
                  lon_col: str = "lon",
-                 group_cols: list[str] | None = None) -> DataFrame:
+                 group_cols: list[str] | None = None,
+                 tiebreak_cols: list[str] | None = None) -> DataFrame:
     """Sort by (lon, lat), discard int(n*p/2) rows from each end —
     per group when group_cols given (the distributed shape: one point
-    cloud per group)."""
+    cloud per group).
+
+    The reference sorts by (lon, lat) only (GeoGeometry.kt:158-172),
+    leaving WHICH of several coordinate-tied rows is trimmed at the
+    boundary unspecified; pass ``tiebreak_cols`` (e.g. a unique id) to
+    pin it — required for run-to-run determinism whenever duplicate
+    coordinates can reach the trim cut (the sf0.1 oracle sweep caught
+    exactly such a tie)."""
     part = group_cols or []
-    w = Window.partitionBy(*part).orderBy(lon_col, lat_col)
+    w = Window.partitionBy(*part).orderBy(
+        lon_col, lat_col, *(tiebreak_cols or [])
+    )
     wn = Window.partitionBy(*part)
     out = df.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(wn)

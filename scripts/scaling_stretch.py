@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""N->4N scaling evidence for the two shuffle-heavy operators at 4x
+their bench.py inputs (VERDICT r3 item 9): overlay join at 400k x 150
+polygons and connected components at ~6M edges.
+
+Same methodology as scripts/scaling.py: identical job, identical
+pre-materialized input, one fresh Spark session per parallelism level,
+warm-up + best-of-N timed runs, fixtures built OUTSIDE the timer.
+The overlay DataFrame is built once per session (plan construction is
+parallelism-independent); connected_components is an iterative driver
+loop, so its wall necessarily includes per-round planning — at the
+60-200 s walls measured here that fixed cost is noise.
+
+Prints one JSON line:
+  {"overlay_400k": {"8": {...}, "32": {...}, "efficiency": ...},
+   "cc_6m_edges": {...}}
+
+Usage: SPARK_DRIVER_MEM=16g python scripts/scaling_stretch.py [cpus ...]
+(default levels: 8 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RUNS = int(os.environ.get("SCALING_RUNS", "2"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "1000"))
+N_A = int(os.environ.get("STRETCH_OVERLAY_A", "400000"))
+N_B = int(os.environ.get("STRETCH_OVERLAY_B", "150"))
+N_CC_NODES = int(os.environ.get("STRETCH_CC_NODES", "6000000"))
+
+
+def _session(cpus: int):
+    from geogeometry_spark.plans.session import get_spark
+
+    spark = get_spark(
+        app_name=f"stretch-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _overlay_inputs(spark):
+    """Same shape as bench.py's overlay fixture, 4x the A side: boxes
+    over the skewed Berlin hot cluster, sized so true pairs stay
+    bounded (narrow A boxes), checkpointed outside the timer."""
+    from pyspark.sql import functions as F
+
+    from bench import materialize_input
+    from geogeometry_spark.sources import tables as src
+
+    path, _ = materialize_input(spark, SF_DIR, AMPLIFY)
+    docs = spark.read.parquet(path)
+    pts = src.with_true_coords(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    hot = pts.where(
+        (F.col("lat") > 52.3) & (F.col("lat") < 52.7)
+        & (F.col("lon") > 13.2) & (F.col("lon") < 13.6)
+    )
+
+    def boxes(df, n, hw, hh):
+        w, e = F.col("lon") - hw, F.col("lon") + hw
+        s, nn = F.col("lat") - hh, F.col("lat") + hh
+        p = lambda x, y: F.array(x, y)  # noqa: E731
+        ring = F.array(p(w, s), p(e, s), p(e, nn), p(w, nn), p(w, s))
+        return (
+            df.limit(n)
+            .select(
+                F.col("doc_id").cast("string").alias("polygon_id"),
+                F.array(ring).alias("rings"),
+            )
+            .localCheckpoint()
+        )
+
+    a = boxes(hot, N_A, F.lit(0.002), F.lit(0.0012))
+    b = boxes(
+        hot.where(F.col("doc_id").cast("long") % 97 == 0),
+        N_B, F.lit(0.02), F.lit(0.012),
+    )
+    a.count(), b.count()  # force materialization outside the timer
+    return a, b
+
+
+def _cc_edges(spark, n_nodes):
+    """bench.py's dup-cluster graph at 4x: 16-node stars chained into
+    256-node components (diameter ~31)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n_nodes)
+    star = ids.where(F.col("id") % 16 != 0).select(
+        (F.col("id") - F.col("id") % 16).alias("id_a"),
+        F.col("id").alias("id_b"),
+    )
+    chain = ids.where(
+        (F.col("id") % 16 == 0) & (F.col("id") % 256 != 240)
+    ).select(F.col("id").alias("id_a"), (F.col("id") + 16).alias("id_b"))
+    edges = star.union(chain).localCheckpoint()
+    return edges, edges.count()
+
+
+def measure_overlay(cpus: int) -> dict:
+    from geogeometry_spark.operators.s2_join import s2_overlay_join
+
+    spark = _session(cpus)
+    a, b = _overlay_inputs(spark)
+    df = s2_overlay_join(a, b, level=13)  # plan built once
+
+    def run():
+        df.write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    n_pairs = df.count()
+    spark.stop()
+    return {"wall_s": round(best, 3), "true_pairs": n_pairs,
+            "pairs_per_sec": round(n_pairs / best, 1)}
+
+
+def measure_cc(cpus: int) -> dict:
+    from geogeometry_spark.operators.dedup import connected_components
+
+    spark = _session(cpus)
+    edges, n_edges = _cc_edges(spark, N_CC_NODES)
+
+    def run():
+        connected_components(edges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    spark.stop()
+    return {"wall_s": round(best, 3), "n_edges": n_edges,
+            "edges_per_sec": round(n_edges / best, 1)}
+
+
+def main() -> None:
+    levels = [int(a) for a in sys.argv[1:]] or [8, 32]
+    out: dict = {}
+    for name, fn in (("overlay_400k", measure_overlay),
+                     ("cc_6m_edges", measure_cc)):
+        pts = {}
+        for cpus in levels:
+            pts[str(cpus)] = fn(cpus)
+            print(f"# {name} local[{cpus}]: {pts[str(cpus)]}",
+                  file=sys.stderr, flush=True)
+        lo, hi = str(min(levels)), str(max(levels))
+        ratio = max(levels) / min(levels)
+        eff = (
+            pts[lo]["wall_s"] / (pts[hi]["wall_s"] * ratio)
+            if pts[hi]["wall_s"] else None
+        )
+        out[name] = {**pts, "efficiency_n_to_4n": round(eff, 3)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
