@@ -153,10 +153,16 @@ def measure_cc(cpus: int) -> dict:
 
 
 def main() -> None:
-    levels = [int(a) for a in sys.argv[1:]] or [8, 32]
+    args = sys.argv[1:]
+    ops = {"overlay_400k": measure_overlay, "cc_6m_edges": measure_cc}
+    if "--op" in args:
+        i = args.index("--op")
+        sel = args[i + 1]
+        args = args[:i] + args[i + 2:]
+        ops = {k: v for k, v in ops.items() if sel in k}
+    levels = [int(a) for a in args] or [8, 32]
     out: dict = {}
-    for name, fn in (("overlay_400k", measure_overlay),
-                     ("cc_6m_edges", measure_cc)):
+    for name, fn in ops.items():
         pts = {}
         for cpus in levels:
             pts[str(cpus)] = fn(cpus)
