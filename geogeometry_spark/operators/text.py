@@ -133,6 +133,7 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #   replays verbatim — interpreted HOFs, correctness surface only.
 
 WINNOW_B = 1099511628211  # FNV-1a prime; odd, so invertible mod 2^64
+WINNOW_INV_B = pow(WINNOW_B, -1, 1 << 64)  # modular inverse of B
 
 
 def _winnow_md5(docs: DataFrame, text_col: str, id_col: str, k: int, w: int) -> DataFrame:
@@ -229,7 +230,6 @@ def winnow_batch(ids, texts, k: int, w: int):
     import numpy as np
     import pandas as pd
 
-    powers = np.uint64(WINNOW_B) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
     min_len = k + w - 1
     empty = (
         np.array([], dtype=object),
@@ -247,8 +247,33 @@ def winnow_batch(ids, texts, k: int, w: int):
         return empty
     concat = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.uint64)
     offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    grams = np.lib.stride_tricks.sliding_window_view(concat, k)
-    h = (grams * powers).sum(axis=1, dtype=np.uint64)
+    # Gram hash h_i = sum_{t<k} s_{i+t} * B^{k-1-t} (mod 2^64) via
+    # modular prefix sums instead of the (n, k) sliding-window product:
+    # with C = cumsum(s_i * Binv^i), h_i = (C[i+k-1] - C[i-1]) *
+    # B^{i+k-1}.  uint64 ops wrap mod 2^64 exactly and B (odd) is
+    # invertible, so this is BIT-IDENTICAL to the windowed form — but
+    # O(n) work and O(n) temporaries instead of O(n*k).  The n*k
+    # product was 128*n bytes of mmap'd temporary per batch; 32
+    # concurrent workers faulting/zeroing/unmapping those spent 80-90%
+    # of all CPU in KERNEL mode (page-fault churn, measured in
+    # BASELINE.md r4 winnow section) and caused the r3 bench's wild
+    # wall spread.  Measured 5x faster warm, 31x cold on an 8M-char
+    # batch, identical output.
+    n_bytes = concat.size
+    binv_pows = np.full(n_bytes, np.uint64(WINNOW_INV_B), dtype=np.uint64)
+    binv_pows[0] = np.uint64(1)
+    np.cumprod(binv_pows, out=binv_pows)  # Binv^0 .. Binv^(n-1)
+    b_pows = np.full(n_bytes, np.uint64(WINNOW_B), dtype=np.uint64)
+    b_pows[0] = np.uint64(1)
+    np.cumprod(b_pows, out=b_pows)  # B^0 .. B^(n-1)
+    # in-place: binv_pows becomes C[i] = sum_{j<=i} s_j Binv^j (the
+    # powers aren't needed once consumed — two fewer n*8B temporaries,
+    # less allocator/page churn for the 32 concurrent workers)
+    np.multiply(concat, binv_pows, out=binv_pows)
+    csum = np.cumsum(binv_pows, out=binv_pows)
+    h = csum[k - 1:].copy()
+    h[1:] -= csum[: n_bytes - k]
+    h *= b_pows[k - 1:]
     wins = np.lib.stride_tricks.sliding_window_view(h, w)
     argmin = wins.argmin(axis=1).astype(np.int64)
     # valid window starts per doc: offsets[d] + [0, n_d-k-w+1]

@@ -21,6 +21,20 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # glibc tuning for the Arrow python workers (inherited from this
+    # process in local mode; use spark.executorEnv.MALLOC_* on a real
+    # cluster).  The default allocator serves every >128 KiB numpy
+    # temporary with a fresh mmap and unmaps it on free, so each Arrow
+    # batch re-faults its working set; with 32 concurrent workers the
+    # winnow kernel spent ~2/3 of its CPU in KERNEL mode on page-fault
+    # churn.  Raising both thresholds makes workers keep and reuse the
+    # heap: measured winnow_rolling_500k 3.77 s -> 1.36 s median with
+    # system-CPU ~75 s -> ~0 (BASELINE.md r4).  Trade-off: workers
+    # retain peak-live heap (bounded by the largest batch working set,
+    # ~0.3 GiB here); export MALLOC_TRIM_THRESHOLD_ yourself to
+    # override, or set it to 131072 to restore glibc defaults.
+    for _k in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(_k, "1073741824")
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     cores = master.split("[")[-1].rstrip("]") if "[" in master else "32"
     try:
