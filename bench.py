@@ -389,6 +389,28 @@ def main() -> None:
     timed("s2_radius_join_bulk_5m_stored", s2_bulk_stored_5m, runs=3, warmup=True)
     timed("s2_radius_join_bulk_5m_udf", s2_bulk_udf_5m, runs=3, warmup=True)
 
+    # --- hexgrid index: native encode + bulk k-ring join ---------------
+    # third cell family (north star's "H3 k-ring"); encode is pure
+    # native Columns (no Arrow worker, unlike the S2 udf path), the
+    # bulk join is the same circle fixture as the geohash/S2 twins
+    # above so the three index families are directly comparable.
+    from geogeometry_spark.functions import hexcell as HXC
+    from geogeometry_spark.operators.hex_join import hex_radius_join_bulk
+
+    def hex_encode_5m():
+        pts.select(
+            "doc_id",
+            HXC.hex_cell(F.col("lat"), F.col("lon"), 12).alias("hex12"),
+        ).write.format("noop").mode("overwrite").save()
+
+    def hex_bulk_5m():
+        hex_radius_join_bulk(
+            pts.select("doc_id", "lat", "lon"), qs_bulk
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("hex_encode_5m", hex_encode_5m, runs=3, warmup=True)
+    timed("hex_radius_join_bulk_5m", hex_bulk_5m, runs=3, warmup=True)
+
     # --- connected components at 1.5M nodes / ~1.5M edges --------------
     # dup-cluster-shaped graph: 16-node stars chained into 256-node
     # components (diameter ~31 — naive label propagation would need

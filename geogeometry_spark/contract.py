@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 from .fixtures import BIG_RING, CONCAVE_RING, SMALL_RING
 from .functions import columns as C
+from .functions import hexcell as HX
 from .functions import s2cell as S2
+from .kernels import hexgrid as hgk
 from .kernels import s2 as s2k
 from .operators import dedup, similarity, text
 from .operators.extract import extract_coordinates
@@ -2536,6 +2538,195 @@ O_MEDIA = (
 
 
 # --------------------------------------------------------------------------
+# §2.4ter hexgrid cell index (the north star's "H3 k-ring" noun;
+# kernels/hexgrid.py, operators/hex_join.py)
+# --------------------------------------------------------------------------
+
+_HEX_KRING_RES = 8
+_HEX_HEAT_RES = [5, 8]
+
+
+def q_hex_encode(spark, sf_dir):
+    """Hexgrid encode at two resolutions + the aperture-4 parent of the
+    finer one — all native Columns (functions/hexcell.py), zero
+    Python; the oracle recomputes the identical fixed-order float64
+    chain in DuckDB so the cell ASSIGNMENT (not a rounded value) is
+    hash-checked cross-engine."""
+    df = _docs_coords(spark, sf_dir)
+    h12 = HX.hex_cell(F.col("lat"), F.col("lon"), 12)
+    return df.select(
+        "doc_id",
+        h12.alias("hex12"),
+        HX.hex_cell(F.col("lat"), F.col("lon"), 7).alias("hex7"),
+        HX.hex_parent(h12, 12).alias("hex11p"),
+    )
+
+
+def _hex_encode_oracle() -> str:
+    stages_a, last_a, _ = HX.hex_axial_stages_from("base", 12, "a")
+    stages_b, last_b, _ = HX.hex_axial_stages_from(last_a, 7, "b")
+    stages_p, last_p, _ = HX.hex_parent_oracle_stages(
+        f"(SELECT *, qwa AS cq, rxa AS cr FROM {last_b})", 12, "p"
+    )
+    return (
+        f"WITH base AS (SELECT * FROM {_COORD_SUBQ}), "
+        + ", ".join(stages_a + stages_b + stages_p)
+        + " SELECT doc_id, "
+        + HX.hex_pack_sql(12, "qwa", "rxa")
+        + " AS hex12, "
+        + HX.hex_pack_sql(7, "qwb", "rxb")
+        + " AS hex7, "
+        + HX.hex_pack_sql(11, "qwp", "rxp")
+        + " AS hex11p "
+        + f"FROM {last_p}"
+    )
+
+
+def q_hex_kring(spark, sf_dir):
+    """gridDisk(cell, 2) for every 97th document's cell: one literal
+    19-offset explode + native wrap/pack/hex-distance bit math —
+    pentagon-free so the disk is exactly 19 rows per cell (H3 k-ring
+    semantics, the candidate generator under hex_radius_join_bulk)."""
+    df = _docs_coords(spark, sf_dir).where(
+        F.col("doc_id").cast("long") % 97 == 0
+    )
+    cell = HX.hex_cell(F.col("lat"), F.col("lon"), _HEX_KRING_RES)
+    df = df.select("doc_id", cell.alias("hex_id"))
+    offs = F.array(
+        *[
+            F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+            for dq, dr in hgk.grid_disk_offsets(2)
+        ]
+    )
+    df = df.select("doc_id", "hex_id", F.explode(offs).alias("o"))
+    nl = F.lit(hgk.ncols(_HEX_KRING_RES)).cast("long")
+    cq = ((HX.hex_q(F.col("hex_id")) + F.col("o.dq")) % nl + nl) % nl
+    cr = HX.hex_r(F.col("hex_id")) + F.col("o.dr")
+    hd = F.shiftright(
+        F.abs(F.col("o.dq"))
+        + F.abs(F.col("o.dr"))
+        + F.abs(F.col("o.dq") + F.col("o.dr")),
+        1,
+    )
+    return df.select(
+        "doc_id",
+        "hex_id",
+        HX.hex_pack(_HEX_KRING_RES, cq, cr).alias("neighbor_id"),
+        hd.cast("int").alias("hexdist"),
+    )
+
+
+def _hex_kring_oracle() -> str:
+    n = hgk.ncols(_HEX_KRING_RES)
+    stages, last, tag = HX.hex_axial_stages_from("base", _HEX_KRING_RES, "0")
+    nq = f"(((qw{tag} + o.dq) % {n}) + {n}) % {n}"
+    nr = f"(rx{tag} + o.dr)"
+    return (
+        f"WITH base AS (SELECT * FROM {_COORD_SUBQ} "
+        "WHERE CAST(doc_id AS BIGINT) % 97 = 0), "
+        + ", ".join(stages)
+        + ", offs AS (SELECT dq.v AS dq, dr.v AS dr "
+        "FROM generate_series(-2, 2) dq(v), generate_series(-2, 2) dr(v) "
+        "WHERE (abs(dq.v) + abs(dr.v) + abs(dq.v + dr.v)) // 2 <= 2) "
+        f"SELECT doc_id, {HX.hex_pack_sql(_HEX_KRING_RES, f'qw{tag}', f'rx{tag}')} AS hex_id, "
+        f"{HX.hex_pack_sql(_HEX_KRING_RES, nq, nr)} AS neighbor_id, "
+        "CAST((abs(o.dq) + abs(o.dr) + abs(o.dq + o.dr)) // 2 AS INT) "
+        f"AS hexdist FROM {last}, offs o"
+    )
+
+
+def q_hex_radius_join(spark, sf_dir):
+    """All docs within 4 km of Berlin through the hexgrid index: the
+    driver-side gridDisk becomes an IN-list on the native cell id
+    (scan-level pushdown, no join), exact haversine re-rank.  Shares
+    the geohash/S2 radius oracle — identical answers across all three
+    cell systems on the same predicate."""
+    from .operators.hex_join import hex_radius_join
+
+    df = _docs_coords(spark, sf_dir)
+    out = hex_radius_join(df, BERLIN[0], BERLIN[1], 4000.0)
+    return out.select("doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3"))
+
+
+def q_hex_radius_join_bulk(spark, sf_dir):
+    """Bulk hex radius join: every 40th doc is a circle of
+    doc-dependent radius (2-6 km) — the same circle fixture as the
+    geohash radius_join_bulk so the two index families are directly
+    comparable.  Auto-res (worst query latitude), per-query ring count
+    from the provable covering bound, nested-sequence gridDisk
+    explode, cell equi-join, exact haversine.  NOTHING is dropped
+    (auto-res guarantees k <= max_k), so the oracle is the pure
+    distance predicate — stronger than mirroring ring membership."""
+    from .operators.hex_join import hex_radius_join_bulk
+
+    pts = _docs_coords(spark, sf_dir)
+    qs = pts.where(F.col("doc_id").cast("long") % 40 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        (
+            F.lit(2000.0) + (F.col("doc_id").cast("long") % 5) * F.lit(1000.0)
+        ).alias("radius_m"),
+    )
+    out = hex_radius_join_bulk(pts, qs)
+    return out.select(
+        "query_id", "doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3")
+    )
+
+
+def _hex_radius_bulk_oracle() -> str:
+    hav = C.haversine_sql("p.lat", "p.lon", "q.qlat", "q.qlon")
+    return (
+        f"WITH pts AS (SELECT doc_id, lat, lon FROM {_COORD_SUBQ}), "
+        "qs AS (SELECT doc_id AS query_id, lat AS qlat, lon AS qlon, "
+        "2000.0 + (CAST(doc_id AS BIGINT) % 5) * 1000.0 AS radius_m "
+        "FROM pts WHERE CAST(doc_id AS BIGINT) % 40 = 0) "
+        "SELECT query_id, doc_id, round(d, 3) AS dist_r3 FROM ("
+        f"SELECT q.query_id, p.doc_id, {hav} AS d, q.radius_m FROM qs q "
+        "JOIN pts p ON p.lat BETWEEN q.qlat - q.radius_m / 111000.0 "
+        "AND q.qlat + q.radius_m / 111000.0) WHERE d <= radius_m"
+    )
+
+
+def q_hex_knn(spark, sf_dir):
+    """North-star kNN: hex k-ring candidate generation + exact
+    haversine re-rank (operators/hex_join.py:hex_knn), certified by
+    the provable ring stop bound.  Shares the exact-kNN oracle with
+    the geohash knn — identical top-10."""
+    from .operators.hex_join import hex_knn
+
+    df = _docs_coords(spark, sf_dir)
+    out = hex_knn(df, [("berlin", BERLIN[0], BERLIN[1])], k=10, res=7)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round(F.col("dist_m"), 3).alias("dist_r3")
+    )
+
+
+def q_hex_heatmap(spark, sf_dir):
+    """Multi-resolution hex density pyramid: independent native encode
+    + partial-agg groupBy per res (exact, unlike approximate
+    parent-chain rollup), cell centers decoded natively for
+    rendering."""
+    from .operators.hex_join import hex_heatmap
+
+    df = _docs_coords(spark, sf_dir)
+    return hex_heatmap(df, _HEX_HEAT_RES)
+
+
+def _hex_heatmap_oracle() -> str:
+    parts = []
+    for res in _HEX_HEAT_RES:
+        inner = HX.hex_encode_oracle(_COORD_SUBQ, res)
+        lat, lon = HX.hex_center_sql("hex_id", res)
+        parts.append(
+            f"SELECT {res} AS res, hex_id, COUNT(*) AS n, "
+            f"round({lat}, 6) AS center_lat, round({lon}, 6) AS center_lon "
+            f"FROM ({inner}) GROUP BY hex_id"
+        )
+    return " UNION ALL ".join(parts)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2574,6 +2765,12 @@ QUERIES = {
     "knn_window": q_knn_window,
     "knn_bulk": q_knn_bulk,
     "radius_join_bulk": q_radius_join_bulk,
+    "hex_encode": q_hex_encode,
+    "hex_kring": q_hex_kring,
+    "hex_radius_join": q_hex_radius_join,
+    "hex_radius_join_bulk": q_hex_radius_join_bulk,
+    "hex_knn": q_hex_knn,
+    "hex_heatmap": q_hex_heatmap,
     "distances": q_distances,
     "vincenty": q_vincenty,
     "dms": q_dms,
@@ -2663,6 +2860,12 @@ def _static_oracles() -> dict[str, str]:
         "knn_window": O_KNN_WINDOW,
         "knn_bulk": _knn_bulk_oracle(),
         "radius_join_bulk": _radius_join_bulk_oracle(),
+        "hex_encode": _hex_encode_oracle(),
+        "hex_kring": _hex_kring_oracle(),
+        "hex_radius_join": O_RADIUS,
+        "hex_radius_join_bulk": _hex_radius_bulk_oracle(),
+        "hex_knn": O_KNN,
+        "hex_heatmap": _hex_heatmap_oracle(),
         "distances": _distances_oracle(),
         "dms": _dms_oracle(),
         "translate": _translate_oracle(),

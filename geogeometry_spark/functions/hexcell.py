@@ -137,6 +137,42 @@ def hex_center_latlon(cell: Column, res: int) -> tuple[Column, Column]:
     return F.degrees(F.asin(sin_lat)), x
 
 
+def hex_boundary_json(cell: Column, res: int) -> Column:
+    """GeoJSON Polygon geometry string for each cell (6 hex vertices +
+    closing repeat, [lon, lat] order, counter-clockwise) — fully
+    native: the 6 vertex offsets are per-res constants (s * cos/sin of
+    30 + 60k degrees, precomputed in Python), so each vertex is two
+    adds + the asin latitude decode.  Feed the result to
+    operators.geojson.feature_collection (the fromGeoHashes-style sink
+    shape) or write NDJSON features directly."""
+    import math
+
+    from ..kernels.hexgrid import RAD as _RAD
+    from ..kernels.hexgrid import size as _size
+
+    _check_res(res)
+    s = _size(res)
+    cx, cy = hex_center_xy(cell, res)
+    pts = []
+    for k in list(range(6)) + [0]:
+        ang = (30.0 + 60.0 * k) * _RAD
+        dx, dy = s * math.cos(ang), s * math.sin(ang)
+        x = ((cx + F.lit(dx) + F.lit(180.0 + 360.0)) % F.lit(360.0)) - F.lit(
+            180.0
+        )
+        sin_lat = F.greatest(
+            F.lit(-1.0), F.least(F.lit(1.0), (cy + F.lit(dy)) / F.lit(Y_SCALE))
+        )
+        lat = F.degrees(F.asin(sin_lat))
+        pts.append(F.array(F.round(x, 9), F.round(lat, 9)))
+    return F.to_json(
+        F.struct(
+            F.lit("Polygon").alias("type"),
+            F.array(F.array(*pts)).alias("coordinates"),
+        )
+    )
+
+
 def hex_parent(cell: Column, res: int) -> Column:
     """res-1 ancestor by center containment; ``res`` is the CHILD
     resolution (static).  Mirrors kernels/hexgrid.py:parent."""
@@ -237,6 +273,33 @@ def hex_axial_with_stages(
     )
     prefix = f"WITH base AS (SELECT * FROM {coord_subq}), " + ", ".join(stages)
     return prefix, last, tag
+
+
+def hex_axial_stages_from(
+    prev: str, res: int, tag: str
+) -> tuple[list[str], str, str]:
+    """Axial stages chained from an arbitrary prior relation (which
+    must still expose ``lat``/``lon``) — for oracles that encode at
+    several resolutions in one WITH chain (distinct ``tag`` per res)."""
+    return _axial_sql_stages(
+        "lon", f"(sin(lat * {_dlit(RAD)}) * {_dlit(Y_SCALE)})", res, prev, tag
+    )
+
+
+def hex_center_sql(cell_expr: str, res: int) -> tuple[str, str]:
+    """(lat, lon) SQL exprs for a cell id expr — twin of
+    :func:`hex_center_latlon` (same op order; callers round both
+    engines' outputs because asin/degrees are libm)."""
+    _check_res(res)
+    q = f"({cell_expr} & {_MASK28})"
+    r = f"((({cell_expr} >> 28) & {_MASK28}) - {R_BIAS})"
+    x = (
+        f"(((({_dlit(x_scale(res))} * ({q} + {r} / 2.0)) + 180.0) % 360.0) "
+        f"- 180.0)"
+    )
+    y = f"({_dlit(y_step(res))} * {r})"
+    lat = f"degrees(asin(greatest(-1.0, least(1.0, {y} / {_dlit(Y_SCALE)}))))"
+    return lat, x
 
 
 def hex_parent_oracle_stages(

@@ -389,18 +389,27 @@ def res_for_radius(lat: float, radius_m: float, max_k: int = 8) -> int:
 def covered_ground_radius_m(qlat: float, ring_k: int, res: int) -> float:
     """LOWER bound on the ground distance from a query at ``qlat`` to
     any point OUTSIDE gridDisk(cell(query), ring_k) — the kNN
-    ring-expansion stop bound.  Inverse of the :func:`k_for_radius`
-    bound: a point within projected distance rho = 1.5*k*s - 2s of the
-    query provably lies inside the k-disk, so outside points are at
-    projected distance >= rho; within the projected rho-disk the worst
-    |lat| is asin(|sin qlat| + rho/Y_SCALE) and the min
-    meters-per-projected-unit there is M_PER_DEG * cos(phi_max); any
-    geodesic to an outside point spends >= rho projected units inside
-    the disk."""
+    ring-expansion stop bound.  A point within projected distance
+    rho = 1.5*k*s - 2s of the query provably lies inside the k-disk
+    (inverse of the :func:`k_for_radius` bound), so every outside
+    point P has max(|dx|, |dy|) >= rho/sqrt(2).  Case |dy|: |d sin(phi)|
+    >= dy/Y_SCALE and |d phi| >= |d sin(phi)|, so ground >=
+    M_PER_DEG * rho/sqrt(2).  Case |dx|: any path to P either stays
+    below a cap latitude phi_c — then its ground length is >=
+    M_PER_DEG * cos(phi_c) * rho/sqrt(2) (dlambda accumulates at x-scale
+    >= cos(phi_c)) — or crosses phi_c, costing >= M_PER_DEG *
+    (phi_c - |qlat|) just in latitude; the cap is chosen to maximize
+    the min of the two, which keeps the bound POSITIVE even when the
+    projected disk reaches the pole line (a naive cos(phi_max) factor
+    degenerates to 0 there and kNN could never certify)."""
     s = size(res)
     rho = 1.5 * ring_k * s - 2.0 * s
     if rho <= 0:
         return 0.0
-    sin_max = min(1.0, abs(np.sin(qlat * RAD)) + rho / Y_SCALE)
-    phi_max = float(np.degrees(np.arcsin(sin_max)))
-    return rho * M_PER_DEG * float(np.cos(phi_max * RAD))
+    half = rho / float(np.sqrt(2.0))
+    bound_a = M_PER_DEG * half
+    caps = np.linspace(abs(qlat), 90.0, 721)
+    b1 = M_PER_DEG * np.cos(caps * RAD) * half
+    b2 = M_PER_DEG * (caps - abs(qlat))
+    bound_b = float(np.max(np.minimum(b1, b2)))
+    return min(bound_a, bound_b)

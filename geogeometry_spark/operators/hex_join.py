@@ -1,0 +1,304 @@
+"""Hexgrid k-ring join operators: radius join, bulk radius join, kNN,
+multi-resolution heatmap.
+
+BASELINE.json north_star names "kNN queries resolved via H3 k-ring
+candidate generation plus exact haversine re-rank" — these operators
+deliver exactly that composition on the hexgrid index
+(kernels/hexgrid.py), the engine's hex twin of the geohash
+(operators/knn.py) and S2 (operators/s2_join.py) join families:
+
+1. candidate generation = gridDisk(query cell, k) with k sized by the
+   PROVABLE covering bound (hexgrid.k_for_radius: two circumradius
+   hops + minimal center separation 1.5*s per hex step), never a
+   heuristic — a missed candidate is an oracle mismatch, so recall is
+   contract-tested, not hoped for;
+2. candidates equi-join points on the native-Column cell id
+   (functions/hexcell.py — sin + fixed-order arithmetic, zero Python);
+3. exact native haversine re-rank / filter.
+
+Scale notes (the 100 TB story, same as the geohash/S2 twins): the big
+points side is never shuffled — bulk joins explode the SMALL query
+side into (query, cell) candidates (3k(k+1)+1 rows per query, k
+per-query from its own latitude + radius) and equi-join; the explode
+is two nested ``sequence()`` explodes (the axial disk loop), all
+JVM-side.  Near-polar queries are not silently under-covered: with an
+explicit ``res`` they are excluded (count-observable, the geohash
+radius_join_bulk policy, knn.py:268), with auto-res the resolution is
+chosen so the WORST query latitude still fits ``max_k`` rings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import columns as C
+from ..functions import hexcell as HX
+from ..kernels import geometry as kgeo
+from ..kernels import hexgrid as hg
+
+
+def _points_with_cell(
+    points: DataFrame, lat_col: str, lon_col: str, res: int, cell_col: str | None
+) -> tuple[DataFrame, F.Column]:
+    """Points keyed by hex cell: reuse an EXPLICIT precomputed column
+    (caller names it — no auto-detection, per the s2_join s2_30 advice)
+    or compute natively."""
+    if cell_col is not None:
+        return points, F.col(cell_col)
+    return points, HX.hex_cell(F.col(lat_col), F.col(lon_col), res)
+
+
+def hex_radius_join(
+    points: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    radius_m: float,
+    res: int | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """All points within ``radius_m`` of ONE driver-side center.
+
+    The gridDisk cell ids are computed on the driver (kernel) and
+    pushed as an IN-list on the native cell id — a scan-level filter
+    (no join, no shuffle of the points side), then the exact haversine
+    keeps true matches.  ``res=None`` auto-picks the finest resolution
+    with <= 8 rings (hexgrid.res_for_radius)."""
+    if res is None:
+        res = hg.res_for_radius(center_lat, radius_m)
+    k = hg.k_for_radius(center_lat, radius_m, res)
+    center_cell = hg.encode_cell_scalar(center_lat, center_lon, res)
+    disk = hg.grid_disk(center_cell, k)
+    pts, cell = _points_with_cell(points, lat_col, lon_col, res, cell_col)
+    dist = C.haversine(
+        F.col(lat_col), F.col(lon_col), F.lit(center_lat), F.lit(center_lon)
+    )
+    return (
+        pts.where(cell.isin(disk))
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= F.lit(radius_m))
+    )
+
+
+def _k_col(qlat: F.Column, radius: F.Column, res: int) -> F.Column:
+    """Native-Column twin of hexgrid.k_for_radius (same formula; any
+    k >= the kernel's k keeps the covering guarantee)."""
+    s = hg.size(res)
+    phi_max = F.least(
+        F.lit(89.999999), F.abs(qlat) + radius / F.lit(hg.M_PER_DEG)
+    )
+    scale = F.lit(hg.M_PER_DEG) * F.cos(phi_max * F.lit(hg.RAD))
+    rho = radius / scale
+    k = F.ceil((rho + F.lit(2.0 * s)) / F.lit(1.5 * s)).cast("int")
+    return F.greatest(F.lit(1), k)
+
+
+def hex_radius_join_bulk(
+    points: DataFrame,
+    queries: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_col: str | None = None,
+    query_id_col: str = "query_id",
+    qlat_col: str = "qlat",
+    qlon_col: str = "qlon",
+    radius_col: str = "radius_m",
+    res: int | None = None,
+    max_k: int = 12,
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """Radius join for a DATAFRAME of circles — the hexgrid twin of
+    knn.radius_join_bulk.  Each query explodes its own gridDisk (two
+    nested ``sequence`` explodes over the axial loop, k per-row from
+    the query's latitude + radius), candidates equi-join points on the
+    cell id, exact haversine filters.
+
+    ``res=None`` auto-sizes from a bounded driver agg over the query
+    relation (max |lat|, max radius -> finest res with k <= max_k for
+    the worst query) so NO query is dropped; with an explicit ``res``,
+    queries needing k > max_k are excluded (count-observable, the
+    documented geohash-bulk policy) rather than under-served.
+
+    ``broadcast_queries=None`` AUTO-decides with a bounded probe
+    (limit(N+1).count(), the ann_join policy, similarity.py:632): the
+    exploded candidate relation is per-query-bounded by 3k(k+1)+1 so
+    query count is the only unknown."""
+    if res is None:
+        worst = queries.agg(
+            F.max(F.abs(F.col(qlat_col))).alias("a"),
+            F.max(F.col(radius_col)).alias("r"),
+        ).first()
+        res = hg.res_for_radius(float(worst["a"]), float(worst["r"]), max_k)
+    n = hg.ncols(res)
+    kcol = _k_col(F.col(qlat_col), F.col(radius_col), res)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(qlat_col).alias("_qlat"),
+        F.col(qlon_col).alias("_qlon"),
+        F.col(radius_col).alias("_radius"),
+        kcol.alias("_k"),
+        HX.hex_cell(F.col(qlat_col), F.col(qlon_col), res).alias("_qcell"),
+    ).where(F.col("_k") <= F.lit(max_k))
+    q = q.select(
+        "*",
+        F.explode(F.sequence(-F.col("_k"), F.col("_k"))).alias("_dq"),
+    )
+    q = q.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.greatest(-F.col("_k"), (-F.col("_dq")) - F.col("_k")),
+                F.least(F.col("_k"), (-F.col("_dq")) + F.col("_k")),
+            )
+        ).alias("_dr"),
+    )
+    nl = F.lit(n).cast("long")
+    cq = ((HX.hex_q(F.col("_qcell")) + F.col("_dq")) % nl + nl) % nl
+    cr = HX.hex_r(F.col("_qcell")) + F.col("_dr")
+    cand = q.select(
+        "query_id",
+        "_qlat",
+        "_qlon",
+        "_radius",
+        HX.hex_pack(res, cq, cr).alias("_ccell"),
+    )
+    if broadcast_queries is None:
+        cap = 100_000
+        broadcast_queries = queries.limit(cap + 1).count() <= cap
+    if broadcast_queries:
+        cand = F.broadcast(cand)
+    pts, cell = _points_with_cell(points, lat_col, lon_col, res, cell_col)
+    dist = C.haversine(
+        F.col(lat_col), F.col(lon_col), F.col("_qlat"), F.col("_qlon")
+    )
+    return (
+        pts.withColumn("_pcell", cell)
+        .join(cand, F.col("_pcell") == F.col("_ccell"), "inner")
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= F.col("_radius"))
+        .drop("_pcell", "_ccell", "_qlat", "_qlon", "_radius")
+    )
+
+
+def hex_knn(
+    points: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_col: str | None = None,
+    res: int = 7,
+    max_ring: int = 128,
+) -> DataFrame:
+    """k nearest points per query via hex k-ring expansion + exact
+    haversine re-rank — the north star's "H3 k-ring" kNN, structured
+    exactly like the geohash knn (knn.py:75): ALL pending queries run
+    in one pass per ring radius (one broadcast candidate relation, one
+    equi-join, one window top-k), and a query is certified done when
+    its kth candidate distance <= hexgrid.covered_ground_radius_m
+    (provable stop bound) — otherwise it retries with a doubled ring.
+    Interactive path: collects k x pending rows per round; pass a
+    cached ``points`` when multiple rounds are expected.  Ring counts
+    double up to ``max_ring`` (disk(128) is ~49.5k broadcast rows per
+    still-pending query — fine interactively); for SPARSE data where
+    the kth neighbor is far, prefer a coarser ``res`` over a huge
+    ring so candidates stay bounded."""
+    spark = points.sparkSession
+    id_col = points.columns[0]
+    pts, cell = _points_with_cell(points, lat_col, lon_col, res, cell_col)
+    pts = pts.withColumn("_pcell", cell)
+
+    meta = {
+        qid: (qlat, qlon, hg.encode_cell_scalar(qlat, qlon, res))
+        for qid, qlat, qlon in queries
+    }
+    answers: dict[str, list] = {}
+    pending = list(queries)
+    ring = 2
+    while pending and ring <= max_ring:
+        rel = []
+        for qid, qlat, qlon in pending:
+            for c in hg.grid_disk(meta[qid][2], ring):
+                rel.append((qid, qlat, qlon, c))
+        cells = spark.createDataFrame(
+            rel, "query_id string, _qlat double, _qlon double, _ccell long"
+        )
+        dist = C.haversine(
+            F.col(lat_col), F.col(lon_col), F.col("_qlat"), F.col("_qlon")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist_m").asc(), F.col(id_col).asc()
+        )
+        got = (
+            pts.join(F.broadcast(cells), F.col("_pcell") == F.col("_ccell"))
+            .withColumn("dist_m", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", id_col, lat_col, lon_col, "dist_m")
+            .collect()
+        )
+        by_q: dict[str, list] = {}
+        for row in got:
+            by_q.setdefault(row["query_id"], []).append(row)
+        nxt = []
+        for qid, qlat, qlon in pending:
+            rows = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+            bound = hg.covered_ground_radius_m(qlat, ring, res)
+            if len(rows) == k and rows[-1]["dist_m"] <= bound:
+                answers[qid] = rows
+            else:
+                nxt.append((qid, qlat, qlon))
+        pending = nxt
+        ring *= 2
+    if pending:
+        raise ValueError(
+            f"hex_knn: {len(pending)} queries unresolved at max_ring="
+            f"{max_ring}; use a coarser res or raise max_ring"
+        )
+    out = [tuple(r) for rows in answers.values() for r in rows]
+    id_type = points.schema[id_col].dataType.simpleString()
+    schema = (
+        f"query_id string, rank int, {id_col} {id_type}, "
+        f"{lat_col} double, {lon_col} double, dist_m double"
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def hex_heatmap(
+    points: DataFrame,
+    resolutions: list[int],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-cell point counts at each resolution, with center
+    coordinates for rendering.  Each resolution is an INDEPENDENT
+    native encode + partial-agg groupBy (cheaper and exact vs an
+    approximate parent-chain rollup: hex parents only approximately
+    contain children, so re-encoding per res is the correct pyramid
+    — the s2_heatmap precedent applies only to true prefix
+    hierarchies)."""
+    outs = []
+    for res in resolutions:
+        cell = HX.hex_cell(F.col(lat_col), F.col(lon_col), res)
+        agg = (
+            points.select(cell.alias("hex_id"))
+            .groupBy("hex_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        clat, clon = HX.hex_center_latlon(F.col("hex_id"), res)
+        outs.append(
+            agg.select(
+                F.lit(res).alias("res"),
+                "hex_id",
+                "n",
+                F.round(clat, 6).alias("center_lat"),
+                F.round(clon, 6).alias("center_lon"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

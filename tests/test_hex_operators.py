@@ -1,0 +1,131 @@
+"""Hexgrid join operators vs brute force: radius join (single + bulk),
+k-ring kNN, heatmap — recall is the covering guarantee under test, so
+every operator is compared against exhaustive haversine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geogeometry_spark.kernels import geometry as kgeo
+from geogeometry_spark.operators import hex_join as HJ
+
+BERLIN = (52.530888, 13.394904)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = np.random.default_rng(5)
+    n = 30000
+    lat = np.round(rng.uniform(-85, 85, n), 3)
+    lon = np.round(rng.uniform(-175, 175, n), 3)
+    # hot cluster near Berlin (the testdata's hot-cell shape)
+    lat[:6000] = np.round(52.450 + rng.uniform(0, 0.12, 6000), 3)
+    lon[:6000] = np.round(13.350 + rng.uniform(0, 0.08, 6000), 3)
+    pdf = pd.DataFrame(
+        {"doc_id": [str(i) for i in range(n)], "lat": lat, "lon": lon}
+    )
+    df = spark.createDataFrame(pdf).cache()
+    df.count()
+    yield df, lat, lon
+    df.unpersist()
+
+
+def _brute_within(lat, lon, qlat, qlon, radius):
+    d = np.array(
+        [kgeo.haversine_scalar(qlat, qlon, a, b) for a, b in zip(lat, lon)]
+    )
+    return set(str(i) for i in np.where(d <= radius)[0])
+
+
+def test_hex_radius_join_matches_brute_force(points):
+    df, lat, lon = points
+    out = HJ.hex_radius_join(df, BERLIN[0], BERLIN[1], 4000.0)
+    got = set(r["doc_id"] for r in out.select("doc_id").collect())
+    assert got == _brute_within(lat, lon, BERLIN[0], BERLIN[1], 4000.0)
+    assert len(got) > 0
+
+
+def test_hex_radius_join_explicit_res(points):
+    df, lat, lon = points
+    out = HJ.hex_radius_join(df, BERLIN[0], BERLIN[1], 4000.0, res=9)
+    got = set(r["doc_id"] for r in out.select("doc_id").collect())
+    assert got == _brute_within(lat, lon, BERLIN[0], BERLIN[1], 4000.0)
+
+
+def test_hex_radius_join_bulk_matches_brute_force(points):
+    df, lat, lon = points
+    rng = np.random.default_rng(9)
+    qs = [
+        (
+            f"q{i}",
+            float(rng.uniform(-84, 84)),
+            float(rng.uniform(-175, 175)),
+            float(rng.uniform(1000, 150000)),
+        )
+        for i in range(25)
+    ]
+    qs.append(("qpolar", 84.9, 10.0, 50000.0))
+    qdf = df.sparkSession.createDataFrame(
+        qs, "query_id string, qlat double, qlon double, radius_m double"
+    )
+    res = HJ.hex_radius_join_bulk(df, qdf).select("query_id", "doc_id")
+    got = {}
+    for row in res.collect():
+        got.setdefault(row["query_id"], set()).add(row["doc_id"])
+    for qid, qlat, qlon, radius in qs:
+        assert got.get(qid, set()) == _brute_within(lat, lon, qlat, qlon, radius), qid
+
+
+def test_hex_radius_join_bulk_explicit_res_drops_polar(points, spark):
+    # with an explicit fine res, a polar query needing k > max_k is
+    # EXCLUDED (count-observable) rather than silently under-served
+    df, lat, lon = points
+    qdf = spark.createDataFrame(
+        [("qp", 84.9, 10.0, 200000.0), ("qb", BERLIN[0], BERLIN[1], 4000.0)],
+        "query_id string, qlat double, qlon double, radius_m double",
+    )
+    out = HJ.hex_radius_join_bulk(df, qdf, res=9, max_k=8)
+    qids = set(r["query_id"] for r in out.select("query_id").collect())
+    assert "qp" not in qids
+    assert "qb" in qids
+
+
+def test_hex_knn_matches_brute_force(points):
+    df, lat, lon = points
+    out = HJ.hex_knn(
+        df, [("berlin", *BERLIN), ("remote", -60.0, -120.0)], k=10
+    ).toPandas()
+    ids = np.array([str(i) for i in range(len(lat))])
+    for qid, (qla, qlo) in [("berlin", BERLIN), ("remote", (-60.0, -120.0))]:
+        d = np.array(
+            [kgeo.haversine_scalar(qla, qlo, a, b) for a, b in zip(lat, lon)]
+        )
+        want = list(ids[np.lexsort((ids, d))][:10])
+        got = list(out[out.query_id == qid].sort_values("rank")["doc_id"])
+        assert got == want, qid
+
+
+def test_hex_heatmap_counts(points):
+    df, lat, lon = points
+    hm = HJ.hex_heatmap(df, [3, 6]).toPandas()
+    n = len(lat)
+    assert hm[hm.res == 3]["n"].sum() == n
+    assert hm[hm.res == 6]["n"].sum() == n
+    # finer res has at least as many occupied cells
+    assert len(hm[hm.res == 6]) >= len(hm[hm.res == 3])
+
+
+def test_bulk_join_plan_is_broadcast_no_points_shuffle(points, spark):
+    # the exploded query side must broadcast (auto-probe); the points
+    # side must reach the join without an Exchange
+    df, _, _ = points
+    qdf = spark.createDataFrame(
+        [("q0", BERLIN[0], BERLIN[1], 4000.0)],
+        "query_id string, qlat double, qlon double, radius_m double",
+    )
+    out = HJ.hex_radius_join_bulk(df, qdf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
