@@ -302,3 +302,69 @@ def hex_heatmap(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def write_hex_sorted(
+    df: DataFrame,
+    path: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int = 12,
+    partition_res: int = 3,
+) -> None:
+    """Persist hexgrid-clustered parquet: the hex twin of
+    ``write_s2_sorted`` (s2_join.py) / ``write_cell_sorted``
+    (prefix_scan.py).
+
+    Layout: directory partition = the row's cell at ``partition_res``
+    (a DIRECT coarse encode of the same point — no parent-chain
+    needed, so a reader derives the exact partition set for any query
+    disk from the same covering bound it uses for cells); rows sorted
+    by the fine cell id within files.  Ids at one resolution order by
+    (r, q) — latitude-row-major — so a query disk's rows cluster into
+    few row groups and parquet min/max skipping prunes the rest."""
+    fine = HX.hex_cell(F.col(lat_col), F.col(lon_col), res)
+    part = HX.hex_cell(F.col(lat_col), F.col(lon_col), partition_res)
+    (
+        df.withColumn("hex_id", fine)
+        .withColumn("hex_part", part)
+        .repartition(F.col("hex_part"))
+        .sortWithinPartitions("hex_id")
+        .write.mode("overwrite")
+        .partitionBy("hex_part")
+        .parquet(path)
+    )
+
+
+def hex_radius_join_stored(
+    points: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    radius_m: float,
+    res: int = 12,
+    partition_res: int = 3,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_col: str = "hex_id",
+    part_col: str = "hex_part",
+) -> DataFrame:
+    """:func:`hex_radius_join` over a :func:`write_hex_sorted` table:
+    the gridDisk at ``partition_res`` becomes a PartitionFilters
+    IN-list (directories never opened), the fine disk an ordinary
+    pushed IN-filter over the sorted cell column (row-group skipping),
+    then the exact haversine.  Columns are EXPLICIT parameters — no
+    auto-detection of stale cell columns (the s2_30 advice)."""
+    part_center = hg.encode_cell_scalar(center_lat, center_lon, partition_res)
+    pk = hg.k_for_radius(center_lat, radius_m, partition_res)
+    part_cells = hg.grid_disk(part_center, pk)
+    k = hg.k_for_radius(center_lat, radius_m, res)
+    disk = hg.grid_disk(hg.encode_cell_scalar(center_lat, center_lon, res), k)
+    dist = C.haversine(
+        F.col(lat_col), F.col(lon_col), F.lit(center_lat), F.lit(center_lon)
+    )
+    return (
+        points.where(F.col(part_col).isin(part_cells))
+        .where(F.col(cell_col).isin(disk))
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= F.lit(radius_m))
+    )

@@ -149,3 +149,28 @@ def stream_s2_heatmap(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "cell", "n")
     )
+
+
+def stream_hex_heatmap(
+    events: DataFrame,
+    res: int = 9,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed hexgrid cell counts — ``stream_tile_heatmap``
+    on the hexagonal index (SURVEY §2.4ter).  The encode is a fully
+    native Column (functions/hexcell.py — no Python worker at all, the
+    cheapest of the three index families to stream); the watermark
+    bounds the window state identically to the tile/S2 twins."""
+    from ..functions.hexcell import hex_cell
+
+    cells = events.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        hex_cell(F.col("lat"), F.col("lon"), res).alias("hex_id"),
+    )
+    return (
+        cells.groupBy(F.window(F.col(ts_col), window), "hex_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "hex_id", "n")
+    )

@@ -129,3 +129,28 @@ def test_bulk_join_plan_is_broadcast_no_points_shuffle(points, spark):
     out = HJ.hex_radius_join_bulk(df, qdf)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_write_hex_sorted_prunes_partitions(points, spark, tmp_path):
+    from geogeometry_spark.operators.hex_join import (
+        hex_radius_join_stored,
+        write_hex_sorted,
+    )
+
+    df, lat, lon = points
+    path = str(tmp_path / "hex_sorted")
+    write_hex_sorted(df, path, res=9, partition_res=2)
+    stored = spark.read.parquet(path)
+    out = hex_radius_join_stored(
+        stored, BERLIN[0], BERLIN[1], 4000.0, res=9, partition_res=2
+    )
+    got = set(r["doc_id"] for r in out.select("doc_id").collect())
+    assert got == _brute_within(lat, lon, BERLIN[0], BERLIN[1], 4000.0)
+    # directory pruning: the partition IN-list must reach the scan as
+    # PartitionFilters (planned, not post-filtered)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # directory INSET on hex_part AND pushed row-filter on hex_id both
+    # reach the scan (the plan string truncates long IN-lists, so match
+    # the prefixes)
+    assert "PartitionFilters: [hex_part" in plan
+    assert "In(hex_id" in plan

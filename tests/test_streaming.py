@@ -284,3 +284,64 @@ def test_stream_geojson_features_matches_batch(spark, tmp_path):
         for r in parse_points(streamed, "geometry", keep=["id"]).collect()
     }
     assert parsed == {1: (52.5, 13.4), 2: (48.8, 2.3), 3: (-33.86, 151.21)}
+
+
+def test_stream_hex_heatmap_matches_batch(spark, tmp_path):
+    """Streamed hexgrid cell counts (availableNow drain) equal the
+    batch aggregation over the same rows — the fully native hex encode
+    behaves identically inside micro-batches (SURVEY §2.4ter)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from geogeometry_spark.functions.hexcell import hex_cell
+    from geogeometry_spark.streaming.stateful import (
+        EVENTS_SCHEMA,
+        stream_hex_heatmap,
+    )
+
+    inp = tmp_path / "hex_events_in"
+    base = dt.datetime(2026, 1, 1, 0, 15)
+    rows = [
+        (1, base, 52.5, 13.4),
+        (2, base + dt.timedelta(minutes=9), 52.5, 13.4),
+        (3, base + dt.timedelta(minutes=20), -33.86, 151.21),
+        (4, base + dt.timedelta(hours=1, minutes=5), 52.5, 13.4),
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(str(inp))
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(inp))
+    agg = stream_hex_heatmap(stream, res=9)
+    outdir = str(tmp_path / "hex_hm_out")
+
+    def drain():
+        (
+            agg.writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "hex_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    drain()
+    spark.createDataFrame(
+        [(99, base + dt.timedelta(hours=6), 0.0, 0.0)], EVENTS_SCHEMA
+    ).write.mode("append").parquet(str(inp))
+    drain()
+    got = {
+        (r.window_start, r.hex_id, r.n)
+        for r in spark.read.parquet(outdir).collect()
+    }
+    batch = (
+        spark.createDataFrame(rows, EVENTS_SCHEMA)
+        .select(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            hex_cell(F.col("lat"), F.col("lon"), 9).alias("hex_id"),
+        )
+        .groupBy("window_start", "hex_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp = {(r.window_start, r.hex_id, r.n) for r in batch.collect()}
+    assert got == exp and len(exp) == 3
