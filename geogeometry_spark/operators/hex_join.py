@@ -44,10 +44,20 @@ def _points_with_cell(
 ) -> tuple[DataFrame, F.Column]:
     """Points keyed by hex cell: reuse an EXPLICIT precomputed column
     (caller names it — no auto-detection, per the s2_join s2_30 advice)
-    or compute natively."""
+    or compute via the Arrow kernel UDF.
+
+    The UDF, not the native Column, on purpose: under a join the
+    optimizer inlines the native encode into the join-side Project
+    with every subtree duplicated (~30 SIN per row) and no
+    cross-operator CSE — measured 8.5 s vs 1.9 s at 125M join output
+    rows on the bench fixture.  The UDF materializes the key as an
+    attribute so the join stage stays lean (the s2_cell_udf
+    precedent; see functions/udfs.py hex_cell_udf)."""
     if cell_col is not None:
         return points, F.col(cell_col)
-    return points, HX.hex_cell(F.col(lat_col), F.col(lon_col), res)
+    from ..functions.udfs import hex_cell_udf
+
+    return points, hex_cell_udf(res)(F.col(lat_col), F.col(lon_col))
 
 
 def hex_radius_join(
@@ -108,6 +118,7 @@ def hex_radius_join_bulk(
     radius_col: str = "radius_m",
     res: int | None = None,
     max_k: int = 12,
+    target_k: int = 6,
     broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Radius join for a DATAFRAME of circles — the hexgrid twin of
@@ -116,22 +127,79 @@ def hex_radius_join_bulk(
     the query's latitude + radius), candidates equi-join points on the
     cell id, exact haversine filters.
 
-    ``res=None`` auto-sizes from a bounded driver agg over the query
-    relation (max |lat|, max radius -> finest res with k <= max_k for
-    the worst query) so NO query is dropped; with an explicit ``res``,
-    queries needing k > max_k are excluded (count-observable, the
-    documented geohash-bulk policy) rather than under-served.
+    ``res=None`` groups queries into PER-RESOLUTION BANDS: each query
+    natively computes the finest res whose ring count lands near
+    ``target_k`` (s >= rho / (1.5*target_k - 2), one log2), the
+    bounded distinct-res set (<= 21 values, 2-3 in practice) comes
+    back to the driver, and one equi-join runs per band, unioned.  A
+    single global res sized by the WORST query latitude was measured
+    3x slower on the skewed bench fixture: near-polar outliers forced
+    ~5.6 km cells onto 2 km equatorial queries (~40x area
+    over-coverage feeding the join); banding keeps every query's
+    covered area within ~2-3x of its true disk while the query-side
+    explode stays 3k(k+1)+1-bounded.  No earthly query is dropped
+    (k <= target_k holds by construction per band; only
+    polar-degenerate circles whose required res-0 rho exceeds ~208
+    projected units — |lat| -> 90 with cos -> 0 — fall out, the same
+    count-observable exclusion as below).  With an
+    explicit ``res``, queries needing k > max_k are excluded
+    (count-observable, the documented geohash-bulk policy) rather
+    than under-served.
 
     ``broadcast_queries=None`` AUTO-decides with a bounded probe
     (limit(N+1).count(), the ann_join policy, similarity.py:632): the
     exploded candidate relation is per-query-bounded by 3k(k+1)+1 so
     query count is the only unknown."""
     if res is None:
-        worst = queries.agg(
-            F.max(F.abs(F.col(qlat_col))).alias("a"),
-            F.max(F.col(radius_col)).alias("r"),
-        ).first()
-        res = hg.res_for_radius(float(worst["a"]), float(worst["r"]), max_k)
+        if broadcast_queries is None:
+            cap = 100_000
+            broadcast_queries = queries.limit(cap + 1).count() <= cap
+        phi_max = F.least(
+            F.lit(89.999999),
+            F.abs(F.col(qlat_col)) + F.col(radius_col) / F.lit(hg.M_PER_DEG),
+        )
+        rho = F.col(radius_col) / (
+            F.lit(hg.M_PER_DEG) * F.cos(phi_max * F.lit(hg.RAD))
+        )
+        s_needed = rho / F.lit(1.5 * target_k - 2.0)
+        s0 = hg.size(0)
+        rcol = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(hg.MAX_RES),
+                F.floor(F.log2(F.lit(s0) / s_needed) - F.lit(1e-9)).cast(
+                    "int"
+                ),
+            ),
+        )
+        tagged = queries.withColumn("_hexres", rcol)
+        bands = sorted(
+            r["_hexres"]
+            for r in tagged.select("_hexres").distinct().collect()
+        )
+        if not bands:
+            bands = [hg.MAX_RES]  # empty query relation: typed empty out
+        parts = [
+            hex_radius_join_bulk(
+                points,
+                tagged.where(F.col("_hexres") == b).drop("_hexres"),
+                lat_col=lat_col,
+                lon_col=lon_col,
+                cell_col=cell_col,
+                query_id_col=query_id_col,
+                qlat_col=qlat_col,
+                qlon_col=qlon_col,
+                radius_col=radius_col,
+                res=int(b),
+                max_k=max_k,
+                broadcast_queries=broadcast_queries,
+            )
+            for b in bands
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     n = hg.ncols(res)
     kcol = _k_col(F.col(qlat_col), F.col(radius_col), res)
     q = queries.select(
