@@ -2702,6 +2702,18 @@ def q_hex_knn(spark, sf_dir):
     )
 
 
+def q_hex_pip_join(spark, sf_dir):
+    """PIP join through the hexgrid index (hex polygon covering with
+    interior/border classification + exact border re-check); shares
+    the pip oracle — identical answer to the geohash- and S2-path PIP
+    joins on the same fixture polygons, making all THREE cell families
+    interchangeable on the flagship operator."""
+    from .operators.hex_join import hex_pip_join
+
+    df = _docs_coords(spark, sf_dir)
+    return hex_pip_join(df).select("doc_id", "polygon_id")
+
+
 def q_hex_heatmap(spark, sf_dir):
     """Multi-resolution hex density pyramid: independent native encode
     + partial-agg groupBy per res (exact, unlike approximate
@@ -2770,6 +2782,7 @@ QUERIES = {
     "hex_radius_join": q_hex_radius_join,
     "hex_radius_join_bulk": q_hex_radius_join_bulk,
     "hex_knn": q_hex_knn,
+    "hex_pip_join": q_hex_pip_join,
     "hex_heatmap": q_hex_heatmap,
     "distances": q_distances,
     "vincenty": q_vincenty,
@@ -2865,6 +2878,7 @@ def _static_oracles() -> dict[str, str]:
         "hex_radius_join": O_RADIUS,
         "hex_radius_join_bulk": _hex_radius_bulk_oracle(),
         "hex_knn": O_KNN,
+        "hex_pip_join": _pip_oracle(),
         "hex_heatmap": _hex_heatmap_oracle(),
         "distances": _distances_oracle(),
         "dms": _dms_oracle(),

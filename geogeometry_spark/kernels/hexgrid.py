@@ -413,3 +413,154 @@ def covered_ground_radius_m(qlat: float, ring_k: int, res: int) -> float:
     b2 = M_PER_DEG * (caps - abs(qlat))
     bound_b = float(np.max(np.minimum(b1, b2)))
     return min(bound_a, bound_b)
+
+
+# --------------------------------------------------------------------------
+# polygon covering (build side of the hex PIP join)
+# --------------------------------------------------------------------------
+
+def _cell_boxes(q, r, res: int):
+    """Lat/lon bounding boxes of cells given UNWRAPPED axial coords
+    (q may lie outside [0, ncols) near the seam so boxes stay on the
+    ring's side of the antimeridian).  Pointy-top vertex extremes:
+    lon = cx +- (sqrt(3)/2)*s, y = cy +- s — the bbox is a conservative
+    SUPERSET of the hex, so interior classification through it stays
+    safe."""
+    s = size(res)
+    cx = x_scale(res) * (q + r / 2.0)
+    cy = y_step(res) * r
+    half_w = SQRT3 * s / 2.0
+    w = cx - half_w
+    e = cx + half_w
+    lo = np.clip((cy - s) / Y_SCALE, -1.0, 1.0)
+    hi = np.clip((cy + s) / Y_SCALE, -1.0, 1.0)
+    south = np.degrees(np.arcsin(lo))
+    north = np.degrees(np.arcsin(hi))
+    return w, south, e, north
+
+
+def _candidate_cells(ring: np.ndarray, res: int):
+    """Unwrapped (q, r) candidates whose rows/columns intersect the
+    ring's bbox (pad one cell each side)."""
+    lon = ring[:, 0]
+    lat = ring[:, 1]
+    y = np.sin(lat * RAD) * Y_SCALE
+    rf = y * r_scale(res)
+    r_lo = int(np.floor(rf.min())) - 1
+    r_hi = int(np.ceil(rf.max())) + 1
+    qs_scale = q_scale(res)
+    w, e = lon.min(), lon.max()
+    qq = []
+    rr = []
+    for r in range(r_lo, r_hi + 1):
+        yr = y_step(res) * r
+        q_lo = int(np.floor((w - yr / SQRT3) * qs_scale)) - 1
+        q_hi = int(np.ceil((e - yr / SQRT3) * qs_scale)) + 1
+        qq.append(np.arange(q_lo, q_hi + 1, dtype=np.int64))
+        rr.append(np.full(q_hi - q_lo + 1, r, dtype=np.int64))
+    return np.concatenate(qq), np.concatenate(rr)
+
+
+def cover_res_for_rings(
+    rings_list: list[list[np.ndarray]], max_cells: int = 2048
+) -> int:
+    """GLOBAL covering resolution for a polygon set: the finest res
+    where every polygon's candidate grid stays under ``max_cells``.
+    One global res because hex children only approximately tile their
+    parent (center containment), so the geohash trick of expanding a
+    coarse interior cell into exact children does NOT preserve the
+    interior guarantee here — mixed-scale sets settle on the coarsest
+    need and small polygons simply classify as border (exact re-check
+    catches them; correctness is never res-dependent)."""
+    best = 0
+    for res in range(MAX_RES + 1):
+        ok = True
+        for rings in rings_list:
+            ring = np.asarray(rings[0], dtype=np.float64)
+            q, _ = _candidate_cells(ring, res)
+            if q.size > max_cells:
+                ok = False
+                break
+        if not ok:
+            break
+        best = res
+    return best
+
+
+def hex_cover_with_borders(
+    rings: list[np.ndarray], res: int
+) -> tuple[set[int], set[int]]:
+    """(interior_cells, border_cells) covering rings[0] at ``res`` —
+    the hex twin of covering.cover_with_borders (geohash) and the S2
+    polygon covering: a point whose cell is interior is inside the
+    outer ring with NO exact re-check; border cells require the exact
+    hole-aware ray-cast.  Holes demote interior cells they touch.
+
+    Classification runs on each cell's lat/lon bbox (a superset of the
+    hex): interior = all 4 corners inside the ring AND no ring vertex
+    in the box AND no edge crossing (sufficient for simple rings);
+    overlap reuses the covering module's vectorized box-vs-ring test.
+    Rings crossing the antimeridian must be pre-split by the caller
+    (the geohash covering's documented posture, GeoHashUtils.kt:507).
+    """
+    from .covering import _overlap_boxes_vs_ring
+    from .geometry import lines_cross_vec, polygon_contains
+    from .overlay import polygon_contains_batch
+
+    ring = np.asarray(rings[0], dtype=np.float64)
+    if not np.allclose(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    q, r = _candidate_cells(ring, res)
+    w, s_, e, n = _cell_boxes(q, r, res)
+    c = q.size
+    hit = _overlap_boxes_vs_ring(w, s_, e, n, ring)
+    # interior: 4 corners inside
+    corners_lon = np.stack([w, e, e, w], axis=1).ravel()
+    corners_lat = np.stack([s_, s_, n, n], axis=1).ravel()
+    inside4 = (
+        polygon_contains(corners_lat, corners_lon, ring).reshape(c, 4).all(axis=1)
+    )
+    # no ring vertex strictly inside the box
+    m = ring.shape[0]
+    vx = ring[None, :, 0]
+    vy = ring[None, :, 1]
+    vert_in = (
+        (vx > w[:, None]) & (vx < e[:, None])
+        & (vy > s_[:, None]) & (vy < n[:, None])
+    ).any(axis=1)
+    # no box edge x ring edge crossing
+    from .covering import _box_rings
+
+    boxes = _box_rings(w, s_, e, n)
+    bx1 = boxes[:, :-1, 0][:, :, None]
+    by1 = boxes[:, :-1, 1][:, :, None]
+    bx2 = boxes[:, 1:, 0][:, :, None]
+    by2 = boxes[:, 1:, 1][:, :, None]
+    rx1 = ring[:-1, 0][None, None, :]
+    ry1 = ring[:-1, 1][None, None, :]
+    rx2 = ring[1:, 0][None, None, :]
+    ry2 = ring[1:, 1][None, None, :]
+    crosses = lines_cross_vec(bx1, by1, bx2, by2, rx1, ry1, rx2, ry2).any(
+        axis=(1, 2)
+    )
+    interior = inside4 & (~vert_in) & (~crosses)
+    border = hit & ~interior
+    # holes demote (exact check handles hole membership)
+    if len(rings) > 1:
+        for hole in rings[1:]:
+            h = np.asarray(hole, dtype=np.float64)
+            if not np.allclose(h[0], h[-1]):
+                h = np.vstack([h, h[:1]])
+            sel = np.flatnonzero(interior)
+            if sel.size == 0:
+                break
+            touch = _overlap_boxes_vs_ring(w[sel], s_[sel], e[sel], n[sel], h)
+            border[sel[touch]] = True
+            interior[sel[touch]] = False
+    nq = np.int64(ncols(res))
+    qw = ((q % nq) + nq) % nq
+    ids = pack(res, qw, r)
+    return (
+        set(int(v) for v in ids[interior]),
+        set(int(v) for v in ids[border]),
+    )

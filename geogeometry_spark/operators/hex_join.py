@@ -436,3 +436,65 @@ def hex_radius_join_stored(
         .withColumn("dist_m", dist)
         .where(F.col("dist_m") <= F.lit(radius_m))
     )
+
+
+def hex_pip_join(
+    points: DataFrame,
+    polygons: dict[str, list] | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_col: str | None = None,
+    res: int | None = None,
+    max_cells: int = 2048,
+) -> DataFrame:
+    """Point-in-polygon broadcast join through the hexgrid index — the
+    hex twin of pip_join (geohash) / s2_pip_join, same plan shape:
+
+    1. driver: hex covering per polygon (hexgrid.hex_cover_with_borders
+       — bbox-conservative interior/border classification, holes
+       demote);
+    2. broadcast (polygon_id, cell, is_border) at ONE global res —
+       hex children only approximately tile their parent, so there is
+       no per-polygon-length normalization like the geohash expand;
+       cover_res_for_rings picks the finest res every polygon's
+       candidate grid affords (small polygons in mixed-scale sets
+       classify as border and fall through to the exact check —
+       correctness never depends on res);
+    3. points keyed by the Arrow kernel cell (hot-path posture of
+       _points_with_cell), ONE broadcast hash equi-join;
+    4. interior-cell rows match with no Python; border-cell rows run
+       the exact hole-aware ray-cast pandas UDF — the same exactness
+       contract as the other two families, so all three share the PIP
+       oracle.
+    """
+    from ..fixtures import polygons_np
+    from ..functions.udfs import make_pip_udf
+
+    spark = points.sparkSession
+    polys = polygons_np(polygons)
+    rings_list = [
+        [np.asarray(r, dtype=np.float64) for r in rings]
+        for rings in polys.values()
+    ]
+    if res is None:
+        res = hg.cover_res_for_rings(rings_list, max_cells=max_cells)
+    rows = []
+    for pid, rings in polys.items():
+        rr = [np.asarray(r, dtype=np.float64) for r in rings]
+        interior, border = hg.hex_cover_with_borders(rr, res)
+        rows.extend((pid, c, False) for c in interior)
+        rows.extend((pid, c, True) for c in border)
+    cells = spark.createDataFrame(
+        rows, "polygon_id string, _ccell long, is_border boolean"
+    )
+    pts, cell = _points_with_cell(points, lat_col, lon_col, res, cell_col)
+    pip = make_pip_udf(polys)
+    return (
+        pts.withColumn("_pcell", cell)
+        .join(F.broadcast(cells), F.col("_pcell") == F.col("_ccell"), "inner")
+        .where(
+            (~F.col("is_border"))
+            | pip(F.col("polygon_id"), F.col(lat_col), F.col(lon_col))
+        )
+        .drop("_pcell", "_ccell", "is_border")
+    )

@@ -154,3 +154,23 @@ def test_write_hex_sorted_prunes_partitions(points, spark, tmp_path):
     # the prefixes)
     assert "PartitionFilters: [hex_part" in plan
     assert "In(hex_id" in plan
+
+
+def test_hex_pip_join_matches_geohash_family(points, spark):
+    from geogeometry_spark.functions.columns import geohash_interleaved
+    from geogeometry_spark.operators.hex_join import hex_pip_join
+    from geogeometry_spark.operators.pip_join import pip_join
+
+    df, _, _ = points
+    hexed = hex_pip_join(df).select("doc_id", "polygon_id").collect()
+    gh = (
+        pip_join(
+            df.withColumn(
+                "cell_id",
+                geohash_interleaved(F.col("lat"), F.col("lon"), 12),
+            )
+        )
+        .select("doc_id", "polygon_id")
+        .collect()
+    )
+    assert set(map(tuple, hexed)) == set(map(tuple, gh))
