@@ -2702,6 +2702,58 @@ def q_hex_knn(spark, sf_dir):
     )
 
 
+def q_hex_knn_bulk(spark, sf_dir):
+    """Distributed bulk kNN through the hex index: every 50th doc is a
+    query, fixed gridDisk(2) candidates at res 7, cell equi-join,
+    window top-5 per query (operators.hex_join.hex_knn_bulk — the
+    millions-of-queries path, no driver loop).  Oracle mirrors the
+    identical disk membership (generate_series offsets + hex distance
+    + the same packed-cell arithmetic)."""
+    from .operators.hex_join import hex_knn_bulk
+
+    pts = _docs_coords(spark, sf_dir)
+    qs = pts.where(F.col("doc_id").cast("long") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+    )
+    out = hex_knn_bulk(pts, qs, k=5, res=7, ring=2)
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round(F.col("dist_m"), 3).alias("dist_r3"),
+    )
+
+
+def _hex_knn_bulk_oracle() -> str:
+    res, ring = 7, 2
+    n = hgk.ncols(res)
+    prefix, last, tag = HX.hex_axial_with_stages(_COORD_SUBQ, res)
+    hav = C.haversine_sql("p.lat", "p.lon", "c.qlat", "c.qlon")
+    wrap_q = f"((((pq + dq) % {n}) + {n}) % {n})"
+    return (
+        prefix
+        + f", pts AS (SELECT doc_id, lat, lon, "
+        f"{HX.hex_pack_sql(res, f'qw{tag}', f'rx{tag}')} AS cell, "
+        f"qw{tag} AS pq, rx{tag} AS pr FROM {last}), "
+        "qs AS (SELECT doc_id AS query_id, lat AS qlat, lon AS qlon, "
+        "pq, pr FROM pts WHERE CAST(doc_id AS BIGINT) % 50 = 0), "
+        f"offs AS (SELECT dq.v AS dq, dr.v AS dr FROM "
+        f"generate_series(-{ring}, {ring}) dq(v), "
+        f"generate_series(-{ring}, {ring}) dr(v) "
+        f"WHERE (abs(dq.v) + abs(dr.v) + abs(dq.v + dr.v)) // 2 <= {ring}), "
+        "cand AS (SELECT query_id, qlat, qlon, "
+        f"{HX.hex_pack_sql(res, wrap_q, '(pr + dr)')} AS cell FROM qs, offs), "
+        f"j AS (SELECT c.query_id, c.qlat, c.qlon, p.doc_id, {hav} AS d "
+        "FROM cand c JOIN pts p ON p.cell = c.cell) "
+        "SELECT query_id, rank, doc_id, round(d, 3) AS dist_r3 FROM ("
+        "SELECT query_id, doc_id, d, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY d ASC, doc_id ASC) AS INT) AS rank "
+        "FROM j) WHERE rank <= 5"
+    )
+
+
 def q_hex_pip_join(spark, sf_dir):
     """PIP join through the hexgrid index (hex polygon covering with
     interior/border classification + exact border re-check); shares
@@ -2782,6 +2834,7 @@ QUERIES = {
     "hex_radius_join": q_hex_radius_join,
     "hex_radius_join_bulk": q_hex_radius_join_bulk,
     "hex_knn": q_hex_knn,
+    "hex_knn_bulk": q_hex_knn_bulk,
     "hex_pip_join": q_hex_pip_join,
     "hex_heatmap": q_hex_heatmap,
     "distances": q_distances,
@@ -2878,6 +2931,7 @@ def _static_oracles() -> dict[str, str]:
         "hex_radius_join": O_RADIUS,
         "hex_radius_join_bulk": _hex_radius_bulk_oracle(),
         "hex_knn": O_KNN,
+        "hex_knn_bulk": _hex_knn_bulk_oracle(),
         "hex_pip_join": _pip_oracle(),
         "hex_heatmap": _hex_heatmap_oracle(),
         "distances": _distances_oracle(),

@@ -498,3 +498,84 @@ def hex_pip_join(
         )
         .drop("_pcell", "_ccell", "is_border")
     )
+
+
+def hex_knn_bulk(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_col: str | None = None,
+    query_id_col: str = "query_id",
+    qlat_col: str = "qlat",
+    qlon_col: str = "qlon",
+    res: int = 7,
+    ring: int = 2,
+) -> DataFrame:
+    """kNN for a DATAFRAME of queries through the hex index — the
+    millions-of-queries twin of :func:`hex_knn` (which drives an
+    interactive loop), mirroring knn.knn_bulk's shape: each query
+    explodes its fixed gridDisk(ring) (two nested ``sequence``
+    explodes), candidates equi-join points on the cell id (Arrow
+    kernel key on the big side), native haversine, window top-k PER
+    QUERY (partitionBy(query_id), never a global sort).
+
+    Fixed rings make the margin approximate: the ``guaranteed`` column
+    is true when the kth candidate is provably exact (closer than the
+    native lower bound rho*M_PER_DEG*cos(phi_max), the pre-pole form
+    of hexgrid.covered_ground_radius_m — conservative, degenerating to
+    false near the poles); callers re-run false rows through
+    :func:`hex_knn`, which certifies with the pole-safe bound."""
+    n = hg.ncols(res)
+    s = hg.size(res)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(qlat_col).alias("_qlat"),
+        F.col(qlon_col).alias("_qlon"),
+        HX.hex_cell(F.col(qlat_col), F.col(qlon_col), res).alias("_qcell"),
+    )
+    q = q.select(
+        "*", F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("_dq")
+    )
+    q = q.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(-ring), (-F.col("_dq")) - F.lit(ring)),
+                F.least(F.lit(ring), (-F.col("_dq")) + F.lit(ring)),
+            )
+        ).alias("_dr"),
+    )
+    nl = F.lit(n).cast("long")
+    cq = ((HX.hex_q(F.col("_qcell")) + F.col("_dq")) % nl + nl) % nl
+    cr = HX.hex_r(F.col("_qcell")) + F.col("_dr")
+    cand = q.select(
+        "query_id", "_qlat", "_qlon", HX.hex_pack(res, cq, cr).alias("_ccell")
+    )
+    pts, cell = _points_with_cell(points, lat_col, lon_col, res, cell_col)
+    dist = C.haversine(
+        F.col(lat_col), F.col(lon_col), F.col("_qlat"), F.col("_qlon")
+    )
+    id_col = points.columns[0]
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_m").asc(), F.col(id_col).asc()
+    )
+    rho = 1.5 * ring * s - 2.0 * s
+    sin_max = F.least(
+        F.lit(1.0),
+        F.abs(F.sin(F.col("_qlat") * F.lit(hg.RAD))) + F.lit(rho / hg.Y_SCALE),
+    )
+    bound = (
+        F.lit(rho * hg.M_PER_DEG)
+        * F.sqrt(F.lit(1.0) - sin_max * sin_max)
+    )
+    return (
+        pts.withColumn("_pcell", cell)
+        .join(cand, F.col("_pcell") == F.col("_ccell"), "inner")
+        .withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .withColumn("guaranteed", F.col("dist_m") <= bound)
+        .drop("_pcell", "_ccell", "_qlat", "_qlon")
+    )

@@ -174,3 +174,26 @@ def test_hex_pip_join_matches_geohash_family(points, spark):
         .collect()
     )
     assert set(map(tuple, hexed)) == set(map(tuple, gh))
+
+
+def test_hex_knn_bulk_guaranteed_rows_match_brute_force(points, spark):
+    # rows flagged guaranteed must be the exact top-k; the fixed-ring
+    # margin may under-fill sparse queries (callers re-run via hex_knn)
+    df, lat, lon = points
+    qs = spark.createDataFrame(
+        [("qb", BERLIN[0], BERLIN[1]), ("q0", 0.0, 0.0)],
+        "query_id string, qlat double, qlon double",
+    )
+    out = HJ.hex_knn_bulk(df, qs, k=5, res=7, ring=2).toPandas()
+    ids = np.array([str(i) for i in range(len(lat))])
+    for qid, qla, qlo in [("qb", *BERLIN), ("q0", 0.0, 0.0)]:
+        rows = out[out.query_id == qid].sort_values("rank")
+        if len(rows) == 5 and rows["guaranteed"].all():
+            d = np.array(
+                [kgeo.haversine_scalar(qla, qlo, a, b) for a, b in zip(lat, lon)]
+            )
+            want = list(ids[np.lexsort((ids, d))][:5])
+            assert list(rows["doc_id"]) == want, qid
+    # the dense Berlin query must be fully guaranteed at ring 2 / res 7
+    qb = out[out.query_id == "qb"]
+    assert len(qb) == 5 and qb["guaranteed"].all()
