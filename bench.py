@@ -189,6 +189,10 @@ def main() -> None:
         "s2_radius_join",
         "s2_radius_join_bulk",
         "s2_pip_join",
+        "hex_radius_join",
+        "hex_knn_bulk",
+        "hex_pip_join",
+        "hex_heatmap",
     ):
         builder = contract.QUERIES[name]
         timed(
@@ -408,8 +412,16 @@ def main() -> None:
             pts.select("doc_id", "lat", "lon"), qs_bulk
         ).write.format("noop").mode("overwrite").save()
 
+    def hex_pip_5m():
+        from geogeometry_spark.operators.hex_join import hex_pip_join
+
+        hex_pip_join(
+            pts.select("doc_id", "lat", "lon")
+        ).write.format("noop").mode("overwrite").save()
+
     timed("hex_encode_5m", hex_encode_5m, runs=3, warmup=True)
     timed("hex_radius_join_bulk_5m", hex_bulk_5m, runs=3, warmup=True)
+    timed("hex_pip_join_5m", hex_pip_5m, runs=3, warmup=True)
 
     # --- connected components at 1.5M nodes / ~1.5M edges --------------
     # dup-cluster-shaped graph: 16-node stars chained into 256-node
