@@ -2754,6 +2754,61 @@ def _hex_knn_bulk_oracle() -> str:
     )
 
 
+def q_hex_adversarial(spark, sf_dir):
+    """Hex encode + aperture parent over ADVERSARIAL coordinates the
+    test data never reaches: every doc's longitude shifts 180 deg (the
+    overlay_adversarial trick) so points populate the antimeridian
+    seam where q wraps, and latitude stretches toward the poles
+    (|lat| up to 89.999) where the top lattice rows clamp — the wrap
+    and pole branches are hash-checked cross-engine instead of only
+    pytest-pinned."""
+    df = _docs_coords(spark, sf_dir)
+    lon_s = F.when(F.col("lon") <= 0, F.col("lon") + 180).otherwise(
+        F.col("lon") - 180
+    )
+    lat_p = F.greatest(
+        F.lit(-89.999), F.least(F.lit(89.999), F.col("lat") * F.lit(1.0588))
+    )
+    df = df.select("doc_id", lat_p.alias("alat"), lon_s.alias("alon"))
+    h9 = HX.hex_cell(F.col("alat"), F.col("alon"), 9)
+    return df.select(
+        "doc_id",
+        h9.alias("hex9"),
+        HX.hex_cell(F.col("alat"), F.col("alon"), 4).alias("hex4"),
+        HX.hex_parent(h9, 9).alias("hex8p"),
+    )
+
+
+def _hex_adversarial_oracle() -> str:
+    lat_p = (
+        f"greatest(-89.999, least(89.999, ({src.LAT_SQL} * 1.0588)))"
+    )
+    lon_s = (
+        f"CASE WHEN {src.LON_SQL} <= 0 THEN {src.LON_SQL} + 180 "
+        f"ELSE {src.LON_SQL} - 180 END"
+    )
+    base = (
+        f"(SELECT doc_id, {lat_p} AS lat, {lon_s} AS lon FROM documents)"
+    )
+    stages_a, last_a, _ = HX.hex_axial_stages_from("base", 9, "a")
+    stages_b, last_b, _ = HX.hex_axial_stages_from(last_a, 4, "b")
+    stages_p, last_p, _ = HX.hex_parent_oracle_stages(
+        f"(SELECT *, qwa AS cq, rxa AS cr FROM {last_b})", 9, "p"
+    )
+    return (
+        f"WITH base AS (SELECT * FROM {base}), "
+        + ", ".join(stages_a + stages_b + stages_p)
+        + " SELECT doc_id, "
+        + HX.hex_pack_sql(9, "qwa", "rxa")
+        + " AS hex9, "
+        + HX.hex_pack_sql(4, "qwb", "rxb")
+        + " AS hex4, "
+        + HX.hex_pack_sql(8, "qwp", "rxp")
+        + " AS hex8p "
+        + f"FROM {last_p}"
+    )
+
+
 def q_hex_pip_join(spark, sf_dir):
     """PIP join through the hexgrid index (hex polygon covering with
     interior/border classification + exact border re-check); shares
@@ -2764,6 +2819,24 @@ def q_hex_pip_join(spark, sf_dir):
 
     df = _docs_coords(spark, sf_dir)
     return hex_pip_join(df).select("doc_id", "polygon_id")
+
+
+def q_hex_pip_semi(spark, sf_dir):
+    """One-pass semi PIP through the hex index (grouped broadcast cell
+    relation, no duplicate risk); shares the semi oracle with the
+    geohash and S2 paths."""
+    from .operators.hex_join import hex_pip_semi_anti
+
+    df = _docs_coords(spark, sf_dir)
+    return hex_pip_semi_anti(df, "left_semi").select("doc_id", "lat", "lon")
+
+
+def q_hex_pip_anti(spark, sf_dir):
+    """Anti twin of q_hex_pip_semi (set-ops family on the hex index)."""
+    from .operators.hex_join import hex_pip_semi_anti
+
+    df = _docs_coords(spark, sf_dir)
+    return hex_pip_semi_anti(df, "left_anti").select("doc_id", "lat", "lon")
 
 
 def q_hex_heatmap(spark, sf_dir):
@@ -2835,7 +2908,10 @@ QUERIES = {
     "hex_radius_join_bulk": q_hex_radius_join_bulk,
     "hex_knn": q_hex_knn,
     "hex_knn_bulk": q_hex_knn_bulk,
+    "hex_adversarial": q_hex_adversarial,
     "hex_pip_join": q_hex_pip_join,
+    "hex_pip_semi": q_hex_pip_semi,
+    "hex_pip_anti": q_hex_pip_anti,
     "hex_heatmap": q_hex_heatmap,
     "distances": q_distances,
     "vincenty": q_vincenty,
@@ -2932,7 +3008,10 @@ def _static_oracles() -> dict[str, str]:
         "hex_radius_join_bulk": _hex_radius_bulk_oracle(),
         "hex_knn": O_KNN,
         "hex_knn_bulk": _hex_knn_bulk_oracle(),
+        "hex_adversarial": _hex_adversarial_oracle(),
         "hex_pip_join": _pip_oracle(),
+        "hex_pip_semi": O_PIP_SEMI,
+        "hex_pip_anti": O_PIP_ANTI,
         "hex_heatmap": _hex_heatmap_oracle(),
         "distances": _distances_oracle(),
         "dms": _dms_oracle(),

@@ -579,3 +579,66 @@ def hex_knn_bulk(
         .withColumn("guaranteed", F.col("dist_m") <= bound)
         .drop("_pcell", "_ccell", "_qlat", "_qlon")
     )
+
+
+def hex_pip_semi_anti(
+    points: DataFrame,
+    how: str,
+    polygons: dict[str, list] | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_col: str | None = None,
+    res: int | None = None,
+    max_cells: int = 2048,
+) -> DataFrame:
+    """One-pass semi/anti PIP through the hex index — the hex twin of
+    pip_join(how='left_semi'/'left_anti') (pip_join.py:120): the
+    driver-side cell relation is PRE-GROUPED by cell so every point
+    meets AT MOST ONE broadcast row (the join cannot duplicate — no
+    distinct(), no second scan of the big side); matched = some
+    polygon holds the whole cell (interior_any) OR some border polygon
+    contains the exact point (pandas UDF over the short border-pid
+    list)."""
+    from ..fixtures import polygons_np
+    from ..functions.udfs import make_pip_any_udf
+
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    spark = points.sparkSession
+    polys = polygons_np(polygons)
+    rings_list = [
+        [np.asarray(r, dtype=np.float64) for r in rings]
+        for rings in polys.values()
+    ]
+    if res is None:
+        res = hg.cover_res_for_rings(rings_list, max_cells=max_cells)
+    by_key: dict[int, tuple[bool, set[str]]] = {}
+    for pid, rings in polys.items():
+        rr = [np.asarray(r, dtype=np.float64) for r in rings]
+        interior, border = hg.hex_cover_with_borders(rr, res)
+        for c in interior:
+            ia, b = by_key.setdefault(c, (False, set()))
+            by_key[c] = (True, b)
+        for c in border:
+            ia, b = by_key.setdefault(c, (False, set()))
+            b.add(pid)
+            by_key[c] = (ia, b)
+    grouped = [
+        (k, interior, sorted(border) if not interior else [])
+        for k, (interior, border) in by_key.items()
+    ]
+    cells_g = spark.createDataFrame(
+        grouped, "_ccell long, interior_any boolean, border_pids array<string>"
+    )
+    pts, cell = _points_with_cell(points, lat_col, lon_col, res, cell_col)
+    pip_any = make_pip_any_udf(polys)
+    matched = F.coalesce(
+        F.col("interior_any")
+        | pip_any(F.col("border_pids"), F.col(lat_col), F.col(lon_col)),
+        F.lit(False),
+    )
+    joined = pts.withColumn("_pcell", cell).join(
+        F.broadcast(cells_g), F.col("_pcell") == F.col("_ccell"), "left"
+    )
+    keep = matched if how == "left_semi" else ~matched
+    return joined.where(keep).select(*points.columns)

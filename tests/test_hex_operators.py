@@ -197,3 +197,23 @@ def test_hex_knn_bulk_guaranteed_rows_match_brute_force(points, spark):
     # the dense Berlin query must be fully guaranteed at ring 2 / res 7
     qb = out[out.query_id == "qb"]
     assert len(qb) == 5 and qb["guaranteed"].all()
+
+
+def test_hex_pip_semi_anti_partition_points(points, spark):
+    from geogeometry_spark.operators.hex_join import (
+        hex_pip_join,
+        hex_pip_semi_anti,
+    )
+
+    df, _, _ = points
+    n = df.count()
+    semi = hex_pip_semi_anti(df, "left_semi")
+    anti = hex_pip_semi_anti(df, "left_anti")
+    n_semi, n_anti = semi.count(), anti.count()
+    assert n_semi + n_anti == n  # exact partition, no duplication
+    # semi set == distinct inner-join point set
+    inner_ids = set(
+        r["doc_id"] for r in hex_pip_join(df).select("doc_id").collect()
+    )
+    semi_ids = set(r["doc_id"] for r in semi.select("doc_id").collect())
+    assert semi_ids == inner_ids
