@@ -60,6 +60,19 @@ def _points_with_cell(
     return points, hex_cell_udf(res)(F.col(lat_col), F.col(lon_col))
 
 
+def _require_res_with_cell_col(res, cell_col) -> None:
+    """Ids embed their resolution in the top bits, so a precomputed
+    column at a different res than the probe side joins to NOTHING —
+    silently empty results (the s2_30 stale-column advice, one class
+    worse).  Auto-res + cell_col is therefore rejected outright."""
+    if cell_col is not None and res is None:
+        raise ValueError(
+            "cell_col requires an explicit res matching the stored "
+            "column (auto-res could silently pick a different one and "
+            "the join would return no rows)"
+        )
+
+
 def hex_radius_join(
     points: DataFrame,
     center_lat: float,
@@ -77,6 +90,7 @@ def hex_radius_join(
     (no join, no shuffle of the points side), then the exact haversine
     keeps true matches.  ``res=None`` auto-picks the finest resolution
     with <= 8 rings (hexgrid.res_for_radius)."""
+    _require_res_with_cell_col(res, cell_col)
     if res is None:
         res = hg.res_for_radius(center_lat, radius_m)
     k = hg.k_for_radius(center_lat, radius_m, res)
@@ -150,6 +164,7 @@ def hex_radius_join_bulk(
     (limit(N+1).count(), the ann_join policy, similarity.py:632): the
     exploded candidate relation is per-query-bounded by 3k(k+1)+1 so
     query count is the only unknown."""
+    _require_res_with_cell_col(res, cell_col)
     if res is None:
         if broadcast_queries is None:
             cap = 100_000

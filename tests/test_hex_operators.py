@@ -217,3 +217,17 @@ def test_hex_pip_semi_anti_partition_points(points, spark):
     )
     semi_ids = set(r["doc_id"] for r in semi.select("doc_id").collect())
     assert semi_ids == inner_ids
+
+
+def test_cell_col_requires_explicit_res(points):
+    df, _, _ = points
+    with pytest.raises(ValueError, match="explicit res"):
+        HJ.hex_radius_join(
+            df, BERLIN[0], BERLIN[1], 4000.0, cell_col="some_col"
+        )
+    qdf = df.sparkSession.createDataFrame(
+        [("q", BERLIN[0], BERLIN[1], 4000.0)],
+        "query_id string, qlat double, qlon double, radius_m double",
+    )
+    with pytest.raises(ValueError, match="explicit res"):
+        HJ.hex_radius_join_bulk(df, qdf, cell_col="some_col")
