@@ -107,15 +107,23 @@ def hex_radius_join(
     )
 
 
-def _k_col(qlat: F.Column, radius: F.Column, res: int) -> F.Column:
-    """Native-Column twin of hexgrid.k_for_radius (same formula; any
-    k >= the kernel's k keeps the covering guarantee)."""
-    s = hg.size(res)
+def _rho_col(qlat: F.Column, radius: F.Column) -> F.Column:
+    """Projected covering radius for a ground circle — the ONE shared
+    form of hexgrid.k_for_radius's bound (band selection and ring
+    sizing both call this; a tweak to the pole clamp or scale must
+    move both together or the covering guarantee desynchronizes)."""
     phi_max = F.least(
         F.lit(89.999999), F.abs(qlat) + radius / F.lit(hg.M_PER_DEG)
     )
     scale = F.lit(hg.M_PER_DEG) * F.cos(phi_max * F.lit(hg.RAD))
-    rho = radius / scale
+    return radius / scale
+
+
+def _k_col(qlat: F.Column, radius: F.Column, res: int) -> F.Column:
+    """Native-Column twin of hexgrid.k_for_radius (same formula; any
+    k >= the kernel's k keeps the covering guarantee)."""
+    s = hg.size(res)
+    rho = _rho_col(qlat, radius)
     k = F.ceil((rho + F.lit(2.0 * s)) / F.lit(1.5 * s)).cast("int")
     return F.greatest(F.lit(1), k)
 
@@ -169,13 +177,7 @@ def hex_radius_join_bulk(
         if broadcast_queries is None:
             cap = 100_000
             broadcast_queries = queries.limit(cap + 1).count() <= cap
-        phi_max = F.least(
-            F.lit(89.999999),
-            F.abs(F.col(qlat_col)) + F.col(radius_col) / F.lit(hg.M_PER_DEG),
-        )
-        rho = F.col(radius_col) / (
-            F.lit(hg.M_PER_DEG) * F.cos(phi_max * F.lit(hg.RAD))
-        )
+        rho = _rho_col(F.col(qlat_col), F.col(radius_col))
         s_needed = rho / F.lit(1.5 * target_k - 2.0)
         s0 = hg.size(0)
         rcol = F.greatest(
@@ -247,7 +249,10 @@ def hex_radius_join_bulk(
         "_qlon",
         "_radius",
         HX.hex_pack(res, cq, cr).alias("_ccell"),
-    )
+    ).dropDuplicates(["query_id", "_ccell"])
+    # the dedup is load-bearing when 2k+1 > ncols(res) (coarse res +
+    # huge radius): distinct (dq, dr) offsets wrap onto the same cell
+    # and would otherwise duplicate every matching (query, point) pair
     if broadcast_queries is None:
         cap = 100_000
         broadcast_queries = queries.limit(cap + 1).count() <= cap
@@ -335,7 +340,9 @@ def hex_knn(
             else:
                 nxt.append((qid, qlat, qlon))
         pending = nxt
-        ring *= 2
+        if ring >= max_ring:
+            break
+        ring = min(ring * 2, max_ring)  # land ON max_ring, not past it
     if pending:
         raise ValueError(
             f"hex_knn: {len(pending)} queries unresolved at max_ring="
@@ -485,6 +492,7 @@ def hex_pip_join(
     from ..fixtures import polygons_np
     from ..functions.udfs import make_pip_udf
 
+    _require_res_with_cell_col(res, cell_col)
     spark = points.sparkSession
     polys = polygons_np(polygons)
     rings_list = [
@@ -567,7 +575,7 @@ def hex_knn_bulk(
     cr = HX.hex_r(F.col("_qcell")) + F.col("_dr")
     cand = q.select(
         "query_id", "_qlat", "_qlon", HX.hex_pack(res, cq, cr).alias("_ccell")
-    )
+    ).dropDuplicates(["query_id", "_ccell"])  # wrap collisions, see bulk
     pts, cell = _points_with_cell(points, lat_col, lon_col, res, cell_col)
     dist = C.haversine(
         F.col(lat_col), F.col(lon_col), F.col("_qlat"), F.col("_qlon")
@@ -619,6 +627,7 @@ def hex_pip_semi_anti(
 
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"unsupported how={how!r}")
+    _require_res_with_cell_col(res, cell_col)
     spark = points.sparkSession
     polys = polygons_np(polygons)
     rings_list = [

@@ -231,3 +231,35 @@ def test_cell_col_requires_explicit_res(points):
     )
     with pytest.raises(ValueError, match="explicit res"):
         HJ.hex_radius_join_bulk(df, qdf, cell_col="some_col")
+
+
+def test_bulk_join_no_duplicates_at_wrapping_res(points, spark):
+    # res 0 has only 16 q-columns: a big-radius query's disk wraps and
+    # distinct (dq, dr) offsets collide on the same cell — output pairs
+    # must still be unique (the candidate dedup is load-bearing)
+    df, lat, lon = points
+    qdf = spark.createDataFrame(
+        [("q", 81.0, 10.0, 750000.0)],
+        "query_id string, qlat double, qlon double, radius_m double",
+    )
+    out = HJ.hex_radius_join_bulk(df, qdf, res=0, max_k=12).select(
+        "query_id", "doc_id"
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert len(rows) == len(set(rows))
+    assert set(r[1] for r in rows) == _brute_within(
+        lat, lon, 81.0, 10.0, 750000.0
+    )
+
+
+def test_pip_joins_reject_cell_col_without_res(points):
+    from geogeometry_spark.operators.hex_join import (
+        hex_pip_join,
+        hex_pip_semi_anti,
+    )
+
+    df, _, _ = points
+    with pytest.raises(ValueError, match="explicit res"):
+        hex_pip_join(df, cell_col="some_col")
+    with pytest.raises(ValueError, match="explicit res"):
+        hex_pip_semi_anti(df, "left_semi", cell_col="some_col")
