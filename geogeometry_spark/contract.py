@@ -26,6 +26,7 @@ from .functions import s2cell as S2
 from .kernels import hexgrid as hgk
 from .kernels import s2 as s2k
 from .operators import dedup, similarity, text
+from .operators import trajectory as traj
 from .operators.extract import extract_coordinates
 from .operators.knn import knn, knn_window
 from .operators.pip_join import pip_join, radius_join
@@ -2864,6 +2865,105 @@ def _hex_heatmap_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# §2.14 trajectory analytics (sessionize / trips / glitch / stays)
+# --------------------------------------------------------------------------
+
+# Deterministic fix stream derived from events by pure BIGINT
+# arithmetic (same doctrine as the documents coordinates): each user
+# has a home base; during 3 of every 4 hours (phase-shifted per user)
+# fixes jitter +/-0.02 deg around it, in the 4th hour the user is
+# parked at the exact base — so sessions, speeds, and stay runs all
+# have known structure both engines reproduce bit-for-bit.
+
+def _traj_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = src.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_sec")
+    )
+    uid, eid, ts = F.col("user_id"), F.col("event_id"), F.col("ts_sec")
+    base_lat = ((uid * 7919) % 170001 - 85000) / F.lit(1000.0)
+    base_lon = ((uid * 104729) % 350001 - 175000) / F.lit(1000.0)
+    moving = ((ts + uid * 977) % 14400) < 10800
+    jlat = ((eid * 31 + uid * 17) % 4001 - 2000).cast("double") / F.lit(1e5)
+    jlon = ((eid * 37 + uid * 23) % 4001 - 2000).cast("double") / F.lit(1e5)
+    zero = F.lit(0.0)
+    return ev.withColumns(
+        {
+            "lat": base_lat + F.when(moving, jlat).otherwise(zero),
+            "lon": base_lon + F.when(moving, jlon).otherwise(zero),
+        }
+    )
+
+
+_TS_SEC_SQL = "CAST(floor(epoch(ts)) AS BIGINT)"
+_TRAJ_MOVING_SQL = f"(({_TS_SEC_SQL} + user_id * 977) % 14400) < 10800"
+_TRAJ_SUBQ = (
+    "(SELECT event_id, user_id, "
+    f"{_TS_SEC_SQL} AS ts_sec, "
+    "(((user_id * 7919) % 170001 - 85000) / 1000.0) + "
+    f"(CASE WHEN {_TRAJ_MOVING_SQL} THEN "
+    "CAST((event_id * 31 + user_id * 17) % 4001 - 2000 AS DOUBLE) / 100000.0 "
+    "ELSE 0.0 END) AS lat, "
+    "(((user_id * 104729) % 350001 - 175000) / 1000.0) + "
+    f"(CASE WHEN {_TRAJ_MOVING_SQL} THEN "
+    "CAST((event_id * 37 + user_id * 23) % 4001 - 2000 AS DOUBLE) / 100000.0 "
+    "ELSE 0.0 END) AS lon "
+    "FROM events)"
+)
+
+
+def q_traj_sessions(spark, sf_dir):
+    """Sessionize each user's fix stream on a 12 h gap (trajectory.py):
+    gaps-and-islands over ONE user-partitioned window, integer-exact."""
+    pts = _traj_points(spark, sf_dir)
+    return traj.sessionize(pts, gap_s=43200).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+def _traj_sessions_oracle() -> str:
+    inner = traj.sessionize_oracle_sql(_TRAJ_SUBQ, gap_s=43200)
+    return f"SELECT event_id, user_id, session_id FROM ({inner})"
+
+
+def q_traj_trips(spark, sf_dir):
+    """Per-trip rollup: fix count, window, geodesic path length
+    (millimeter-quantized legs -> exact integer sum), average speed.
+    The aggregate reuses the sessionize window's user_id hash exchange."""
+    return traj.trip_stats(_traj_points(spark, sf_dir), gap_s=43200)
+
+
+def q_traj_speed(spark, sf_dir):
+    """GPS-glitch classification at 0.5 m/s: per-fix implied speed from
+    the previous fix (343 glitches / 9657 clean at sf0.01 — a
+    calibrated, nontrivial split)."""
+    out = traj.speed_filter(_traj_points(spark, sf_dir), max_speed_ms=0.5)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("speed_ms", 3).alias("speed_r3"),
+        "is_glitch",
+    )
+
+
+def _traj_speed_oracle() -> str:
+    inner = traj.speed_filter_oracle_sql(_TRAJ_SUBQ, max_speed_ms=0.5)
+    return (
+        "SELECT event_id, user_id, round(speed_ms, 3) AS speed_r3, "
+        f"is_glitch FROM ({inner})"
+    )
+
+
+def q_traj_stays(spark, sf_dir):
+    """Stay points: maximal runs of consecutive fixes with every leg
+    under 100 m, >= 2 fixes; centroid via integer micro-degree sums
+    (exact cross-engine).  The parked hours of the synthetic stream
+    guarantee zero-length legs, so stays exist by construction."""
+    return traj.stay_points(
+        _traj_points(spark, sf_dir), radius_m=100.0, min_fixes=2
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2958,6 +3058,10 @@ QUERIES = {
     "overlay_adversarial": q_overlay_adversarial,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
+    "traj_sessions": q_traj_sessions,
+    "traj_trips": q_traj_trips,
+    "traj_speed": q_traj_speed,
+    "traj_stays": q_traj_stays,
 }
 
 
@@ -3055,6 +3159,12 @@ def _static_oracles() -> dict[str, str]:
         "vincenty": _vincenty_oracle(),
         "utm_roundtrip": _utm_roundtrip_oracle(),
         "mgrs": _mgrs_oracle(),
+        "traj_sessions": _traj_sessions_oracle(),
+        "traj_trips": traj.trip_stats_oracle_sql(_TRAJ_SUBQ, gap_s=43200),
+        "traj_speed": _traj_speed_oracle(),
+        "traj_stays": traj.stay_points_oracle_sql(
+            _TRAJ_SUBQ, radius_m=100.0, min_fixes=2
+        ),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -1,0 +1,331 @@
+"""Trajectory analytics over per-entity point streams.
+
+The reference library computes per-pair geodesic primitives (haversine,
+headings, translate — GeoGeometry.kt:565-608, 1121-1139); this module
+lifts them to the *sequence* level a fleet/mobility corpus needs at
+100 TB: sessionization (split a user's stream into trips on a time
+gap), per-trip stats (geodesic length, duration, average speed),
+GPS-glitch filtering (impossible inter-fix speeds), and stay-point
+detection (runs of consecutive fixes inside a radius).
+
+Scale design: every operator here is pure native Column algebra over
+ONE window partitioned by the entity key — a single hash shuffle on
+``user_col``, no UDFs, no driver loops, full whole-stage codegen.
+Per-trip aggregates ride the same partitioning (group keys start with
+``user_col``), so Catalyst reuses the exchange instead of adding a
+second one.  Nothing in this file is sensitive to per-user fix counts
+except linearly, and skewed users are bounded by the corpus (a user
+emits fixes at human rates), so no salting is needed.
+
+Float determinism: geodesic leg lengths go through libm trig, so
+cross-engine-exact aggregates quantize each leg to integer millimeters
+(``round(m * 1000)`` as BIGINT) BEFORE summing — integer sums are
+associative, immune to Spark's partial-agg reassociation, and the
+DuckDB oracle twin can reproduce them bit-for-bit.  The same trick
+makes stay-point centroids exact (integer micro-degree sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import columns as C
+
+__all__ = [
+    "sessionize",
+    "trip_stats",
+    "speed_filter",
+    "stay_points",
+]
+
+
+def _seq_window(user_col: str, ts_col: str, id_col: str) -> Window:
+    # id_col breaks ties when two fixes share a (truncated-to-second)
+    # timestamp, so both engines see the same total order.
+    return Window.partitionBy(user_col).orderBy(ts_col, id_col)
+
+
+def sessionize(
+    points: DataFrame,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Split each user's ordered fix stream into sessions (trips): a new
+    session starts at the first fix and whenever the gap to the previous
+    fix exceeds ``gap_s`` seconds.  Adds ``session_id`` (1-based per
+    user, BIGINT) — the gaps-and-islands cumulative-break-count pattern,
+    one partitioned window, no shuffle beyond the user_col exchange.
+
+    ``ts_col`` must be integer epoch seconds (exact comparisons; no FP).
+    """
+    w = _seq_window(user_col, ts_col, id_col)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    brk = F.when(gap.isNull() | (gap > F.lit(gap_s)), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return points.withColumn(
+        "session_id",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def sessionize_oracle_sql(
+    subq: str,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`sessionize`: same break flag, same running
+    sum, same (ts, id) total order.  ``subq`` is any relation exposing
+    the three columns (plus whatever payload should ride along)."""
+    return (
+        f"SELECT *, sum(CASE WHEN gap_s_prev IS NULL OR gap_s_prev > {gap_s} "
+        f"THEN 1 ELSE 0 END) OVER (PARTITION BY {user_col} "
+        f"ORDER BY {ts_col}, {id_col} ROWS UNBOUNDED PRECEDING) AS session_id "
+        f"FROM (SELECT *, {ts_col} - lag({ts_col}) OVER "
+        f"(PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}) AS gap_s_prev "
+        f"FROM {subq})"
+    )
+
+
+def _leg_mm(
+    lat_col: str, lon_col: str, w: Window
+) -> Column:
+    """Geodesic distance from the previous fix, quantized to integer
+    millimeters (NULL on each user's first fix).  Quantizing per leg —
+    a deterministic per-row value — makes downstream SUMs exact integer
+    arithmetic, so trip distances hash-match the oracle regardless of
+    Spark's partial-aggregate combine order."""
+    plat = F.lag(lat_col).over(w)
+    plon = F.lag(lon_col).over(w)
+    leg = C.haversine(plat, plon, F.col(lat_col), F.col(lon_col))
+    return F.round(leg * F.lit(1000.0)).cast("long")
+
+
+def _leg_mm_sql(lat: str, lon: str, part: str) -> str:
+    plat = f"lag({lat}) OVER ({part})"
+    plon = f"lag({lon}) OVER ({part})"
+    hav = C.haversine_sql(plat, plon, lat, lon)
+    return f"CAST(round(({hav}) * 1000.0) AS BIGINT)"
+
+
+def trip_stats(
+    points: DataFrame,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Sessionize, then aggregate each session into one trip row:
+    fix count, start/end epoch, duration, geodesic path length (sum of
+    consecutive-fix haversine legs, millimeter-exact), and average
+    moving speed in m/s (NULL for zero-duration trips instead of a
+    divide-by-zero).  Legs are computed WITHIN a session — the first
+    fix of each session contributes no carry-over leg from the previous
+    trip.  Group keys start with ``user_col`` so the aggregate reuses
+    the window's hash partitioning (one exchange total)."""
+    w = _seq_window(user_col, ts_col, id_col)
+    sess = sessionize(points, gap_s, user_col, ts_col, id_col)
+    ws = Window.partitionBy(user_col, "session_id").orderBy(ts_col, id_col)
+    sess = sess.withColumn("_leg_mm", _leg_mm(lat_col, lon_col, ws))
+    out = sess.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_fixes"),
+        F.min(ts_col).alias("start_s"),
+        F.max(ts_col).alias("end_s"),
+        F.coalesce(F.sum("_leg_mm"), F.lit(0).cast("long")).alias("dist_mm"),
+    )
+    dur = F.col("end_s") - F.col("start_s")
+    dist_m = F.col("dist_mm") / F.lit(1000.0)
+    return out.select(
+        user_col,
+        "session_id",
+        "n_fixes",
+        "start_s",
+        "end_s",
+        dur.alias("duration_s"),
+        F.round(dist_m, 3).alias("dist_m_r3"),
+        F.round(
+            F.when(dur > 0, dist_m / dur.cast("double")), 3
+        ).alias("speed_ms_r3"),
+    )
+
+
+def trip_stats_oracle_sql(
+    subq: str,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    sess = sessionize_oracle_sql(subq, gap_s, user_col, ts_col, id_col)
+    part = (
+        f"PARTITION BY {user_col}, session_id ORDER BY {ts_col}, {id_col}"
+    )
+    leg = _leg_mm_sql(lat, lon, part)
+    return (
+        f"SELECT {user_col}, session_id, count(*) AS n_fixes, "
+        f"min({ts_col}) AS start_s, max({ts_col}) AS end_s, "
+        f"max({ts_col}) - min({ts_col}) AS duration_s, "
+        f"round(coalesce(sum(leg_mm), 0) / 1000.0, 3) AS dist_m_r3, "
+        f"round(CASE WHEN max({ts_col}) > min({ts_col}) THEN "
+        f"(coalesce(sum(leg_mm), 0) / 1000.0) / "
+        f"CAST(max({ts_col}) - min({ts_col}) AS DOUBLE) END, 3) "
+        f"AS speed_ms_r3 "
+        f"FROM (SELECT *, {leg} AS leg_mm FROM ({sess})) "
+        f"GROUP BY {user_col}, session_id"
+    )
+
+
+def speed_filter(
+    points: DataFrame,
+    max_speed_ms: float = 0.5,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """GPS-glitch classifier: a fix is a glitch when the speed implied
+    by the leg from the previous fix exceeds ``max_speed_ms`` (a jump no
+    plausible motion explains).  Adds ``speed_ms`` (NULL on each user's
+    first fix; gaps clamped to >= 1 s so same-second double fixes don't
+    divide by zero) and ``is_glitch``.  Classification only — callers
+    drop or keep; a cleaning pipeline typically re-runs trip_stats on
+    ``~is_glitch`` fixes.  Speed is millimeter-quantized before the
+    divide so the threshold compare is exact cross-engine."""
+    w = _seq_window(user_col, ts_col, id_col)
+    leg_mm = _leg_mm(lat_col, lon_col, w)
+    gap = F.greatest(
+        F.col(ts_col) - F.lag(ts_col).over(w), F.lit(1).cast("long")
+    )
+    speed = leg_mm.cast("double") / F.lit(1000.0) / gap.cast("double")
+    return points.withColumns(
+        {
+            "speed_ms": speed,
+            "is_glitch": F.coalesce(
+                speed > F.lit(max_speed_ms), F.lit(False)
+            ),
+        }
+    )
+
+
+def speed_filter_oracle_sql(
+    subq: str,
+    max_speed_ms: float = 0.5,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    part = f"PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}"
+    leg = _leg_mm_sql(lat, lon, part)
+    gap = (
+        f"greatest({ts_col} - lag({ts_col}) OVER ({part}), CAST(1 AS BIGINT))"
+    )
+    return (
+        f"SELECT *, "
+        f"coalesce(speed_ms > {max_speed_ms!r}, false) AS is_glitch "
+        f"FROM (SELECT *, CAST({leg} AS DOUBLE) / 1000.0 / "
+        f"CAST({gap} AS DOUBLE) AS speed_ms FROM {subq})"
+    )
+
+
+def stay_points(
+    points: DataFrame,
+    radius_m: float = 100.0,
+    min_fixes: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Stay-point detection: maximal runs of consecutive fixes where
+    every consecutive leg is under ``radius_m``, reported when the run
+    has at least ``min_fixes`` fixes.  Emits one row per stay with the
+    dwell window and the centroid (integer micro-degree mean — exact
+    cross-engine; 1 µdeg ≈ 0.11 m, far inside any stay radius).
+
+    This is the chained-leg (consecutive-pair) formulation — O(n) with
+    one window pass, the scalable choice; the classic Li et al. 2008
+    anchor formulation (every fix within radius of the FIRST fix) needs
+    per-anchor lookahead and is not a window expression.  A chained run
+    can drift farther than ``radius_m`` end-to-end; callers needing the
+    anchor semantics post-filter stays by centroid distance."""
+    w = _seq_window(user_col, ts_col, id_col)
+    leg_mm = _leg_mm(lat_col, lon_col, w)
+    brk = F.when(
+        leg_mm.isNull() | (leg_mm >= F.lit(float(radius_m) * 1000.0)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = points.withColumn(
+        "_run",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    udeg_lat = F.round(F.col(lat_col) * F.lit(1e6)).cast("long")
+    udeg_lon = F.round(F.col(lon_col) * F.lit(1e6)).cast("long")
+    out = (
+        runs.withColumns({"_ula": udeg_lat, "_ulo": udeg_lon})
+        .groupBy(user_col, "_run")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.min(ts_col).alias("start_s"),
+            F.max(ts_col).alias("end_s"),
+            F.sum("_ula").alias("_sla"),
+            F.sum("_ulo").alias("_slo"),
+        )
+        .where(F.col("n_fixes") >= F.lit(min_fixes))
+    )
+    n = F.col("n_fixes").cast("double")
+    return out.select(
+        user_col,
+        F.col("_run").alias("stay_seq"),
+        "n_fixes",
+        "start_s",
+        "end_s",
+        (F.col("end_s") - F.col("start_s")).alias("dwell_s"),
+        F.round(F.col("_sla") / n / F.lit(1e6), 6).alias("clat_r6"),
+        F.round(F.col("_slo") / n / F.lit(1e6), 6).alias("clon_r6"),
+    )
+
+
+def stay_points_oracle_sql(
+    subq: str,
+    radius_m: float = 100.0,
+    min_fixes: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    part = f"PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}"
+    leg = _leg_mm_sql(lat, lon, part)
+    thresh = repr(float(radius_m) * 1000.0)
+    return (
+        f"SELECT {user_col}, run AS stay_seq, count(*) AS n_fixes, "
+        f"min({ts_col}) AS start_s, max({ts_col}) AS end_s, "
+        f"max({ts_col}) - min({ts_col}) AS dwell_s, "
+        f"round(sum(ula) / CAST(count(*) AS DOUBLE) / 1e6, 6) AS clat_r6, "
+        f"round(sum(ulo) / CAST(count(*) AS DOUBLE) / 1e6, 6) AS clon_r6 "
+        f"FROM (SELECT *, sum(CASE WHEN leg_mm IS NULL OR "
+        f"leg_mm >= {thresh} THEN 1 ELSE 0 END) OVER "
+        f"({part} ROWS UNBOUNDED PRECEDING) AS run "
+        f"FROM (SELECT *, {leg} AS leg_mm, "
+        f"CAST(round(({lat}) * 1e6) AS BIGINT) AS ula, "
+        f"CAST(round(({lon}) * 1e6) AS BIGINT) AS ulo FROM {subq})) "
+        f"GROUP BY {user_col}, run HAVING count(*) >= {min_fixes}"
+    )

@@ -1,0 +1,179 @@
+"""Unit tests for operators/trajectory.py on hand-built micro-fixtures
+with known session boundaries, leg lengths, glitches, and stay runs.
+The contract queries (traj_sessions/trips/speed/stays) pin the operators
+against DuckDB at sf0.01+sf0.1; these tests pin the SEMANTICS on inputs
+small enough to verify by hand."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from geogeometry_spark.operators import trajectory as tj
+from geogeometry_spark.kernels.geometry import haversine_scalar
+
+SCHEMA = "event_id long, user_id long, ts_sec long, lat double, lon double"
+
+# Berlin-ish points with known geodesic separations.
+A = (52.5200, 13.4050)
+B = (52.5209, 13.4050)  # ~100.1 m due north of A
+C = (52.6100, 13.4050)  # ~10 km north of A
+
+
+def _fix(i, u, t, p):
+    return (i, u, t, p[0], p[1])
+
+
+def test_sessionize_breaks_on_gap(spark):
+    rows = [
+        _fix(1, 7, 1000, A),
+        _fix(2, 7, 1500, A),       # gap 500 < 600 -> same session
+        _fix(3, 7, 2200, B),       # gap 700 > 600 -> new session
+        _fix(4, 7, 2300, B),
+        _fix(5, 9, 1000, C),       # other user: own numbering
+    ]
+    out = (
+        tj.sessionize(spark.createDataFrame(rows, SCHEMA), gap_s=600)
+        .select("event_id", "session_id")
+        .collect()
+    )
+    got = {r.event_id: r.session_id for r in out}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_ties_broken_by_id(spark):
+    # two fixes in the same (truncated) second: deterministic order by id
+    rows = [_fix(2, 1, 1000, B), _fix(1, 1, 1000, A), _fix(3, 1, 5000, C)]
+    out = tj.sessionize(
+        spark.createDataFrame(rows, SCHEMA), gap_s=600
+    ).collect()
+    by_id = {r.event_id: r.session_id for r in out}
+    assert by_id == {1: 1, 2: 1, 3: 2}
+
+
+def test_trip_stats_distance_and_speed(spark):
+    d_ab = haversine_scalar(A[0], A[1], B[0], B[1])
+    rows = [
+        _fix(1, 7, 0, A),
+        _fix(2, 7, 50, B),
+        _fix(3, 7, 100, A),
+        _fix(4, 7, 10_000, C),  # gap 9900 > 600 -> second session
+    ]
+    out = tj.trip_stats(
+        spark.createDataFrame(rows, SCHEMA), gap_s=600
+    ).orderBy("session_id")
+    t1, t2 = out.collect()
+    assert (t1.n_fixes, t1.start_s, t1.end_s, t1.duration_s) == (3, 0, 100, 100)
+    # two legs A->B->A, each mm-quantized before the sum
+    exp = 2 * round(d_ab * 1000.0) / 1000.0
+    assert t1.dist_m_r3 == pytest.approx(exp, abs=1e-9)
+    assert t1.speed_ms_r3 == pytest.approx(round(exp / 100.0, 3), abs=1e-9)
+    # single-fix trip: zero distance, NULL speed (no divide-by-zero)
+    assert (t2.n_fixes, t2.dist_m_r3, t2.speed_ms_r3) == (1, 0.0, None)
+
+
+def test_speed_filter_flags_impossible_jump(spark):
+    rows = [
+        _fix(1, 7, 0, A),
+        _fix(2, 7, 100, B),     # ~100 m in 100 s = ~1 m/s -> ok at 5 m/s
+        _fix(3, 7, 200, C),     # ~9.9 km in 100 s = ~99 m/s -> glitch
+        _fix(4, 7, 200, C),     # same second: gap clamped to 1 s, leg 0
+    ]
+    out = tj.speed_filter(
+        spark.createDataFrame(rows, SCHEMA), max_speed_ms=5.0
+    ).orderBy("event_id").collect()
+    assert [r.is_glitch for r in out] == [False, False, True, False]
+    assert out[0].speed_ms is None           # first fix: no previous leg
+    assert out[1].speed_ms == pytest.approx(1.0, abs=0.1)
+    assert out[3].speed_ms == 0.0            # clamped gap, zero leg
+
+
+def test_stay_points_run_and_centroid(spark):
+    rows = [
+        _fix(1, 7, 0, A),
+        _fix(2, 7, 600, A),      # leg 0 -> continues run
+        _fix(3, 7, 1200, B),     # ~100.1 m -> breaks (>= 100 m)
+        _fix(4, 7, 1800, B),     # leg 0 -> new run with fix 3
+        _fix(5, 7, 2400, C),     # far -> singleton run (filtered, n=1)
+    ]
+    out = tj.stay_points(
+        spark.createDataFrame(rows, SCHEMA), radius_m=100.0, min_fixes=2
+    ).orderBy("start_s").collect()
+    assert [(r.n_fixes, r.start_s, r.end_s, r.dwell_s) for r in out] == [
+        (2, 0, 600, 600),
+        (2, 1200, 1800, 600),
+    ]
+    assert out[0].clat_r6 == pytest.approx(A[0], abs=1e-6)
+    assert out[1].clat_r6 == pytest.approx(B[0], abs=1e-6)
+    assert out[0].clon_r6 == pytest.approx(A[1], abs=1e-6)
+
+
+def test_stay_points_chained_drift_documented(spark):
+    # chained formulation: 3 fixes each 60 m apart pass pairwise even
+    # though end-to-end drift is ~120 m — documented semantics.
+    step = 60.0 / 111_194.9  # ~60 m of latitude
+    rows = [
+        _fix(i, 7, i * 10, (52.0 + i * step, 13.0)) for i in range(1, 4)
+    ]
+    out = tj.stay_points(
+        spark.createDataFrame(rows, SCHEMA), radius_m=100.0, min_fixes=3
+    ).collect()
+    assert len(out) == 1 and out[0].n_fixes == 3
+
+
+@pytest.fixture()
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def test_oracle_twins_match_duckdb(spark, duck):
+    import pandas as pd
+
+    rows = [
+        (i, i % 3, ((i * 137) % 4000) + (i // 3) * 400,
+         50.0 + ((i * 31) % 9) * 0.002, 13.0 + ((i * 17) % 9) * 0.002)
+        for i in range(90)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts_sec", "lat", "lon"]
+    )
+    duck.register("fixes", pdf)
+    df = spark.createDataFrame(pdf)
+
+    def canon(rows):
+        return sorted(tuple(r) for r in rows)
+
+    # sessionize
+    s_spark = tj.sessionize(df, gap_s=500).select(
+        "event_id", "session_id"
+    ).collect()
+    s_duck = duck.sql(
+        "SELECT event_id, session_id FROM ("
+        + tj.sessionize_oracle_sql("fixes", gap_s=500)
+        + ")"
+    ).fetchall()
+    assert canon(s_spark) == canon(s_duck)
+    # trip stats
+    t_spark = tj.trip_stats(df, gap_s=500).collect()
+    t_duck = duck.sql(tj.trip_stats_oracle_sql("fixes", gap_s=500)).fetchall()
+    assert canon(t_spark) == canon(t_duck)
+    # speed filter
+    v_spark = tj.speed_filter(df, max_speed_ms=0.2).select(
+        "event_id", F.round("speed_ms", 6), "is_glitch"
+    ).collect()
+    v_duck = duck.sql(
+        "SELECT event_id, round(speed_ms, 6), is_glitch FROM ("
+        + tj.speed_filter_oracle_sql("fixes", max_speed_ms=0.2)
+        + ")"
+    ).fetchall()
+    assert canon(v_spark) == canon(v_duck)
+    # stay points
+    y_spark = tj.stay_points(df, radius_m=400.0, min_fixes=2).collect()
+    y_duck = duck.sql(
+        tj.stay_points_oracle_sql("fixes", radius_m=400.0, min_fixes=2)
+    ).fetchall()
+    assert canon(y_spark) == canon(y_duck)
