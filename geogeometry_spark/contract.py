@@ -2963,6 +2963,41 @@ def q_traj_stays(spark, sf_dir):
     )
 
 
+def q_hotspot_gi(spark, sf_dir):
+    """Getis-Ord Gi* hot/cold z-scores over z8 tile bins of the fix
+    stream (operators/hotspot.py): occupied-cell lattice, 9-address
+    neighbor spread, pinned-order scalar stats."""
+    from .operators.hotspot import getis_ord_gi
+
+    return getis_ord_gi(_traj_points(spark, sf_dir), zoom=8)
+
+
+def q_grid_dbscan(spark, sf_dir):
+    """Grid-bucketed DBSCAN (min_pts=1 / eps-linkage) at eps=50 m over
+    the fix stream: coincident-fix collapse -> z16 tile bucketing ->
+    9-cell candidate join -> geodesic cutoff -> distributed connected
+    components (operators/cluster.py).  Parked fixes give every user a
+    base-position clique by construction; jitter adds sparse bridges."""
+    from .operators.cluster import grid_dbscan
+
+    out = grid_dbscan(_traj_points(spark, sf_dir), eps_m=50.0)
+    return out.select("event_id", "user_id", "cluster_id")
+
+
+def _hotspot_gi_oracle() -> str:
+    from .operators.hotspot import getis_ord_gi_oracle_sql
+
+    return getis_ord_gi_oracle_sql(_TRAJ_SUBQ, zoom=8)
+
+
+def _grid_dbscan_oracle() -> str:
+    from .operators.cluster import grid_dbscan_oracle_sql
+
+    return grid_dbscan_oracle_sql(
+        _TRAJ_SUBQ, eps_m=50.0, select_cols="k.event_id, k.user_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3062,6 +3097,8 @@ QUERIES = {
     "traj_trips": q_traj_trips,
     "traj_speed": q_traj_speed,
     "traj_stays": q_traj_stays,
+    "hotspot_gi": q_hotspot_gi,
+    "grid_dbscan": q_grid_dbscan,
 }
 
 
@@ -3165,6 +3202,8 @@ def _static_oracles() -> dict[str, str]:
         "traj_stays": traj.stay_points_oracle_sql(
             _TRAJ_SUBQ, radius_m=100.0, min_fixes=2
         ),
+        "grid_dbscan": _grid_dbscan_oracle(),
+        "hotspot_gi": _hotspot_gi_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

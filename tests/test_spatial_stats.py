@@ -1,0 +1,190 @@
+"""Unit tests for operators/hotspot.py (Getis-Ord Gi*) and
+operators/cluster.py (grid-bucketed DBSCAN) on hand-built fixtures:
+neighbor accounting, hot/cold signs, cell-boundary and antimeridian
+adjacency, coincident-point collapse, and the DuckDB twins."""
+
+import math
+
+import pytest
+
+from geogeometry_spark.operators.cluster import (
+    dbscan_zoom_for_eps,
+    grid_dbscan,
+    grid_dbscan_oracle_sql,
+)
+from geogeometry_spark.operators.hotspot import (
+    getis_ord_gi,
+    getis_ord_gi_oracle_sql,
+)
+
+SCHEMA = "event_id long, user_id long, lat double, lon double"
+
+
+@pytest.fixture()
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+# --------------------------------------------------------------------------
+# Gi*
+# --------------------------------------------------------------------------
+
+def test_gi_neighbor_accounting_and_signs(spark):
+    # zoom 8: Berlin cell, its east neighbor, and a far cell.
+    rows = (
+        [(i, 1, 52.52, 13.40) for i in range(5)]          # hot cell: 5
+        + [(10, 1, 52.52, 14.80)]                          # east neighbor: 1
+        + [(11, 1, -33.90, 151.20)]                        # Sydney: 1
+    )
+    out = getis_ord_gi(
+        spark.createDataFrame(rows, SCHEMA), zoom=8
+    ).collect()
+    by_cnt = {r.cnt: r for r in out}
+    assert len(out) == 3
+    hot = by_cnt[5]
+    assert (hot.w_n, hot.g_sum) == (2, 6)       # self + east neighbor
+    far = [r for r in out if r.cnt == 1 and r.w_n == 1][0]
+    assert far.g_sum == 1
+    assert hot.gi_r3 > 0 and far.gi_r3 < 0      # hot vs cold sign
+    # n=3, xbar=7/3, sdev=sqrt(9-49/9): z = +/- 0.707 by hand
+    assert hot.gi_r3 == pytest.approx(0.707, abs=1e-3)
+    assert far.gi_r3 == pytest.approx(-0.707, abs=1e-3)
+
+
+def test_gi_antimeridian_neighbors_wrap(spark):
+    # same latitude, straddling lon 180: tiles x=0 and x=2^z-1 must see
+    # each other through the pmod wrap.
+    rows = [(1, 1, 10.0, 179.9), (2, 1, 10.0, -179.9), (3, 1, 10.0, 0.0)]
+    out = getis_ord_gi(spark.createDataFrame(rows, SCHEMA), zoom=8)
+    ws = {(r.tx, r.ty): r.w_n for r in out.collect()}
+    n = 1 << 8
+    seam = [w for (tx, _), w in ws.items() if tx in (0, n - 1)]
+    assert seam == [2, 2]                       # each sees the other
+
+
+def test_gi_degenerate_inputs(spark):
+    # single occupied cell -> z undefined (NULL), no crash
+    rows = [(1, 1, 52.52, 13.40), (2, 1, 52.52, 13.41)]
+    out = getis_ord_gi(spark.createDataFrame(rows, SCHEMA), zoom=8).collect()
+    assert len(out) == 1 and out[0].gi_r3 is None
+    # two cells with EQUAL counts -> zero variance -> NULL everywhere
+    rows = [(1, 1, 52.52, 13.40), (2, 1, -33.90, 151.20)]
+    out = getis_ord_gi(spark.createDataFrame(rows, SCHEMA), zoom=8).collect()
+    assert [r.gi_r3 for r in out] == [None, None]
+
+
+def test_gi_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    rows = [
+        (i, i % 5, ((i * 37) % 140) - 70 + 0.5, ((i * 53) % 340) - 170 + 0.5)
+        for i in range(300)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "lat", "lon"])
+    duck.register("pts", pdf)
+    got = sorted(
+        tuple(r) for r in getis_ord_gi(
+            spark.createDataFrame(pdf), zoom=4
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in duck.sql(
+            getis_ord_gi_oracle_sql("pts", zoom=4)
+        ).fetchall()
+    )
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# grid DBSCAN
+# --------------------------------------------------------------------------
+
+def test_dbscan_zoom_selection():
+    # eps 50 m at full Mercator range -> z16 (611 m equator cells,
+    # ~53 m at lat 85.05); eps 5 km -> z9
+    assert dbscan_zoom_for_eps(50.0, 85.05112878) == 16
+    assert dbscan_zoom_for_eps(5000.0, 45.0) == 12
+    assert dbscan_zoom_for_eps(1e9, 0.0) == 0
+
+
+def test_dbscan_zoom_validation():
+    # validation happens before any DataFrame work, so None is fine
+    with pytest.raises(ValueError, match="coarser zoom"):
+        grid_dbscan(None, eps_m=5000.0, zoom=16)
+
+
+def test_dbscan_chain_and_singleton(spark):
+    # chain A-B-C with ~40 m legs (A-C ~80 m > eps? no: eps-linkage is
+    # transitive, so all three join one cluster), plus a far singleton
+    # and a coincident duplicate of A that must collapse to A's rep.
+    step = 40.0 / 111_194.9
+    rows = [
+        (1, 1, 52.0, 13.0),
+        (2, 1, 52.0 + step, 13.0),
+        (3, 1, 52.0 + 2 * step, 13.0),
+        (4, 1, 52.0, 13.0),          # coincident with 1
+        (9, 1, 55.0, 20.0),          # singleton
+    ]
+    out = grid_dbscan(
+        spark.createDataFrame(rows, SCHEMA), eps_m=50.0
+    ).collect()
+    lab = {r.event_id: r.cluster_id for r in out}
+    assert lab[1] == lab[2] == lab[3] == lab[4] == 1
+    assert lab[9] == 9
+
+
+def test_dbscan_pair_across_cell_boundary_and_seam(spark):
+    # pair straddling the antimeridian, ~67 m apart at lat 0: the
+    # x-wrap pmod must let tiles 0 and 2^z-1 exchange candidates.
+    rows = [
+        (1, 1, 0.0, 179.9997),
+        (2, 1, 0.0, -179.9997),
+        (3, 1, 0.0, 90.0),
+    ]
+    out = grid_dbscan(
+        spark.createDataFrame(rows, SCHEMA), eps_m=70.0
+    ).collect()
+    lab = {r.event_id: r.cluster_id for r in out}
+    assert lab[1] == lab[2] == 1 and lab[3] == 3
+
+
+def test_dbscan_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    # lumpy synthetic: 60 points in 6 lumps of ~30 m spread + noise
+    rows = []
+    for i in range(90):
+        lump = i % 6
+        base_lat = 50.0 + lump * 0.01
+        base_lon = 13.0 + ((lump * 7) % 5) * 0.01
+        if i < 60:
+            rows.append(
+                (i, lump, base_lat + ((i * 31) % 5) * 1e-4,
+                 base_lon + ((i * 17) % 5) * 1e-4)
+            )
+        else:
+            rows.append(
+                (i, lump, base_lat + ((i * 13) % 97) * 1e-3,
+                 base_lon + ((i * 41) % 89) * 1e-3)
+            )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "lat", "lon"])
+    duck.register("pts", pdf)
+    got = sorted(
+        (r.event_id, r.cluster_id)
+        for r in grid_dbscan(
+            spark.createDataFrame(pdf), eps_m=60.0
+        ).select("event_id", "cluster_id").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.sql(
+            grid_dbscan_oracle_sql(
+                "pts", eps_m=60.0, select_cols="k.event_id"
+            )
+        ).fetchall()
+    )
+    assert got == want
