@@ -492,6 +492,40 @@ def main() -> None:
 
     timed("overlay_join_100k_x_150", overlay_run, runs=3, warmup=True)
 
+    # --- trajectory + spatial stats at 5M fixes -------------------------
+    # 50k users x 100 fixes (sources.tables.synthetic_fixes — same
+    # moving/parked arithmetic as the contract's events stream).
+    # trip_stats: the window family's scale shape (ONE user_id hash
+    # exchange, aggregates reuse it); grid_dbscan: collapse -> z16
+    # bucket join -> eps graph -> connected components; hotspot_gi:
+    # z8 Gi* z-scores (cell-relation 9x spread, never point-relation).
+    from geogeometry_spark.operators.cluster import grid_dbscan
+    from geogeometry_spark.operators.hotspot import getis_ord_gi
+    from geogeometry_spark.operators.trajectory import trip_stats
+    from geogeometry_spark.sources.tables import synthetic_fixes
+
+    fixes = synthetic_fixes(spark, 50_000, 100).localCheckpoint()
+    n_fixes = fixes.count()
+
+    def traj_trips_5m():
+        trip_stats(fixes, gap_s=43200).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def dbscan_5m():
+        grid_dbscan(fixes, eps_m=50.0).select(
+            "event_id", "cluster_id"
+        ).write.format("noop").mode("overwrite").save()
+
+    def hotspot_5m():
+        getis_ord_gi(fixes, zoom=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("traj_trips_5m", traj_trips_5m, runs=3, warmup=True)
+    timed("grid_dbscan_5m", dbscan_5m, runs=1, warmup=True)
+    timed("hotspot_gi_5m", hotspot_5m, runs=3, warmup=True)
+
     # Full payload (spreads, ann kernel rates) goes to a FILE; stdout gets
     # a compact one-line summary as the LAST line.  The driver captures a
     # bounded tail of stdout, and the r3 full line (~3 KB with spread

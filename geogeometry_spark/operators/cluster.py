@@ -104,17 +104,28 @@ def grid_dbscan(
         tx.alias("_tx"), ty.alias("_ty"),
     )
 
+    # forward-neighbor halving: each unordered cell pair is probed from
+    # exactly ONE side — (0,0) within-cell (deduped by pos order) plus
+    # the four forward directions E/NE/N/NW (one of {v, -v} per axis) —
+    # so the candidate join ships 5/9 of the naive 3x3 spread.  The
+    # edge SET is identical; connected_components treats edges as
+    # undirected, so labels are unchanged (and the 9-offset oracle twin
+    # closes over the same graph).
     offs = F.array(
         *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(dx == 0 and dy == 0).alias("same"),
+            )
+            for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1))
         ]
     )
     probe = reps.withColumn("_o", F.explode(offs)).select(
         F.col("_pos").alias("_pa"),
         F.col("_rlat").alias("_lata"),
         F.col("_rlon").alias("_lona"),
+        F.col("_o.same").alias("_same"),
         F.pmod(F.col("_tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("_nx"),
         (F.col("_ty") + F.col("_o.dy")).alias("_ny"),
     )
@@ -128,9 +139,12 @@ def grid_dbscan(
     dist = C.haversine(
         F.col("_lata"), F.col("_lona"), F.col("_latb"), F.col("_lonb")
     )
+    pair_ok = F.when(F.col("_same"), F.col("_pa") < F.col("_pb")).otherwise(
+        F.col("_pa") != F.col("_pb")
+    )
     edges = (
         probe.join(build, ["_nx", "_ny"])
-        .where((F.col("_pa") < F.col("_pb")) & (dist <= F.lit(float(eps_m))))
+        .where(pair_ok & (dist <= F.lit(float(eps_m))))
         .select(F.col("_pa").alias("id_a"), F.col("_pb").alias("id_b"))
     )
     comp = connected_components(edges)

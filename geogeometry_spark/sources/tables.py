@@ -128,6 +128,41 @@ def amplified_documents(
     )
 
 
+def synthetic_fixes(
+    spark: SparkSession, n_users: int, fixes_per_user: int
+) -> DataFrame:
+    """Deterministic trajectory fix stream at bench scale — the same
+    moving/parked arithmetic as the contract's events-derived stream
+    (contract._traj_points), generated from spark.range so trajectory/
+    clustering operators can be measured at 5M+ fixes without external
+    data.  Each user emits one fix per 1800 s (plus a per-row skew so
+    ties are rare), phase-shifted parking, +/-0.02 deg jitter while
+    moving.  Columns: event_id, user_id, ts_sec, lat, lon."""
+    n = n_users * fixes_per_user
+    base = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % n_users).alias("user_id"),
+        (
+            F.lit(1704067200)
+            + (F.col("id") / n_users).cast("long") * F.lit(1800)
+            + (F.col("id") % 997)
+        ).alias("ts_sec"),
+    )
+    uid, eid, ts = F.col("user_id"), F.col("event_id"), F.col("ts_sec")
+    base_lat = ((uid * 7919) % 170001 - 85000) / F.lit(1000.0)
+    base_lon = ((uid * 104729) % 350001 - 175000) / F.lit(1000.0)
+    moving = ((ts + uid * 977) % 14400) < 10800
+    jlat = ((eid * 31 + uid * 17) % 4001 - 2000).cast("double") / F.lit(1e5)
+    jlon = ((eid * 37 + uid * 23) % 4001 - 2000).cast("double") / F.lit(1e5)
+    zero = F.lit(0.0)
+    return base.withColumns(
+        {
+            "lat": base_lat + F.when(moving, jlat).otherwise(zero),
+            "lon": base_lon + F.when(moving, jlon).otherwise(zero),
+        }
+    )
+
+
 def documents_with_spans(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:

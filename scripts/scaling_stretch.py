@@ -152,9 +152,67 @@ def measure_cc(cpus: int) -> dict:
             "edges_per_sec": round(n_edges / best, 1)}
 
 
+def measure_traj(cpus: int) -> dict:
+    """trip_stats at 5M fixes: the window family's scaling shape (one
+    user_id hash exchange reused by the aggregate)."""
+    from geogeometry_spark.operators.trajectory import trip_stats
+    from geogeometry_spark.sources.tables import synthetic_fixes
+
+    spark = _session(cpus)
+    fixes = synthetic_fixes(spark, 50_000, 100).localCheckpoint()
+    n = fixes.count()
+    df = trip_stats(fixes, gap_s=43200)  # plan built once
+
+    def run():
+        df.write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    spark.stop()
+    return {"wall_s": round(best, 3), "n_fixes": n,
+            "fixes_per_sec": round(n / best, 1)}
+
+
+def measure_dbscan(cpus: int) -> dict:
+    """grid_dbscan at 5M fixes: collapse + bucket join + eps graph +
+    connected components.  Iterative driver loop like measure_cc, so
+    the plan is necessarily rebuilt per run (per-round planning is
+    bounded and parallelism-independent)."""
+    from geogeometry_spark.operators.cluster import grid_dbscan
+    from geogeometry_spark.sources.tables import synthetic_fixes
+
+    spark = _session(cpus)
+    fixes = synthetic_fixes(spark, 50_000, 100).localCheckpoint()
+    n = fixes.count()
+
+    def run():
+        grid_dbscan(fixes, eps_m=50.0).select(
+            "event_id", "cluster_id"
+        ).write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    spark.stop()
+    return {"wall_s": round(best, 3), "n_fixes": n,
+            "fixes_per_sec": round(n / best, 1)}
+
+
 def main() -> None:
     args = sys.argv[1:]
-    ops = {"overlay_400k": measure_overlay, "cc_6m_edges": measure_cc}
+    ops = {
+        "overlay_400k": measure_overlay,
+        "cc_6m_edges": measure_cc,
+        "traj_trips_5m": measure_traj,
+        "dbscan_5m": measure_dbscan,
+    }
     if "--op" in args:
         i = args.index("--op")
         sel = args[i + 1]
