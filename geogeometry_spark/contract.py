@@ -2963,6 +2963,13 @@ def q_traj_stays(spark, sf_dir):
     )
 
 
+def q_traj_od(spark, sf_dir):
+    """Origin-destination trip matrix at z6 tiles: sessionize -> first/
+    last fix per trip -> tile-bin both ends -> count flows.  Same
+    single user-keyed exchange as the rest of the family."""
+    return traj.od_matrix(_traj_points(spark, sf_dir), gap_s=43200, zoom=6)
+
+
 def q_hotspot_gi(spark, sf_dir):
     """Getis-Ord Gi* hot/cold z-scores over z8 tile bins of the fix
     stream (operators/hotspot.py): occupied-cell lattice, 9-address
@@ -3097,6 +3104,7 @@ QUERIES = {
     "traj_trips": q_traj_trips,
     "traj_speed": q_traj_speed,
     "traj_stays": q_traj_stays,
+    "traj_od": q_traj_od,
     "hotspot_gi": q_hotspot_gi,
     "grid_dbscan": q_grid_dbscan,
 }
@@ -3202,6 +3210,7 @@ def _static_oracles() -> dict[str, str]:
         "traj_stays": traj.stay_points_oracle_sql(
             _TRAJ_SUBQ, radius_m=100.0, min_fixes=2
         ),
+        "traj_od": traj.od_matrix_oracle_sql(_TRAJ_SUBQ, gap_s=43200, zoom=6),
         "grid_dbscan": _grid_dbscan_oracle(),
         "hotspot_gi": _hotspot_gi_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):

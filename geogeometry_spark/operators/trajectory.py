@@ -37,6 +37,7 @@ __all__ = [
     "trip_stats",
     "speed_filter",
     "stay_points",
+    "od_matrix",
 ]
 
 
@@ -299,6 +300,80 @@ def stay_points(
         (F.col("end_s") - F.col("start_s")).alias("dwell_s"),
         F.round(F.col("_sla") / n / F.lit(1e6), 6).alias("clat_r6"),
         F.round(F.col("_slo") / n / F.lit(1e6), 6).alias("clon_r6"),
+    )
+
+
+def od_matrix(
+    points: DataFrame,
+    gap_s: int = 43200,
+    zoom: int = 6,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Origin-destination matrix: sessionize into trips, take each
+    trip's first and last fix, bin both to WebMercator tiles at
+    ``zoom``, count trips per (origin tile, destination tile) cell
+    pair.  The mobility-analytics staple (flow maps, demand matrices).
+
+    Origin/destination ride the SAME per-session window as the
+    sessionize pass (running first / reversed-frame last + row_number
+    pick), so the whole query is still one user-keyed exchange followed
+    by one small aggregate over trip rows."""
+    sess = sessionize(points, gap_s, user_col, ts_col, id_col)
+    ws = Window.partitionBy(user_col, "session_id").orderBy(ts_col, id_col)
+    tail = ws.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    trips = (
+        sess.withColumns(
+            {
+                "_olat": F.first(lat_col).over(ws),
+                "_olon": F.first(lon_col).over(ws),
+                "_dlat": F.last(lat_col).over(tail),
+                "_dlon": F.last(lon_col).over(tail),
+                "_rn": F.row_number().over(ws),
+            }
+        )
+        .where(F.col("_rn") == 1)
+    )
+    ox, oy = C.tile_xy(F.col("_olat"), F.col("_olon"), zoom)
+    dx, dy = C.tile_xy(F.col("_dlat"), F.col("_dlon"), zoom)
+    return (
+        trips.select(
+            ox.alias("o_tx"), oy.alias("o_ty"),
+            dx.alias("d_tx"), dy.alias("d_ty"),
+        )
+        .groupBy("o_tx", "o_ty", "d_tx", "d_ty")
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+    )
+
+
+def od_matrix_oracle_sql(
+    subq: str,
+    gap_s: int = 43200,
+    zoom: int = 6,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    sess = sessionize_oracle_sql(subq, gap_s, user_col, ts_col, id_col)
+    part = f"PARTITION BY {user_col}, session_id ORDER BY {ts_col}, {id_col}"
+    ox, oy = C.tile_xy_sql("olat", "olon", zoom)
+    dx, dy = C.tile_xy_sql("dlat", "dlon", zoom)
+    return (
+        f"SELECT {ox} AS o_tx, {oy} AS o_ty, {dx} AS d_tx, {dy} AS d_ty, "
+        "count(*) AS n_trips FROM ("
+        f"SELECT first_value({lat}) OVER ({part}) AS olat, "
+        f"first_value({lon}) OVER ({part}) AS olon, "
+        f"last_value({lat}) OVER ({part} ROWS BETWEEN CURRENT ROW AND "
+        "UNBOUNDED FOLLOWING) AS dlat, "
+        f"last_value({lon}) OVER ({part} ROWS BETWEEN CURRENT ROW AND "
+        "UNBOUNDED FOLLOWING) AS dlon, "
+        f"row_number() OVER ({part}) AS rn FROM ({sess})) "
+        "WHERE rn = 1 GROUP BY 1, 2, 3, 4"
     )
 
 

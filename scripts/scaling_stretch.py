@@ -35,6 +35,8 @@ AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "1000"))
 N_A = int(os.environ.get("STRETCH_OVERLAY_A", "400000"))
 N_B = int(os.environ.get("STRETCH_OVERLAY_B", "150"))
 N_CC_NODES = int(os.environ.get("STRETCH_CC_NODES", "6000000"))
+N_TRAJ_USERS = int(os.environ.get("STRETCH_TRAJ_USERS", "200000"))
+N_DBSCAN_USERS = int(os.environ.get("STRETCH_DBSCAN_USERS", "50000"))
 
 
 def _session(cpus: int):
@@ -153,13 +155,15 @@ def measure_cc(cpus: int) -> dict:
 
 
 def measure_traj(cpus: int) -> dict:
-    """trip_stats at 5M fixes: the window family's scaling shape (one
+    """trip_stats at N_TRAJ_USERS x 100 fixes (default 20M — a 1 s
+    wall at 5M is all fixed cost; the window shuffle needs ~5 s+ to
+    amortize, the r3 25M-doc lesson): the window family's scaling shape (one
     user_id hash exchange reused by the aggregate)."""
     from geogeometry_spark.operators.trajectory import trip_stats
     from geogeometry_spark.sources.tables import synthetic_fixes
 
     spark = _session(cpus)
-    fixes = synthetic_fixes(spark, 50_000, 100).localCheckpoint()
+    fixes = synthetic_fixes(spark, N_TRAJ_USERS, 100).localCheckpoint()
     n = fixes.count()
     df = trip_stats(fixes, gap_s=43200)  # plan built once
 
@@ -186,7 +190,7 @@ def measure_dbscan(cpus: int) -> dict:
     from geogeometry_spark.sources.tables import synthetic_fixes
 
     spark = _session(cpus)
-    fixes = synthetic_fixes(spark, 50_000, 100).localCheckpoint()
+    fixes = synthetic_fixes(spark, N_DBSCAN_USERS, 100).localCheckpoint()
     n = fixes.count()
 
     def run():
@@ -210,7 +214,7 @@ def main() -> None:
     ops = {
         "overlay_400k": measure_overlay,
         "cc_6m_edges": measure_cc,
-        "traj_trips_5m": measure_traj,
+        "traj_trips_20m": measure_traj,
         "dbscan_5m": measure_dbscan,
     }
     if "--op" in args:

@@ -121,6 +121,37 @@ def test_stay_points_chained_drift_documented(spark):
     assert len(out) == 1 and out[0].n_fixes == 3
 
 
+def test_od_matrix_first_last_binning(spark):
+    rows = [
+        _fix(1, 7, 0, A),          # trip 1: A -> C
+        _fix(2, 7, 50, B),
+        _fix(3, 7, 100, C),
+        _fix(4, 7, 10_000, C),     # trip 2: C -> C (single fix)
+        _fix(5, 9, 0, C),          # other user: C -> A
+        _fix(6, 9, 10, A),
+    ]
+    out = tj.od_matrix(
+        spark.createDataFrame(rows, SCHEMA), gap_s=600, zoom=6
+    ).collect()
+    flows = {
+        ((r.o_tx, r.o_ty), (r.d_tx, r.d_ty)): r.n_trips for r in out
+    }
+    # zoom 6: A and B share a tile; C is ~10 km north but same z6 tile?
+    # compute expected tiles directly through the same kernel
+    from geogeometry_spark.kernels.tiles import coordinate_to_tile
+
+    def tile(p):
+        x, y = coordinate_to_tile(p[0], p[1], 6)
+        return (int(x[0]), int(y[0]))
+
+    ta, tc = tile(A), tile(C)
+    if ta == tc:
+        assert flows == {(ta, ta): 3}
+    else:
+        assert flows[(ta, tc)] == 1 and flows[(tc, ta)] == 1
+        assert flows[(tc, tc)] == 1
+
+
 @pytest.fixture()
 def duck():
     import duckdb
