@@ -174,3 +174,48 @@ def stream_hex_heatmap(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "hex_id", "n")
     )
+
+
+FIXES_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+    ]
+)
+
+
+def stream_sessionize(
+    fixes: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of the batch ``trajectory.sessionize``: per-user
+    trip/visit detection in flight via Spark's native session windows
+    (``F.session_window`` — state merges windows closer than ``gap``
+    and the watermark finalizes + evicts sessions once no on-time fix
+    can extend them, so state stays bounded by ACTIVE sessions only).
+
+    Emits one row per closed session: (user, session_start,
+    session_end, n_fixes).  ``session_end`` follows Spark's session
+    semantics — last fix's event time + gap (the window's exclusive
+    upper bound), not the last fix itself; batch sessionize numbers
+    sessions instead of timestamping them, so the two agree on session
+    MEMBERSHIP for on-time data (same gap rule) while reporting
+    different boundary columns.  Per-trip geodesic legs need ordered
+    history and stay a batch/backfill concern (trajectory.trip_stats)."""
+    return (
+        fixes.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_fixes"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_fixes",
+        )
+    )

@@ -345,3 +345,69 @@ def test_stream_hex_heatmap_matches_batch(spark, tmp_path):
     )
     exp = {(r.window_start, r.hex_id, r.n) for r in batch.collect()}
     assert got == exp and len(exp) == 3
+
+
+def test_stream_sessionize_session_windows(spark, tmp_path):
+    """Native session windows: fixes closer than gap merge into one
+    session; the watermark closes and emits sessions; a late fix for a
+    closed session is dropped, not re-opened."""
+    import datetime as dt
+
+    from geogeometry_spark.streaming.stateful import (
+        FIXES_SCHEMA,
+        stream_sessionize,
+    )
+
+    inp = tmp_path / "fixes_in"
+    base = dt.datetime(2026, 1, 1, 0, 0)
+
+    def mk(rows):
+        spark.createDataFrame(rows, FIXES_SCHEMA).write.mode(
+            "append"
+        ).parquet(str(inp))
+
+    # user 7: two fixes 10 min apart (one session), then one 2 h later
+    # (second session); user 9: one fix.  The hour-8 fix advances the
+    # watermark (8:00 - 2 h = 6:00) far past all of them.
+    mk([
+        (1, 7, base, 52.5, 13.4),
+        (2, 7, base + dt.timedelta(minutes=10), 52.51, 13.41),
+        (3, 7, base + dt.timedelta(hours=2), 52.6, 13.5),
+        (4, 9, base + dt.timedelta(minutes=5), 48.1, 11.6),
+        (5, 9, base + dt.timedelta(hours=8), 48.2, 11.7),
+    ])
+
+    stream = spark.readStream.schema(FIXES_SCHEMA).parquet(str(inp))
+    agg = stream_sessionize(stream, gap="30 minutes", watermark="2 hours")
+    outdir = str(tmp_path / "sess_out")
+
+    def drain():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r.user_id, r.session_start.hour, r.session_start.minute,
+             r.n_fixes)
+            for r in spark.read.parquet(outdir).collect()
+        )
+
+    got1 = drain()
+    # all sessions older than 6:00 are closed: user 7 x2, user 9's 0:05
+    assert got1 == [(7, 0, 0, 2), (7, 2, 0, 1), (9, 0, 5, 1)]
+
+    # a LATE fix inside user 7's first (closed) session must be dropped
+    mk([
+        (6, 7, base + dt.timedelta(minutes=5), 52.5, 13.4),   # late
+        (7, 9, base + dt.timedelta(hours=12), 48.2, 11.7),    # advance
+    ])
+    got2 = drain()
+    # first session still n_fixes=2; user 9's hour-8 fix now closed too
+    assert got2 == [
+        (7, 0, 0, 2), (7, 2, 0, 1), (9, 0, 5, 1), (9, 8, 0, 1)
+    ]
