@@ -2970,6 +2970,72 @@ def q_traj_od(spark, sf_dir):
     return traj.od_matrix(_traj_points(spark, sf_dir), gap_s=43200, zoom=6)
 
 
+# Metro-box variant of the fix stream for co-location: the global
+# stream scatters home bases over the whole planet, so no two users
+# ever meet; this one packs them into a 1 x 2 degree Berlin-ish box
+# (same moving/parked jitter), which makes contact pairs exist by
+# construction at every sf.
+
+def _metro_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = src.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_sec")
+    )
+    uid, eid, ts = F.col("user_id"), F.col("event_id"), F.col("ts_sec")
+    base_lat = F.lit(52.0) + ((uid * 7919) % 1001) / F.lit(1000.0)
+    base_lon = F.lit(13.0) + ((uid * 104729) % 2001) / F.lit(1000.0)
+    moving = ((ts + uid * 977) % 14400) < 10800
+    jlat = ((eid * 31 + uid * 17) % 4001 - 2000).cast("double") / F.lit(1e5)
+    jlon = ((eid * 37 + uid * 23) % 4001 - 2000).cast("double") / F.lit(1e5)
+    zero = F.lit(0.0)
+    return ev.withColumns(
+        {
+            "lat": base_lat + F.when(moving, jlat).otherwise(zero),
+            "lon": base_lon + F.when(moving, jlon).otherwise(zero),
+        }
+    )
+
+
+_METRO_SUBQ = (
+    "(SELECT event_id, user_id, "
+    f"{_TS_SEC_SQL} AS ts_sec, "
+    "(52.0 + ((user_id * 7919) % 1001) / 1000.0) + "
+    f"(CASE WHEN {_TRAJ_MOVING_SQL} THEN "
+    "CAST((event_id * 31 + user_id * 17) % 4001 - 2000 AS DOUBLE) / 100000.0 "
+    "ELSE 0.0 END) AS lat, "
+    "(13.0 + ((user_id * 104729) % 2001) / 1000.0) + "
+    f"(CASE WHEN {_TRAJ_MOVING_SQL} THEN "
+    "CAST((event_id * 37 + user_id * 23) % 4001 - 2000 AS DOUBLE) / 100000.0 "
+    "ELSE 0.0 END) AS lon "
+    "FROM events)"
+)
+
+
+def q_colocation(spark, sf_dir):
+    """Spatiotemporal co-location join at eps=5 km / tau=1 h over the
+    metro fix stream (operators/colocation.py): composite
+    (time-bucket, tile) bucketing, 27-address probe spread, exact
+    |dt| + geodesic filters, unordered-pair contact rollup.
+    max_abs_lat=54 keeps the bucketing zoom honest for the fixture's
+    latitude band (z12, ~5.9 km ground cells at 53N) instead of the
+    full-Mercator default's z9."""
+    from .operators.colocation import colocation_join
+
+    return colocation_join(
+        _metro_points(spark, sf_dir),
+        eps_m=5000.0,
+        tau_s=3600,
+        max_abs_lat=54.0,
+    )
+
+
+def _colocation_oracle() -> str:
+    from .operators.colocation import colocation_join_oracle_sql
+
+    return colocation_join_oracle_sql(
+        _METRO_SUBQ, eps_m=5000.0, tau_s=3600
+    )
+
+
 def q_hotspot_gi(spark, sf_dir):
     """Getis-Ord Gi* hot/cold z-scores over z8 tile bins of the fix
     stream (operators/hotspot.py): occupied-cell lattice, 9-address
@@ -3105,6 +3171,7 @@ QUERIES = {
     "traj_speed": q_traj_speed,
     "traj_stays": q_traj_stays,
     "traj_od": q_traj_od,
+    "colocation": q_colocation,
     "hotspot_gi": q_hotspot_gi,
     "grid_dbscan": q_grid_dbscan,
 }
@@ -3211,6 +3278,7 @@ def _static_oracles() -> dict[str, str]:
             _TRAJ_SUBQ, radius_m=100.0, min_fixes=2
         ),
         "traj_od": traj.od_matrix_oracle_sql(_TRAJ_SUBQ, gap_s=43200, zoom=6),
+        "colocation": _colocation_oracle(),
         "grid_dbscan": _grid_dbscan_oracle(),
         "hotspot_gi": _hotspot_gi_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):

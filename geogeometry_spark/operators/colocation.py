@@ -1,0 +1,166 @@
+"""Spatiotemporal co-location join: which entity PAIRS were within
+``eps_m`` meters of each other within ``tau_s`` seconds — the
+contact/proximity analysis a fleet or mobility corpus runs at scale
+(meet detection, exposure tracing, convoy mining's first stage).
+
+This is a different join family from the spatial-only ones
+(pip/radius/knn/overlay): the predicate is a conjunction of a geodesic
+ball and a time interval, so the bucketing must be spatiotemporal.
+
+Scale design — the standard grid method lifted to (time, cell):
+
+1. every fix gets a composite bucket (time bucket of ``tau_s``
+   seconds, WebMercator tile at a zoom whose ground size >= ``eps_m``
+   up to ``max_abs_lat`` — reusing the DBSCAN zoom rule);
+2. the probe side explodes over the 3 x 9 = 27 adjacent
+   (time, cell) addresses — a bounded 27x blowup of fix rows, never
+   all-pairs; a qualifying fix pair shares exactly ONE offset
+   combination (the componentwise address difference), so no
+   dedup pass is needed;
+3. one equi-join on (tbkt, tx, ty) + the exact |dt| <= tau and
+   haversine <= eps filters;
+4. contact events aggregate per unordered user pair (user_a < user_b)
+   into count + first/last contact time.
+
+Shuffle volume is candidate-bounded: 27x fixes on the probe side
+against fixes on the build side, co-partitioned by the composite
+bucket.  Hot cells (a stadium) fan out by their own density — the
+same skew story as every cell join here, AQE-splittable because the
+join is a plain hash equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import columns as C
+from .cluster import dbscan_zoom_for_eps
+
+__all__ = ["colocation_join", "colocation_join_oracle_sql"]
+
+_OFFS = [
+    (dt, dx, dy)
+    for dt in (-1, 0, 1)
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+]
+
+
+def colocation_join(
+    points: DataFrame,
+    eps_m: float = 5000.0,
+    tau_s: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+    zoom: int | None = None,
+) -> DataFrame:
+    """Contact summary per unordered entity pair: (user_a, user_b,
+    n_contacts, first_s, last_s) where a contact is a fix pair with
+    geodesic distance <= ``eps_m`` AND |t_a - t_b| <= ``tau_s``.
+    Self-pairs are excluded; each contact event counts once
+    (user_a < user_b)."""
+    if zoom is None:
+        zoom = dbscan_zoom_for_eps(eps_m, max_abs_lat)
+    n_tiles = 1 << zoom
+
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    keyed = points.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_t"),
+        F.col(lat_col).alias("_la"),
+        F.col(lon_col).alias("_lo"),
+        F.floor(F.col(ts_col) / F.lit(tau_s)).alias("_tb"),
+        x.alias("_tx"),
+        y.alias("_ty"),
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dt).alias("dt"),
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+            )
+            for dt, dx, dy in _OFFS
+        ]
+    )
+    probe = keyed.withColumn("_o", F.explode(offs)).select(
+        F.col("_u").alias("_ua"),
+        F.col("_t").alias("_ta"),
+        F.col("_la").alias("_laa"),
+        F.col("_lo").alias("_loa"),
+        (F.col("_tb") + F.col("_o.dt")).alias("_tb"),
+        F.pmod(F.col("_tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("_nx"),
+        (F.col("_ty") + F.col("_o.dy")).alias("_ny"),
+    )
+    build = keyed.select(
+        F.col("_u").alias("_ub"),
+        F.col("_t").alias("_tb2"),
+        F.col("_la").alias("_lab"),
+        F.col("_lo").alias("_lob"),
+        "_tb",
+        F.col("_tx").alias("_nx"),
+        F.col("_ty").alias("_ny"),
+    )
+    dist = C.haversine(
+        F.col("_laa"), F.col("_loa"), F.col("_lab"), F.col("_lob")
+    )
+    dt_ok = F.abs(F.col("_ta") - F.col("_tb2")) <= F.lit(tau_s)
+    contacts = (
+        probe.join(build, ["_tb", "_nx", "_ny"])
+        .where(
+            (F.col("_ua") < F.col("_ub"))
+            & dt_ok
+            & (dist <= F.lit(float(eps_m)))
+        )
+        .select(
+            F.col("_ua").alias("user_a"),
+            F.col("_ub").alias("user_b"),
+            F.least(F.col("_ta"), F.col("_tb2")).alias("_cs"),
+        )
+    )
+    return contacts.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_contacts"),
+        F.min("_cs").alias("first_s"),
+        F.max("_cs").alias("last_s"),
+    )
+
+
+def colocation_join_oracle_sql(
+    subq: str,
+    eps_m: float = 5000.0,
+    tau_s: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+    zoom: int | None = None,
+) -> str:
+    """DuckDB twin.  The oracle skips the SPATIAL bucketing (locality
+    machinery, not semantics) but keeps a time-bucket equi-join — a
+    bare inequality self-join is a full nested loop that cannot finish
+    at sf0.1; bucketing by ``tau_s`` with the 3 adjacent offsets is
+    exact (|dt| <= tau implies bucket difference in {-1,0,1}; a pair
+    matches exactly one offset = its bucket difference).  The
+    unordered-pair convention and least() contact timestamp mirror the
+    operator exactly."""
+    hav = C.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    return (
+        "WITH _coloc_fx AS (SELECT *, "
+        f"CAST(floor(({ts_col}) / {tau_s}) AS BIGINT) AS tb FROM {subq}) "
+        f"SELECT a.{user_col} AS user_a, b.{user_col} AS user_b, "
+        f"count(*) AS n_contacts, "
+        f"min(least(a.{ts_col}, b.{ts_col})) AS first_s, "
+        f"max(least(a.{ts_col}, b.{ts_col})) AS last_s "
+        "FROM (SELECT f.*, f.tb + o.dt AS tbp FROM _coloc_fx f "
+        "CROSS JOIN (VALUES (-1), (0), (1)) o(dt)) a "
+        "JOIN _coloc_fx b ON a.tbp = b.tb "
+        f"AND a.{user_col} < b.{user_col} "
+        f"AND abs(a.{ts_col} - b.{ts_col}) <= {tau_s} "
+        f"AND ({hav}) <= {float(eps_m)!r} "
+        "GROUP BY 1, 2"
+    )

@@ -188,3 +188,81 @@ def test_dbscan_matches_duckdb_twin(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# co-location join
+# --------------------------------------------------------------------------
+
+TSCHEMA = "event_id long, user_id long, ts_sec long, lat double, lon double"
+
+
+def test_colocation_pairs_and_windows(spark):
+    from geogeometry_spark.operators.colocation import colocation_join
+
+    rows = [
+        # users 1 and 2: THREE qualifying fix pairs — (1@0, 2@40),
+        # (1@3500, 2@40) [dt 3460, crosses nothing], and
+        # (1@3500, 2@3700) [dt 200, straddles the tau bucket boundary
+        # 3600]; (1@0, 2@3700) has dt 3700 > tau and must NOT count.
+        (1, 1, 0, 52.0, 13.0),
+        (2, 2, 40, 52.0004, 13.0),        # ~44 m apart
+        (3, 1, 3500, 52.0, 13.0),
+        (4, 2, 3700, 52.0004, 13.0),
+        # user 3: close in space to user 1 but 5 h later -> NO contact
+        (5, 3, 18000, 52.0, 13.0),
+        # user 4: same time as user 1 but 50 km away -> NO contact
+        (6, 4, 10, 52.45, 13.0),
+    ]
+    out = colocation_join(
+        spark.createDataFrame(rows, TSCHEMA),
+        eps_m=100.0, tau_s=3600, max_abs_lat=53.0,
+    ).collect()
+    got = {(r.user_a, r.user_b): (r.n_contacts, r.first_s, r.last_s)
+           for r in out}
+    assert got == {(1, 2): (3, 0, 3500)}
+
+
+def test_colocation_counts_each_event_once(spark):
+    from geogeometry_spark.operators.colocation import colocation_join
+
+    # three users at one spot, same second: 3 unordered pairs, each 1
+    rows = [(i, i, 100, 52.0, 13.0) for i in (1, 2, 3)]
+    out = colocation_join(
+        spark.createDataFrame(rows, TSCHEMA),
+        eps_m=100.0, tau_s=600, max_abs_lat=53.0,
+    ).collect()
+    assert sorted((r.user_a, r.user_b, r.n_contacts) for r in out) == [
+        (1, 2, 1), (1, 3, 1), (2, 3, 1)
+    ]
+
+
+def test_colocation_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    from geogeometry_spark.operators.colocation import (
+        colocation_join,
+        colocation_join_oracle_sql,
+    )
+
+    rows = [
+        (i, i % 7, (i * 311) % 20000,
+         52.0 + ((i * 31) % 40) * 1e-3, 13.0 + ((i * 17) % 40) * 1e-3)
+        for i in range(200)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts_sec", "lat", "lon"]
+    )
+    duck.register("fx", pdf)
+    got = sorted(
+        tuple(r) for r in colocation_join(
+            spark.createDataFrame(pdf),
+            eps_m=800.0, tau_s=900, max_abs_lat=53.0,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in duck.sql(
+            colocation_join_oracle_sql("fx", eps_m=800.0, tau_s=900)
+        ).fetchall()
+    )
+    assert got and got == want
