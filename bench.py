@@ -526,6 +526,22 @@ def main() -> None:
     timed("grid_dbscan_5m", dbscan_5m, runs=1, warmup=True)
     timed("hotspot_gi_5m", hotspot_5m, runs=3, warmup=True)
 
+    # colocation over a 5M-fix metro stream: eps sized so the
+    # (time-bucket, z16-cell) lattice keeps candidates bounded (~16
+    # fixes/bucket-cell would be 2G pairs at eps 5 km; 500 m / 15 min
+    # keeps it at ~10M)
+    from geogeometry_spark.operators.colocation import colocation_join
+
+    metro = synthetic_fixes(spark, 50_000, 100, metro=True).localCheckpoint()
+    metro.count()
+
+    def coloc_5m():
+        colocation_join(
+            metro, eps_m=500.0, tau_s=900, max_abs_lat=54.0
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("colocation_5m_metro", coloc_5m, runs=3, warmup=True)
+
     # Full payload (spreads, ann kernel rates) goes to a FILE; stdout gets
     # a compact one-line summary as the LAST line.  The driver captures a
     # bounded tail of stdout, and the r3 full line (~3 KB with spread

@@ -3036,6 +3036,31 @@ def _colocation_oracle() -> str:
     )
 
 
+def q_convoys(spark, sf_dir):
+    """Composed convoy mining over the metro stream: colocation_join
+    (eps 5 km / tau 1 h) -> repeat filter (>= 3 contact events) ->
+    distributed connected components -> convoy labels.  The trajectory
+    family's pipeline_near_dup analogue: pairs alone under-group
+    (a-b + b-c convoys keep a and c apart unless the chain closes)."""
+    from .operators.colocation import convoy_groups
+
+    return convoy_groups(
+        _metro_points(spark, sf_dir),
+        eps_m=5000.0,
+        tau_s=3600,
+        min_contacts=3,
+        max_abs_lat=54.0,
+    )
+
+
+def _convoys_oracle() -> str:
+    from .operators.colocation import convoy_groups_oracle_sql
+
+    return convoy_groups_oracle_sql(
+        _METRO_SUBQ, eps_m=5000.0, tau_s=3600, min_contacts=3
+    )
+
+
 def q_hotspot_gi(spark, sf_dir):
     """Getis-Ord Gi* hot/cold z-scores over z8 tile bins of the fix
     stream (operators/hotspot.py): occupied-cell lattice, 9-address
@@ -3172,6 +3197,7 @@ QUERIES = {
     "traj_stays": q_traj_stays,
     "traj_od": q_traj_od,
     "colocation": q_colocation,
+    "convoys": q_convoys,
     "hotspot_gi": q_hotspot_gi,
     "grid_dbscan": q_grid_dbscan,
 }
@@ -3279,6 +3305,7 @@ def _static_oracles() -> dict[str, str]:
         ),
         "traj_od": traj.od_matrix_oracle_sql(_TRAJ_SUBQ, gap_s=43200, zoom=6),
         "colocation": _colocation_oracle(),
+        "convoys": _convoys_oracle(),
         "grid_dbscan": _grid_dbscan_oracle(),
         "hotspot_gi": _hotspot_gi_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):

@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 from ..functions import columns as C
 from .cluster import dbscan_zoom_for_eps
 
-__all__ = ["colocation_join", "colocation_join_oracle_sql"]
+__all__ = [
+    "colocation_join",
+    "colocation_join_oracle_sql",
+    "convoy_groups",
+    "convoy_groups_oracle_sql",
+]
 
 _OFFS = [
     (dt, dx, dy)
@@ -163,4 +168,61 @@ def colocation_join_oracle_sql(
         f"AND abs(a.{ts_col} - b.{ts_col}) <= {tau_s} "
         f"AND ({hav}) <= {float(eps_m)!r} "
         "GROUP BY 1, 2"
+    )
+
+
+def convoy_groups(
+    points: DataFrame,
+    eps_m: float = 5000.0,
+    tau_s: int = 3600,
+    min_contacts: int = 3,
+    **kwargs,
+) -> DataFrame:
+    """Convoy/flock mining, first stage: entities that repeatedly
+    travel together form groups.  Composition of the engine's own
+    operators — the same end-to-end doctrine as pipeline_near_dup:
+
+    1. :func:`colocation_join` -> contact summary per pair;
+    2. keep pairs with >= ``min_contacts`` contact events (one or two
+       co-occurrences is coincidence; repetition is the convoy signal);
+    3. distributed connected components closes the chain (a-b and b-c
+       traveling together puts a, b, c in ONE convoy);
+    4. every user appearing in >= 1 qualifying pair gets its convoy id
+       (MIN user id in the component) — solo users are not emitted
+       (they are the complement, and emitting all users would need a
+       full user relation this operator does not take).
+
+    Returns (user_id, convoy_id)."""
+    from .dedup import connected_components
+
+    contacts = colocation_join(points, eps_m, tau_s, **kwargs)
+    edges = contacts.where(
+        F.col("n_contacts") >= F.lit(min_contacts)
+    ).select(F.col("user_a").alias("id_a"), F.col("user_b").alias("id_b"))
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("user_id"), F.col("component").alias("convoy_id")
+    )
+
+
+def convoy_groups_oracle_sql(
+    subq: str,
+    eps_m: float = 5000.0,
+    tau_s: int = 3600,
+    min_contacts: int = 3,
+    **kwargs,
+) -> str:
+    """Recursive-CTE twin: transitive closure over the min-contact
+    pair graph, min-reachable-node labels (the fixed point the
+    large-star/small-star rounds converge to)."""
+    pairs = colocation_join_oracle_sql(subq, eps_m, tau_s, **kwargs)
+    return (
+        f"WITH RECURSIVE cpairs AS (SELECT user_a, user_b FROM ({pairs}) "
+        f"WHERE n_contacts >= {min_contacts}), "
+        "cedges AS (SELECT user_a AS u, user_b AS v FROM cpairs "
+        "UNION SELECT user_b, user_a FROM cpairs), "
+        "creach(u, v) AS (SELECT u, v FROM cedges "
+        "UNION SELECT r.u, e.v FROM creach r JOIN cedges e ON r.v = e.u) "
+        "SELECT u AS user_id, least(u, min(v)) AS convoy_id "
+        "FROM creach GROUP BY u"
     )

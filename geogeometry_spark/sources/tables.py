@@ -129,7 +129,10 @@ def amplified_documents(
 
 
 def synthetic_fixes(
-    spark: SparkSession, n_users: int, fixes_per_user: int
+    spark: SparkSession,
+    n_users: int,
+    fixes_per_user: int,
+    metro: bool = False,
 ) -> DataFrame:
     """Deterministic trajectory fix stream at bench scale — the same
     moving/parked arithmetic as the contract's events-derived stream
@@ -149,8 +152,14 @@ def synthetic_fixes(
         ).alias("ts_sec"),
     )
     uid, eid, ts = F.col("user_id"), F.col("event_id"), F.col("ts_sec")
-    base_lat = ((uid * 7919) % 170001 - 85000) / F.lit(1000.0)
-    base_lon = ((uid * 104729) % 350001 - 175000) / F.lit(1000.0)
+    if metro:
+        # 1 x 2 degree Berlin-ish box (the contract's co-location
+        # fixture shape): home ranges overlap, so contact pairs exist
+        base_lat = F.lit(52.0) + ((uid * 7919) % 1001) / F.lit(1000.0)
+        base_lon = F.lit(13.0) + ((uid * 104729) % 2001) / F.lit(1000.0)
+    else:
+        base_lat = ((uid * 7919) % 170001 - 85000) / F.lit(1000.0)
+        base_lon = ((uid * 104729) % 350001 - 175000) / F.lit(1000.0)
     moving = ((ts + uid * 977) % 14400) < 10800
     jlat = ((eid * 31 + uid * 17) % 4001 - 2000).cast("double") / F.lit(1e5)
     jlon = ((eid * 37 + uid * 23) % 4001 - 2000).cast("double") / F.lit(1e5)

@@ -266,3 +266,30 @@ def test_colocation_matches_duckdb_twin(spark, duck):
         ).fetchall()
     )
     assert got and got == want
+
+
+def test_convoy_groups_chain_closure(spark):
+    from geogeometry_spark.operators.colocation import convoy_groups
+
+    # users 1-2 and 2-3 each share >= 3 contacts (chain -> one convoy);
+    # users 1-4 touch only twice (below min_contacts); user 9 is solo.
+    rows = []
+    eid = 0
+    for t in (0, 100, 200):            # 1-2: 3 contacts
+        rows += [(eid, 1, t, 52.0, 13.0), (eid + 1, 2, t + 5, 52.0002, 13.0)]
+        eid += 2
+    for t in (5000, 5100, 5200):       # 2-3: 3 contacts
+        rows += [(eid, 2, t, 52.1, 13.1), (eid + 1, 3, t + 5, 52.1002, 13.1)]
+        eid += 2
+    # 1-4: only 2 contact events — meetings separated by >> tau so the
+    # cross fix pairs (9000 vs 20005 etc.) cannot qualify
+    for t in (9000, 20000):
+        rows += [(eid, 1, t, 52.2, 13.2), (eid + 1, 4, t + 5, 52.2002, 13.2)]
+        eid += 2
+    rows.append((eid, 9, 0, 55.0, 20.0))
+    out = convoy_groups(
+        spark.createDataFrame(rows, TSCHEMA),
+        eps_m=100.0, tau_s=600, min_contacts=3, max_abs_lat=56.0,
+    ).collect()
+    lab = {r.user_id: r.convoy_id for r in out}
+    assert lab == {1: 1, 2: 1, 3: 1}   # chain closed; 4 and 9 absent
