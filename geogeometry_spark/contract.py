@@ -2970,6 +2970,17 @@ def q_traj_od(spark, sf_dir):
     return traj.od_matrix(_traj_points(spark, sf_dir), gap_s=43200, zoom=6)
 
 
+def q_traj_simplify(spark, sf_dir):
+    """Per-trip Douglas-Peucker simplification (rows-only: DP's
+    recursive split is not SQL-expressible, same class as the simplify/
+    hull family; semantics pinned by test_trajectory.py against the
+    golden simplify_line kernel).  Emits trip vertex counts before/
+    after plus the simplified [lon,lat] line."""
+    return traj.simplify_trips(
+        _traj_points(spark, sf_dir), tolerance_m=500.0, gap_s=43200
+    ).select("user_id", "session_id", "n_in", "n_out")
+
+
 # Metro-box variant of the fix stream for co-location: the global
 # stream scatters home bases over the whole planet, so no two users
 # ever meet; this one packs them into a 1 x 2 degree Berlin-ish box
@@ -3196,6 +3207,7 @@ QUERIES = {
     "traj_speed": q_traj_speed,
     "traj_stays": q_traj_stays,
     "traj_od": q_traj_od,
+    "traj_simplify": q_traj_simplify,
     "colocation": q_colocation,
     "convoys": q_convoys,
     "hotspot_gi": q_hotspot_gi,

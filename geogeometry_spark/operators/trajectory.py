@@ -38,6 +38,7 @@ __all__ = [
     "speed_filter",
     "stay_points",
     "od_matrix",
+    "simplify_trips",
 ]
 
 
@@ -404,3 +405,57 @@ def stay_points_oracle_sql(
         f"CAST(round(({lon}) * 1e6) AS BIGINT) AS ulo FROM {subq})) "
         f"GROUP BY {user_col}, run HAVING count(*) >= {min_fixes}"
     )
+
+
+def simplify_trips(
+    points: DataFrame,
+    tolerance_m: float = 500.0,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-trip Douglas-Peucker polyline simplification: sessionize,
+    then reduce each trip's fix sequence to the vertices that matter at
+    ``tolerance_m`` (kernels.transform.simplify_line — the reference's
+    simplifyLine, GeoGeometry.kt:1376-1410, bit-identical split rule).
+
+    DP is recursive over an ORDERED sequence, so this is the one
+    trajectory operator that is not window algebra; it runs as an
+    Arrow-batched grouped map (``applyInPandas``) over (user, session)
+    groups — bounded by the longest single trip, embarrassingly
+    parallel across trips, the §2.13 pattern for set-mutating geometry
+    (same doctrine as the hull/simplify batch operators).
+
+    Returns one row per trip: (user, session_id, n_in, n_out, line)
+    where ``line`` is the simplified [lon, lat] vertex list."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.transform import simplify_line
+
+    sess = sessionize(points, gap_s, user_col, ts_col, id_col)
+    schema = (
+        f"{user_col} long, session_id long, n_in long, n_out long, "
+        "line array<array<double>>"
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        pts = np.column_stack(
+            [pdf[lon_col].to_numpy(), pdf[lat_col].to_numpy()]
+        )
+        simp = simplify_line(pts, tolerance_m) if len(pts) > 2 else pts
+        return pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "session_id": [key[1]],
+                "n_in": [len(pts)],
+                "n_out": [len(simp)],
+                "line": [simp.tolist()],
+            }
+        )
+
+    return sess.groupBy(user_col, "session_id").applyInPandas(run, schema)

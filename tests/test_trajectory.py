@@ -208,3 +208,37 @@ def test_oracle_twins_match_duckdb(spark, duck):
         tj.stay_points_oracle_sql("fixes", radius_m=400.0, min_fixes=2)
     ).fetchall()
     assert canon(y_spark) == canon(y_duck)
+
+
+def test_simplify_trips_matches_kernel(spark):
+    """Grouped-map DP simplification == direct kernel call per trip."""
+    import numpy as np
+
+    from geogeometry_spark.kernels.transform import simplify_line
+
+    # trip 1: 6 fixes along a line with one 2 km spike in the middle;
+    # trip 2 (same user, later): 2 fixes (passthrough)
+    line = [
+        (52.00, 13.00), (52.01, 13.00), (52.02, 13.02),  # spike
+        (52.03, 13.00), (52.04, 13.00), (52.05, 13.00),
+    ]
+    rows = [(i, 7, i * 60, la, lo) for i, (la, lo) in enumerate(line)]
+    rows += [(10, 7, 100_000, 52.5, 13.5), (11, 7, 100_060, 52.6, 13.6)]
+    out = tj.simplify_trips(
+        spark.createDataFrame(rows, SCHEMA), tolerance_m=500.0, gap_s=600
+    ).orderBy("session_id").collect()
+    assert [(r.n_in, r.n_out) for r in out] == [
+        (
+            6,
+            len(
+                simplify_line(
+                    np.array([[lo, la] for la, lo in line]), 500.0
+                )
+            ),
+        ),
+        (2, 2),
+    ]
+    # the spike survives 500 m tolerance; straight-run interior is gone
+    t1 = out[0]
+    assert t1.n_out < t1.n_in
+    assert [13.02, 52.02] in [list(v) for v in t1.line]
