@@ -12,11 +12,12 @@ Scale design — the standard grid method lifted to (time, cell):
 1. every fix gets a composite bucket (time bucket of ``tau_s``
    seconds, WebMercator tile at a zoom whose ground size >= ``eps_m``
    up to ``max_abs_lat`` — reusing the DBSCAN zoom rule);
-2. the probe side explodes over the 3 x 9 = 27 adjacent
-   (time, cell) addresses — a bounded 27x blowup of fix rows, never
-   all-pairs; a qualifying fix pair shares exactly ONE offset
-   combination (the componentwise address difference), so no
-   dedup pass is needed;
+2. the probe side explodes over 14 of the 27 adjacent (time, cell)
+   addresses (identity + the 13 lexicographically positive directions
+   — forward-offset halving, see _OFFS) — a bounded 14x blowup of fix
+   rows, never all-pairs; a qualifying fix pair matches exactly ONE
+   offset (its componentwise address difference, probed from one
+   side), so no dedup pass is needed;
 3. one equi-join on (tbkt, tx, ty) + the exact |dt| <= tau and
    haversine <= eps filters;
 4. contact events aggregate per unordered user pair (user_a < user_b)
@@ -44,11 +45,19 @@ __all__ = [
     "convoy_groups_oracle_sql",
 ]
 
-_OFFS = [
+# forward-offset halving (the grid_dbscan trick in 3 dimensions): the
+# identity offset (deduped by user order) plus the 13 lexicographically
+# positive directions — one of {v, -v} for each of the 26 non-zero
+# address deltas — so each unordered (time, cell) address pair is
+# probed from exactly one side: 14/27 of the naive spread.  Pair order
+# is normalized AFTER the match (least/greatest), so the contact rollup
+# is unchanged.
+_OFFS = [(0, 0, 0)] + [
     (dt, dx, dy)
     for dt in (-1, 0, 1)
     for dx in (-1, 0, 1)
     for dy in (-1, 0, 1)
+    if (dt, dx, dy) > (0, 0, 0)
 ]
 
 
@@ -88,6 +97,7 @@ def colocation_join(
                 F.lit(dt).alias("dt"),
                 F.lit(dx).alias("dx"),
                 F.lit(dy).alias("dy"),
+                F.lit(dt == 0 and dx == 0 and dy == 0).alias("same"),
             )
             for dt, dx, dy in _OFFS
         ]
@@ -97,6 +107,7 @@ def colocation_join(
         F.col("_t").alias("_ta"),
         F.col("_la").alias("_laa"),
         F.col("_lo").alias("_loa"),
+        F.col("_o.same").alias("_same"),
         (F.col("_tb") + F.col("_o.dt")).alias("_tb"),
         F.pmod(F.col("_tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("_nx"),
         (F.col("_ty") + F.col("_o.dy")).alias("_ny"),
@@ -114,16 +125,15 @@ def colocation_join(
         F.col("_laa"), F.col("_loa"), F.col("_lab"), F.col("_lob")
     )
     dt_ok = F.abs(F.col("_ta") - F.col("_tb2")) <= F.lit(tau_s)
+    pair_ok = F.when(F.col("_same"), F.col("_ua") < F.col("_ub")).otherwise(
+        F.col("_ua") != F.col("_ub")
+    )
     contacts = (
         probe.join(build, ["_tb", "_nx", "_ny"])
-        .where(
-            (F.col("_ua") < F.col("_ub"))
-            & dt_ok
-            & (dist <= F.lit(float(eps_m)))
-        )
+        .where(pair_ok & dt_ok & (dist <= F.lit(float(eps_m))))
         .select(
-            F.col("_ua").alias("user_a"),
-            F.col("_ub").alias("user_b"),
+            F.least(F.col("_ua"), F.col("_ub")).alias("user_a"),
+            F.greatest(F.col("_ua"), F.col("_ub")).alias("user_b"),
             F.least(F.col("_ta"), F.col("_tb2")).alias("_cs"),
         )
     )
