@@ -74,7 +74,9 @@ def grid_dbscan(
     ``max_abs_lat`` if you have near-pole data and a large eps).
 
     Returns the input columns plus ``cluster_id`` (same type as
-    ``id_col``)."""
+    ``id_col``).  Rows with NULL coordinates are excluded from the
+    output (they cannot be clustered; the oracle twin's equi-joins
+    drop them identically)."""
     if zoom is None:
         zoom = dbscan_zoom_for_eps(eps_m, max_abs_lat)
     else:
@@ -91,7 +93,12 @@ def grid_dbscan(
 
     ula = F.round(F.col(lat_col) * F.lit(1e6)).cast("long")
     ulo = F.round(F.col(lon_col) * F.lit(1e6)).cast("long")
-    keyed = points.withColumns({"_ula": ula, "_ulo": ulo})
+    # NULL coordinates cannot be clustered; drop them EXPLICITLY rather
+    # than letting the null-unsafe label join back silently eat them
+    # (the SQL twin's equi-join drops them the same way)
+    keyed = points.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    ).withColumns({"_ula": ula, "_ulo": ulo})
     reps = keyed.groupBy("_ula", "_ulo").agg(
         F.min(id_col).alias("_pos")
     )

@@ -23,7 +23,7 @@ Scale design — the standard grid method lifted to (time, cell):
 4. contact events aggregate per unordered user pair (user_a < user_b)
    into count + first/last contact time.
 
-Shuffle volume is candidate-bounded: 27x fixes on the probe side
+Shuffle volume is candidate-bounded: 14x fixes on the probe side
 against fixes on the build side, co-partitioned by the composite
 bucket.  Hot cells (a stadium) fan out by their own density — the
 same skew story as every cell join here, AQE-splittable because the
@@ -35,8 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import math
+
 from ..functions import columns as C
-from .cluster import dbscan_zoom_for_eps
+from .cluster import _EARTH_CIRCUMFERENCE_M, dbscan_zoom_for_eps
 
 __all__ = [
     "colocation_join",
@@ -79,6 +81,27 @@ def colocation_join(
     (user_a < user_b)."""
     if zoom is None:
         zoom = dbscan_zoom_for_eps(eps_m, max_abs_lat)
+    else:
+        cell_m = (
+            _EARTH_CIRCUMFERENCE_M
+            * math.cos(math.radians(max_abs_lat))
+            / float(1 << zoom)
+        )
+        if cell_m < eps_m:
+            raise ValueError(
+                f"zoom {zoom} has {cell_m:.1f} m cells at lat "
+                f"{max_abs_lat}, smaller than eps {eps_m} m: eps-pairs "
+                "could skip past the adjacent-cell probe. Use a coarser "
+                "zoom."
+            )
+    if zoom < 2:
+        # n_tiles <= 2 makes +1 and -1 x-offsets congruent mod n, so a
+        # pair would match TWO forward offsets and double-count; an eps
+        # that big (>= ~10,000 km) has no gridded formulation at all.
+        raise ValueError(
+            f"eps {eps_m} m needs zoom {zoom} (< 2): planetary-scale "
+            "contact radii degenerate to all-pairs; reduce eps."
+        )
     n_tiles = 1 << zoom
 
     x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
@@ -163,7 +186,9 @@ def colocation_join_oracle_sql(
     matches exactly one offset = its bucket difference).  The
     unordered-pair convention and least() contact timestamp mirror the
     operator exactly."""
-    hav = C.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    hav = C.haversine_sql(
+        f"a.{lat}", f"a.{lon}", f"b.{lat}", f"b.{lon}"
+    )
     return (
         "WITH _coloc_fx AS (SELECT *, "
         f"CAST(floor(({ts_col}) / {tau_s}) AS BIGINT) AS tb FROM {subq}) "

@@ -63,6 +63,11 @@ def getis_ord_gi(
     cells = (
         points.groupBy(x.alias("tx"), y.alias("ty"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # the expensive points scan runs ONCE: the stats job below and
+        # the cells/spread self-join both read the checkpointed cell
+        # relation (tiny: occupied cells only) instead of re-aggregating
+        # the full point relation per consumer
+        .localCheckpoint()
     )
     # plan-time scalars (3 numbers): occupied-cell count, sum, sum sq
     stats = cells.agg(

@@ -134,7 +134,6 @@ def trip_stats(
     fix of each session contributes no carry-over leg from the previous
     trip.  Group keys start with ``user_col`` so the aggregate reuses
     the window's hash partitioning (one exchange total)."""
-    w = _seq_window(user_col, ts_col, id_col)
     sess = sessionize(points, gap_s, user_col, ts_col, id_col)
     ws = Window.partitionBy(user_col, "session_id").orderBy(ts_col, id_col)
     sess = sess.withColumn("_leg_mm", _leg_mm(lat_col, lon_col, ws))
@@ -190,7 +189,7 @@ def trip_stats_oracle_sql(
 
 def speed_filter(
     points: DataFrame,
-    max_speed_ms: float = 0.5,
+    max_speed_ms: float = 50.0,
     user_col: str = "user_id",
     ts_col: str = "ts_sec",
     id_col: str = "event_id",
@@ -204,7 +203,10 @@ def speed_filter(
     divide by zero) and ``is_glitch``.  Classification only — callers
     drop or keep; a cleaning pipeline typically re-runs trip_stats on
     ``~is_glitch`` fixes.  Speed is millimeter-quantized before the
-    divide so the threshold compare is exact cross-engine."""
+    divide so the threshold compare is exact cross-engine.  The 50 m/s
+    default is the conventional glitch bound for ground mobility;
+    sparse low-rate streams want a calibrated threshold (the contract
+    fixture passes 0.5 m/s explicitly for its hours-apart fixes)."""
     w = _seq_window(user_col, ts_col, id_col)
     leg_mm = _leg_mm(lat_col, lon_col, w)
     gap = F.greatest(
@@ -223,7 +225,7 @@ def speed_filter(
 
 def speed_filter_oracle_sql(
     subq: str,
-    max_speed_ms: float = 0.5,
+    max_speed_ms: float = 50.0,
     user_col: str = "user_id",
     ts_col: str = "ts_sec",
     id_col: str = "event_id",
@@ -437,8 +439,11 @@ def simplify_trips(
     from ..kernels.transform import simplify_line
 
     sess = sessionize(points, gap_s, user_col, ts_col, id_col)
+    # key type follows the input (string device ids work, not just
+    # bigints) — a hardcoded 'long' would break Arrow serialization
+    utype = points.schema[user_col].dataType.simpleString()
     schema = (
-        f"{user_col} long, session_id long, n_in long, n_out long, "
+        f"{user_col} {utype}, session_id long, n_in long, n_out long, "
         "line array<array<double>>"
     )
 

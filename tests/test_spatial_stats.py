@@ -293,3 +293,22 @@ def test_convoy_groups_chain_closure(spark):
     ).collect()
     lab = {r.user_id: r.convoy_id for r in out}
     assert lab == {1: 1, 2: 1, 3: 1}   # chain closed; 4 and 9 absent
+
+
+def test_colocation_zoom_validation():
+    from geogeometry_spark.operators.colocation import colocation_join
+
+    # forced too-fine zoom -> adjacency broken -> refuse
+    with pytest.raises(ValueError, match="coarser"):
+        colocation_join(None, eps_m=5000.0, zoom=14)
+    # planetary eps -> zoom < 2 -> refuse (offsets congruent mod n)
+    with pytest.raises(ValueError, match="planetary"):
+        colocation_join(None, eps_m=2.0e7)
+
+
+def test_dbscan_null_coords_dropped_explicitly(spark):
+    rows = [(1, 1, 52.0, 13.0), (2, 1, None, 13.0), (3, 1, 52.0, None)]
+    out = grid_dbscan(
+        spark.createDataFrame(rows, SCHEMA), eps_m=50.0
+    ).collect()
+    assert [(r.event_id, r.cluster_id) for r in out] == [(1, 1)]

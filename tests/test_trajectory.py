@@ -242,3 +242,15 @@ def test_simplify_trips_matches_kernel(spark):
     t1 = out[0]
     assert t1.n_out < t1.n_in
     assert [13.02, 52.02] in [list(v) for v in t1.line]
+
+
+def test_simplify_trips_string_user_key(spark):
+    rows = [("dev-a", 7, t, 52.0 + t * 1e-5, 13.0) for t in (0, 60, 120)]
+    df = spark.createDataFrame(
+        rows, "device string, event_id long, ts_sec long, lat double, lon double"
+    )
+    out = tj.simplify_trips(
+        df, tolerance_m=500.0, gap_s=600, user_col="device",
+        id_col="event_id",
+    ).collect()
+    assert [(r.device, r.n_in) for r in out] == [("dev-a", 3)]
