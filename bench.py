@@ -542,6 +542,20 @@ def main() -> None:
 
     timed("colocation_5m_metro", coloc_5m, runs=3, warmup=True)
 
+    # map-matching the same 5M metro fixes to the 400-segment street
+    # grid: covering broadcast, single-tile probe per point, partial
+    # min_by argmin — the big side's only exchange is 1 row per match
+    from geogeometry_spark.contract import _road_segments
+    from geogeometry_spark.operators.map_match import map_match
+
+    def map_match_5m():
+        map_match(
+            metro, _road_segments(spark), max_dist_m=150.0,
+            max_abs_lat=53.2,
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("map_match_5m_metro", map_match_5m, runs=3, warmup=True)
+
     # Full payload (spreads, ann kernel rates) goes to a FILE; stdout gets
     # a compact one-line summary as the LAST line.  The driver captures a
     # bounded tail of stdout, and the r3 full line (~3 KB with spread

@@ -3107,6 +3107,97 @@ def _grid_dbscan_oracle() -> str:
     )
 
 
+# Deterministic Manhattan street grid over the metro box for
+# map-matching: 200 horizontal segments (10 rows x 20 blocks) + 200
+# vertical (20 columns x 10 blocks), axis-aligned so the pairwise
+# segment-distance kernel's exact branches fire.  Street offsets carry
+# SIX decimals (0.050003) against the fixture's 1e-5-quantized point
+# lattice, so no point can sit exactly midway between two parallel
+# streets — the only distance ties left are shared-corner endpoint
+# ties, which both engines compute as the identical haversine
+# expression and break identically by seg_id.
+
+_N_ROAD_SEGS = 400
+
+
+def _road_segments(spark: SparkSession) -> DataFrame:
+    s = F.col("id").cast("int")
+    horiz = s < 200
+    r = F.floor(s / F.lit(20.0)).cast("double")
+    b = (s % 20).cast("double")
+    sv = (s - 200).cast("int")
+    vcol = (sv % 20).cast("double")
+    vblk = F.floor(sv / F.lit(20.0)).cast("double")
+    return spark.range(_N_ROAD_SEGS).select(
+        s.alias("seg_id"),
+        F.when(horiz, F.lit(52.0) + r * F.lit(0.1) + F.lit(0.050003))
+        .otherwise(F.lit(52.0) + vblk * F.lit(0.1))
+        .alias("alat"),
+        F.when(horiz, F.lit(13.0) + b * F.lit(0.1))
+        .otherwise(F.lit(13.0) + vcol * F.lit(0.1) + F.lit(0.050003))
+        .alias("alon"),
+        F.when(horiz, F.lit(52.0) + r * F.lit(0.1) + F.lit(0.050003))
+        .otherwise(F.lit(52.0) + (vblk + F.lit(1.0)) * F.lit(0.1))
+        .alias("blat"),
+        F.when(horiz, F.lit(13.0) + (b + F.lit(1.0)) * F.lit(0.1))
+        .otherwise(F.lit(13.0) + vcol * F.lit(0.1) + F.lit(0.050003))
+        .alias("blon"),
+    )
+
+
+_ROADS_SUBQ = (
+    "(SELECT CAST(s AS INT) AS seg_id, "
+    "CASE WHEN s < 200 THEN 52.0 + CAST(floor(s / 20.0) AS DOUBLE) * 0.1 "
+    "+ 0.050003 ELSE 52.0 + CAST(floor((s - 200) / 20.0) AS DOUBLE) * 0.1 "
+    "END AS alat, "
+    "CASE WHEN s < 200 THEN 13.0 + CAST(s % 20 AS DOUBLE) * 0.1 "
+    "ELSE 13.0 + CAST((s - 200) % 20 AS DOUBLE) * 0.1 + 0.050003 "
+    "END AS alon, "
+    "CASE WHEN s < 200 THEN 52.0 + CAST(floor(s / 20.0) AS DOUBLE) * 0.1 "
+    "+ 0.050003 ELSE 52.0 + (CAST(floor((s - 200) / 20.0) AS DOUBLE) + 1.0) "
+    "* 0.1 END AS blat, "
+    "CASE WHEN s < 200 THEN 13.0 + (CAST(s % 20 AS DOUBLE) + 1.0) * 0.1 "
+    "ELSE 13.0 + CAST((s - 200) % 20 AS DOUBLE) * 0.1 + 0.050003 "
+    "END AS blon "
+    f"FROM range({_N_ROAD_SEGS}) t(s))"
+)
+
+
+def q_map_match(spark, sf_dir):
+    """Map-matching join (operators/map_match.py): snap each metro fix
+    to its nearest street segment within 150 m.  Segment covering is
+    expanded 1 ring on the SMALL side and auto-broadcast, so each point
+    joins on its single z17 tile address; per-point argmin is a
+    map-side-partial min_by, not a window sort.  max_abs_lat=53.2
+    matches the fixture band (z17, ~183 m ground cells)."""
+    from .operators.map_match import map_match
+
+    out = map_match(
+        _metro_points(spark, sf_dir),
+        _road_segments(spark),
+        max_dist_m=150.0,
+        max_abs_lat=53.2,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "seg_id",
+        F.round(F.col("dist_m"), 2).alias("dist_r2"),
+    )
+
+
+def _map_match_oracle() -> str:
+    from .operators.map_match import map_match_oracle_sql
+
+    inner = map_match_oracle_sql(
+        _METRO_SUBQ, _ROADS_SUBQ, max_dist_m=150.0
+    )
+    return (
+        "SELECT event_id, user_id, seg_id, round(dist_m, 2) AS dist_r2 "
+        f"FROM ({inner})"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3212,6 +3303,7 @@ QUERIES = {
     "convoys": q_convoys,
     "hotspot_gi": q_hotspot_gi,
     "grid_dbscan": q_grid_dbscan,
+    "map_match": q_map_match,
 }
 
 
@@ -3320,6 +3412,7 @@ def _static_oracles() -> dict[str, str]:
         "convoys": _convoys_oracle(),
         "grid_dbscan": _grid_dbscan_oracle(),
         "hotspot_gi": _hotspot_gi_oracle(),
+        "map_match": _map_match_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

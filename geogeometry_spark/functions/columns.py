@@ -393,6 +393,88 @@ def heading_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     return f"(((atan2({y}, {x}) * {1.0 / DEG2RAD!r}) + 360.0) % 360.0)"
 
 
+def distance_to_segment(
+    plat: Column,
+    plon: Column,
+    alat: Column,
+    alon: Column,
+    blat: Column,
+    blon: Column,
+) -> Column:
+    """Geodesic distance (m) from point (plat, plon) to the segment
+    (alat, alon)-(blat, blon), fully native (codegen, no UDF) and
+    PAIRWISE: both the point and the segment may vary per row, unlike
+    the scalar-segment numpy kernel (kernels/geometry.py:221).
+
+    Mirrors the reference's branch structure and op order exactly
+    (GeoGeometry.kt:642-680, where x is latitude and y is longitude):
+    constant-lon segment -> foot at (plat, alon); constant-lat segment
+    -> foot at (alat, plon); otherwise the perpendicular foot of the
+    lat/lon-plane line through the segment.  If the foot falls inside
+    the segment's bbox the distance is haversine(point, foot), else the
+    nearer endpoint distance.  The slope branch divides by (blat - alat)
+    and by s only when the guards hold, so no NaN/Inf escapes."""
+    s = (blon - alon) / (blat - alat)
+    c = alon - s * alat
+    ps = F.lit(-1.0) / s
+    pc = plon - ps * plat
+    xx_s = (c - pc) / (ps - s)
+    yy_s = s * xx_s + c
+    xx = (
+        F.when(alon == blon, plat)
+        .when(alat == blat, alat)
+        .otherwise(xx_s)
+    )
+    yy = (
+        F.when(alon == blon, alon)
+        .when(alat == blat, plon)
+        .otherwise(yy_s)
+    )
+    on = (
+        (F.least(alat, blat) <= xx)
+        & (xx <= F.greatest(alat, blat))
+        & (yy >= F.least(alon, blon))
+        & (yy <= F.greatest(alon, blon))
+    )
+    d_foot = haversine(plat, plon, xx, yy)
+    d_ends = F.least(
+        haversine(plat, plon, alat, alon), haversine(plat, plon, blat, blon)
+    )
+    return F.when(on, d_foot).otherwise(d_ends)
+
+
+def distance_to_segment_sql(
+    plat: str, plon: str, alat: str, alon: str, blat: str, blon: str
+) -> str:
+    """DuckDB twin of :func:`distance_to_segment` — identical branch
+    structure and arithmetic order so doubles agree to libm ulp."""
+    s = f"((({blon}) - ({alon})) / (({blat}) - ({alat})))"
+    c = f"(({alon}) - {s} * ({alat}))"
+    ps = f"(-1.0 / {s})"
+    pc = f"(({plon}) - {ps} * ({plat}))"
+    xx_s = f"(({c} - {pc}) / ({ps} - {s}))"
+    yy_s = f"({s} * {xx_s} + {c})"
+    xx = (
+        f"(CASE WHEN ({alon}) = ({blon}) THEN ({plat}) "
+        f"WHEN ({alat}) = ({blat}) THEN ({alat}) ELSE {xx_s} END)"
+    )
+    yy = (
+        f"(CASE WHEN ({alon}) = ({blon}) THEN ({alon}) "
+        f"WHEN ({alat}) = ({blat}) THEN ({plon}) ELSE {yy_s} END)"
+    )
+    on = (
+        f"(least({alat}, {blat}) <= {xx} AND {xx} <= greatest({alat}, {blat})"
+        f" AND {yy} >= least({alon}, {blon})"
+        f" AND {yy} <= greatest({alon}, {blon}))"
+    )
+    d_foot = haversine_sql(plat, plon, xx, yy)
+    d_ends = (
+        f"least({haversine_sql(plat, plon, alat, alon)}, "
+        f"{haversine_sql(plat, plon, blat, blon)})"
+    )
+    return f"(CASE WHEN {on} THEN {d_foot} ELSE {d_ends} END)"
+
+
 def bbox_contains(
     lat: Column, lon: Column, west: float, south: float, east: float, north: float
 ) -> Column:

@@ -1,0 +1,202 @@
+"""Map-matching join (operators/map_match.py) + the pairwise native
+segment-distance Column (functions/columns.py distance_to_segment).
+
+The Column is pinned against the reference-spec numpy kernel
+(kernels/geometry.py:221, GeoGeometry.kt:642-680) on all three
+branches; the operator is pinned against a brute-force argmin."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geogeometry_spark.functions import columns as C
+from geogeometry_spark.kernels import geometry as kgeo
+from geogeometry_spark.operators.map_match import (
+    map_match,
+    segment_covering,
+)
+
+# segments exercising every kernel branch: constant-lon ("horizontal"
+# in the kernel's x=lat convention), constant-lat, slanted, degenerate
+SEGS = [
+    (0, 52.10, 13.20, 52.30, 13.20),   # constant lon
+    (1, 52.20, 13.05, 52.20, 13.45),   # constant lat
+    (2, 52.05, 13.05, 52.35, 13.40),   # slanted
+    (3, 52.40, 13.40, 52.40, 13.40),   # zero-length
+    (4, 52.00, 13.00, 52.01, 13.50),   # shallow slant
+]
+
+PTS = [
+    (100, 52.20, 13.21),   # beside seg 0
+    (101, 52.20, 13.199),  # other side of seg 0
+    (102, 52.35, 13.20),   # beyond seg 0's north end
+    (103, 52.201, 13.25),  # just above seg 1
+    (104, 52.199, 13.03),  # beyond seg 1's west end
+    (105, 52.20, 13.22),   # near the slanted seg 2
+    (106, 52.401, 13.401), # near the degenerate seg 3
+    (107, 52.005, 13.25),  # near the shallow slant
+    (108, 52.50, 14.50),   # far from everything
+]
+
+
+def _kernel_dist(plat, plon, seg):
+    _, alat, alon, blat, blon = seg
+    return float(
+        kgeo.distance_to_segment(alat, alon, blat, blon, plat, plon)[0]
+    )
+
+
+def test_segment_distance_column_matches_kernel(spark):
+    rows = [
+        Row(pid=pid, plat=plat, plon=plon, sid=sid, alat=alat,
+            alon=alon, blat=blat, blon=blon)
+        for (pid, plat, plon) in PTS
+        for (sid, alat, alon, blat, blon) in SEGS
+    ]
+    df = spark.createDataFrame(rows).select(
+        "pid",
+        "sid",
+        C.distance_to_segment(
+            F.col("plat"), F.col("plon"), F.col("alat"),
+            F.col("alon"), F.col("blat"), F.col("blon"),
+        ).alias("d"),
+    )
+    got = {(r.pid, r.sid): r.d for r in df.collect()}
+    for pid, plat, plon in PTS:
+        for seg in SEGS:
+            want = _kernel_dist(plat, plon, seg)
+            have = got[(pid, seg[0])]
+            assert have == pytest.approx(want, rel=1e-9, abs=1e-6), (
+                pid, seg[0], want, have,
+            )
+
+
+def test_segment_distance_sql_twin_matches_kernel():
+    import duckdb
+
+    expr = C.distance_to_segment_sql(
+        "plat", "plon", "alat", "alon", "blat", "blon"
+    )
+    con = duckdb.connect()
+    for pid, plat, plon in PTS:
+        for seg in SEGS:
+            sid, alat, alon, blat, blon = seg
+            (have,) = con.execute(
+                f"SELECT {expr} FROM (SELECT {plat!r} AS plat, "
+                f"{plon!r} AS plon, {alat!r} AS alat, {alon!r} AS alon, "
+                f"{blat!r} AS blat, {blon!r} AS blon)"
+            ).fetchone()
+            want = _kernel_dist(plat, plon, seg)
+            assert have == pytest.approx(want, rel=1e-9, abs=1e-6)
+
+
+def _brute_match(points, segs, max_dist):
+    out = {}
+    for pid, plat, plon in points:
+        best = None
+        for seg in segs:
+            d = _kernel_dist(plat, plon, seg)
+            if d <= max_dist and (best is None or (d, seg[0]) < best):
+                best = (d, seg[0])
+        if best is not None:
+            out[pid] = (best[1], best[0])
+    return out
+
+
+@pytest.fixture(scope="module")
+def seg_df(spark):
+    return spark.createDataFrame(
+        [Row(seg_id=s, alat=a, alon=b, blat=c, blon=d)
+         for s, a, b, c, d in SEGS]
+    )
+
+
+def test_map_match_against_brute_force(spark, seg_df):
+    # deterministic scattered points across the fixture box
+    pts = [
+        (i, 52.0 + ((i * 7919) % 4001) / 10000.0,
+         13.0 + ((i * 104729) % 5001) / 10000.0)
+        for i in range(400)
+    ] + PTS
+    pdf = spark.createDataFrame(
+        [Row(event_id=p, user_id=p % 7, lat=la, lon=lo)
+         for p, la, lo in pts]
+    )
+    got = {
+        r.event_id: (r.seg_id, r.dist_m)
+        for r in map_match(
+            pdf, seg_df, max_dist_m=500.0, max_abs_lat=52.6
+        ).collect()
+    }
+    want = _brute_match(pts, SEGS, 500.0)
+    assert set(got) == set(want)
+    for pid, (sid, d) in want.items():
+        gsid, gd = got[pid]
+        assert gsid == sid, (pid, want[pid], got[pid])
+        assert gd == pytest.approx(d, rel=1e-9, abs=1e-6)
+
+
+def test_map_match_excludes_null_coords_and_far_points(spark, seg_df):
+    pdf = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, lat=52.20, lon=13.21),
+            Row(event_id=2, user_id=1, lat=None, lon=13.21),
+            Row(event_id=3, user_id=1, lat=52.20, lon=None),
+            Row(event_id=4, user_id=1, lat=10.0, lon=100.0),
+        ]
+    )
+    rows = map_match(
+        pdf, seg_df, max_dist_m=500.0, max_abs_lat=52.6
+    ).collect()
+    assert [r.event_id for r in rows] == [1]
+
+
+def test_map_match_auto_broadcast_plan(spark, seg_df):
+    pdf = spark.createDataFrame(
+        [Row(event_id=1, user_id=1, lat=52.20, lon=13.21)]
+    )
+    out = map_match(pdf, seg_df, max_dist_m=500.0, max_abs_lat=52.6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_map_match_zoom_validation(spark, seg_df):
+    pdf = spark.createDataFrame(
+        [Row(event_id=1, user_id=1, lat=52.2, lon=13.2)]
+    )
+    with pytest.raises(ValueError, match="coarser zoom"):
+        map_match(pdf, seg_df, max_dist_m=500.0, zoom=25)
+
+
+def test_segment_covering_hits_every_crossed_cell(spark):
+    # a long slanted segment; every point sampled densely along it must
+    # find its own tile inside the covering (the adjacency guarantee's
+    # stronger core: crossed cells themselves are covered)
+    seg = (0, 52.05, 13.05, 52.35, 13.92)
+    sdf = spark.createDataFrame(
+        [Row(seg_id=seg[0], alat=seg[1], alon=seg[2],
+             blat=seg[3], blon=seg[4])]
+    )
+    zoom = 13
+    cover = {
+        (r._nx, r._ny)
+        for r in segment_covering(
+            sdf, max_dist_m=2000.0, zoom=zoom, max_abs_lat=52.6
+        ).collect()
+    }
+    n = 1 << zoom
+    for i in range(0, 1001):
+        t = i / 1000.0
+        la = seg[1] + (seg[3] - seg[1]) * t
+        lo = seg[2] + (seg[4] - seg[2]) * t
+        x = int(((lo + 180.0) / 360.0 * n) % n)
+        rad = math.radians(la)
+        y = int(
+            (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad))
+             / math.pi) / 2.0 * n
+        )
+        assert (x, y) in cover, (i, x, y)
