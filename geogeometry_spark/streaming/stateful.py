@@ -187,6 +187,144 @@ FIXES_SCHEMA = T.StructType(
 )
 
 
+GEOFENCE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("fence_id", T.StringType()),
+        T.StructField("transition", T.StringType()),
+    ]
+)
+
+_GEOFENCE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("inside", T.ArrayType(T.StringType())),
+        T.StructField("last_ts", T.LongType()),  # epoch micros
+    ]
+)
+
+
+def _make_geofence_fn(fences: list[tuple[str, "object"]]):
+    """Build the per-user stateful transition function over a
+    driver-side fence list.  Fences are closed rings as (m, 2)
+    [lon, lat] float arrays — config-scale (tens..thousands), shipped
+    in the task closure exactly like the batch PIP broadcast form
+    (operators/pip_join.py)."""
+    import numpy as np
+
+    from ..kernels.geometry import polygon_contains
+
+    prepared = []
+    for fid, ring in fences:
+        arr = np.asarray(ring, dtype=np.float64)
+        bbox = (
+            arr[:, 1].min(), arr[:, 1].max(),
+            arr[:, 0].min(), arr[:, 0].max(),
+        )
+        prepared.append((str(fid), arr, bbox))
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        if state.exists:
+            inside, last_us = state.get
+            inside = set(inside)
+            # late fixes older than already-applied state cannot
+            # rewrite transition history — drop them (the sessionize
+            # late-fix doctrine)
+            pdf = pdf[pdf["ts"].astype("int64") // 1000 > last_us]
+            if not len(pdf):
+                return
+        else:
+            inside = set()
+        lat = pdf["lat"].to_numpy()
+        lon = pdf["lon"].to_numpy()
+        member: dict[str, "object"] = {}
+        for fid, ring, (la0, la1, lo0, lo1) in prepared:
+            cand = (lat >= la0) & (lat <= la1) & (lon >= lo0) & (lon <= lo1)
+            m = np.zeros(len(pdf), dtype=bool)
+            if cand.any():
+                m[cand] = polygon_contains(lat[cand], lon[cand], ring)
+            member[fid] = m
+        out_user, out_ts, out_fence, out_tr = [], [], [], []
+        uid = key[0]
+        for i in range(len(pdf)):
+            now = {fid for fid, m in member.items() if m[i]}
+            ts = pdf["ts"].iloc[i]
+            for fid in sorted(now - inside):
+                out_user.append(uid)
+                out_ts.append(ts)
+                out_fence.append(fid)
+                out_tr.append("enter")
+            for fid in sorted(inside - now):
+                out_user.append(uid)
+                out_ts.append(ts)
+                out_fence.append(fid)
+                out_tr.append("exit")
+            inside = now
+        last_us = int(pdf["ts"].astype("int64").iloc[-1] // 1000)
+        state.update((sorted(inside), last_us))
+        if out_user:
+            yield pd.DataFrame(
+                {
+                    "user_id": out_user,
+                    "ts": out_ts,
+                    "fence_id": out_fence,
+                    "transition": out_tr,
+                }
+            )
+
+    return fn
+
+
+def stream_geofence(
+    fixes: DataFrame,
+    fences: list[tuple[str, "object"]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Geofence enter/exit transition stream: one output row per
+    (user, fence) membership CHANGE — the alerting primitive a fleet
+    pipeline runs on the live fix stream (the batch twin is a PIP join
+    plus a lag() comparison; here the previous membership set lives in
+    per-user GroupState so transitions survive micro-batch boundaries
+    and restarts).
+
+    ``fences``: driver-side list of (fence_id, closed [lon, lat] ring)
+    — geofences are configuration, not data, so they ride the task
+    closure like the batch broadcast-PIP form; the per-fix test is the
+    same vectorized ray-cast kernel (kernels/geometry.py:100,
+    GeoGeometry.kt polygonContains) behind a bbox prefilter.
+
+    Semantics: fixes are applied in event-time order within each
+    micro-batch; a fix no newer than the state's last applied timestamp
+    is dropped (late data cannot rewrite emitted transition history —
+    same doctrine as stream_sessionize's late-fix drop).  State per
+    user is the current inside-set + last timestamp, bounded by the
+    number of users x fences currently occupied."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = fixes.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+    ).where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _make_geofence_fn(fences),
+        outputStructType=GEOFENCE_OUT_SCHEMA,
+        stateStructType=_GEOFENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessionize(
     fixes: DataFrame,
     gap: str = "30 minutes",

@@ -37,6 +37,7 @@ N_B = int(os.environ.get("STRETCH_OVERLAY_B", "150"))
 N_CC_NODES = int(os.environ.get("STRETCH_CC_NODES", "6000000"))
 N_TRAJ_USERS = int(os.environ.get("STRETCH_TRAJ_USERS", "200000"))
 N_DBSCAN_USERS = int(os.environ.get("STRETCH_DBSCAN_USERS", "50000"))
+N_MM_USERS = int(os.environ.get("STRETCH_MM_USERS", "200000"))
 
 
 def _session(cpus: int):
@@ -209,6 +210,38 @@ def measure_dbscan(cpus: int) -> dict:
             "fixes_per_sec": round(n / best, 1)}
 
 
+def measure_map_match(cpus: int) -> dict:
+    """map_match at N_MM_USERS x 100 metro fixes against the contract's
+    400-segment street grid: broadcast covering + single-tile probe +
+    partial min_by argmin.  Plan (and its bounded broadcast probe) is
+    built once per session, outside the timer."""
+    from geogeometry_spark.contract import _road_segments
+    from geogeometry_spark.operators.map_match import map_match
+    from geogeometry_spark.sources.tables import synthetic_fixes
+
+    spark = _session(cpus)
+    fixes = synthetic_fixes(
+        spark, N_MM_USERS, 100, metro=True
+    ).localCheckpoint()
+    n = fixes.count()
+    df = map_match(
+        fixes, _road_segments(spark), max_dist_m=150.0, max_abs_lat=53.2
+    )
+
+    def run():
+        df.write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    spark.stop()
+    return {"wall_s": round(best, 3), "n_fixes": n,
+            "fixes_per_sec": round(n / best, 1)}
+
+
 def main() -> None:
     args = sys.argv[1:]
     ops = {
@@ -216,6 +249,7 @@ def main() -> None:
         "cc_6m_edges": measure_cc,
         "traj_trips_20m": measure_traj,
         "dbscan_5m": measure_dbscan,
+        "map_match_20m": measure_map_match,
     }
     if "--op" in args:
         i = args.index("--op")

@@ -411,3 +411,76 @@ def test_stream_sessionize_session_windows(spark, tmp_path):
     assert got2 == [
         (7, 0, 0, 2), (7, 2, 0, 1), (9, 0, 5, 1), (9, 8, 0, 1)
     ]
+
+
+def test_stream_geofence_transitions(spark, tmp_path):
+    """Per-user geofence enter/exit via applyInPandasWithState: a user
+    crossing into a fence emits enter, leaving emits exit; membership
+    persists across micro-batches (no re-enter without an exit); a fix
+    older than already-applied state is dropped; a user who never
+    crosses emits nothing."""
+    import datetime as dt
+
+    from geogeometry_spark.streaming.stateful import (
+        FIXES_SCHEMA,
+        stream_geofence,
+    )
+
+    # two square fences: A around (52.5, 13.4), B around (48.1, 11.6)
+    fences = [
+        ("A", [[13.3, 52.4], [13.5, 52.4], [13.5, 52.6],
+               [13.3, 52.6], [13.3, 52.4]]),
+        ("B", [[11.5, 48.0], [11.7, 48.0], [11.7, 48.2],
+               [11.5, 48.2], [11.5, 48.0]]),
+    ]
+    inp = tmp_path / "gf_in"
+    base = dt.datetime(2026, 1, 1, 0, 0)
+
+    def mk(rows):
+        spark.createDataFrame(rows, FIXES_SCHEMA).write.mode(
+            "append"
+        ).parquet(str(inp))
+
+    # batch 1: user 7 outside -> inside A (enter at :10); user 9
+    # starts inside B (enter at :00); user 11 never inside anything
+    mk([
+        (1, 7, base, 50.0, 10.0),
+        (2, 7, base + dt.timedelta(minutes=10), 52.5, 13.4),
+        (3, 9, base, 48.1, 11.6),
+        (4, 11, base, 0.0, 0.0),
+    ])
+
+    stream = spark.readStream.schema(FIXES_SCHEMA).parquet(str(inp))
+    out = stream_geofence(stream, fences)
+    outdir = str(tmp_path / "gf_out")
+
+    def drain():
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "gf_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r.user_id, r.ts.minute + 60 * r.ts.hour, r.fence_id,
+             r.transition)
+            for r in spark.read.parquet(outdir).collect()
+        )
+
+    assert drain() == [(7, 10, "A", "enter"), (9, 0, "B", "enter")]
+
+    # batch 2: user 7 stays inside A (no event), then leaves (exit);
+    # user 9 late fix BEFORE its applied state -> dropped entirely
+    mk([
+        (5, 7, base + dt.timedelta(minutes=20), 52.55, 13.45),
+        (6, 7, base + dt.timedelta(minutes=30), 50.0, 10.0),
+        (7, 9, base - dt.timedelta(minutes=5), 0.0, 0.0),
+    ])
+    assert drain() == [
+        (7, 10, "A", "enter"),
+        (7, 30, "A", "exit"),
+        (9, 0, "B", "enter"),
+    ]
