@@ -466,6 +466,11 @@ def connected_components(
         m = nbrs.groupBy("u").agg(F.min("v").alias("_mv")).select(
             "u", F.least(F.col("u"), F.col("_mv")).alias("m")
         )
+        # the trailing .distinct() is LOAD-BEARING on dense graphs: a
+        # node with d smaller neighbors emits d (v, m) rows that mostly
+        # coincide; without the dedup they multiply through small_star's
+        # attach join and compound per round (measured: grid_dbscan_5m
+        # 24.5 s -> 176 s when this distinct was dropped)
         return (
             nbrs.where(F.col("v") > F.col("u"))
             .join(m, "u")
@@ -491,20 +496,54 @@ def connected_components(
             .distinct()
         )
 
-    def _checksum(e: DataFrame):
-        # bit_xor: order-independent and overflow-free under ANSI mode
-        # (sum(xxhash64) throws ARITHMETIC_OVERFLOW in Spark 4)
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    from pyspark.sql import Observation
+
+    def _is_star_forest(e: DataFrame) -> bool:
+        # exact terminal-state probe: a distinct big->small edge set is
+        # a star forest iff every node is EITHER a source exactly once
+        # with no in-edges (a leaf) OR target-only (a root).  One
+        # tagged-endpoint aggregation + short-circuiting isEmpty.
+        ends = e.select(
+            F.col("u").alias("node"), F.lit(1).alias("as_u")
+        ).union(e.select(F.col("v"), F.lit(0)))
+        viol = (
+            ends.groupBy("node")
+            .agg(F.sum("as_u").alias("nu"), F.count(F.lit(1)).alias("nt"))
+            .where(
+                (F.col("nu") > 1)
+                | ((F.col("nu") > 0) & (F.col("nt") > F.col("nu")))
+            )
+        )
+        return viol.isEmpty()
 
     edges = edges.localCheckpoint()
     prev = None
     converged = False
     for _ in range(max_rounds):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        # Fixed-point detection without a per-round checksum JOB: the
+        # old loop ran a separate collect() per round to checksum the
+        # edge set; both that checksum (count + order-independent
+        # bit_xor — overflow-free under ANSI mode, where sum(xxhash64)
+        # throws) and an approx_count_distinct(u) heuristic now ride
+        # the eager-checkpoint job for free via Observation.  When the
+        # heuristic says sources are ~unique (necessary at the star-
+        # forest terminal state, Kiveris et al. 2014), one exact probe
+        # job confirms and breaks at the converged round itself — one
+        # round EARLIER than checksum equality, which by construction
+        # needs an extra round to see "output == input".  Checksum
+        # equality remains the exact fallback (approx_count_distinct
+        # under-counting can only delay the probe, never mis-converge).
+        obs = Observation()
+        new_edges = (
+            _small_star(_large_star(edges))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+                F.approx_count_distinct("u").alias("andu"),
+            )
+            .localCheckpoint()
+        )
         # the new checkpoint is EAGER, so the previous round's blocks
         # are dead the moment it returns — free them explicitly instead
         # of waiting on the ContextCleaner (lazily-GC'd round blocks
@@ -515,8 +554,17 @@ def connected_components(
         old = edges
         edges = new_edges
         old.unpersist()
-        cur = _checksum(edges)
-        if cur == prev:
+        m = obs.get
+        cur = (m["n"], m["h"])
+        # probe only when the count is stable (necessary at a fixed
+        # point) AND sources look ~unique — otherwise the probe job
+        # would run every round on near-star graphs and eat its savings
+        if cur == prev or (
+            prev is not None
+            and m["n"] == prev[0]
+            and m["andu"] >= 0.9 * m["n"]
+            and _is_star_forest(edges)
+        ):
             converged = True
             break
         prev = cur
@@ -527,8 +575,8 @@ def connected_components(
         import warnings
 
         warnings.warn(
-            f"connected_components: edge checksum did not stabilize "
-            f"within max_rounds={max_rounds}; labels may split "
+            f"connected_components: edge fixed point not "
+            f"reached within max_rounds={max_rounds}; labels may split "
             f"components. Increase max_rounds.",
             RuntimeWarning,
             stacklevel=2,
