@@ -3081,6 +3081,22 @@ def q_hotspot_gi(spark, sf_dir):
     return getis_ord_gi(_traj_points(spark, sf_dir), zoom=8)
 
 
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I autocorrelation of fix counts over z8 tile
+    bins (operators/hotspot.py): binary queen adjacency on occupied
+    cells, exact integer aggregates, pinned-order scalar combine;
+    one-row result (I, E[I], z under normality)."""
+    from .operators.hotspot import morans_i
+
+    return morans_i(_traj_points(spark, sf_dir), zoom=8)
+
+
+def _morans_i_oracle() -> str:
+    from .operators.hotspot import morans_i_oracle_sql
+
+    return morans_i_oracle_sql(_TRAJ_SUBQ, zoom=8)
+
+
 def q_grid_dbscan(spark, sf_dir):
     """Grid-bucketed DBSCAN (min_pts=1 / eps-linkage) at eps=50 m over
     the fix stream: coincident-fix collapse -> z16 tile bucketing ->
@@ -3302,6 +3318,7 @@ QUERIES = {
     "colocation": q_colocation,
     "convoys": q_convoys,
     "hotspot_gi": q_hotspot_gi,
+    "morans_i": q_morans_i,
     "grid_dbscan": q_grid_dbscan,
     "map_match": q_map_match,
 }
@@ -3412,6 +3429,7 @@ def _static_oracles() -> dict[str, str]:
         "convoys": _convoys_oracle(),
         "grid_dbscan": _grid_dbscan_oracle(),
         "hotspot_gi": _hotspot_gi_oracle(),
+        "morans_i": _morans_i_oracle(),
         "map_match": _map_match_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.

@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 
 from ..functions import columns as C
 
-__all__ = ["getis_ord_gi", "getis_ord_gi_oracle_sql"]
+__all__ = [
+    "getis_ord_gi",
+    "getis_ord_gi_oracle_sql",
+    "morans_i",
+    "morans_i_oracle_sql",
+]
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
@@ -116,6 +121,165 @@ def getis_ord_gi(
     z = F.when(F.lit(n > 1) & F.lit(sdev > 0) & (den > 0), num / den)
     return joined.select(
         "tx", "ty", "cnt", "w_n", "g_sum", F.round(z, 3).alias("gi_r3")
+    )
+
+
+_NBR_OFFSETS = [(dx, dy) for dx, dy in _OFFSETS if (dx, dy) != (0, 0)]
+
+
+def morans_i(
+    points: DataFrame,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of point counts binned
+    to WebMercator tiles at ``zoom`` (Moran 1950; z-score under the
+    normality assumption, Cliff & Ord 1981 ch. 2) — the study-area-wide
+    companion to the per-cell :func:`getis_ord_gi`: one row telling
+    whether occupied-cell counts are globally clustered (I > E[I]),
+    dispersed (I < E[I]), or random.
+
+    Weights are binary queen adjacency on the tile lattice (8
+    neighbors, self excluded, x wrapping mod 2^zoom), restricted to
+    OCCUPIED cells — same convention and same reasoning as Gi* (the
+    z16 full lattice at 100 TB is 4.3e9 mostly-void addresses).
+
+    Scale design mirrors Gi*: points collapse to occupied cells once
+    (map-side combinable), the CELL relation explodes to its 8
+    neighbor addresses and equi-joins itself — every aggregate the
+    statistic needs (n, Σx, Σx², S0 = #adjacent ordered pairs,
+    Σ xᵢxⱼ over pairs, Σ xᵢ over pairs, Σ degᵢ²) is an exact BIGINT,
+    so no float ever enters a shuffle; the handful of scalars combine
+    driver-side in a pinned IEEE op order that the DuckDB twin mirrors
+    literally.  Numerator cross-sum is expanded as
+    Σxᵢxⱼ − x̄Σxᵢ − x̄Σxⱼ + S0·x̄² to keep the aggregation integral.
+
+    Returns one row: (n_cells, s0, moran_i_r6, e_i_r6, z_r6) — NULL
+    statistic when undefined (n < 2, zero variance, or no adjacent
+    occupied pair).  E[I] = −1/(n−1); Var under normality:
+    (n²S1 − nS2 + 3S0²) / ((n²−1)S0²) − E², with S1 = 2·S0 and
+    S2 = 4·Σdegᵢ² for symmetric binary weights."""
+    n_tiles = 1 << zoom
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    cells = (
+        points.groupBy(x.alias("tx"), y.alias("ty"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    stats = cells.agg(
+        F.count(F.lit(1)),
+        F.sum("cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")),
+    ).first()
+    n, sx, sxx = int(stats[0]), int(stats[1] or 0), int(stats[2] or 0)
+
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _NBR_OFFSETS
+        ]
+    )
+    spread = cells.withColumn("_o", F.explode(offs)).select(
+        F.pmod(F.col("tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("ty") + F.col("_o.dy")).alias("ny"),
+        F.col("cnt").alias("cnt_j"),
+    )
+    pairs = cells.join(
+        spread,
+        (F.col("tx") == F.col("nx")) & (F.col("ty") == F.col("ny")),
+    ).select("tx", "ty", F.col("cnt").alias("cnt_i"), "cnt_j")
+    prow = pairs.agg(
+        F.count(F.lit(1)),
+        F.sum(F.col("cnt_i") * F.col("cnt_j")),
+        F.sum("cnt_i"),
+    ).first()
+    s0, sp, st = int(prow[0]), int(prow[1] or 0), int(prow[2] or 0)
+    drow = (
+        pairs.groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum(F.col("deg") * F.col("deg")))
+        .first()
+    )
+    sd2 = int(drow[0] or 0)
+
+    spark = points.sparkSession
+    # pinned scalar op order — the oracle twin mirrors it literally
+    moran = e_i = z = None
+    if n > 1 and s0 > 0:
+        xbar = sx / n
+        m2 = sxx - n * xbar * xbar
+        if m2 > 0:
+            cross = sp - xbar * st - xbar * st + s0 * xbar * xbar
+            moran = (n / s0) * (cross / m2)
+            e_i = -1.0 / (n - 1)
+            s1 = 2.0 * s0
+            s2 = 4.0 * sd2
+            var = (n * n * s1 - n * s2 + 3.0 * (s0 * s0)) / (
+                (n * n - 1.0) * (s0 * s0)
+            ) - e_i * e_i
+            if var > 0:
+                z = (moran - e_i) / math.sqrt(var)
+    # round through F.round (BigDecimal HALF_UP), not Python round
+    # (HALF_EVEN) — the F.round-vs-DuckDB-round pairing is the one the
+    # other rounded oracles already prove hash-identical
+    rnd = lambda v: F.round(F.lit(v).cast("double"), 6)  # noqa: E731
+    return spark.range(1).select(
+        F.lit(n).alias("n_cells"),
+        F.lit(s0).alias("s0"),
+        rnd(moran).alias("moran_i_r6"),
+        rnd(e_i).alias("e_i_r6"),
+        rnd(z).alias("z_r6"),
+    )
+
+
+def morans_i_oracle_sql(
+    subq: str, zoom: int = 8, lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB twin: identical occupied-cell lattice, 8-address spread,
+    integer aggregates, and literally the same scalar op order (DuckDB
+    casts HUGEINT sums to DOUBLE explicitly; round() at the very end
+    like the Spark side)."""
+    n_tiles = 1 << zoom
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _NBR_OFFSETS)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2), "
+        "cstats AS (SELECT count(*) AS n, "
+        "CAST(sum(cnt) AS DOUBLE) AS sx, "
+        "CAST(sum(cnt * cnt) AS DOUBLE) AS sxx FROM cells), "
+        f"offsets(dx, dy) AS (VALUES {offs}), "
+        "spread AS (SELECT "
+        f"((tx + dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "ty + dy AS ny, cnt AS cnt_j FROM cells CROSS JOIN offsets), "
+        "pairs AS (SELECT c.tx, c.ty, c.cnt AS cnt_i, s.cnt_j "
+        "FROM cells c JOIN spread s ON c.tx = s.nx AND c.ty = s.ny), "
+        "pstats AS (SELECT count(*) AS s0, "
+        "CAST(sum(cnt_i * cnt_j) AS DOUBLE) AS sp, "
+        "CAST(sum(cnt_i) AS DOUBLE) AS st FROM pairs), "
+        "dstats AS (SELECT CAST(coalesce(sum(deg * deg), 0) AS DOUBLE) "
+        "AS sd2 FROM (SELECT count(*) AS deg FROM pairs "
+        "GROUP BY tx, ty)), "
+        "scal AS (SELECT n, s0, sx / n AS xbar, "
+        "sxx - n * (sx / n) * (sx / n) AS m2, sp, st, sd2 "
+        "FROM cstats CROSS JOIN pstats CROSS JOIN dstats), "
+        "res AS (SELECT n, s0, "
+        "CASE WHEN n > 1 AND s0 > 0 AND m2 > 0 THEN "
+        "(CAST(n AS DOUBLE) / s0) * "
+        "((sp - xbar * st - xbar * st + s0 * xbar * xbar) / m2) "
+        "END AS moran, "
+        "CASE WHEN n > 1 AND s0 > 0 AND m2 > 0 THEN "
+        "-1.0 / (n - 1) END AS e_i, "
+        "CASE WHEN n > 1 AND s0 > 0 AND m2 > 0 THEN "
+        "(CAST(n AS DOUBLE) * n * (2.0 * s0) - n * (4.0 * sd2) "
+        "+ 3.0 * (CAST(s0 AS DOUBLE) * s0)) / "
+        "((CAST(n AS DOUBLE) * n - 1.0) * (CAST(s0 AS DOUBLE) * s0)) "
+        "- (-1.0 / (n - 1)) * (-1.0 / (n - 1)) END AS var FROM scal) "
+        "SELECT n AS n_cells, s0, round(moran, 6) AS moran_i_r6, "
+        "round(e_i, 6) AS e_i_r6, "
+        "CASE WHEN var > 0 THEN round((moran - e_i) / sqrt(var), 6) "
+        "END AS z_r6 FROM res"
     )
 
 

@@ -100,6 +100,92 @@ def test_gi_matches_duckdb_twin(spark, duck):
 
 
 # --------------------------------------------------------------------------
+# Moran's I
+# --------------------------------------------------------------------------
+
+def test_morans_i_against_dense_matrix(spark):
+    # clustered layout: two adjacent hot cells + two adjacent cold
+    # cells far away -> positive autocorrelation.  Independent check:
+    # dense W matrix + the textbook formula in numpy.
+    import numpy as np
+
+    from geogeometry_spark.operators.hotspot import morans_i
+
+    rows = (
+        [(i, 1, 52.52, 13.40) for i in range(8)]       # Berlin: 8
+        + [(i, 1, 52.52, 14.80) for i in range(8, 14)]  # east nbr: 6
+        + [(20, 1, -33.90, 151.20)]                     # Sydney: 1
+        + [(21, 1, -33.90, 152.60)]                     # its east nbr: 1
+    )
+    out = morans_i(spark.createDataFrame(rows, SCHEMA), zoom=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_cells, r.s0) == (4, 4)  # two adjacent pairs, ordered
+
+    x = np.array([8.0, 6.0, 1.0, 1.0])
+    w = np.zeros((4, 4))
+    w[0, 1] = w[1, 0] = w[2, 3] = w[3, 2] = 1.0
+    n, s0 = 4, w.sum()
+    xc = x - x.mean()
+    i_ref = (n / s0) * (xc @ w @ xc) / (xc @ xc)
+    assert r.moran_i_r6 == pytest.approx(i_ref, abs=1e-6)
+    assert r.e_i_r6 == pytest.approx(-1.0 / 3.0, abs=1e-6)
+    # normality variance, Cliff & Ord: S1 = 2*S0, S2 = 4*sum(deg^2)
+    s1, s2 = 2.0 * s0, 4.0 * float((w.sum(1) ** 2).sum())
+    e = -1.0 / (n - 1)
+    var = (n * n * s1 - n * s2 + 3 * s0 * s0) / ((n * n - 1) * s0 * s0) - e * e
+    assert r.z_r6 == pytest.approx((i_ref - e) / math.sqrt(var), abs=1e-6)
+    assert r.moran_i_r6 > 0  # clustered -> positive
+
+
+def test_morans_i_degenerate_inputs(spark):
+    from geogeometry_spark.operators.hotspot import morans_i
+
+    # one occupied cell: statistic undefined, no adjacent pair
+    one = morans_i(
+        spark.createDataFrame([(1, 1, 10.0, 10.0)], SCHEMA), zoom=8
+    ).collect()[0]
+    assert (one.n_cells, one.s0) == (1, 0)
+    assert one.moran_i_r6 is None and one.z_r6 is None
+    # two occupied NON-adjacent cells: s0 = 0 -> undefined
+    two = morans_i(
+        spark.createDataFrame(
+            [(1, 1, 10.0, 10.0), (2, 1, -40.0, 100.0)], SCHEMA
+        ),
+        zoom=8,
+    ).collect()[0]
+    assert (two.n_cells, two.s0) == (2, 0)
+    assert two.moran_i_r6 is None
+    # uniform counts on adjacent cells: zero variance -> undefined
+    flat = morans_i(
+        spark.createDataFrame(
+            [(1, 1, 52.52, 13.40), (2, 1, 52.52, 14.80)], SCHEMA
+        ),
+        zoom=8,
+    ).collect()[0]
+    assert flat.s0 == 2 and flat.moran_i_r6 is None
+
+
+def test_morans_i_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    from geogeometry_spark.operators.hotspot import (
+        morans_i,
+        morans_i_oracle_sql,
+    )
+
+    rows = [
+        (i, i % 5, ((i * 37) % 140) - 70 + 0.5, ((i * 53) % 340) - 170 + 0.5)
+        for i in range(300)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "lat", "lon"])
+    duck.register("pts", pdf)
+    got = [tuple(r) for r in morans_i(spark.createDataFrame(pdf), zoom=4).collect()]
+    want = [tuple(r) for r in duck.sql(morans_i_oracle_sql("pts", zoom=4)).fetchall()]
+    assert got == want
+
+
+# --------------------------------------------------------------------------
 # grid DBSCAN
 # --------------------------------------------------------------------------
 
