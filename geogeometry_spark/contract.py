@@ -985,6 +985,43 @@ def _radius_join_bulk_oracle() -> str:
     )
 
 
+def q_idw(spark, sf_dir):
+    """IDW interpolation (operators/interpolate.py): every 5th doc is
+    a target circle (3-5 km), samples carry a deterministic value;
+    candidates via radius_join_bulk's per-target ring explosion, then
+    mm/1e-9 fixed-point weights summed as BIGINTs (order-independent)
+    with min-value tie-break for sub-meter-coincident samples."""
+    from .operators.interpolate import idw_interpolate
+
+    did = F.col("doc_id").cast("long")
+    pts = _with_cell(_docs_coords(spark, sf_dir)).withColumn(
+        "val", ((did * 13) % 1000).cast("double") / F.lit(10.0)
+    )
+    qs = _docs_coords(spark, sf_dir).where(did % 5 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        (F.lit(3000.0) + (did % 3) * F.lit(1000.0)).alias("radius_m"),
+    )
+    return idw_interpolate(pts, qs, value_col="val", power=2, precision=5)
+
+
+def _idw_oracle() -> str:
+    from .operators.interpolate import idw_oracle_sql
+
+    samples = (
+        "(SELECT lat, lon, "
+        "CAST((CAST(doc_id AS BIGINT) * 13) % 1000 AS DOUBLE) / 10.0 "
+        f"AS val FROM {_COORD_SUBQ})"
+    )
+    targets = (
+        "(SELECT doc_id AS query_id, lat AS qlat, lon AS qlon, "
+        "3000.0 + (CAST(doc_id AS BIGINT) % 3) * 1000.0 AS radius_m "
+        f"FROM {_COORD_SUBQ} WHERE CAST(doc_id AS BIGINT) % 5 = 0)"
+    )
+    return idw_oracle_sql(samples, targets, value_expr="val", power=2)
+
+
 def q_knn_bulk(spark, sf_dir):
     """Distributed bulk kNN: every 50th doc is a query; ring-2
     precision-5 candidate cells via pure index arithmetic, shuffle
@@ -3253,6 +3290,7 @@ QUERIES = {
     "knn_window": q_knn_window,
     "knn_bulk": q_knn_bulk,
     "radius_join_bulk": q_radius_join_bulk,
+    "idw": q_idw,
     "hex_encode": q_hex_encode,
     "hex_kring": q_hex_kring,
     "hex_radius_join": q_hex_radius_join,
@@ -3365,6 +3403,7 @@ def _static_oracles() -> dict[str, str]:
         "knn_window": O_KNN_WINDOW,
         "knn_bulk": _knn_bulk_oracle(),
         "radius_join_bulk": _radius_join_bulk_oracle(),
+        "idw": _idw_oracle(),
         "hex_encode": _hex_encode_oracle(),
         "hex_kring": _hex_kring_oracle(),
         "hex_radius_join": O_RADIUS,
