@@ -985,6 +985,57 @@ def _radius_join_bulk_oracle() -> str:
     )
 
 
+def q_segment_join(spark, sf_dir):
+    """Relation-scale segment-crossing join (operators/segment_join.py):
+    two doc-derived segment relations (deterministic ~0.01-0.02 deg
+    deltas), bbox-cell-covering candidates at precision 6, then the
+    verbatim reference linesCross formula as the exact join predicate
+    in BOTH engines."""
+    from .operators.segment_join import segment_join
+
+    did = F.col("doc_id").cast("long")
+    base = _docs_coords(spark, sf_dir)
+    a = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lat").alias("alat1"),
+        F.col("lon").alias("alon1"),
+        (F.col("lat") + ((did * 7) % 21 - 10).cast("double") / F.lit(1000.0)
+         ).alias("alat2"),
+        (F.col("lon") + ((did * 11) % 21 - 10).cast("double") / F.lit(1000.0)
+         ).alias("alon2"),
+    )
+    b = base.where(did % 3 == 0).select(
+        F.col("doc_id").alias("id_b"),
+        (F.col("lat") + F.lit(0.002)).alias("blat1"),
+        (F.col("lon") - F.lit(0.004)).alias("blon1"),
+        (F.col("lat") + ((did * 13) % 25 - 12).cast("double") / F.lit(1000.0)
+         ).alias("blat2"),
+        (F.col("lon") + ((did * 17) % 25 - 12).cast("double") / F.lit(1000.0)
+         ).alias("blon2"),
+    )
+    return segment_join(a, b, precision=6)
+
+
+def _segment_join_oracle() -> str:
+    from .operators.segment_join import segment_join_oracle_sql
+
+    did = "CAST(doc_id AS BIGINT)"
+    a = (
+        f"(SELECT doc_id AS id_a, lat AS alat1, lon AS alon1, "
+        f"lat + CAST(({did} * 7) % 21 - 10 AS DOUBLE) / 1000.0 AS alat2, "
+        f"lon + CAST(({did} * 11) % 21 - 10 AS DOUBLE) / 1000.0 AS alon2 "
+        f"FROM {_COORD_SUBQ})"
+    )
+    b = (
+        f"(SELECT doc_id AS id_b, lat + 0.002 AS blat1, "
+        f"lon - 0.004 AS blon1, "
+        f"lat + CAST(({did} * 13) % 25 - 12 AS DOUBLE) / 1000.0 AS blat2, "
+        f"lon + CAST(({did} * 17) % 25 - 12 AS DOUBLE) / 1000.0 AS blon2 "
+        f"FROM {_COORD_SUBQ} WHERE {did} % 3 = 0)"
+    )
+    return segment_join_oracle_sql(a, b, precision=6)
+
+
 def q_idw(spark, sf_dir):
     """IDW interpolation (operators/interpolate.py): every 5th doc is
     a target circle (3-5 km), samples carry a deterministic value;
@@ -3291,6 +3342,7 @@ QUERIES = {
     "knn_bulk": q_knn_bulk,
     "radius_join_bulk": q_radius_join_bulk,
     "idw": q_idw,
+    "segment_join": q_segment_join,
     "hex_encode": q_hex_encode,
     "hex_kring": q_hex_kring,
     "hex_radius_join": q_hex_radius_join,
@@ -3404,6 +3456,7 @@ def _static_oracles() -> dict[str, str]:
         "knn_bulk": _knn_bulk_oracle(),
         "radius_join_bulk": _radius_join_bulk_oracle(),
         "idw": _idw_oracle(),
+        "segment_join": _segment_join_oracle(),
         "hex_encode": _hex_encode_oracle(),
         "hex_kring": _hex_kring_oracle(),
         "hex_radius_join": O_RADIUS,
