@@ -91,40 +91,11 @@ def lines_cross_sql(
     x1: str, y1: str, x2: str, y2: str,
     u1: str, v1: str, u2: str, v2: str,
 ) -> str:
-    """DuckDB twin of :func:`lines_cross_col` — same branches, same op
-    order, so the float decisions match bit-for-bit."""
-
-    def btw(a: str, b: str, v: str) -> str:
-        return (
-            f"(({v}) >= least({a}, {b}) AND ({v}) <= greatest({a}, {b}))"
-        )
-
-    g2 = f"((({v2}) - ({v1})) / (({u2}) - ({u1})))"
-    a2 = f"(({v1}) - {g2} * ({u1}))"
-    yi_1v = f"({a2} + {g2} * ({x1}))"
-    g1 = f"((({y2}) - ({y1})) / (({x2}) - ({x1})))"
-    a1 = f"(({y1}) - {g1} * ({x1}))"
-    yi_2v = f"({a1} + {g1} * ({u1}))"
-    xi = f"(-({a1} - {a2}) / ({g1} - {g2}))"
-    yi = f"({a1} + {g1} * {xi})"
-    return (
-        f"(CASE WHEN ({x1}) = ({x2}) AND ({u1}) = ({u2}) THEN "
-        f"(CASE WHEN ({x1}) = ({u1}) THEN "
-        f"least({y1}, {y2}) <= greatest({v1}, {v2}) AND "
-        f"least({v1}, {v2}) <= greatest({y1}, {y2}) "
-        f"ELSE FALSE END) "
-        f"WHEN ({x1}) = ({x2}) THEN "
-        f"({btw(y1, y2, yi_1v)} AND {btw(v1, v2, yi_1v)}) "
-        f"WHEN ({u1}) = ({u2}) THEN "
-        f"({btw(y1, y2, yi_2v)} AND {btw(v1, v2, yi_2v)}) "
-        f"WHEN {g1} - {g2} = 0.0 THEN "
-        f"(CASE WHEN abs({a1} - {a2}) < 0.0000001 THEN "
-        f"({btw(x1, x2, u1)} OR {btw(x1, x2, u2)}) ELSE FALSE END) "
-        f"ELSE ((({x1}) - {xi}) * ({xi} - ({x2})) >= 0 AND "
-        f"(({u1}) - {xi}) * ({xi} - ({u2})) >= 0 AND "
-        f"(({y1}) - {yi}) * ({yi} - ({y2})) >= 0 AND "
-        f"(({v1}) - {yi}) * ({yi} - ({v2})) >= 0) END)"
-    )
+    """SQL twin of :func:`lines_cross_col` — delegates to the existing
+    :func:`..functions.columns.lines_cross_expr_sql` (same verbatim
+    branches), re-exported here so the Column/SQL pair lives together
+    at the join call sites."""
+    return C.lines_cross_expr_sql(x1, y1, x2, y2, u1, v1, u2, v2)
 
 
 def _cells(
