@@ -556,6 +556,91 @@ def main() -> None:
 
     timed("map_match_5m_metro", map_match_5m, runs=3, warmup=True)
 
+    # Hausdorff trip-pair join over the 5M GLOBAL fixes (planet-spread
+    # home bases keep true route twins sparse, so this measures the
+    # candidate machinery — sessionize exchange + head-ring equi-join
+    # against the 5M-fix cell relation — not output materialization)
+    from geogeometry_spark.operators.traj_similarity import hausdorff_join
+
+    def traj_hausdorff_5m():
+        hausdorff_join(fixes, tau_m=500.0, gap_s=43200).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("traj_hausdorff_5m", traj_hausdorff_5m, runs=3, warmup=True)
+
+    # Moran's I over the same 5M global fixes: two passes over the
+    # occupied-cell relation (scalar stats + pair aggregates), all
+    # integer aggregates — the statistic itself is O(occupied cells)
+    from geogeometry_spark.operators.hotspot import morans_i
+
+    def morans_i_5m():
+        morans_i(fixes, zoom=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("morans_i_5m", morans_i_5m, runs=3, warmup=True)
+
+    # IDW: 5M global fixes as samples (value = deterministic per-fix
+    # payload), ~2k targets at 3 km radius — candidates through the
+    # per-target ring explosion, fixed-point weight sums
+    from geogeometry_spark.operators.interpolate import idw_interpolate
+
+    idw_samples = fixes.select(
+        "lat", "lon",
+        ((F.col("event_id") % 1000).cast("double") / F.lit(10.0)).alias(
+            "val"
+        ),
+        C.geohash_interleaved(F.col("lat"), F.col("lon"), 12).alias(
+            "cell_id"
+        ),
+    )
+    idw_targets = fixes.where(F.col("event_id") % 2500 == 0).select(
+        F.col("event_id").alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        F.lit(3000.0).alias("radius_m"),
+    )
+
+    def idw_5m():
+        idw_interpolate(idw_samples, idw_targets).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("idw_5m", idw_5m, runs=3, warmup=True)
+
+    # segment-crossing join: 1M x 250k fix-derived short segments
+    # (deterministic ~0.5-1.5 km deltas); candidates = shared bbox
+    # cells at precision 6, exact native linesCross predicate
+    from geogeometry_spark.operators.segment_join import segment_join
+
+    eid = F.col("event_id")
+    seg_a = fixes.where(eid % 5 == 0).select(
+        eid.alias("id_a"),
+        F.col("lat").alias("alat1"),
+        F.col("lon").alias("alon1"),
+        (F.col("lat") + ((eid * 7) % 21 - 10).cast("double") / F.lit(1000.0)
+         ).alias("alat2"),
+        (F.col("lon") + ((eid * 11) % 21 - 10).cast("double") / F.lit(1000.0)
+         ).alias("alon2"),
+    )
+    seg_b = fixes.where(eid % 20 == 0).select(
+        eid.alias("id_b"),
+        (F.col("lat") + F.lit(0.002)).alias("blat1"),
+        (F.col("lon") - F.lit(0.004)).alias("blon1"),
+        (F.col("lat") + ((eid * 13) % 25 - 12).cast("double") / F.lit(1000.0)
+         ).alias("blat2"),
+        (F.col("lon") + ((eid * 17) % 25 - 12).cast("double") / F.lit(1000.0)
+         ).alias("blon2"),
+    )
+
+    def segment_join_1m():
+        segment_join(seg_a, seg_b).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("segment_join_1m_x_250k", segment_join_1m, runs=3, warmup=True)
+
     # Full payload (spreads, ann kernel rates) goes to a FILE; stdout gets
     # a compact one-line summary as the LAST line.  The driver captures a
     # bounded tail of stdout, and the r3 full line (~3 KB with spread

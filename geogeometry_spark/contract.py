@@ -3169,6 +3169,26 @@ def q_hotspot_gi(spark, sf_dir):
     return getis_ord_gi(_traj_points(spark, sf_dir), zoom=8)
 
 
+def q_traj_hausdorff(spark, sf_dir):
+    """Trajectory-similarity join (operators/traj_similarity.py):
+    unordered trip pairs with discrete Hausdorff <= 500 m; head-ring
+    candidates at the tau-safe zoom, mm-quantized exact max-of-min in
+    both directions."""
+    from .operators.traj_similarity import hausdorff_join
+
+    return hausdorff_join(
+        _traj_points(spark, sf_dir), tau_m=500.0, gap_s=43200
+    )
+
+
+def _traj_hausdorff_oracle() -> str:
+    from .operators.traj_similarity import hausdorff_join_oracle_sql
+
+    return hausdorff_join_oracle_sql(
+        _TRAJ_SUBQ, tau_m=500.0, gap_s=43200
+    )
+
+
 def q_morans_i(spark, sf_dir):
     """Global Moran's I autocorrelation of fix counts over z8 tile
     bins (operators/hotspot.py): binary queen adjacency on occupied
@@ -3409,6 +3429,7 @@ QUERIES = {
     "convoys": q_convoys,
     "hotspot_gi": q_hotspot_gi,
     "morans_i": q_morans_i,
+    "traj_hausdorff": q_traj_hausdorff,
     "grid_dbscan": q_grid_dbscan,
     "map_match": q_map_match,
 }
@@ -3522,6 +3543,7 @@ def _static_oracles() -> dict[str, str]:
         "grid_dbscan": _grid_dbscan_oracle(),
         "hotspot_gi": _hotspot_gi_oracle(),
         "morans_i": _morans_i_oracle(),
+        "traj_hausdorff": _traj_hausdorff_oracle(),
         "map_match": _map_match_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.

@@ -38,6 +38,7 @@ N_CC_NODES = int(os.environ.get("STRETCH_CC_NODES", "6000000"))
 N_TRAJ_USERS = int(os.environ.get("STRETCH_TRAJ_USERS", "200000"))
 N_DBSCAN_USERS = int(os.environ.get("STRETCH_DBSCAN_USERS", "50000"))
 N_MM_USERS = int(os.environ.get("STRETCH_MM_USERS", "200000"))
+N_SJ_USERS = int(os.environ.get("STRETCH_SJ_USERS", "200000"))
 
 
 def _session(cpus: int):
@@ -242,6 +243,55 @@ def measure_map_match(cpus: int) -> dict:
             "fixes_per_sec": round(n / best, 1)}
 
 
+def measure_segment_join(cpus: int) -> dict:
+    """segment_join at 4x the bench input: 4M x 1M fix-derived short
+    segments (20M global fixes, same deterministic deltas as bench.py).
+    The exchanges are the cell-key candidate join + the pair dedup —
+    both scale with candidates, not |A| x |B|."""
+    from pyspark.sql import functions as F
+
+    from geogeometry_spark.operators.segment_join import segment_join
+    from geogeometry_spark.sources.tables import synthetic_fixes
+
+    spark = _session(cpus)
+    fixes = synthetic_fixes(spark, N_SJ_USERS, 100).localCheckpoint()
+    fixes.count()
+    eid = F.col("event_id")
+    seg_a = fixes.where(eid % 5 == 0).select(
+        eid.alias("id_a"),
+        F.col("lat").alias("alat1"),
+        F.col("lon").alias("alon1"),
+        (F.col("lat") + ((eid * 7) % 21 - 10).cast("double") / F.lit(1000.0)
+         ).alias("alat2"),
+        (F.col("lon") + ((eid * 11) % 21 - 10).cast("double") / F.lit(1000.0)
+         ).alias("alon2"),
+    )
+    seg_b = fixes.where(eid % 20 == 0).select(
+        eid.alias("id_b"),
+        (F.col("lat") + F.lit(0.002)).alias("blat1"),
+        (F.col("lon") - F.lit(0.004)).alias("blon1"),
+        (F.col("lat") + ((eid * 13) % 25 - 12).cast("double") / F.lit(1000.0)
+         ).alias("blat2"),
+        (F.col("lon") + ((eid * 17) % 25 - 12).cast("double") / F.lit(1000.0)
+         ).alias("blon2"),
+    )
+    n_a = seg_a.count()
+    df = segment_join(seg_a, seg_b)
+
+    def run():
+        df.write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    spark.stop()
+    return {"wall_s": round(best, 3), "n_a_segments": n_a,
+            "a_segments_per_sec": round(n_a / best, 1)}
+
+
 def main() -> None:
     args = sys.argv[1:]
     ops = {
@@ -250,6 +300,7 @@ def main() -> None:
         "traj_trips_20m": measure_traj,
         "dbscan_5m": measure_dbscan,
         "map_match_20m": measure_map_match,
+        "segment_join_4m": measure_segment_join,
     }
     if "--op" in args:
         i = args.index("--op")

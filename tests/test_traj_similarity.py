@@ -1,0 +1,144 @@
+"""Unit tests for operators/traj_similarity.py (Hausdorff trip-pair
+join): hand-built routes, threshold behavior, asymmetric-direction
+coverage, over-cap exclusion, and the DuckDB twin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geogeometry_spark.kernels.geometry import haversine as hav_py
+from geogeometry_spark.operators.traj_similarity import (
+    hausdorff_join,
+    hausdorff_join_oracle_sql,
+)
+
+SCHEMA = "event_id long, user_id long, ts_sec long, lat double, lon double"
+GAP = 3600
+
+
+@pytest.fixture()
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def _route(eid0, uid, ts0, pts):
+    return [
+        (eid0 + i, uid, ts0 + 60 * i, lat, lon)
+        for i, (lat, lon) in enumerate(pts)
+    ]
+
+
+def test_hausdorff_parallel_routes(spark):
+    # user 1: west->east leg at lat 52.0; user 2: same leg shifted
+    # ~111 m north (qualifies at tau 500); user 3: shifted ~1.1 km
+    # north (excluded)
+    leg = [(52.0, 13.0 + 0.002 * i) for i in range(10)]
+    rows = (
+        _route(100, 1, 0, leg)
+        + _route(200, 2, 0, [(la + 0.001, lo) for la, lo in leg])
+        + _route(300, 3, 0, [(la + 0.01, lo) for la, lo in leg])
+    )
+    out = hausdorff_join(
+        spark.createDataFrame(rows, SCHEMA), tau_m=500.0, gap_s=GAP
+    ).collect()
+    pairs = {(r.user_a, r.user_b): r for r in out}
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    assert (r.n_a, r.n_b) == (10, 10)
+    # every point's nearest counterpart is the laterally shifted twin
+    want_mm = round(hav_py(52.0, 13.0, 52.001, 13.0) * 1000.0)
+    assert r.hausdorff_mm == want_mm
+    assert r.hausdorff_mm <= 500_000
+
+
+def test_hausdorff_direction_asymmetry(spark):
+    # trip A is a strict prefix of trip B: h(A,B) = 0 but h(B,A) is
+    # B's overhang — the symmetric max must see it
+    leg = [(10.0, 20.0 + 0.002 * i) for i in range(5)]
+    ext = leg + [(10.0, 20.0 + 0.002 * i) for i in range(5, 8)]
+    rows = _route(100, 1, 0, leg) + _route(200, 2, 0, ext)
+    df = spark.createDataFrame(rows, SCHEMA)
+    # tau 500 m: overhang is ~660 m -> excluded
+    assert hausdorff_join(df, tau_m=500.0, gap_s=GAP).count() == 0
+    # tau 700 m: included, hausdorff = overhang distance
+    out = hausdorff_join(df, tau_m=700.0, gap_s=GAP).collect()
+    assert len(out) == 1
+    want_mm = round(hav_py(10.0, 20.008, 10.0, 20.014) * 1000.0)
+    assert out[0].hausdorff_mm == want_mm
+
+
+def test_hausdorff_same_user_sessions(spark):
+    # one user, two sessions 2 h apart at the same spot -> the pair is
+    # (user, session) keyed, session_a < session_b
+    rows = _route(100, 5, 0, [(0.0, 0.0), (0.0, 0.001)]) + _route(
+        200, 5, 10_000, [(0.0, 0.0005), (0.0, 0.0015)]
+    )
+    out = hausdorff_join(
+        spark.createDataFrame(rows, SCHEMA), tau_m=500.0, gap_s=GAP
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_a == 5 and r.user_b == 5
+    assert r.session_a < r.session_b
+
+
+def test_hausdorff_overcap_trip_excluded(spark):
+    long_leg = [(30.0, 40.0 + 0.00001 * i) for i in range(20)]
+    rows = _route(100, 1, 0, long_leg) + _route(
+        500, 2, 0, [(30.0, 40.0), (30.0, 40.0002)]
+    )
+    df = spark.createDataFrame(rows, SCHEMA)
+    # cap below trip-1 length: the would-be pair disappears
+    assert hausdorff_join(
+        df, tau_m=500.0, gap_s=GAP, max_trip_fixes=10
+    ).count() == 0
+    assert hausdorff_join(
+        df, tau_m=500.0, gap_s=GAP, max_trip_fixes=32
+    ).count() == 1
+
+
+def test_hausdorff_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for u in range(30):
+        base_lat = ((u * 37) % 100) - 50 + 0.5
+        base_lon = ((u * 53) % 300) - 150 + 0.5
+        for s in range(2):
+            for i in range(8):
+                rows.append(
+                    (
+                        eid,
+                        u,
+                        s * 50_000 + 60 * i,
+                        base_lat + (u % 3) * 0.001,
+                        base_lon + 0.002 * i + (s % 2) * 0.0005,
+                    )
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts_sec", "lat", "lon"]
+    )
+    duck.register("fixes", pdf)
+    got = sorted(
+        tuple(r)
+        for r in hausdorff_join(
+            spark.createDataFrame(pdf), tau_m=500.0, gap_s=GAP
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.sql(
+            hausdorff_join_oracle_sql(
+                "(SELECT event_id, user_id, ts_sec, lat, lon FROM fixes)",
+                tau_m=500.0,
+                gap_s=GAP,
+            )
+        ).fetchall()
+    )
+    assert len(got) >= 30  # every user's two sessions pair up
+    assert got == want
