@@ -569,6 +569,18 @@ def main() -> None:
 
     timed("traj_hausdorff_5m", traj_hausdorff_5m, runs=3, warmup=True)
 
+    # Fréchet twin over the same input: candidates are head×head (one
+    # row per trip per side) so this isolates the shared sessionize +
+    # per-trip aggregation cost against hausdorff's head×fix probe
+    from geogeometry_spark.operators.traj_similarity import frechet_join
+
+    def traj_frechet_5m():
+        frechet_join(fixes, tau_m=500.0, gap_s=43200).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("traj_frechet_5m", traj_frechet_5m, runs=3, warmup=True)
+
     # Moran's I over the same 5M global fixes: two passes over the
     # occupied-cell relation (scalar stats + pair aggregates), all
     # integer aggregates — the statistic itself is O(occupied cells)

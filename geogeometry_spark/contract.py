@@ -3189,6 +3189,28 @@ def _traj_hausdorff_oracle() -> str:
     )
 
 
+def q_traj_frechet(spark, sf_dir):
+    """Order-aware trajectory-similarity join (operators/
+    traj_similarity.py): unordered trip pairs with discrete Fréchet
+    <= 500 m.  Head-ring candidates on trip HEADS only, exact
+    mm-integer head+tail prefilter, anti-diagonal DP in an Arrow batch
+    kernel; the DuckDB twin runs the same DP as a recursive CTE over
+    per-diagonal lists."""
+    from .operators.traj_similarity import frechet_join
+
+    return frechet_join(
+        _traj_points(spark, sf_dir), tau_m=500.0, gap_s=43200
+    )
+
+
+def _traj_frechet_oracle() -> str:
+    from .operators.traj_similarity import frechet_join_oracle_sql
+
+    return frechet_join_oracle_sql(
+        _TRAJ_SUBQ, tau_m=500.0, gap_s=43200
+    )
+
+
 def q_morans_i(spark, sf_dir):
     """Global Moran's I autocorrelation of fix counts over z8 tile
     bins (operators/hotspot.py): binary queen adjacency on occupied
@@ -3430,6 +3452,7 @@ QUERIES = {
     "hotspot_gi": q_hotspot_gi,
     "morans_i": q_morans_i,
     "traj_hausdorff": q_traj_hausdorff,
+    "traj_frechet": q_traj_frechet,
     "grid_dbscan": q_grid_dbscan,
     "map_match": q_map_match,
 }
@@ -3544,6 +3567,7 @@ def _static_oracles() -> dict[str, str]:
         "hotspot_gi": _hotspot_gi_oracle(),
         "morans_i": _morans_i_oracle(),
         "traj_hausdorff": _traj_hausdorff_oracle(),
+        "traj_frechet": _traj_frechet_oracle(),
         "map_match": _map_match_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.

@@ -41,7 +41,12 @@ from ..functions import columns as C
 from .cluster import dbscan_zoom_for_eps
 from .trajectory import sessionize, sessionize_oracle_sql
 
-__all__ = ["hausdorff_join", "hausdorff_join_oracle_sql"]
+__all__ = [
+    "hausdorff_join",
+    "hausdorff_join_oracle_sql",
+    "frechet_join",
+    "frechet_join_oracle_sql",
+]
 
 _RING = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
@@ -256,4 +261,334 @@ def hausdorff_join_oracle_sql(
         "FROM hab JOIN hba ON hab.ua = hba.ua AND hab.sa = hba.sa "
         "AND hab.ub = hba.ub AND hab.sb = hba.sb "
         f"WHERE greatest(hab, hba) <= {tau_mm}"
+    )
+
+
+def _frechet_dp_mm(d: "np.ndarray") -> int:
+    """Exact discrete Fréchet value over an (n, m) int64 mm-distance
+    matrix: c(i,j) = max(d[i,j], min(c(i-1,j), c(i,j-1), c(i-1,j-1))).
+
+    The recurrence is sequential along rows AND columns, but every cell
+    of one anti-diagonal depends only on the previous two diagonals, so
+    the sweep vectorizes as n+m-1 numpy steps over INF-filled
+    per-diagonal arrays indexed by absolute row i (INF marks off-diagonal
+    cells, so predecessor validity needs no masks beyond index clamps).
+    """
+    import numpy as np
+
+    n, m = d.shape
+    inf = np.int64(1) << 62
+    prev = np.full(n, inf, np.int64)   # diagonal k-1, indexed by i
+    prev2 = np.full(n, inf, np.int64)  # diagonal k-2
+    for k in range(n + m - 1):
+        i_lo = max(0, k - m + 1)
+        i_hi = min(n - 1, k)
+        ii = np.arange(i_lo, i_hi + 1)
+        dk = d[ii, k - ii]
+        cur = np.full(n, inf, np.int64)
+        if k == 0:
+            cur[0] = d[0, 0]
+        else:
+            im1 = np.maximum(ii - 1, 0)
+            up = np.where(ii > 0, prev[im1], inf)      # c(i-1, j)
+            left = prev[ii]                             # c(i,  j-1)
+            diag = np.where(ii > 0, prev2[im1], inf)    # c(i-1, j-1)
+            cur[i_lo : i_hi + 1] = np.maximum(
+                dk, np.minimum(np.minimum(up, left), diag)
+            )
+        prev2, prev = prev, cur
+    return int(prev[n - 1])
+
+
+def frechet_join(
+    points: DataFrame,
+    tau_m: float = 500.0,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 85.05112878,
+    max_trip_fixes: int = 512,
+) -> DataFrame:
+    """Order-aware trajectory-similarity join: unordered trip pairs
+    whose DISCRETE FRÉCHET distance is ≤ ``tau_m`` — the dog-leash
+    measure that distinguishes "same route, same direction" from mere
+    point-set overlap (reference distance kernels GeoGeometry.kt:565-580
+    lifted to coupled-walk sequence similarity; Hausdorff's unordered
+    twin lives in :func:`hausdorff_join`).
+
+    Scale design — strictly cheaper candidates than Hausdorff:
+    - Any coupling starts at (a₁, b₁) and ends at (a_n, b_m), so
+      d(head_a, head_b) ≤ dF and d(tail_a, tail_b) ≤ dF are BOTH
+      necessary.  Candidates are a head×head cell equi-join at the
+      τ-safe zoom (3×3 ring, x-wrap) — one row per trip on each side,
+      never touching the fix relation — then an exact native
+      mm-quantized head AND tail prefilter.  Every comparison is on
+      rounded BIGINT mm (the final dF is a max of rounded cell values,
+      so rounded head/tail distances are exactly ≤ the rounded dF).
+    - The exact phase attaches each surviving pair's ordered coordinate
+      arrays (two slim equi-joins against a per-trip array relation;
+      shuffle carries Σ(n+m) doubles per pair, not the n×m grid) and
+      runs the DP in an Arrow batch kernel (:func:`_frechet_dp_mm`),
+      n+m-1 vectorized anti-diagonal sweeps per pair — embarrassingly
+      parallel across pairs.  Trips over ``max_trip_fixes`` are
+      EXCLUDED, not truncated (run .trajectory.simplify_trips first).
+
+    Output: (user_a, session_a, user_b, session_b, n_a, n_b,
+    frechet_mm) with (user_a, session_a) < (user_b, session_b); dF is
+    symmetric so the one-sided pair order loses nothing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.geometry import haversine as _hav
+
+    zoom = dbscan_zoom_for_eps(tau_m, max_abs_lat)
+    if zoom < 2:
+        raise ValueError(
+            f"tau {tau_m} m needs zoom {zoom} (< 2): planetary-scale "
+            "similarity radii degenerate to all-pairs; reduce tau."
+        )
+    n_tiles = 1 << zoom
+    tau_mm = round(tau_m * 1000.0)
+
+    fx = sessionize(
+        points, gap_s=gap_s, user_col=user_col, ts_col=ts_col,
+        id_col=id_col,
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col("session_id").alias("_s"),
+        F.col(ts_col).alias("_t"),
+        F.col(id_col).alias("_id"),
+        F.col(lat_col).alias("_la"),
+        F.col(lon_col).alias("_lo"),
+    )
+    sizes = fx.groupBy("_u", "_s").agg(F.count(F.lit(1)).alias("_n"))
+    fx = (
+        fx.join(
+            sizes.where(F.col("_n") <= max_trip_fixes), ["_u", "_s"]
+        ).localCheckpoint()
+    )
+
+    # one tiny row per trip: head + tail coordinates (Catalyst prunes
+    # the array agg out of this projection's plan)
+    okey = F.struct("_t", "_id")
+    ht = fx.groupBy("_u", "_s").agg(
+        F.min_by(F.struct("_la", "_lo"), okey).alias("_h"),
+        F.max_by(F.struct("_la", "_lo"), okey).alias("_e"),
+    ).select(
+        "_u", "_s",
+        F.col("_h._la").alias("_hla"), F.col("_h._lo").alias("_hlo"),
+        F.col("_e._la").alias("_tla"), F.col("_e._lo").alias("_tlo"),
+    )
+    hx, hy = C.tile_xy(F.col("_hla"), F.col("_hlo"), zoom)
+    keyed = ht.select("_u", "_s", "_hla", "_hlo", "_tla", "_tlo",
+                      hx.alias("_hx"), hy.alias("_hy"))
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _RING
+        ]
+    )
+    probe = (
+        keyed.select(
+            F.col("_u").alias("_ua"), F.col("_s").alias("_sa"),
+            F.col("_hla").alias("_hla_a"), F.col("_hlo").alias("_hlo_a"),
+            F.col("_tla").alias("_tla_a"), F.col("_tlo").alias("_tlo_a"),
+            "_hx", "_hy",
+        )
+        .withColumn("_o", F.explode(offs))
+        .select(
+            "_ua", "_sa", "_hla_a", "_hlo_a", "_tla_a", "_tlo_a",
+            F.pmod(F.col("_hx") + F.col("_o.dx"), F.lit(n_tiles)).alias(
+                "_tx"
+            ),
+            (F.col("_hy") + F.col("_o.dy")).alias("_ty"),
+        )
+        .dropDuplicates(["_ua", "_sa", "_tx", "_ty"])
+    )
+    build = keyed.select(
+        F.col("_u").alias("_ub"), F.col("_s").alias("_sb"),
+        F.col("_hla").alias("_hla_b"), F.col("_hlo").alias("_hlo_b"),
+        F.col("_tla").alias("_tla_b"), F.col("_tlo").alias("_tlo_b"),
+        F.col("_hx").alias("_tx"), F.col("_hy").alias("_ty"),
+    )
+    a_lt_b = (F.col("_ua") < F.col("_ub")) | (
+        (F.col("_ua") == F.col("_ub")) & (F.col("_sa") < F.col("_sb"))
+    )
+    mm = lambda la1, lo1, la2, lo2: F.round(  # noqa: E731
+        C.haversine(F.col(la1), F.col(lo1), F.col(la2), F.col(lo2))
+        * F.lit(1000.0)
+    ).cast("long")
+    # build's head occupies ONE cell and probe addresses are distinct,
+    # so each pair matches at most once — no pair dedup needed
+    cand = (
+        probe.join(build, ["_tx", "_ty"])
+        .where(a_lt_b)
+        .where(mm("_hla_a", "_hlo_a", "_hla_b", "_hlo_b") <= tau_mm)
+        .where(mm("_tla_a", "_tlo_a", "_tla_b", "_tlo_b") <= tau_mm)
+        .select("_ua", "_sa", "_ub", "_sb")
+    )
+
+    seq = F.array_sort(F.collect_list(F.struct("_t", "_id", "_la", "_lo")))
+    seqs = fx.groupBy("_u", "_s").agg(seq.alias("_q")).select(
+        "_u", "_s",
+        F.col("_q._la").alias("_las"), F.col("_q._lo").alias("_los"),
+    )
+    pairs = (
+        cand.join(
+            seqs.select(
+                F.col("_u").alias("_ua"), F.col("_s").alias("_sa"),
+                F.col("_las").alias("_laa"), F.col("_los").alias("_loa"),
+            ),
+            ["_ua", "_sa"],
+        )
+        .join(
+            seqs.select(
+                F.col("_u").alias("_ub"), F.col("_s").alias("_sb"),
+                F.col("_las").alias("_lab"), F.col("_los").alias("_lob"),
+            ),
+            ["_ub", "_sb"],
+        )
+        .select("_ua", "_sa", "_ub", "_sb", "_laa", "_loa", "_lab", "_lob")
+    )
+
+    utype = points.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"user_a {utype}, session_a long, user_b {utype}, "
+        "session_b long, n_a long, n_b long, frechet_mm long"
+    )
+    cols = ["user_a", "session_a", "user_b", "session_b",
+            "n_a", "n_b", "frechet_mm"]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for ua, sa, ub, sb, laa, loa, lab, lob in zip(
+                pdf["_ua"], pdf["_sa"], pdf["_ub"], pdf["_sb"],
+                pdf["_laa"], pdf["_loa"], pdf["_lab"], pdf["_lob"],
+            ):
+                a_la = np.asarray(laa, np.float64)
+                a_lo = np.asarray(loa, np.float64)
+                b_la = np.asarray(lab, np.float64)
+                b_lo = np.asarray(lob, np.float64)
+                # floor(v+0.5) == Spark/DuckDB HALF_UP for the
+                # non-negative distances here (np.round is banker's)
+                d = np.floor(
+                    _hav(
+                        a_la[:, None], a_lo[:, None],
+                        b_la[None, :], b_lo[None, :],
+                    )
+                    * 1000.0
+                    + 0.5
+                ).astype(np.int64)
+                rows.append(
+                    (ua, sa, ub, sb, len(a_la), len(b_la),
+                     _frechet_dp_mm(d))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        pairs.mapInPandas(run, out_schema)
+        .where(F.col("frechet_mm") <= F.lit(tau_mm))
+    )
+
+
+def frechet_join_oracle_sql(
+    subq: str,
+    tau_m: float = 500.0,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_abs_lat: float = 85.05112878,
+    max_trip_fixes: int = 512,
+) -> str:
+    """DuckDB twin with the FULL exact Fréchet value: same sessionize
+    CTE, cap exclusion, head-ring candidates + integer head/tail
+    prefilter, then the anti-diagonal DP as a recursive CTE — each
+    iteration's row carries one pair's current AND previous diagonal as
+    INF-filled lists, the next diagonal is a pure ``list_transform``
+    over a pre-aggregated per-diagonal distance list (no aggregate in
+    the recursive term, single self-reference), and dF pops out of the
+    last diagonal's final element.  Every compared value is the same
+    rounded BIGINT mm as the Spark kernel."""
+    inf = 1 << 62
+    zoom = dbscan_zoom_for_eps(tau_m, max_abs_lat)
+    n = 1 << zoom
+    tau_mm = round(tau_m * 1000.0)
+    sess = sessionize_oracle_sql(
+        subq, gap_s=gap_s, user_col=user_col, ts_col=ts_col,
+        id_col=id_col,
+    )
+    htx, hty = C.tile_xy_sql("hla", "hlo", zoom)
+    hh = C.haversine_sql("a.hla", "a.hlo", "b.hla", "b.hlo")
+    tt = C.haversine_sql("a.tla", "a.tlo", "b.tla", "b.tlo")
+    gv = C.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    mm = "CAST(round(({0}) * 1000.0) AS BIGINT)"
+    return (
+        f"WITH RECURSIVE sess AS ({sess}), "
+        f"fx AS (SELECT s.*, row_number() OVER (PARTITION BY user_id, "
+        f"session_id ORDER BY {ts_col}, {id_col}) - 1 AS pos "
+        f"FROM sess s JOIN (SELECT user_id, session_id FROM sess "
+        f"GROUP BY user_id, session_id "
+        f"HAVING count(*) <= {max_trip_fixes}) k "
+        f"USING (user_id, session_id)), "
+        f"trips AS (SELECT user_id, session_id, count(*) AS nf, "
+        f"arg_min({lat}, pos) AS hla, arg_min({lon}, pos) AS hlo, "
+        f"arg_max({lat}, pos) AS tla, arg_max({lon}, pos) AS tlo "
+        f"FROM fx GROUP BY user_id, session_id), "
+        f"keyed AS (SELECT t.*, {htx} AS hx, {hty} AS hy "
+        f"FROM trips t), "
+        "cand AS (SELECT a.user_id AS ua, a.session_id AS sa, "
+        "b.user_id AS ub, b.session_id AS sb, a.nf AS n_a, b.nf AS n_b "
+        "FROM keyed a JOIN keyed b ON "
+        f"least((b.hx - a.hx + {n}) % {n}, (a.hx - b.hx + {n}) % {n}) "
+        "<= 1 AND abs(b.hy - a.hy) <= 1 "
+        "AND (a.user_id, a.session_id) < (b.user_id, b.session_id) "
+        f"AND {mm.format(hh)} <= {tau_mm} "
+        f"AND {mm.format(tt)} <= {tau_mm}), "
+        "grid AS (SELECT p.ua, p.sa, p.ub, p.sb, a.pos AS i, "
+        f"b.pos AS j, {mm.format(gv)} AS d FROM cand p "
+        "JOIN (SELECT user_id, session_id, pos, "
+        f"{lat} AS lat, {lon} AS lon FROM fx) a "
+        "ON a.user_id = p.ua AND a.session_id = p.sa "
+        "JOIN (SELECT user_id, session_id, pos, "
+        f"{lat} AS lat, {lon} AS lon FROM fx) b "
+        "ON b.user_id = p.ub AND b.session_id = p.sb), "
+        "diags AS (SELECT ua, sa, ub, sb, n_a, n_b, "
+        "unnest(range(0, n_a + n_b - 1)) AS k FROM cand), "
+        "lattice AS (SELECT ua, sa, ub, sb, k, "
+        "unnest(range(0, n_a)) AS i FROM diags), "
+        "dgrid AS (SELECT l.ua, l.sa, l.ub, l.sb, l.k, l.i, "
+        f"coalesce(g.d, {inf}) AS d FROM lattice l LEFT JOIN grid g "
+        "ON g.ua = l.ua AND g.sa = l.sa AND g.ub = l.ub "
+        "AND g.sb = l.sb AND g.i = l.i AND g.j = l.k - l.i), "
+        "dlists AS (SELECT ua, sa, ub, sb, k, list(d ORDER BY i) AS dl "
+        "FROM dgrid GROUP BY ua, sa, ub, sb, k), "
+        "rec AS ("
+        "SELECT p.ua, p.sa, p.ub, p.sb, p.n_a, p.n_b, "
+        "p.n_a + p.n_b - 2 AS kmax, 0 AS k, d0.dl AS c_cur, "
+        f"list_transform(range(1, p.n_a + 1), x -> {inf}::BIGINT) "
+        "AS c_prev "
+        "FROM cand p JOIN dlists d0 ON d0.ua = p.ua AND d0.sa = p.sa "
+        "AND d0.ub = p.ub AND d0.sb = p.sb AND d0.k = 0 "
+        "UNION ALL "
+        "SELECT r.ua, r.sa, r.ub, r.sb, r.n_a, r.n_b, r.kmax, r.k + 1, "
+        "list_transform(range(1, r.n_a + 1), x -> "
+        "greatest(d.dl[x], least("
+        f"CASE WHEN x > 1 THEN r.c_cur[x - 1] ELSE {inf} END, "
+        "r.c_cur[x], "
+        f"CASE WHEN x > 1 THEN r.c_prev[x - 1] ELSE {inf} END))), "
+        "r.c_cur "
+        "FROM rec r JOIN dlists d ON d.ua = r.ua AND d.sa = r.sa "
+        "AND d.ub = r.ub AND d.sb = r.sb AND d.k = r.k + 1 "
+        "WHERE r.k < r.kmax) "
+        "SELECT ua AS user_a, sa AS session_a, ub AS user_b, "
+        "sb AS session_b, n_a, n_b, c_cur[n_a] AS frechet_mm "
+        f"FROM rec WHERE k = kmax AND c_cur[n_a] <= {tau_mm}"
     )

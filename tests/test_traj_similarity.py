@@ -142,3 +142,156 @@ def test_hausdorff_matches_duckdb_twin(spark, duck):
     )
     assert len(got) >= 30  # every user's two sessions pair up
     assert got == want
+
+
+# ---------------------------------------------------------------- Fréchet
+
+from geogeometry_spark.operators.traj_similarity import (  # noqa: E402
+    frechet_join,
+    frechet_join_oracle_sql,
+)
+
+
+def _ref_frechet_mm(a_pts, b_pts):
+    """Independent O(n*m) scalar DP (textbook recurrence, no
+    vectorization) pinning the operator's anti-diagonal kernel."""
+    import numpy as np
+
+    d = [
+        [
+            int(np.floor(hav_py(ala, alo, bla, blo) * 1000.0 + 0.5))
+            for bla, blo in b_pts
+        ]
+        for ala, alo in a_pts
+    ]
+    c = {}
+    for i in range(len(a_pts)):
+        for j in range(len(b_pts)):
+            preds = [
+                c[p]
+                for p in ((i - 1, j), (i, j - 1), (i - 1, j - 1))
+                if p[0] >= 0 and p[1] >= 0
+            ]
+            c[(i, j)] = max(d[i][j], min(preds)) if preds else d[i][j]
+    return c[(len(a_pts) - 1, len(b_pts) - 1)]
+
+
+def test_frechet_order_awareness(spark):
+    # both trips visit the SAME 7 points (Hausdorff would be 0), but B
+    # scrambles the order — the coupled walk must pay for the jumps
+    xs = [0, 1, 2, 3, 4, 5, 6]
+    a_pts = [(0.0, 10.0 + 0.001 * x) for x in xs]
+    b_pts = [(0.0, 10.0 + 0.001 * x) for x in (0, 6, 1, 5, 2, 4, 3)]
+    rows = _route(100, 1, 0, a_pts) + _route(200, 2, 0, b_pts)
+    out = frechet_join(
+        spark.createDataFrame(rows, SCHEMA), tau_m=800.0, gap_s=GAP
+    ).collect()
+    assert len(out) == 1
+    want = _ref_frechet_mm(a_pts, b_pts)
+    assert out[0].frechet_mm == want
+    assert want > 0  # order-aware: point sets are identical
+
+
+def test_frechet_parallel_and_far_routes(spark):
+    leg = [(52.0, 13.0 + 0.002 * i) for i in range(10)]
+    rows = (
+        _route(100, 1, 0, leg)
+        + _route(200, 2, 0, [(la + 0.001, lo) for la, lo in leg])
+        + _route(300, 3, 0, [(la + 0.01, lo) for la, lo in leg])
+    )
+    out = frechet_join(
+        spark.createDataFrame(rows, SCHEMA), tau_m=500.0, gap_s=GAP
+    ).collect()
+    pairs = {(r.user_a, r.user_b): r for r in out}
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    assert (r.n_a, r.n_b) == (10, 10)
+    # lockstep coupling: dF is exactly the lateral shift
+    import numpy as np
+
+    want = int(np.floor(hav_py(52.0, 13.0, 52.001, 13.0) * 1000.0 + 0.5))
+    assert r.frechet_mm == want
+
+
+def test_frechet_prefix_tail_prefilter(spark):
+    # A is a strict prefix of B: heads coincide but B overhangs ~660 m,
+    # and d(tail_a, tail_b) <= dF makes the tail prefilter exact
+    leg = [(10.0, 20.0 + 0.002 * i) for i in range(5)]
+    ext = leg + [(10.0, 20.0 + 0.002 * i) for i in range(5, 8)]
+    rows = _route(100, 1, 0, leg) + _route(200, 2, 0, ext)
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert frechet_join(df, tau_m=500.0, gap_s=GAP).count() == 0
+    out = frechet_join(df, tau_m=700.0, gap_s=GAP).collect()
+    assert len(out) == 1
+    assert out[0].frechet_mm == _ref_frechet_mm(leg, ext)
+
+
+def test_frechet_antimeridian_pair(spark):
+    # heads on opposite sides of lon 180: candidate ring must x-wrap
+    a_pts = [(0.0, 179.999), (0.0, 179.9995)]
+    b_pts = [(0.0, -179.9995), (0.0, -179.999)]
+    rows = _route(100, 1, 0, a_pts) + _route(200, 2, 0, b_pts)
+    out = frechet_join(
+        spark.createDataFrame(rows, SCHEMA), tau_m=500.0, gap_s=GAP
+    ).collect()
+    assert len(out) == 1
+    assert out[0].frechet_mm == _ref_frechet_mm(a_pts, b_pts)
+
+
+def test_frechet_overcap_trip_excluded(spark):
+    long_leg = [(30.0, 40.0 + 0.00001 * i) for i in range(20)]
+    rows = _route(100, 1, 0, long_leg) + _route(
+        500, 2, 0, [(30.0, 40.0), (30.0, 40.0002)]
+    )
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert frechet_join(
+        df, tau_m=500.0, gap_s=GAP, max_trip_fixes=10
+    ).count() == 0
+    assert frechet_join(
+        df, tau_m=500.0, gap_s=GAP, max_trip_fixes=32
+    ).count() == 1
+
+
+def test_frechet_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for u in range(30):
+        base_lat = ((u * 37) % 100) - 50 + 0.5
+        base_lon = ((u * 53) % 300) - 150 + 0.5
+        for s in range(2):
+            n_fix = 6 + (u + s) % 4  # asymmetric trip lengths
+            for i in range(n_fix):
+                rows.append(
+                    (
+                        eid,
+                        u,
+                        s * 50_000 + 60 * i,
+                        base_lat + (u % 3) * 0.001,
+                        base_lon + 0.002 * i + (s % 2) * 0.0005,
+                    )
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts_sec", "lat", "lon"]
+    )
+    duck.register("fixes", pdf)
+    got = sorted(
+        tuple(r)
+        for r in frechet_join(
+            spark.createDataFrame(pdf), tau_m=500.0, gap_s=GAP
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.sql(
+            frechet_join_oracle_sql(
+                "(SELECT event_id, user_id, ts_sec, lat, lon FROM fixes)",
+                tau_m=500.0,
+                gap_s=GAP,
+            )
+        ).fetchall()
+    )
+    assert len(got) >= 20  # most users' session pairs qualify
+    assert got == want
