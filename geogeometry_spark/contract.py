@@ -3189,6 +3189,22 @@ def _traj_hausdorff_oracle() -> str:
     )
 
 
+def q_traj_resample(spark, sf_dir):
+    """Fixed-interval trajectory resampling (operators/trajectory.py):
+    one time-lerped position per trip every 6 h, grid anchored at each
+    trip's first fix; per-leg integer-k explode through the single
+    session-window exchange."""
+    return traj.resample_trips(
+        _traj_points(spark, sf_dir), step_s=21600, gap_s=43200
+    )
+
+
+def _traj_resample_oracle() -> str:
+    return traj.resample_trips_oracle_sql(
+        _TRAJ_SUBQ, step_s=21600, gap_s=43200
+    )
+
+
 def q_traj_frechet(spark, sf_dir):
     """Order-aware trajectory-similarity join (operators/
     traj_similarity.py): unordered trip pairs with discrete Fréchet
@@ -3453,6 +3469,7 @@ QUERIES = {
     "morans_i": q_morans_i,
     "traj_hausdorff": q_traj_hausdorff,
     "traj_frechet": q_traj_frechet,
+    "traj_resample": q_traj_resample,
     "grid_dbscan": q_grid_dbscan,
     "map_match": q_map_match,
 }
@@ -3568,6 +3585,7 @@ def _static_oracles() -> dict[str, str]:
         "morans_i": _morans_i_oracle(),
         "traj_hausdorff": _traj_hausdorff_oracle(),
         "traj_frechet": _traj_frechet_oracle(),
+        "traj_resample": _traj_resample_oracle(),
         "map_match": _map_match_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.

@@ -39,6 +39,7 @@ __all__ = [
     "stay_points",
     "od_matrix",
     "simplify_trips",
+    "resample_trips",
 ]
 
 
@@ -464,3 +465,118 @@ def simplify_trips(
         )
 
     return sess.groupBy(user_col, "session_id").applyInPandas(run, schema)
+
+
+def resample_trips(
+    points: DataFrame,
+    step_s: int = 1800,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Fixed-interval trajectory resampling: emit one time-linearly
+    interpolated position per trip every ``step_s`` seconds, anchored
+    at each trip's first fix (sample grid t₀, t₀+S, t₀+2S, … ≤ t_end) —
+    the uniform-cadence view batch analytics want over raggedly sampled
+    GPS streams (reference per-pair lerp analogue: translate/heading
+    kernels, GeoGeometry.kt:565-640, lifted to the sequence level).
+
+    Scale design: NO per-trip collect, NO union, NO second scan — each
+    fix row sees its previous fix (lag) and the trip start (running
+    first_value) through the ONE session-window exchange, so each LEG
+    independently emits the grid points that land inside it via an
+    integer-k sequence explode.  The explode factor per leg is bounded
+    by gap_s/step_s (longer gaps start a new session by construction),
+    so output never blows up on sparse tracks.  Interpolation arithmetic
+    is pinned: integer grid timestamps, one double division for the
+    fraction, ``plat + (lat - plat) * frac`` in that exact order —
+    bit-identical in the DuckDB twin.
+
+    Output: (user, session_id, sample_ts, lat, lon), one row per grid
+    point; a trip's first fix is always emitted verbatim (k = 0).
+    """
+    sess = sessionize(points, gap_s, user_col, ts_col, id_col)
+    w = Window.partitionBy(user_col, "session_id").orderBy(ts_col, id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    step = int(step_s)
+    base = sess.select(
+        F.col(user_col),
+        "session_id",
+        F.col(ts_col).alias("_ct"),
+        F.col(lat_col).alias("_cla"),
+        F.col(lon_col).alias("_clo"),
+        F.lag(ts_col).over(w).alias("_pt"),
+        F.lag(lat_col).over(w).alias("_pla"),
+        F.lag(lon_col).over(w).alias("_plo"),
+        F.first(ts_col).over(run).alias("_t0"),
+    )
+    k_lo = F.expr(
+        f"CASE WHEN _pt IS NULL THEN 0L "
+        f"ELSE (_pt - _t0) DIV {step} + 1 END"
+    )
+    k_hi = F.expr(f"(_ct - _t0) DIV {step}")
+    ks = base.withColumn(
+        "_k",
+        F.explode(
+            F.when(k_lo <= k_hi, F.sequence(k_lo, k_hi)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
+    )
+    st = (F.col("_t0") + F.col("_k") * F.lit(step)).cast("long")
+    frac = (st - F.col("_pt")).cast("double") / (
+        F.col("_ct") - F.col("_pt")
+    ).cast("double")
+    lerp = lambda p, c: F.when(  # noqa: E731
+        F.col("_pt").isNull(), F.col(c)
+    ).otherwise(F.col(p) + (F.col(c) - F.col(p)) * frac)
+    return ks.select(
+        F.col(user_col),
+        "session_id",
+        st.alias("sample_ts"),
+        lerp("_pla", "_cla").alias("lat"),
+        lerp("_plo", "_clo").alias("lon"),
+    )
+
+
+def resample_trips_oracle_sql(
+    subq: str,
+    step_s: int = 1800,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`resample_trips`: same session CTE, same
+    integer-division k bounds (``//`` on BIGINTs ↔ Spark ``DIV``), same
+    single-division lerp op order; ``generate_series(lo, hi)`` is empty
+    when lo > hi exactly like the guarded Spark ``sequence``."""
+    step = int(step_s)
+    sess = sessionize_oracle_sql(subq, gap_s, user_col, ts_col, id_col)
+    win = f"(PARTITION BY {user_col}, session_id ORDER BY {ts_col}, {id_col})"
+    st = f"t0 + k * {step}"
+    lerp = (
+        "CASE WHEN pt IS NULL THEN {c} ELSE {p} + ({c} - {p}) * "
+        f"(CAST({st} - pt AS DOUBLE) / CAST(ct - pt AS DOUBLE)) END"
+    )
+    return (
+        f"WITH sess AS ({sess}), "
+        f"legs AS (SELECT {user_col}, session_id, "
+        f"{ts_col} AS ct, {lat} AS cla, {lon} AS clo, "
+        f"lag({ts_col}) OVER {win} AS pt, "
+        f"lag({lat}) OVER {win} AS pla, "
+        f"lag({lon}) OVER {win} AS plo, "
+        f"first_value({ts_col}) OVER ({win[1:-1]} "
+        f"ROWS UNBOUNDED PRECEDING) AS t0 FROM sess), "
+        f"ks AS (SELECT *, unnest(generate_series("
+        f"CASE WHEN pt IS NULL THEN 0 ELSE (pt - t0) // {step} + 1 END, "
+        f"(ct - t0) // {step})) AS k FROM legs) "
+        f"SELECT {user_col}, session_id, {st} AS sample_ts, "
+        f"{lerp.format(p='pla', c='cla')} AS lat, "
+        f"{lerp.format(p='plo', c='clo')} AS lon FROM ks"
+    )

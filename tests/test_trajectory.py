@@ -254,3 +254,106 @@ def test_simplify_trips_string_user_key(spark):
         id_col="event_id",
     ).collect()
     assert [(r.device, r.n_in) for r in out] == [("dev-a", 3)]
+
+
+# ------------------------------------------------------------- resample
+
+def test_resample_lerp_midpoints(spark):
+    rows = [
+        (1, 1, 0, 10.0, 20.0),
+        (2, 1, 3600, 10.2, 20.4),
+    ]
+    out = sorted(
+        tj.resample_trips(
+            spark.createDataFrame(rows, SCHEMA), step_s=1800, gap_s=7200
+        ).collect(),
+        key=lambda r: r.sample_ts,
+    )
+    assert [r.sample_ts for r in out] == [0, 1800, 3600]
+    assert out[0].lat == 10.0 and out[0].lon == 20.0  # k=0 verbatim
+    assert out[1].lat == pytest.approx(10.1, abs=1e-9)
+    assert out[1].lon == pytest.approx(20.2, abs=1e-9)
+    assert out[2].lat == pytest.approx(10.2, abs=1e-12)
+
+
+def test_resample_grid_anchored_at_trip_start(spark):
+    rows = [(1, 1, 100, 0.0, 0.0), (2, 1, 4000, 0.0, 0.039)]
+    ts = sorted(
+        r.sample_ts
+        for r in tj.resample_trips(
+            spark.createDataFrame(rows, SCHEMA), step_s=1800, gap_s=7200
+        ).collect()
+    )
+    assert ts == [100, 1900, 3700]  # t0-anchored, not epoch-aligned
+
+
+def test_resample_short_leg_and_duplicate_ts(spark):
+    # three fixes inside one step: only k=0 emitted; the duplicate
+    # timestamp leg (ct == pt) must not divide by zero
+    rows = [
+        (1, 1, 0, 0.0, 0.0),
+        (2, 1, 600, 0.0, 0.001),
+        (3, 1, 600, 0.0, 0.002),
+        (4, 1, 900, 0.0, 0.003),
+    ]
+    out = tj.resample_trips(
+        spark.createDataFrame(rows, SCHEMA), step_s=1800, gap_s=7200
+    ).collect()
+    assert [(r.sample_ts, r.lat, r.lon) for r in out] == [(0, 0.0, 0.0)]
+
+
+def test_resample_sessions_anchor_independently(spark):
+    rows = [
+        (1, 1, 0, 0.0, 0.0),
+        (2, 1, 1800, 0.0, 0.01),
+        # 10 h gap > gap_s -> new session with its own t0
+        (3, 1, 37800, 5.0, 5.0),
+        (4, 1, 39600, 5.0, 5.01),
+    ]
+    out = tj.resample_trips(
+        spark.createDataFrame(rows, SCHEMA), step_s=1800, gap_s=7200
+    )
+    got = {(r.session_id, r.sample_ts) for r in out.collect()}
+    assert got == {(1, 0), (1, 1800), (2, 37800), (2, 39600)}
+
+
+def test_resample_matches_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for u in range(12):
+        t = 0
+        for i in range(15):
+            t += 300 + ((u * 7 + i * 13) % 2400)  # ragged cadence
+            if i == 9:
+                t += 50_000  # session break mid-stream
+            rows.append(
+                (eid, u, t, 10.0 + u * 0.1 + i * 0.003, 20.0 + i * 0.005)
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts_sec", "lat", "lon"]
+    )
+    con = duckdb.connect()
+    con.register("fixes", pdf)
+    got = sorted(
+        tuple(r)
+        for r in tj.resample_trips(
+            spark.createDataFrame(pdf), step_s=900, gap_s=43200
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            tj.resample_trips_oracle_sql(
+                "(SELECT event_id, user_id, ts_sec, lat, lon FROM fixes)",
+                step_s=900,
+                gap_s=43200,
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert len(got) > 50
+    assert got == want
