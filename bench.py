@@ -556,6 +556,18 @@ def main() -> None:
 
     timed("map_match_5m_metro", map_match_5m, runs=3, warmup=True)
 
+    # batch dwell rollup over the same 5M metro fixes vs the contract's
+    # four fences: map-side Arrow ray-cast + one session-window exchange
+    from geogeometry_spark.contract import _DWELL_FENCES
+    from geogeometry_spark.operators.geofence import geofence_dwell
+
+    def geofence_dwell_5m():
+        geofence_dwell(metro, _DWELL_FENCES, gap_s=43200).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("geofence_dwell_5m_metro", geofence_dwell_5m, runs=3, warmup=True)
+
     # Hausdorff trip-pair join over the 5M GLOBAL fixes (planet-spread
     # home bases keep true route twins sparse, so this measures the
     # candidate machinery — sessionize exchange + head-ring equi-join
@@ -580,6 +592,17 @@ def main() -> None:
         ).mode("overwrite").save()
 
     timed("traj_frechet_5m", traj_frechet_5m, runs=3, warmup=True)
+
+    # uniform-cadence resample of the same 5M fixes at the fix cadence
+    # (step = 1800 s): one window exchange + bounded per-leg explode
+    from geogeometry_spark.operators.trajectory import resample_trips
+
+    def traj_resample_5m():
+        resample_trips(fixes, step_s=1800, gap_s=43200).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("traj_resample_5m", traj_resample_5m, runs=3, warmup=True)
 
     # Moran's I over the same 5M global fixes: two passes over the
     # occupied-cell relation (scalar stats + pair aggregates), all

@@ -3189,6 +3189,43 @@ def _traj_hausdorff_oracle() -> str:
     )
 
 
+_DWELL_FENCES = [
+    ("berlin_big_ring", BIG_RING),
+    ("berlin_small_ring", SMALL_RING),
+    ("berlin_concave", CONCAVE_RING),
+    # metro-scale pentagon so the sf0.01 oracle sees dozens of users
+    # (the Berlin rings are ~0.03 deg and catch only a handful)
+    (
+        "metro_pentagon",
+        [
+            (13.2, 52.2), (13.9, 52.25), (13.85, 52.7),
+            (13.5, 52.65), (13.15, 52.6), (13.2, 52.2),
+        ],
+    ),
+]
+
+
+def q_geofence_dwell(spark, sf_dir):
+    """Batch geofence dwell rollup (operators/geofence.py): per
+    (user, fence) total seconds-inside (both-endpoint leg rule within
+    sessions) + number of enters, over the metro fix stream against
+    the three Berlin fixture rings.  One map-side Arrow ray-cast pass,
+    one session-window exchange, explode bounded by fences-per-fix."""
+    from .operators.geofence import geofence_dwell
+
+    return geofence_dwell(
+        _metro_points(spark, sf_dir), _DWELL_FENCES, gap_s=43200
+    )
+
+
+def _geofence_dwell_oracle() -> str:
+    from .operators.geofence import geofence_dwell_oracle_sql
+
+    return geofence_dwell_oracle_sql(
+        _METRO_SUBQ, _DWELL_FENCES, gap_s=43200
+    )
+
+
 def q_traj_resample(spark, sf_dir):
     """Fixed-interval trajectory resampling (operators/trajectory.py):
     one time-lerped position per trip every 6 h, grid anchored at each
@@ -3470,6 +3507,7 @@ QUERIES = {
     "traj_hausdorff": q_traj_hausdorff,
     "traj_frechet": q_traj_frechet,
     "traj_resample": q_traj_resample,
+    "geofence_dwell": q_geofence_dwell,
     "grid_dbscan": q_grid_dbscan,
     "map_match": q_map_match,
 }
@@ -3586,6 +3624,7 @@ def _static_oracles() -> dict[str, str]:
         "traj_hausdorff": _traj_hausdorff_oracle(),
         "traj_frechet": _traj_frechet_oracle(),
         "traj_resample": _traj_resample_oracle(),
+        "geofence_dwell": _geofence_dwell_oracle(),
         "map_match": _map_match_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.

@@ -292,6 +292,41 @@ def measure_segment_join(cpus: int) -> dict:
             "a_segments_per_sec": round(n_a / best, 1)}
 
 
+def measure_hausdorff(cpus: int) -> dict:
+    """hausdorff_join at 4x the bench input: 20M global fixes (200k
+    trips).  Planet-spread bases keep qualifying pairs sparse, so the
+    measured exchanges are sessionize + the head-ring equi-join against
+    the 20M-fix cell relation — the operator's scale-critical shuffles."""
+    from geogeometry_spark.operators.traj_similarity import hausdorff_join
+    from geogeometry_spark.sources.tables import synthetic_fixes
+
+    import gc
+
+    spark = _session(cpus)
+    fixes = synthetic_fixes(spark, N_TRAJ_USERS, 100).localCheckpoint()
+    n = fixes.count()
+
+    # the operator localCheckpoints its sessionized fix relation EAGERLY
+    # at plan-construction time, so the DataFrame must be rebuilt inside
+    # the timer or the sessionize window job escapes the measurement;
+    # gc between runs releases the previous run's checkpoint blocks
+    def run():
+        hausdorff_join(fixes, tau_m=500.0, gap_s=43200).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        gc.collect()
+        t0 = time.perf_counter()
+        run()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    spark.stop()
+    return {"wall_s": round(best, 3), "n_fixes": n,
+            "fixes_per_sec": round(n / best, 1)}
+
+
 def main() -> None:
     args = sys.argv[1:]
     ops = {
@@ -301,6 +336,7 @@ def main() -> None:
         "dbscan_5m": measure_dbscan,
         "map_match_20m": measure_map_match,
         "segment_join_4m": measure_segment_join,
+        "hausdorff_20m": measure_hausdorff,
     }
     if "--op" in args:
         i = args.index("--op")
