@@ -3189,6 +3189,34 @@ def _traj_hausdorff_oracle() -> str:
     )
 
 
+def q_asof_snap(spark, sf_dir):
+    """As-of join (operators/asof.py): for each probe (user, t+737s),
+    the user's latest fix at-or-before t within a 1 h horizon — one
+    union-tag window pass, no per-key loops; the DuckDB twin is the
+    engine-native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    pts = _traj_points(spark, sf_dir)
+    qs = pts.where(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").alias("query_id"),
+        "user_id",
+        (F.col("ts_sec") + F.lit(737)).alias("qts"),
+    )
+    return asof_join(pts, qs, ["lat", "lon"], horizon_s=3600)
+
+
+def _asof_snap_oracle() -> str:
+    from .operators.asof import asof_join_oracle_sql
+
+    qsub = (
+        "(SELECT event_id AS query_id, user_id, ts_sec + 737 AS qts "
+        f"FROM {_TRAJ_SUBQ} WHERE event_id % 10 = 0)"
+    )
+    return asof_join_oracle_sql(
+        _TRAJ_SUBQ, qsub, ["lat", "lon"], horizon_s=3600
+    )
+
+
 _DWELL_FENCES = [
     ("berlin_big_ring", BIG_RING),
     ("berlin_small_ring", SMALL_RING),
@@ -3260,6 +3288,27 @@ def _traj_frechet_oracle() -> str:
     from .operators.traj_similarity import frechet_join_oracle_sql
 
     return frechet_join_oracle_sql(
+        _TRAJ_SUBQ, tau_m=500.0, gap_s=43200
+    )
+
+
+def q_route_clusters(spark, sf_dir):
+    """Composed route clustering (operators/traj_similarity.py):
+    Fréchet similarity edges → distributed connected components; trip
+    keys ride as user:session strings, labels are min-string per
+    component.  Oracle embeds the recursive Fréchet DP CTE inside the
+    reach-closure recursion."""
+    from .operators.traj_similarity import route_clusters
+
+    return route_clusters(
+        _traj_points(spark, sf_dir), tau_m=500.0, gap_s=43200
+    )
+
+
+def _route_clusters_oracle() -> str:
+    from .operators.traj_similarity import route_clusters_oracle_sql
+
+    return route_clusters_oracle_sql(
         _TRAJ_SUBQ, tau_m=500.0, gap_s=43200
     )
 
@@ -3508,6 +3557,8 @@ QUERIES = {
     "traj_frechet": q_traj_frechet,
     "traj_resample": q_traj_resample,
     "geofence_dwell": q_geofence_dwell,
+    "asof_snap": q_asof_snap,
+    "route_clusters": q_route_clusters,
     "grid_dbscan": q_grid_dbscan,
     "map_match": q_map_match,
 }
@@ -3625,6 +3676,8 @@ def _static_oracles() -> dict[str, str]:
         "traj_frechet": _traj_frechet_oracle(),
         "traj_resample": _traj_resample_oracle(),
         "geofence_dwell": _geofence_dwell_oracle(),
+        "asof_snap": _asof_snap_oracle(),
+        "route_clusters": _route_clusters_oracle(),
         "map_match": _map_match_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.

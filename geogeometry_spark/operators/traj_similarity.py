@@ -46,6 +46,8 @@ __all__ = [
     "hausdorff_join_oracle_sql",
     "frechet_join",
     "frechet_join_oracle_sql",
+    "route_clusters",
+    "route_clusters_oracle_sql",
 ]
 
 _RING = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -591,4 +593,63 @@ def frechet_join_oracle_sql(
         "SELECT ua AS user_a, sa AS session_a, ub AS user_b, "
         "sb AS session_b, n_a, n_b, c_cur[n_a] AS frechet_mm "
         f"FROM rec WHERE k = kmax AND c_cur[n_a] <= {tau_mm}"
+    )
+
+
+def route_clusters(
+    points: DataFrame,
+    tau_m: float = 500.0,
+    gap_s: int = 43200,
+    **kw,
+) -> DataFrame:
+    """Composed route clustering: trips that run the same route (in the
+    same direction) get one shared route id.  Pipeline =
+    :func:`frechet_join` (order-aware similarity edges) → distributed
+    connected components (.dedup.connected_components — the Kiveris
+    alternating-star algorithm, which is id-type-generic: labels are
+    the MIN trip key, lexicographic for the string keys used here).
+
+    Trip keys ride as ``user:session`` strings — overflow-free for any
+    id width, deterministic, and identical in the SQL twin (CAST ||
+    ':' || CAST).  Output: (trip, route_id), one row per trip that has
+    at least one qualifying route twin (singleton trips are absent, the
+    dedup_groups convention)."""
+    from .dedup import connected_components
+
+    pairs = frechet_join(points, tau_m=tau_m, gap_s=gap_s, **kw)
+    edges = pairs.select(
+        F.concat_ws(
+            ":", F.col("user_a"), F.col("session_a")
+        ).alias("id_a"),
+        F.concat_ws(
+            ":", F.col("user_b"), F.col("session_b")
+        ).alias("id_b"),
+    )
+    return connected_components(edges).select(
+        F.col("node").alias("trip"), F.col("component").alias("route_id")
+    )
+
+
+def route_clusters_oracle_sql(
+    subq: str,
+    tau_m: float = 500.0,
+    gap_s: int = 43200,
+    **kw,
+) -> str:
+    """DuckDB twin: the frechet twin (its own recursive DP CTE) embeds
+    as a CTE body, followed by the symmetric-closure reach recursion
+    (the grid_dbscan oracle pattern) with least-string labels."""
+    fr = frechet_join_oracle_sql(subq, tau_m=tau_m, gap_s=gap_s, **kw)
+    return (
+        f"WITH RECURSIVE pairs AS ({fr}), "
+        "edges0 AS (SELECT CAST(user_a AS VARCHAR) || ':' || "
+        "CAST(session_a AS VARCHAR) AS u, "
+        "CAST(user_b AS VARCHAR) || ':' || "
+        "CAST(session_b AS VARCHAR) AS v FROM pairs), "
+        "edges AS (SELECT u, v FROM edges0 "
+        "UNION SELECT v, u FROM edges0), "
+        "reach(u, v) AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "
+        "SELECT u AS trip, least(u, min(v)) AS route_id "
+        "FROM reach GROUP BY u"
     )

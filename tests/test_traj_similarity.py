@@ -295,3 +295,70 @@ def test_frechet_matches_duckdb_twin(spark, duck):
     )
     assert len(got) >= 20  # most users' session pairs qualify
     assert got == want
+
+
+# ---------------------------------------------------------- route clusters
+
+from geogeometry_spark.operators.traj_similarity import (  # noqa: E402
+    route_clusters,
+    route_clusters_oracle_sql,
+)
+
+
+def test_route_clusters_groups_and_singletons(spark):
+    leg = [(52.0, 13.0 + 0.002 * i) for i in range(8)]
+    rows = (
+        _route(100, 1, 0, leg)
+        + _route(200, 2, 0, [(la + 0.001, lo) for la, lo in leg])
+        + _route(300, 3, 0, [(la + 0.002, lo) for la, lo in leg])
+        # far-away singleton: no qualifying twin -> absent from output
+        + _route(400, 9, 0, [(10.0, 10.0), (10.0, 10.002)])
+    )
+    out = route_clusters(
+        spark.createDataFrame(rows, SCHEMA), tau_m=500.0, gap_s=GAP
+    ).collect()
+    got = {r.trip: r.route_id for r in out}
+    # users 1-3 chain into ONE route component labeled by the min key
+    assert got == {"1:1": "1:1", "2:1": "1:1", "3:1": "1:1"}
+
+
+def test_route_clusters_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for u in range(24):
+        base_lat = ((u * 41) % 90) - 45 + 0.5
+        base_lon = ((u * 59) % 280) - 140 + 0.5
+        for s in range(2):
+            for i in range(6):
+                rows.append(
+                    (
+                        eid, u, s * 50_000 + 60 * i,
+                        base_lat + (u % 2) * 0.0007,
+                        base_lon + 0.002 * i,
+                    )
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts_sec", "lat", "lon"]
+    )
+    duck.register("fixes", pdf)
+    got = sorted(
+        tuple(r)
+        for r in route_clusters(
+            spark.createDataFrame(pdf), tau_m=500.0, gap_s=GAP
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.sql(
+            route_clusters_oracle_sql(
+                "(SELECT event_id, user_id, ts_sec, lat, lon FROM fixes)",
+                tau_m=500.0,
+                gap_s=GAP,
+            )
+        ).fetchall()
+    )
+    assert len(got) >= 40
+    assert got == want
