@@ -568,6 +568,18 @@ def main() -> None:
 
     timed("geofence_dwell_5m_metro", geofence_dwell_5m, runs=3, warmup=True)
 
+    # composed per-segment speed profile over the same 5M metro fixes:
+    # window legs -> carry through the map_match probe -> integer agg
+    from geogeometry_spark.operators.map_match import segment_speeds
+
+    def segment_speeds_5m():
+        segment_speeds(
+            metro, _road_segments(spark), max_dist_m=150.0,
+            max_abs_lat=53.2,
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("segment_speeds_5m_metro", segment_speeds_5m, runs=3, warmup=True)
+
     # Hausdorff trip-pair join over the 5M GLOBAL fixes (planet-spread
     # home bases keep true route twins sparse, so this measures the
     # candidate machinery — sessionize exchange + head-ring equi-join
@@ -603,6 +615,23 @@ def main() -> None:
         ).mode("overwrite").save()
 
     timed("traj_resample_5m", traj_resample_5m, runs=3, warmup=True)
+
+    # as-of join: 5M events x 500k time probes through the union-tag
+    # window carry — one exchange over |events|+|queries|
+    from geogeometry_spark.operators.asof import asof_join
+
+    asof_probes = fixes.where(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").alias("query_id"),
+        "user_id",
+        (F.col("ts_sec") + F.lit(737)).alias("qts"),
+    )
+
+    def asof_5m():
+        asof_join(
+            fixes, asof_probes, ["lat", "lon"], horizon_s=3600
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("asof_5m_500k_probes", asof_5m, runs=3, warmup=True)
 
     # Moran's I over the same 5M global fixes: two passes over the
     # occupied-cell relation (scalar stats + pair aggregates), all

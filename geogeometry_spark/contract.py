@@ -3434,6 +3434,29 @@ def q_map_match(spark, sf_dir):
     )
 
 
+def q_segment_speeds(spark, sf_dir):
+    """Composed per-segment speed profile (operators/map_match.py):
+    session-window legs (mm + integer seconds) ride map_match's
+    carry_cols through the covering probe, then one per-segment
+    integer-sum aggregate — the big relation is exchanged once."""
+    from .operators.map_match import segment_speeds
+
+    return segment_speeds(
+        _metro_points(spark, sf_dir),
+        _road_segments(spark),
+        max_dist_m=150.0,
+        max_abs_lat=53.2,
+    )
+
+
+def _segment_speeds_oracle() -> str:
+    from .operators.map_match import segment_speeds_oracle_sql
+
+    return segment_speeds_oracle_sql(
+        _METRO_SUBQ, _ROADS_SUBQ, max_dist_m=150.0
+    )
+
+
 def _map_match_oracle() -> str:
     from .operators.map_match import map_match_oracle_sql
 
@@ -3559,6 +3582,7 @@ QUERIES = {
     "geofence_dwell": q_geofence_dwell,
     "asof_snap": q_asof_snap,
     "route_clusters": q_route_clusters,
+    "segment_speeds": q_segment_speeds,
     "grid_dbscan": q_grid_dbscan,
     "map_match": q_map_match,
 }
@@ -3678,6 +3702,7 @@ def _static_oracles() -> dict[str, str]:
         "geofence_dwell": _geofence_dwell_oracle(),
         "asof_snap": _asof_snap_oracle(),
         "route_clusters": _route_clusters_oracle(),
+        "segment_speeds": _segment_speeds_oracle(),
         "map_match": _map_match_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.

@@ -43,7 +43,13 @@ from pyspark.sql import functions as F
 from ..functions import columns as C
 from .cluster import _EARTH_CIRCUMFERENCE_M, dbscan_zoom_for_eps
 
-__all__ = ["segment_covering", "map_match", "map_match_oracle_sql"]
+__all__ = [
+    "segment_covering",
+    "map_match",
+    "map_match_oracle_sql",
+    "segment_speeds",
+    "segment_speeds_oracle_sql",
+]
 
 # auto-broadcast cap for the expanded covering relation (rows); ~9x the
 # raw cell count, each row a handful of scalars -> well under Spark's
@@ -240,4 +246,122 @@ def map_match_oracle_sql(
         f"FROM cand WHERE dist_m <= {float(max_dist_m)!r}) "
         f"SELECT {id_col}{carry.replace('p.', '')}, seg_id, dist_m "
         "FROM hit WHERE rn = 1"
+    )
+
+
+def segment_speeds(
+    points: DataFrame,
+    segments: DataFrame,
+    max_dist_m: float = 150.0,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    **mm_kw,
+) -> DataFrame:
+    """Composed per-segment speed profile — the fleet-analytics rollup
+    on top of :func:`map_match`: for every road segment, how many
+    trajectory legs ended on it, total leg distance/duration, and the
+    aggregate speed.
+
+    A leg (consecutive same-session fix pair) is attributed to the
+    segment its END fix snaps to.  Scale shape: the leg columns
+    (mm-quantized geodesic + integer duration) are computed FIRST on
+    the session window and then ride ``map_match``'s ``carry_cols``
+    through the covering probe — so the big relation is exchanged ONCE
+    (the user window); the match argmin stays a map-side-partial
+    min_by and the final per-segment aggregate shuffles one partial
+    row per (task, segment).  No fix-by-fix rejoin.
+
+    Speed is exact integer sums with one final double division:
+    ``round((Σmm / 1000.0) / Σs, 3)`` — bit-identical in the twin.
+    Zero-duration legs (same-second fixes) are excluded BEFORE the
+    probe, as is each session's first fix (no leg)."""
+    from pyspark.sql import Window
+
+    from .trajectory import _leg_mm, sessionize
+
+    sess = sessionize(points, gap_s, user_col, ts_col, id_col)
+    w = Window.partitionBy(user_col, "session_id").orderBy(ts_col, id_col)
+    legs = sess.select(
+        F.col(id_col),
+        F.col(lat_col),
+        F.col(lon_col),
+        _leg_mm(lat_col, lon_col, w).alias("_mm"),
+        (F.col(ts_col) - F.lag(ts_col).over(w)).alias("_dt"),
+    ).where(F.col("_mm").isNotNull() & (F.col("_dt") > 0))
+    matched = map_match(
+        legs,
+        segments,
+        max_dist_m=max_dist_m,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        carry_cols=("_mm", "_dt"),
+        **mm_kw,
+    )
+    agg = matched.groupBy("seg_id").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.sum("_mm").alias("dist_mm"),
+        F.sum("_dt").alias("dur_s"),
+    )
+    return agg.select(
+        "seg_id",
+        "n_legs",
+        "dist_mm",
+        "dur_s",
+        F.round(
+            (F.col("dist_mm") / F.lit(1000.0))
+            / F.col("dur_s").cast("double"),
+            3,
+        ).alias("speed_ms_r3"),
+    )
+
+
+def segment_speeds_oracle_sql(
+    points_subq: str,
+    segments_subq: str,
+    max_dist_m: float = 150.0,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin: sessionize CTE + the same mm/integer-second leg
+    window, legs-as-points through the brute-force map_match twin
+    (leg columns as carry_cols), identical integer sums and the same
+    single-division rounded speed."""
+    from .trajectory import _leg_mm_sql, sessionize_oracle_sql
+
+    sess = sessionize_oracle_sql(
+        points_subq, gap_s, user_col, ts_col, id_col
+    )
+    part = (
+        f"PARTITION BY {user_col}, session_id "
+        f"ORDER BY {ts_col}, {id_col}"
+    )
+    leg = _leg_mm_sql(lat, lon, part)
+    legs_subq = (
+        f"(SELECT * FROM (SELECT {id_col}, {lat} AS lat, {lon} AS lon, "
+        f"{leg} AS leg_mm, "
+        f"{ts_col} - lag({ts_col}) OVER ({part}) AS dt "
+        f"FROM ({sess})) "
+        f"WHERE leg_mm IS NOT NULL AND dt > 0)"
+    )
+    inner = map_match_oracle_sql(
+        legs_subq,
+        segments_subq,
+        max_dist_m=max_dist_m,
+        id_col=id_col,
+        carry_cols=("leg_mm", "dt"),
+    )
+    return (
+        f"SELECT seg_id, count(*) AS n_legs, sum(leg_mm) AS dist_mm, "
+        f"sum(dt) AS dur_s, "
+        f"round((sum(leg_mm) / 1000.0) / CAST(sum(dt) AS DOUBLE), 3) "
+        f"AS speed_ms_r3 FROM ({inner}) GROUP BY seg_id"
     )

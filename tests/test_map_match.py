@@ -200,3 +200,55 @@ def test_segment_covering_hits_every_crossed_cell(spark):
              / math.pi) / 2.0 * n
         )
         assert (x, y) in cover, (i, x, y)
+
+
+# --------------------------------------------------------- segment speeds
+
+def test_segment_speeds_composition(spark):
+    from pyspark.sql import functions as F
+
+    from geogeometry_spark.operators.map_match import (
+        segment_speeds,
+        segment_speeds_oracle_sql,
+    )
+
+    # one horizontal segment at lat 10.0 along lon 20.0..20.01
+    segs = spark.createDataFrame(
+        [(0, 10.0, 20.0, 10.0, 20.01)],
+        "seg_id long, alat double, alon double, blat double, blon double",
+    )
+    rows = [
+        (1, 1, 0, 10.0, 20.0),        # session start: no leg
+        (2, 1, 100, 10.0, 20.001),    # leg 1 -> seg 0
+        (3, 1, 100, 10.0, 20.0015),   # zero-duration leg: excluded
+        (4, 1, 300, 10.0, 20.002),    # leg 2 -> seg 0
+        (5, 1, 400, 30.0, 50.0),      # leg ends far away: unmatched
+    ]
+    pts = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_sec long, lat double, lon double"
+    )
+    out = segment_speeds(pts, segs, max_dist_m=150.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.seg_id == 0 and r.n_legs == 2
+    assert r.dur_s == 100 + 200
+    assert r.dist_mm > 0
+    assert r.speed_ms_r3 == round((r.dist_mm / 1000.0) / float(r.dur_s), 3)
+
+    # twin agreement on the same tiny fixture
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("fix_t", pts.toPandas())
+    con.register("seg_t", segs.toPandas())
+    want = sorted(
+        tuple(x)
+        for x in con.sql(
+            segment_speeds_oracle_sql(
+                "(SELECT * FROM fix_t)", "(SELECT * FROM seg_t)",
+                max_dist_m=150.0,
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert sorted(tuple(x) for x in out) == want
