@@ -580,6 +580,19 @@ def main() -> None:
 
     timed("segment_speeds_5m_metro", segment_speeds_5m, runs=3, warmup=True)
 
+    # raster<->vector zonal stats over the same 5M metro fixes: one
+    # rasterize groupBy (map-side combine) + native tile-space crossing
+    # membership + config-scale final aggregate
+    from geogeometry_spark.contract import _ZONAL_ZONES
+    from geogeometry_spark.operators.zonal import rasterize, zonal_stats
+
+    def zonal_5m():
+        zonal_stats(
+            rasterize(metro, 15), _ZONAL_ZONES, 15
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("zonal_stats_5m_metro", zonal_5m, runs=3, warmup=True)
+
     # Hausdorff trip-pair join over the 5M GLOBAL fixes (planet-spread
     # home bases keep true route twins sparse, so this measures the
     # candidate machinery — sessionize exchange + head-ring equi-join

@@ -3254,6 +3254,42 @@ def _geofence_dwell_oracle() -> str:
     )
 
 
+# zones sized for the metro fixture's 1 x 2 degree footprint: two
+# overlapping quadrant boxes, a diamond, the dwell pentagon, and the
+# (tiny) Berlin big ring — overlap is deliberate, a tile may belong to
+# several zones (the explode is per-membership, like geofence)
+_ZONAL_ZONES = [
+    ("nw_box", [(13.0, 52.5), (14.0, 52.5), (14.0, 53.0),
+                (13.0, 53.0), (13.0, 52.5)]),
+    ("se_box", [(13.8, 52.0), (15.0, 52.0), (15.0, 52.6),
+                (13.8, 52.6), (13.8, 52.0)]),
+    ("center_diamond", [(13.5, 52.5), (14.0, 52.2), (14.5, 52.5),
+                        (14.0, 52.8), (13.5, 52.5)]),
+    ("metro_pentagon", _DWELL_FENCES[3][1]),
+    ("berlin_big_ring", _DWELL_FENCES[0][1]),
+]
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Raster<->vector zonal statistics (operators/zonal.py): metro
+    fixes rasterized to z15 WebMercator tiles (one groupBy, map-side
+    combine), then per-zone tile count / total / mean via the exact
+    tile-space even-odd crossing test on tile centers — native Columns
+    only, zone rings projected driver-side so both engines evaluate
+    identical IEEE arithmetic (no libm in the per-row path)."""
+    from .operators.zonal import rasterize, zonal_stats
+
+    return zonal_stats(
+        rasterize(_metro_points(spark, sf_dir), 15), _ZONAL_ZONES, 15
+    )
+
+
+def _zonal_stats_oracle() -> str:
+    from .operators.zonal import zonal_stats_oracle_sql
+
+    return zonal_stats_oracle_sql(_METRO_SUBQ, _ZONAL_ZONES, 15)
+
+
 def q_traj_resample(spark, sf_dir):
     """Fixed-interval trajectory resampling (operators/trajectory.py):
     one time-lerped position per trip every 6 h, grid anchored at each
@@ -3583,6 +3619,7 @@ QUERIES = {
     "asof_snap": q_asof_snap,
     "route_clusters": q_route_clusters,
     "segment_speeds": q_segment_speeds,
+    "zonal_stats": q_zonal_stats,
     "grid_dbscan": q_grid_dbscan,
     "map_match": q_map_match,
 }
@@ -3703,6 +3740,7 @@ def _static_oracles() -> dict[str, str]:
         "asof_snap": _asof_snap_oracle(),
         "route_clusters": _route_clusters_oracle(),
         "segment_speeds": _segment_speeds_oracle(),
+        "zonal_stats": _zonal_stats_oracle(),
         "map_match": _map_match_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
