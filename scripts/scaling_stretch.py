@@ -327,6 +327,102 @@ def measure_hausdorff(cpus: int) -> dict:
             "fixes_per_sec": round(n / best, 1)}
 
 
+def measure_segment_speeds(cpus: int) -> dict:
+    """segment_speeds (composed: window legs -> map_match carry ->
+    per-segment integer rollup) at 4x the bench input: 20M metro fixes
+    against the 400-segment street grid.  The big relation's only
+    exchange is the session window; the rollup adds one partial-agg
+    shuffle of |segments|-bounded rows per task."""
+    from geogeometry_spark.contract import _road_segments
+    from geogeometry_spark.operators.map_match import segment_speeds
+    from geogeometry_spark.sources.tables import synthetic_fixes
+
+    spark = _session(cpus)
+    fixes = synthetic_fixes(
+        spark, N_MM_USERS, 100, metro=True
+    ).localCheckpoint()
+    n = fixes.count()
+    df = segment_speeds(
+        fixes, _road_segments(spark), max_dist_m=150.0, max_abs_lat=53.2
+    )
+
+    def run():
+        df.write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    spark.stop()
+    return {"wall_s": round(best, 3), "n_fixes": n,
+            "fixes_per_sec": round(n / best, 1)}
+
+
+def measure_asof(cpus: int) -> dict:
+    """asof_join at 4x the bench input: 20M events x 2M time probes
+    through the union-tag window carry — ONE exchange over
+    |events| + |queries| rows, partitioned by user."""
+    from pyspark.sql import functions as F
+
+    from geogeometry_spark.operators.asof import asof_join
+    from geogeometry_spark.sources.tables import synthetic_fixes
+
+    spark = _session(cpus)
+    fixes = synthetic_fixes(spark, N_TRAJ_USERS, 100).localCheckpoint()
+    n = fixes.count()
+    probes = fixes.where(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").alias("query_id"),
+        "user_id",
+        (F.col("ts_sec") + F.lit(737)).alias("qts"),
+    )
+    df = asof_join(fixes, probes, ["lat", "lon"], horizon_s=3600)
+
+    def run():
+        df.write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    spark.stop()
+    return {"wall_s": round(best, 3), "n_events": n,
+            "events_per_sec": round(n / best, 1)}
+
+
+def measure_zonal(cpus: int) -> dict:
+    """zonal_stats at 4x the bench input: 20M metro fixes rasterized to
+    z15 tiles, rolled up over the contract's five zones.  Exchanges:
+    the tile-key partial aggregate (relation-scale) + the config-scale
+    zone aggregate."""
+    from geogeometry_spark.contract import _ZONAL_ZONES
+    from geogeometry_spark.operators.zonal import rasterize, zonal_stats
+    from geogeometry_spark.sources.tables import synthetic_fixes
+
+    spark = _session(cpus)
+    fixes = synthetic_fixes(
+        spark, N_MM_USERS, 100, metro=True
+    ).localCheckpoint()
+    n = fixes.count()
+    df = zonal_stats(rasterize(fixes, 15), _ZONAL_ZONES, 15)
+
+    def run():
+        df.write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    spark.stop()
+    return {"wall_s": round(best, 3), "n_fixes": n,
+            "fixes_per_sec": round(n / best, 1)}
+
+
 def main() -> None:
     args = sys.argv[1:]
     ops = {
@@ -337,6 +433,9 @@ def main() -> None:
         "map_match_20m": measure_map_match,
         "segment_join_4m": measure_segment_join,
         "hausdorff_20m": measure_hausdorff,
+        "segment_speeds_20m": measure_segment_speeds,
+        "asof_20m": measure_asof,
+        "zonal_20m": measure_zonal,
     }
     if "--op" in args:
         i = args.index("--op")
