@@ -119,7 +119,7 @@ def test_connected_components_warns_when_unconverged(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
-    with pytest.warns(RuntimeWarning, match="did not stabilize"):
+    with pytest.warns(RuntimeWarning, match="fixed point not reached"):
         dedup.connected_components(edges, max_rounds=1)
 
 
