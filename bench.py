@@ -593,6 +593,19 @@ def main() -> None:
 
     timed("zonal_stats_5m_metro", zonal_5m, runs=3, warmup=True)
 
+    # HMM (Viterbi) map matching over the same 5M metro fixes: one
+    # big-side exchange (sessionize, reused by the fix-level collect
+    # and the per-trip grouped map), covering broadcast, integer DP
+    from geogeometry_spark.operators.hmm_match import hmm_trip_costs
+
+    def hmm_5m():
+        hmm_trip_costs(
+            metro, _road_segments(spark), max_dist_m=150.0,
+            k_candidates=3, switch_penalty_m=60.0, max_abs_lat=53.2,
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("hmm_match_5m_metro", hmm_5m, runs=3, warmup=True)
+
     # Hausdorff trip-pair join over the 5M GLOBAL fixes (planet-spread
     # home bases keep true route twins sparse, so this measures the
     # candidate machinery — sessionize exchange + head-ring equi-join

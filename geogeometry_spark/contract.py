@@ -3270,6 +3270,37 @@ _ZONAL_ZONES = [
 ]
 
 
+def q_hmm_match(spark, sf_dir):
+    """HMM (Viterbi min-sum) map matching (operators/hmm_match.py):
+    per-trip optimal segment sequence under mm-integer emissions +
+    flat switch penalty; contract projection is the unique optimal
+    VALUE per trip (paths can tie, the value cannot).  Covering
+    candidates on the SMALL side, windowless top-k via partial
+    collect, one grouped-map exchange for the DP."""
+    from .operators.hmm_match import hmm_trip_costs
+
+    return hmm_trip_costs(
+        _metro_points(spark, sf_dir),
+        _road_segments(spark),
+        max_dist_m=150.0,
+        k_candidates=3,
+        switch_penalty_m=60.0,
+        max_abs_lat=53.2,
+    )
+
+
+def _hmm_match_oracle() -> str:
+    from .operators.hmm_match import hmm_match_oracle_sql
+
+    return hmm_match_oracle_sql(
+        _METRO_SUBQ,
+        _ROADS_SUBQ,
+        max_dist_m=150.0,
+        k_candidates=3,
+        switch_penalty_m=60.0,
+    )
+
+
 def q_zonal_stats(spark, sf_dir):
     """Raster<->vector zonal statistics (operators/zonal.py): metro
     fixes rasterized to z15 WebMercator tiles (one groupBy, map-side
@@ -3620,6 +3651,7 @@ QUERIES = {
     "route_clusters": q_route_clusters,
     "segment_speeds": q_segment_speeds,
     "zonal_stats": q_zonal_stats,
+    "hmm_match": q_hmm_match,
     "grid_dbscan": q_grid_dbscan,
     "map_match": q_map_match,
 }
@@ -3741,6 +3773,7 @@ def _static_oracles() -> dict[str, str]:
         "route_clusters": _route_clusters_oracle(),
         "segment_speeds": _segment_speeds_oracle(),
         "zonal_stats": _zonal_stats_oracle(),
+        "hmm_match": _hmm_match_oracle(),
         "map_match": _map_match_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.

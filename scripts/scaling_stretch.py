@@ -423,6 +423,39 @@ def measure_zonal(cpus: int) -> dict:
             "fixes_per_sec": round(n / best, 1)}
 
 
+def measure_hmm(cpus: int) -> dict:
+    """hmm_trip_costs at 4x the bench input: 20M metro fixes against
+    the 400-segment grid.  One big-side exchange (sessionize, reused by
+    the fix-level collect and the grouped map); the Viterbi kernel is
+    numpy min-plus per trip."""
+    from geogeometry_spark.contract import _road_segments
+    from geogeometry_spark.operators.hmm_match import hmm_trip_costs
+    from geogeometry_spark.sources.tables import synthetic_fixes
+
+    spark = _session(cpus)
+    fixes = synthetic_fixes(
+        spark, N_MM_USERS, 100, metro=True
+    ).localCheckpoint()
+    n = fixes.count()
+    df = hmm_trip_costs(
+        fixes, _road_segments(spark), max_dist_m=150.0,
+        k_candidates=3, switch_penalty_m=60.0, max_abs_lat=53.2,
+    )
+
+    def run():
+        df.write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best or 1e9, time.perf_counter() - t0)
+    spark.stop()
+    return {"wall_s": round(best, 3), "n_fixes": n,
+            "fixes_per_sec": round(n / best, 1)}
+
+
 def main() -> None:
     args = sys.argv[1:]
     ops = {
@@ -436,6 +469,7 @@ def main() -> None:
         "segment_speeds_20m": measure_segment_speeds,
         "asof_20m": measure_asof,
         "zonal_20m": measure_zonal,
+        "hmm_20m": measure_hmm,
     }
     if "--op" in args:
         i = args.index("--op")
