@@ -2578,8 +2578,8 @@ def _dedup_groups_oracle() -> str:
     alternating large-star/small-star rounds converge to."""
     minhash = dedup.minhash_candidates_oracle_sql()
     return (
-        f"WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({minhash})), "
-        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        f"WITH RECURSIVE pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({minhash})), "
+        "edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs "
         "UNION SELECT id_b, id_a FROM pairs), "
         "reach(u, v) AS (SELECT u, v FROM edges "
         "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
@@ -3422,6 +3422,81 @@ def _grid_dbscan_oracle() -> str:
     )
 
 
+def q_kde(spark, sf_dir):
+    """Truncated-Gaussian KDE surface over z8 tiles of the fix stream
+    (operators/density.py): occupied-cell collapse, 29-address integer
+    stencil spread (weights quantized driver-side to ppb BIGINTs so
+    every shuffled value is exact), one re-aggregation."""
+    from .operators.density import kde_grid
+
+    return kde_grid(
+        _traj_points(spark, sf_dir), zoom=8,
+        radius_cells=3, sigma_cells=1.5,
+    )
+
+
+def _kde_oracle() -> str:
+    from .operators.density import kde_grid_oracle_sql
+
+    return kde_grid_oracle_sql(
+        _TRAJ_SUBQ, zoom=8, radius_cells=3, sigma_cells=1.5
+    )
+
+
+# nominal metro study area (1 deg lat x 2 deg lon at ~52.5N), a
+# modelling input to the K estimator — both engines get this literal
+_RIPLEY_AREA_M2 = 1.5e10
+_RIPLEY_RADII_M = [250.0, 500.0, 1000.0, 2000.0]
+
+
+def q_ripley(spark, sf_dir):
+    """Ripley's K / L point-pattern statistic over the metro fix
+    stream (operators/density.py): coincident fixes collapse to
+    multiplicity-weighted reps, 9-address grid candidate pairs at the
+    r_max-safe zoom (never all-pairs in either engine), exact BIGINT
+    pair counts per radius, pinned-order K/L floats."""
+    from .operators.density import ripley_k
+
+    return ripley_k(
+        _metro_points(spark, sf_dir),
+        radii_m=_RIPLEY_RADII_M,
+        area_m2=_RIPLEY_AREA_M2,
+        max_abs_lat=54.0,
+    )
+
+
+def _ripley_oracle() -> str:
+    from .operators.density import ripley_k_oracle_sql
+
+    return ripley_k_oracle_sql(
+        _METRO_SUBQ,
+        radii_m=_RIPLEY_RADII_M,
+        area_m2=_RIPLEY_AREA_M2,
+        max_abs_lat=54.0,
+    )
+
+
+def q_traj_dtw(spark, sf_dir):
+    """DTW trajectory-similarity join (operators/traj_similarity.py):
+    unordered trip pairs whose DTW total cost <= 10 km — the
+    alignment-integral member of the Hausdorff/Fréchet/DTW trio; same
+    head-ring candidates + exact head/tail prefilter, clamped sum-
+    combine anti-diagonal Arrow DP, recursive-CTE DuckDB twin."""
+    from .operators.traj_similarity import dtw_join
+
+    return dtw_join(
+        _traj_points(spark, sf_dir), tau_m=10000.0, gap_s=43200
+    )
+
+
+def _traj_dtw_oracle() -> str:
+    from .operators.traj_similarity import dtw_join_oracle_sql
+
+    return dtw_join_oracle_sql(
+        _TRAJ_SUBQ, tau_m=10000.0, gap_s=43200
+    )
+
+
 # Deterministic Manhattan street grid over the metro box for
 # map-matching: 200 horizontal segments (10 rows x 20 blocks) + 200
 # vertical (20 columns x 10 blocks), axis-aligned so the pairwise
@@ -3654,6 +3729,9 @@ QUERIES = {
     "hmm_match": q_hmm_match,
     "grid_dbscan": q_grid_dbscan,
     "map_match": q_map_match,
+    "kde": q_kde,
+    "ripley": q_ripley,
+    "traj_dtw": q_traj_dtw,
 }
 
 
@@ -3775,6 +3853,9 @@ def _static_oracles() -> dict[str, str]:
         "zonal_stats": _zonal_stats_oracle(),
         "hmm_match": _hmm_match_oracle(),
         "map_match": _map_match_oracle(),
+        "kde": _kde_oracle(),
+        "ripley": _ripley_oracle(),
+        "traj_dtw": _traj_dtw_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

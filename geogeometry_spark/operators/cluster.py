@@ -191,7 +191,7 @@ def grid_dbscan_oracle_sql(
         f"WITH RECURSIVE keyed AS (SELECT *, "
         f"CAST(round(({lat}) * 1e6) AS BIGINT) AS ula, "
         f"CAST(round(({lon}) * 1e6) AS BIGINT) AS ulo FROM {subq}), "
-        f"reps AS (SELECT ula, ulo, min({id_col}) AS pos, "
+        f"reps AS MATERIALIZED (SELECT ula, ulo, min({id_col}) AS pos, "
         f"{rlat} AS rlat, {rlon} AS rlon, {tx} AS tx, {ty} AS ty "
         "FROM keyed GROUP BY ula, ulo), "
         f"offsets(dx, dy) AS (VALUES {offs}), "
@@ -201,7 +201,7 @@ def grid_dbscan_oracle_sql(
         "r.ty + o.dy AS ny FROM reps r CROSS JOIN offsets o) a "
         "JOIN reps b ON a.nx = b.tx AND a.ny = b.ty "
         f"AND a.pos < b.pos AND ({hav}) <= {float(eps_m)!r}), "
-        "edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0), "
+        "edges AS MATERIALIZED (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0), "
         "reach(u, v) AS (SELECT u, v FROM edges "
         "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
         "labels AS (SELECT u AS node, least(u, min(v)) AS comp "

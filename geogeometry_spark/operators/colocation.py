@@ -252,9 +252,9 @@ def convoy_groups_oracle_sql(
     large-star/small-star rounds converge to)."""
     pairs = colocation_join_oracle_sql(subq, eps_m, tau_s, **kwargs)
     return (
-        f"WITH RECURSIVE cpairs AS (SELECT user_a, user_b FROM ({pairs}) "
+        f"WITH RECURSIVE cpairs AS MATERIALIZED (SELECT user_a, user_b FROM ({pairs}) "
         f"WHERE n_contacts >= {min_contacts}), "
-        "cedges AS (SELECT user_a AS u, user_b AS v FROM cpairs "
+        "cedges AS MATERIALIZED (SELECT user_a AS u, user_b AS v FROM cpairs "
         "UNION SELECT user_b, user_a FROM cpairs), "
         "creach(u, v) AS (SELECT u, v FROM cedges "
         "UNION SELECT r.u, e.v FROM creach r JOIN cedges e ON r.v = e.u) "

@@ -1,0 +1,401 @@
+"""Point-pattern density analytics over the tile lattice: Gaussian
+kernel density estimation (KDE) and Ripley's K / L functions.
+
+The reference's aggregation surface stops at per-cell COUNTS (the
+tile/geohash/S2/hex heatmap family, GeoHashUtils.kt + Tile.kt math);
+these two operators add the standard next steps of spatial point-
+pattern analysis:
+
+- :func:`kde_grid` — a truncated-Gaussian smoothed density surface
+  (Silverman 1986 ch. 4): each occupied cell's count spreads to its
+  neighborhood with precomputed kernel weights, the classic "heatmap
+  blur" raster product.
+- :func:`ripley_k` — Ripley's K(r) second-moment statistic (Ripley
+  1977): for a ladder of radii, the expected number of further points
+  within r of a typical point, scaled by intensity; the L(r) - r
+  transform makes clustering (>0) vs dispersion (<0) readable.
+
+Scale design (the hotspot.py / cluster.py doctrine):
+
+- KDE: points collapse ONCE to occupied cells (map-side combinable
+  count), each occupied cell explodes to its truncated kernel stencil
+  (bounded |stencil| x blowup of the CELL relation, never the point
+  relation), one re-aggregation yields the surface.  Kernel weights
+  are computed driver-side in Python, quantized to BIGINT parts-per-
+  1e9, and enter both engines as identical integer literals — every
+  shuffled value is an exact BIGINT, so partial-agg order cannot move
+  the result and the DuckDB twin matches bit-for-bit.  (Integer
+  headroom: sum(count * w_q) overflows int64 only past ~9e9 points
+  per stencil footprint; at that density rescale ``weight_scale``.)
+- Ripley's K: coincident fixes collapse to one representative with a
+  multiplicity (the parked-user clique becomes ONE node — dedup-
+  before-MinHash doctrine), reps bucket into WebMercator cells at the
+  finest zoom whose ground size is >= max(radii) in the study band,
+  and the 9-neighborhood equi-join bounds candidate pairs by cell
+  co-location — never all-pairs, in EITHER engine (the DuckDB twin
+  runs the identical grid join, so the oracle stays tractable at
+  sweep scale).  Forward-neighbor halving ships 5/9 of the naive
+  spread (each unordered cell pair probed from exactly one side —
+  the grid_dbscan trick).  Pair counts per radius are exact BIGINTs
+  from ONE distance evaluation (conditional sums over the mm-
+  quantized geodesic distance); K/L floats are computed from those
+  integers in a pinned IEEE op order mirrored literally by the twin.
+
+No edge correction is applied (the naive / "uncorrected" estimator):
+at engine scale the study area is data-defined and border effects are
+the analyst's modelling choice; callers can pass a shrunken ``area_m2``
+for guard-ring correction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import columns as C
+from .cluster import dbscan_zoom_for_eps
+
+__all__ = [
+    "kde_grid",
+    "kde_grid_oracle_sql",
+    "ripley_k",
+    "ripley_k_oracle_sql",
+]
+
+
+def _kde_stencil(
+    radius_cells: int, sigma_cells: float, weight_scale: int
+) -> list[tuple[int, int, int]]:
+    """Truncated-Gaussian stencil as (dx, dy, w_q) integer triples.
+
+    w_q = round(exp(-(dx^2+dy^2) / (2 sigma^2)) * weight_scale),
+    computed ONCE driver-side (math.exp never runs per-row in either
+    engine); offsets beyond the circular radius or with zero quantized
+    weight are dropped."""
+    out = []
+    r2 = radius_cells * radius_cells
+    for dx in range(-radius_cells, radius_cells + 1):
+        for dy in range(-radius_cells, radius_cells + 1):
+            d2 = dx * dx + dy * dy
+            if d2 > r2:
+                continue
+            w_q = round(
+                math.exp(-d2 / (2.0 * sigma_cells * sigma_cells))
+                * weight_scale
+            )
+            if w_q > 0:
+                out.append((dx, dy, w_q))
+    return out
+
+
+def kde_grid(
+    points: DataFrame,
+    zoom: int = 8,
+    radius_cells: int = 3,
+    sigma_cells: float = 1.5,
+    weight_scale: int = 1_000_000_000,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Truncated-Gaussian kernel density surface of point counts over
+    WebMercator tiles at ``zoom``.
+
+    Returns one row per lattice address receiving any mass:
+    (tx, ty, src_cells, density_q, kde_r3) — the address, how many
+    occupied cells contribute, the exact integer density
+    sum(count * w_q), and the human-readable density rounded to 3
+    decimals (density_q / weight_scale).  x wraps modulo 2^zoom
+    (antimeridian adjacency); y addresses off the pole edges are
+    dropped (no such tile exists)."""
+    n_tiles = 1 << zoom
+    stencil = _kde_stencil(radius_cells, sigma_cells, weight_scale)
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    cells = points.groupBy(x.alias("tx"), y.alias("ty")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(w).alias("w"),
+            )
+            for dx, dy, w in stencil
+        ]
+    )
+    spread = cells.withColumn("_o", F.explode(offs)).select(
+        F.pmod(F.col("tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("ty") + F.col("_o.dy")).alias("ny"),
+        (F.col("cnt") * F.col("_o.w")).alias("mass"),
+    )
+    out = (
+        spread.where(
+            (F.col("ny") >= 0) & (F.col("ny") < F.lit(n_tiles))
+        )
+        .groupBy(
+            F.col("nx").alias("tx"), F.col("ny").alias("ty")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("src_cells"),
+            F.sum("mass").alias("density_q"),
+        )
+    )
+    kde = F.col("density_q").cast("double") / F.lit(float(weight_scale))
+    return out.select(
+        "tx", "ty", "src_cells", "density_q",
+        F.round(kde, 3).alias("kde_r3"),
+    )
+
+
+def kde_grid_oracle_sql(
+    subq: str,
+    zoom: int = 8,
+    radius_cells: int = 3,
+    sigma_cells: float = 1.5,
+    weight_scale: int = 1_000_000_000,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin: the SAME integer stencil literals (shared
+    :func:`_kde_stencil`), same occupied-cell collapse, same wrap /
+    pole-edge rules, same exact BIGINT mass sum."""
+    n_tiles = 1 << zoom
+    stencil = _kde_stencil(radius_cells, sigma_cells, weight_scale)
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    offs = ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in stencil)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2), "
+        f"stencil(dx, dy, w) AS (VALUES {offs}), "
+        "spread AS (SELECT "
+        f"((tx + dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "ty + dy AS ny, cnt * w AS mass "
+        "FROM cells CROSS JOIN stencil) "
+        "SELECT nx AS tx, ny AS ty, count(*) AS src_cells, "
+        "sum(mass) AS density_q, "
+        f"round(CAST(sum(mass) AS DOUBLE) / {float(weight_scale)!r}, 3) "
+        "AS kde_r3 "
+        f"FROM spread WHERE ny >= 0 AND ny < {n_tiles} GROUP BY 1, 2"
+    )
+
+
+def ripley_k(
+    points: DataFrame,
+    radii_m: list[float],
+    area_m2: float,
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> DataFrame:
+    """Ripley's K(r) and L(r) - r for each radius in ``radii_m`` over
+    the point set, with study area ``area_m2`` supplied by the caller
+    (the estimator needs A as a modelling input; pass the bbox or
+    guard-ring area of your study region).
+
+    Returns one row per radius: (r_m, pairs, n_points, k_r3, l_r3)
+    where ``pairs`` is the exact count of unordered point pairs at
+    geodesic distance <= r (mm-quantized), ``n_points`` the total
+    point count, K = A * 2 * pairs / (n * (n-1)) and
+    L - r = sqrt(K / pi) - r, both rounded to 3 decimals.
+
+    Coincident points (identical 1-microdegree position) collapse to
+    one representative with a multiplicity m: cross-rep pairs count
+    m_a * m_b, within-rep pairs m*(m-1)/2 at distance zero — so hot
+    boilerplate positions cost ONE node, not a clique."""
+    if not radii_m:
+        raise ValueError("radii_m must be non-empty")
+    radii = sorted(float(r) for r in radii_m)
+    r_max = radii[-1]
+    zoom = dbscan_zoom_for_eps(r_max, max_abs_lat)
+    if zoom < 2:
+        raise ValueError(
+            f"max radius {r_max} m needs zoom {zoom} (< 2): planetary-"
+            "scale radii degenerate to all-pairs; reduce the ladder."
+        )
+    n_tiles = 1 << zoom
+    r_mm = [round(r * 1000.0) for r in radii]
+
+    ula = F.round(F.col(lat_col) * F.lit(1e6)).cast("long")
+    ulo = F.round(F.col(lon_col) * F.lit(1e6)).cast("long")
+    keyed = points.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    ).withColumns({"_ula": ula, "_ulo": ulo})
+    reps = keyed.groupBy("_ula", "_ulo").agg(
+        F.min(id_col).alias("_pos"), F.count(F.lit(1)).alias("_m")
+    )
+    rlat = F.col("_ula").cast("double") / F.lit(1e6)
+    rlon = F.col("_ulo").cast("double") / F.lit(1e6)
+    tx, ty = C.tile_xy(rlat, rlon, zoom)
+    reps = reps.select(
+        "_pos", "_m",
+        rlat.alias("_rlat"), rlon.alias("_rlon"),
+        tx.alias("_tx"), ty.alias("_ty"),
+    ).localCheckpoint()
+
+    # scalar aggregates (2 numbers): total points, within-rep pairs
+    srow = reps.agg(
+        F.sum("_m"),
+        # per-row long BEFORE the sum: m(m-1) is even so the division
+        # is exact, and the shuffle then carries only exact BIGINTs
+        F.sum(
+            (F.col("_m") * (F.col("_m") - F.lit(1)) / F.lit(2)).cast(
+                "long"
+            )
+        ),
+    ).first()
+    n_pts = int(srow[0] or 0)
+    self_pairs = int(srow[1] or 0)
+
+    # forward-neighbor halving (grid_dbscan's trick): each unordered
+    # cell pair probed from exactly ONE side, ties within a cell broken
+    # by rep position order — the pair SET is identical to the naive
+    # 3x3 spread, at 5/9 of the shuffle
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(dx == 0 and dy == 0).alias("same"),
+            )
+            for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1))
+        ]
+    )
+    probe = reps.withColumn("_o", F.explode(offs)).select(
+        F.col("_pos").alias("_pa"),
+        F.col("_m").alias("_ma"),
+        F.col("_rlat").alias("_lata"),
+        F.col("_rlon").alias("_lona"),
+        F.col("_o.same").alias("_same"),
+        F.pmod(F.col("_tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("_nx"),
+        (F.col("_ty") + F.col("_o.dy")).alias("_ny"),
+    )
+    build = reps.select(
+        F.col("_pos").alias("_pb"),
+        F.col("_m").alias("_mb"),
+        F.col("_rlat").alias("_latb"),
+        F.col("_rlon").alias("_lonb"),
+        F.col("_tx").alias("_nx"),
+        F.col("_ty").alias("_ny"),
+    )
+    dist_mm = F.round(
+        C.haversine(
+            F.col("_lata"), F.col("_lona"), F.col("_latb"), F.col("_lonb")
+        )
+        * F.lit(1000.0)
+    ).cast("long")
+    pair_ok = F.when(F.col("_same"), F.col("_pa") < F.col("_pb")).otherwise(
+        F.col("_pa") != F.col("_pb")
+    )
+    cand = (
+        probe.join(build, ["_nx", "_ny"])
+        .where(pair_ok)
+        .select(
+            (F.col("_ma") * F.col("_mb")).alias("_w"),
+            dist_mm.alias("_d"),
+        )
+        .where(F.col("_d") <= F.lit(r_mm[-1]))
+    )
+    crow = cand.agg(
+        *[
+            F.sum(F.when(F.col("_d") <= F.lit(mm), F.col("_w"))).alias(
+                f"_s{i}"
+            )
+            for i, mm in enumerate(r_mm)
+        ]
+    ).first()
+
+    spark = points.sparkSession
+    rows = []
+    for i, (r, mm) in enumerate(zip(radii, r_mm)):
+        pairs = int(crow[i] or 0) + self_pairs
+        # pinned float op order, mirrored literally by the oracle twin
+        if n_pts > 1:
+            k_hat = (float(area_m2) * (2.0 * pairs)) / (
+                float(n_pts) * float(n_pts - 1)
+            )
+            l_val = math.sqrt(k_hat / 3.141592653589793) - r
+        else:
+            k_hat = None
+            l_val = None
+        rows.append((mm, pairs, n_pts, k_hat, l_val))
+    out = spark.createDataFrame(
+        rows,
+        "r_mm long, pairs long, n_points long, _k double, _l double",
+    )
+    return out.select(
+        "r_mm", "pairs", "n_points",
+        F.round(F.col("_k"), 3).alias("k_r3"),
+        F.round(F.col("_l"), 3).alias("l_r3"),
+    )
+
+
+def ripley_k_oracle_sql(
+    subq: str,
+    radii_m: list[float],
+    area_m2: float,
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> str:
+    """DuckDB twin: the SAME rep collapse, the SAME 9-address grid
+    candidate join (never all-pairs — the twin stays tractable at
+    sweep scale), the same mm cutoffs and pinned K/L float order."""
+    radii = sorted(float(r) for r in radii_m)
+    zoom = dbscan_zoom_for_eps(radii[-1], max_abs_lat)
+    n_tiles = 1 << zoom
+    r_mm = [round(r * 1000.0) for r in radii]
+    rlat, rlon = "CAST(ula AS DOUBLE) / 1e6", "CAST(ulo AS DOUBLE) / 1e6"
+    tx, ty = C.tile_xy_sql(rlat, rlon, zoom)
+    hav = C.haversine_sql("a.rlat", "a.rlon", "b.rlat", "b.rlon")
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN d <= {mm} THEN w END) AS s{i}"
+        for i, mm in enumerate(r_mm)
+    )
+    ladder = ", ".join(
+        f"({mm}, {i})" for i, mm in enumerate(r_mm)
+    )
+    sels = " ".join(
+        f"WHEN idx = {i} THEN s{i}" for i in range(len(r_mm))
+    )
+    area = f"{float(area_m2)!r}"
+    return (
+        f"WITH keyed AS (SELECT {id_col} AS pid, "
+        f"CAST(round(({lat}) * 1e6) AS BIGINT) AS ula, "
+        f"CAST(round(({lon}) * 1e6) AS BIGINT) AS ulo FROM {subq} "
+        f"WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL), "
+        f"reps AS (SELECT ula, ulo, min(pid) AS pos, count(*) AS m, "
+        f"{rlat} AS rlat, {rlon} AS rlon, {tx} AS tx, {ty} AS ty "
+        "FROM keyed GROUP BY ula, ulo), "
+        "scalars AS (SELECT sum(m) AS n_pts, "
+        "sum(CAST(m * (m - 1) / 2 AS BIGINT)) AS self_pairs FROM reps), "
+        f"offsets(dx, dy) AS (VALUES {offs}), "
+        "cand AS (SELECT a.m * b.m AS w, "
+        f"CAST(round(({hav}) * 1000.0) AS BIGINT) AS d FROM "
+        "(SELECT r.*, "
+        f"((r.tx + o.dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "r.ty + o.dy AS ny FROM reps r CROSS JOIN offsets o) a "
+        "JOIN reps b ON a.nx = b.tx AND a.ny = b.ty "
+        "AND a.pos < b.pos), "
+        f"counts AS (SELECT {sums} FROM cand WHERE d <= {r_mm[-1]}), "
+        f"ladder(r_mm, idx) AS (VALUES {ladder}) "
+        "SELECT r_mm, "
+        f"coalesce(CASE {sels} END, 0) + self_pairs AS pairs, "
+        "n_pts AS n_points, "
+        "round(CASE WHEN n_pts > 1 THEN "
+        f"({area} * (2.0 * (coalesce(CASE {sels} END, 0) + self_pairs)))"
+        " / (CAST(n_pts AS DOUBLE) * CAST(n_pts - 1 AS DOUBLE)) END, 3) "
+        "AS k_r3, "
+        "round(CASE WHEN n_pts > 1 THEN sqrt("
+        f"(({area} * (2.0 * (coalesce(CASE {sels} END, 0) + self_pairs)))"
+        " / (CAST(n_pts AS DOUBLE) * CAST(n_pts - 1 AS DOUBLE)))"
+        " / 3.141592653589793) - CAST(r_mm AS DOUBLE) / 1000.0 END, 3) "
+        "AS l_r3 "
+        "FROM ladder CROSS JOIN counts CROSS JOIN scalars"
+    )

@@ -284,9 +284,9 @@ def hmm_match_oracle_sql(
         f"list({{'d': d_mm, 's': seg_id}} ORDER BY d_mm, seg_id) AS cl "
         f"FROM cand WHERE rk <= {int(k_candidates)} "
         f"GROUP BY {user_col}, session_id, {id_col}, {ts_col}), "
-        f"seq AS (SELECT *, row_number() OVER (PARTITION BY {user_col}, "
+        f"seq AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY {user_col}, "
         f"session_id ORDER BY {ts_col}, {id_col}) - 1 AS i FROM fixes), "
-        f"trips AS (SELECT {user_col}, session_id, "
+        f"trips AS MATERIALIZED (SELECT {user_col}, session_id, "
         "CAST(count(*) AS INT) AS m FROM seq "
         f"GROUP BY {user_col}, session_id), "
         "rec AS ("

@@ -46,6 +46,8 @@ __all__ = [
     "hausdorff_join_oracle_sql",
     "frechet_join",
     "frechet_join_oracle_sql",
+    "dtw_join",
+    "dtw_join_oracle_sql",
     "route_clusters",
     "route_clusters_oracle_sql",
 ]
@@ -302,6 +304,43 @@ def _frechet_dp_mm(d: "np.ndarray") -> int:
     return int(prev[n - 1])
 
 
+def _dtw_dp_mm(d: "np.ndarray") -> int:
+    """Exact DTW total cost over an (n, m) int64 mm-distance matrix:
+    c(i,j) = d[i,j] + min(c(i-1,j), c(i,j-1), c(i-1,j-1)).
+
+    Same anti-diagonal vectorization as :func:`_frechet_dp_mm` (sum
+    combine instead of max), with one extra rule: every computed cell
+    clamps to the INF marker (``min(INF, d + min(...))``) — unlike
+    max-combine, sum-combine lets the garbage values in off-diagonal
+    cells GROW by INF per sweep (INF + INF + ...), which would overflow
+    int64 after ~128 diagonals; the clamp pins them to exactly INF, and
+    no valid path can reach INF = 2^56 mm (72 billion km)."""
+    import numpy as np
+
+    n, m = d.shape
+    inf = np.int64(1) << 56
+    prev = np.full(n, inf, np.int64)   # diagonal k-1, indexed by i
+    prev2 = np.full(n, inf, np.int64)  # diagonal k-2
+    for k in range(n + m - 1):
+        i_lo = max(0, k - m + 1)
+        i_hi = min(n - 1, k)
+        ii = np.arange(i_lo, i_hi + 1)
+        dk = d[ii, k - ii]
+        cur = np.full(n, inf, np.int64)
+        if k == 0:
+            cur[0] = d[0, 0]
+        else:
+            im1 = np.maximum(ii - 1, 0)
+            up = np.where(ii > 0, prev[im1], inf)      # c(i-1, j)
+            left = prev[ii]                             # c(i,  j-1)
+            diag = np.where(ii > 0, prev2[im1], inf)    # c(i-1, j-1)
+            cur[i_lo : i_hi + 1] = np.minimum(
+                dk + np.minimum(np.minimum(up, left), diag), inf
+            )
+        prev2, prev = prev, cur
+    return int(prev[n - 1])
+
+
 def frechet_join(
     points: DataFrame,
     tau_m: float = 500.0,
@@ -342,6 +381,70 @@ def frechet_join(
     frechet_mm) with (user_a, session_a) < (user_b, session_b); dF is
     symmetric so the one-sided pair order loses nothing.
     """
+    return _coupled_dp_join(
+        points, _frechet_dp_mm, "frechet_mm", tau_m, gap_s, user_col,
+        ts_col, id_col, lat_col, lon_col, max_abs_lat, max_trip_fixes,
+    )
+
+
+def dtw_join(
+    points: DataFrame,
+    tau_m: float = 2500.0,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 85.05112878,
+    max_trip_fixes: int = 512,
+) -> DataFrame:
+    """Dynamic-time-warping trajectory-similarity join: unordered trip
+    pairs whose DTW total cost (sum of geodesic fix distances along the
+    optimal monotone alignment, Sakoe & Chiba 1978) is ≤ ``tau_m``
+    meters — the third member of the similarity trio: Hausdorff ignores
+    order, Fréchet takes the worst coupled step, DTW integrates the
+    whole alignment, separating "same route walked tightly" from "same
+    route with one brief detour".
+
+    Candidates and exact phase share :func:`frechet_join`'s machinery
+    (``tau_m`` is a TOTAL budget, so the same head/tail necessity holds:
+    every warping path visits (a₁,b₁) and (a_n,b_m), and all cell costs
+    are non-negative, hence d(head,head) ≤ DTW and d(tail,tail) ≤ DTW);
+    the DP kernel swaps max-combine for clamped sum-combine
+    (:func:`_dtw_dp_mm`).  Note the ring zoom derives from the TOTAL
+    budget — a generous budget coarsens the candidate grid, which is
+    correct but admits more candidate pairs; keep ``tau_m`` as tight as
+    the analysis allows.
+
+    Output: (user_a, session_a, user_b, session_b, n_a, n_b, dtw_mm)
+    with (user_a, session_a) < (user_b, session_b); DTW is symmetric so
+    the one-sided pair order loses nothing.
+    """
+    return _coupled_dp_join(
+        points, _dtw_dp_mm, "dtw_mm", tau_m, gap_s, user_col,
+        ts_col, id_col, lat_col, lon_col, max_abs_lat, max_trip_fixes,
+    )
+
+
+def _coupled_dp_join(
+    points: DataFrame,
+    kernel,
+    out_col: str,
+    tau_m: float,
+    gap_s: int,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    max_abs_lat: float,
+    max_trip_fixes: int,
+) -> DataFrame:
+    """Shared body of :func:`frechet_join` / :func:`dtw_join`: head-ring
+    candidates, exact head+tail mm prefilter, per-pair coordinate-array
+    attach, anti-diagonal DP via ``kernel`` in one mapInPandas stage,
+    final ``out_col <= tau_mm`` filter."""
     import numpy as np
     import pandas as pd
 
@@ -460,10 +563,10 @@ def frechet_join(
     utype = points.schema[user_col].dataType.simpleString()
     out_schema = (
         f"user_a {utype}, session_a long, user_b {utype}, "
-        "session_b long, n_a long, n_b long, frechet_mm long"
+        f"session_b long, n_a long, n_b long, {out_col} long"
     )
     cols = ["user_a", "session_a", "user_b", "session_b",
-            "n_a", "n_b", "frechet_mm"]
+            "n_a", "n_b", out_col]
 
     def run(batches):
         for pdf in batches:
@@ -487,14 +590,13 @@ def frechet_join(
                     + 0.5
                 ).astype(np.int64)
                 rows.append(
-                    (ua, sa, ub, sb, len(a_la), len(b_la),
-                     _frechet_dp_mm(d))
+                    (ua, sa, ub, sb, len(a_la), len(b_la), kernel(d))
                 )
             yield pd.DataFrame(rows, columns=cols)
 
     return (
         pairs.mapInPandas(run, out_schema)
-        .where(F.col("frechet_mm") <= F.lit(tau_mm))
+        .where(F.col(out_col) <= F.lit(tau_mm))
     )
 
 
@@ -520,6 +622,66 @@ def frechet_join_oracle_sql(
     last diagonal's final element.  Every compared value is the same
     rounded BIGINT mm as the Spark kernel."""
     inf = 1 << 62
+    combine = (
+        "greatest(d.dl[x], least("
+        f"CASE WHEN x > 1 THEN r.c_cur[x - 1] ELSE {inf} END, "
+        "r.c_cur[x], "
+        f"CASE WHEN x > 1 THEN r.c_prev[x - 1] ELSE {inf} END))"
+    )
+    return _coupled_dp_oracle_sql(
+        subq, combine, "frechet_mm", inf, tau_m, gap_s, user_col,
+        ts_col, id_col, lat, lon, max_abs_lat, max_trip_fixes,
+    )
+
+
+def dtw_join_oracle_sql(
+    subq: str,
+    tau_m: float = 2500.0,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_abs_lat: float = 85.05112878,
+    max_trip_fixes: int = 512,
+) -> str:
+    """DuckDB twin of :func:`dtw_join`: the Fréchet recursive-CTE
+    harness with sum-combine — and the same clamp the numpy kernel
+    needs (``least(d + least(...), INF)``): without it the garbage
+    values in off-diagonal cells grow by INF per diagonal and overflow
+    BIGINT (DuckDB raises on overflow), so INF is 2^56 (headroom for
+    INF + INF inside one step) and every computed cell pins back to
+    exactly INF."""
+    inf = 1 << 56
+    combine = (
+        "least(d.dl[x] + least("
+        f"CASE WHEN x > 1 THEN r.c_cur[x - 1] ELSE {inf} END, "
+        "r.c_cur[x], "
+        f"CASE WHEN x > 1 THEN r.c_prev[x - 1] ELSE {inf} END), "
+        f"{inf})"
+    )
+    return _coupled_dp_oracle_sql(
+        subq, combine, "dtw_mm", inf, tau_m, gap_s, user_col,
+        ts_col, id_col, lat, lon, max_abs_lat, max_trip_fixes,
+    )
+
+
+def _coupled_dp_oracle_sql(
+    subq: str,
+    combine: str,
+    out_col: str,
+    inf: int,
+    tau_m: float,
+    gap_s: int,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    lat: str,
+    lon: str,
+    max_abs_lat: float,
+    max_trip_fixes: int,
+) -> str:
     zoom = dbscan_zoom_for_eps(tau_m, max_abs_lat)
     n = 1 << zoom
     tau_mm = round(tau_m * 1000.0)
@@ -534,7 +696,7 @@ def frechet_join_oracle_sql(
     mm = "CAST(round(({0}) * 1000.0) AS BIGINT)"
     return (
         f"WITH RECURSIVE sess AS ({sess}), "
-        f"fx AS (SELECT s.*, row_number() OVER (PARTITION BY user_id, "
+        f"fx AS MATERIALIZED (SELECT s.*, row_number() OVER (PARTITION BY user_id, "
         f"session_id ORDER BY {ts_col}, {id_col}) - 1 AS pos "
         f"FROM sess s JOIN (SELECT user_id, session_id FROM sess "
         f"GROUP BY user_id, session_id "
@@ -546,7 +708,7 @@ def frechet_join_oracle_sql(
         f"FROM fx GROUP BY user_id, session_id), "
         f"keyed AS (SELECT t.*, {htx} AS hx, {hty} AS hy "
         f"FROM trips t), "
-        "cand AS (SELECT a.user_id AS ua, a.session_id AS sa, "
+        "cand AS MATERIALIZED (SELECT a.user_id AS ua, a.session_id AS sa, "
         "b.user_id AS ub, b.session_id AS sb, a.nf AS n_a, b.nf AS n_b "
         "FROM keyed a JOIN keyed b ON "
         f"least((b.hx - a.hx + {n}) % {n}, (a.hx - b.hx + {n}) % {n}) "
@@ -570,7 +732,7 @@ def frechet_join_oracle_sql(
         f"coalesce(g.d, {inf}) AS d FROM lattice l LEFT JOIN grid g "
         "ON g.ua = l.ua AND g.sa = l.sa AND g.ub = l.ub "
         "AND g.sb = l.sb AND g.i = l.i AND g.j = l.k - l.i), "
-        "dlists AS (SELECT ua, sa, ub, sb, k, list(d ORDER BY i) AS dl "
+        "dlists AS MATERIALIZED (SELECT ua, sa, ub, sb, k, list(d ORDER BY i) AS dl "
         "FROM dgrid GROUP BY ua, sa, ub, sb, k), "
         "rec AS ("
         "SELECT p.ua, p.sa, p.ub, p.sb, p.n_a, p.n_b, "
@@ -582,16 +744,13 @@ def frechet_join_oracle_sql(
         "UNION ALL "
         "SELECT r.ua, r.sa, r.ub, r.sb, r.n_a, r.n_b, r.kmax, r.k + 1, "
         "list_transform(range(1, r.n_a + 1), x -> "
-        "greatest(d.dl[x], least("
-        f"CASE WHEN x > 1 THEN r.c_cur[x - 1] ELSE {inf} END, "
-        "r.c_cur[x], "
-        f"CASE WHEN x > 1 THEN r.c_prev[x - 1] ELSE {inf} END))), "
+        f"{combine}), "
         "r.c_cur "
         "FROM rec r JOIN dlists d ON d.ua = r.ua AND d.sa = r.sa "
         "AND d.ub = r.ub AND d.sb = r.sb AND d.k = r.k + 1 "
         "WHERE r.k < r.kmax) "
         "SELECT ua AS user_a, sa AS session_a, ub AS user_b, "
-        "sb AS session_b, n_a, n_b, c_cur[n_a] AS frechet_mm "
+        f"sb AS session_b, n_a, n_b, c_cur[n_a] AS {out_col} "
         f"FROM rec WHERE k = kmax AND c_cur[n_a] <= {tau_mm}"
     )
 
@@ -641,12 +800,12 @@ def route_clusters_oracle_sql(
     (the grid_dbscan oracle pattern) with least-string labels."""
     fr = frechet_join_oracle_sql(subq, tau_m=tau_m, gap_s=gap_s, **kw)
     return (
-        f"WITH RECURSIVE pairs AS ({fr}), "
+        f"WITH RECURSIVE pairs AS MATERIALIZED ({fr}), "
         "edges0 AS (SELECT CAST(user_a AS VARCHAR) || ':' || "
         "CAST(session_a AS VARCHAR) AS u, "
         "CAST(user_b AS VARCHAR) || ':' || "
         "CAST(session_b AS VARCHAR) AS v FROM pairs), "
-        "edges AS (SELECT u, v FROM edges0 "
+        "edges AS MATERIALIZED (SELECT u, v FROM edges0 "
         "UNION SELECT v, u FROM edges0), "
         "reach(u, v) AS (SELECT u, v FROM edges "
         "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "

@@ -362,3 +362,164 @@ def test_route_clusters_matches_duckdb_twin(spark, duck):
     )
     assert len(got) >= 40
     assert got == want
+
+
+# ------------------------------------------------------------------- DTW
+
+from geogeometry_spark.operators.traj_similarity import (  # noqa: E402
+    dtw_join,
+    dtw_join_oracle_sql,
+)
+
+
+def _ref_dtw_mm(a_pts, b_pts):
+    """Independent O(n*m) scalar DP (textbook recurrence) pinning the
+    operator's clamped anti-diagonal kernel."""
+    import numpy as np
+
+    d = [
+        [
+            int(np.floor(hav_py(ala, alo, bla, blo) * 1000.0 + 0.5))
+            for bla, blo in b_pts
+        ]
+        for ala, alo in a_pts
+    ]
+    c = {}
+    for i in range(len(a_pts)):
+        for j in range(len(b_pts)):
+            preds = [
+                c[p]
+                for p in ((i - 1, j), (i, j - 1), (i - 1, j - 1))
+                if p[0] >= 0 and p[1] >= 0
+            ]
+            c[(i, j)] = d[i][j] + (min(preds) if preds else 0)
+    return c[(len(a_pts) - 1, len(b_pts) - 1)]
+
+
+def test_dtw_lockstep_parallel_routes(spark):
+    # laterally shifted twin: optimal alignment is the diagonal, so
+    # DTW is exactly n * shift; the 1.1 km-shifted third user busts
+    # any sane total budget
+    leg = [(52.0, 13.0 + 0.002 * i) for i in range(10)]
+    rows = (
+        _route(100, 1, 0, leg)
+        + _route(200, 2, 0, [(la + 0.001, lo) for la, lo in leg])
+        + _route(300, 3, 0, [(la + 0.01, lo) for la, lo in leg])
+    )
+    out = dtw_join(
+        spark.createDataFrame(rows, SCHEMA), tau_m=2000.0, gap_s=GAP
+    ).collect()
+    pairs = {(r.user_a, r.user_b): r for r in out}
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    assert (r.n_a, r.n_b) == (10, 10)
+    import numpy as np
+
+    step = int(np.floor(hav_py(52.0, 13.0, 52.001, 13.0) * 1000.0 + 0.5))
+    assert r.dtw_mm == 10 * step == _ref_dtw_mm(
+        leg, [(la + 0.001, lo) for la, lo in leg]
+    )
+
+
+def test_dtw_integrates_detour_frechet_ignores(spark):
+    # one brief detour: Frechet pays only the worst step, DTW pays the
+    # whole excursion - the two operators disagree by design
+    leg = [(0.0, 10.0 + 0.001 * i) for i in range(8)]
+    detour = [
+        (la + (0.003 if i in (3, 4) else 0.0), lo)
+        for i, (la, lo) in enumerate(leg)
+    ]
+    rows = _route(100, 1, 0, leg) + _route(200, 2, 0, detour)
+    df = spark.createDataFrame(rows, SCHEMA)
+    want = _ref_dtw_mm(leg, detour)
+    fr = frechet_join(df, tau_m=400.0, gap_s=GAP).collect()
+    assert len(fr) == 1  # worst coupled step ~334 m: Frechet accepts
+    assert dtw_join(df, tau_m=400.0, gap_s=GAP).count() == 0
+    out = dtw_join(df, tau_m=1000.0, gap_s=GAP).collect()
+    assert len(out) == 1 and out[0].dtw_mm == want
+    assert want > fr[0].frechet_mm  # the integral sees both detour legs
+
+
+def test_dtw_long_trips_pin_clamped_kernel(spark):
+    # 40x31 grid: dozens of anti-diagonals exercise the INF clamp and
+    # garbage-cell containment against the scalar reference
+    a_pts = [(45.0, 7.0 + 0.0005 * i) for i in range(40)]
+    b_pts = [
+        (45.0 + 0.0002 * ((i * 7) % 3), 7.0 + 0.00065 * i)
+        for i in range(31)
+    ]
+    rows = _route(100, 1, 0, a_pts) + _route(900, 2, 0, b_pts)
+    out = dtw_join(
+        spark.createDataFrame(rows, SCHEMA), tau_m=5000.0, gap_s=GAP
+    ).collect()
+    assert len(out) == 1
+    assert out[0].dtw_mm == _ref_dtw_mm(a_pts, b_pts)
+
+
+def test_dtw_corner_budget_excludes(spark):
+    # same head, far tail: d(tail,tail) alone exceeds the budget, so
+    # the pair must be gone even though heads coincide
+    a_pts = [(20.0, 30.0), (20.0, 30.001)]
+    b_pts = [(20.0, 30.0), (20.0, 30.001), (20.0, 30.02)]
+    rows = _route(100, 1, 0, a_pts) + _route(200, 2, 0, b_pts)
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert dtw_join(df, tau_m=1000.0, gap_s=GAP).count() == 0
+    out = dtw_join(df, tau_m=3000.0, gap_s=GAP).collect()
+    assert len(out) == 1 and out[0].dtw_mm == _ref_dtw_mm(a_pts, b_pts)
+
+
+def test_dtw_antimeridian_pair(spark):
+    a_pts = [(0.0, 179.999), (0.0, 179.9995)]
+    b_pts = [(0.0, -179.9995), (0.0, -179.999)]
+    rows = _route(100, 1, 0, a_pts) + _route(200, 2, 0, b_pts)
+    out = dtw_join(
+        spark.createDataFrame(rows, SCHEMA), tau_m=1000.0, gap_s=GAP
+    ).collect()
+    assert len(out) == 1
+    assert out[0].dtw_mm == _ref_dtw_mm(a_pts, b_pts)
+
+
+def test_dtw_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for u in range(30):
+        base_lat = ((u * 37) % 100) - 50 + 0.5
+        base_lon = ((u * 53) % 300) - 150 + 0.5
+        for s in range(2):
+            n_fix = 6 + (u + s) % 4
+            for i in range(n_fix):
+                rows.append(
+                    (
+                        eid,
+                        u,
+                        s * 50_000 + 60 * i,
+                        base_lat + (u % 3) * 0.001,
+                        base_lon + 0.002 * i + (s % 2) * 0.0005,
+                    )
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts_sec", "lat", "lon"]
+    )
+    duck.register("fixes_dtw", pdf)
+    got = sorted(
+        tuple(r)
+        for r in dtw_join(
+            spark.createDataFrame(pdf), tau_m=3000.0, gap_s=GAP
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.sql(
+            dtw_join_oracle_sql(
+                "(SELECT event_id, user_id, ts_sec, lat, lon "
+                "FROM fixes_dtw)",
+                tau_m=3000.0,
+                gap_s=GAP,
+            )
+        ).fetchall()
+    )
+    assert len(got) >= 20
+    assert got == want
