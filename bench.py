@@ -631,6 +631,17 @@ def main() -> None:
 
     timed("traj_frechet_5m", traj_frechet_5m, runs=3, warmup=True)
 
+    # DTW completes the Hausdorff/Fréchet/DTW trio on the same input:
+    # identical candidate harness, clamped sum-combine anti-diagonal DP
+    from geogeometry_spark.operators.traj_similarity import dtw_join
+
+    def traj_dtw_5m():
+        dtw_join(fixes, tau_m=10000.0, gap_s=43200).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("traj_dtw_5m", traj_dtw_5m, runs=3, warmup=True)
+
     # uniform-cadence resample of the same 5M fixes at the fix cadence
     # (step = 1800 s): one window exchange + bounded per-leg explode
     from geogeometry_spark.operators.trajectory import resample_trips
@@ -670,6 +681,33 @@ def main() -> None:
         ).save()
 
     timed("morans_i_5m", morans_i_5m, runs=3, warmup=True)
+
+    # KDE surface over the same 5M global fixes: occupied z8 cells
+    # collapse once (map-side combine), the 29-address integer stencil
+    # explodes the CELL relation only, one re-aggregation
+    from geogeometry_spark.operators.density import kde_grid, ripley_k
+
+    def kde_5m():
+        kde_grid(fixes, zoom=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("kde_5m", kde_5m, runs=3, warmup=True)
+
+    # Ripley's K over the 5M metro fixes: multiplicity-collapsed reps,
+    # forward-halved grid candidate pairs, per-radius conditional sums.
+    # Radii sized for metro density (r_max 100 m -> ~6 reps/cell) so
+    # the candidate volume measures the operator, not a quadratic
+    # pair-count fixture.
+    def ripley_5m():
+        ripley_k(
+            metro,
+            radii_m=[25.0, 50.0, 100.0],
+            area_m2=1.5e10,
+            max_abs_lat=54.0,
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("ripley_5m_metro", ripley_5m, runs=1, warmup=True)
 
     # IDW: 5M global fixes as samples (value = deterministic per-fix
     # payload), ~2k targets at 3 km radius — candidates through the
