@@ -3497,6 +3497,147 @@ def _traj_dtw_oracle() -> str:
     )
 
 
+# Deterministic 20x20 road-network lattice for routing: node n sits at
+# (52 + floor(n/20)*0.05, 13 + (n%20)*0.05); the 760 undirected lattice
+# links become 1520 directed edges whose cost is the geodesic length
+# times a direction-dependent congestion factor 1 + ((src*31+dst)%7)*.05
+# (so reverse edges differ and shortest paths are not Manhattan-
+# symmetric), mm-quantized to BIGINT so both engines sum exact integers.
+_GRID_NODES_PER_SIDE = 20
+
+
+def _grid_lat_sql(n: str) -> str:
+    return f"(52.0 + floor(({n}) / 20.0) * 0.05)"
+
+
+def _grid_lon_sql(n: str) -> str:
+    return f"(13.0 + CAST(({n}) % 20 AS DOUBLE) * 0.05)"
+
+
+def _road_graph_edges(spark: SparkSession) -> DataFrame:
+    e = F.col("id").cast("int")
+    horiz = e < 380
+    hsrc = F.floor(e / F.lit(19.0)).cast("int") * 20 + (e % 19).cast("int")
+    ve = e - 380
+    vsrc = F.floor(ve / F.lit(20.0)).cast("int") * 20 + (ve % 20).cast("int")
+    und = spark.range(760).select(
+        F.when(horiz, hsrc).otherwise(vsrc).alias("src"),
+        F.when(horiz, hsrc + 1).otherwise(vsrc + 20).alias("dst"),
+    )
+    both = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def _lat(n):
+        return F.lit(52.0) + F.floor(n / F.lit(20.0)).cast("double") * F.lit(
+            0.05
+        )
+
+    def _lon(n):
+        return F.lit(13.0) + (n % 20).cast("double") * F.lit(0.05)
+
+    hav = C.haversine(
+        _lat(F.col("src")), _lon(F.col("src")),
+        _lat(F.col("dst")), _lon(F.col("dst")),
+    )
+    factor = (
+        F.lit(1.0)
+        + ((F.col("src") * 31 + F.col("dst")) % 7).cast("double") * F.lit(0.05)
+    )
+    return both.select(
+        "src",
+        "dst",
+        F.round(hav * factor * F.lit(1000.0)).cast("long").alias("w_mm"),
+    )
+
+
+def _road_graph_edges_sql() -> str:
+    hav = C.haversine_sql(
+        _grid_lat_sql("src"), _grid_lon_sql("src"),
+        _grid_lat_sql("dst"), _grid_lon_sql("dst"),
+    )
+    return (
+        "(WITH und AS (SELECT "
+        "CASE WHEN e < 380 THEN CAST(floor(e / 19.0) AS INT) * 20 "
+        "+ CAST(e % 19 AS INT) ELSE CAST(floor((e - 380) / 20.0) AS INT) "
+        "* 20 + CAST((e - 380) % 20 AS INT) END AS src, "
+        "CASE WHEN e < 380 THEN CAST(floor(e / 19.0) AS INT) * 20 "
+        "+ CAST(e % 19 AS INT) + 1 ELSE CAST(floor((e - 380) / 20.0) AS INT) "
+        "* 20 + CAST((e - 380) % 20 AS INT) + 20 END AS dst "
+        "FROM range(760) t(e)), "
+        "bidir AS (SELECT src, dst FROM und "
+        "UNION ALL SELECT dst AS src, src AS dst FROM und) "
+        f"SELECT src, dst, CAST(round(({hav}) * "
+        "(1.0 + CAST((src * 31 + dst) % 7 AS DOUBLE) * 0.05) * 1000.0) "
+        "AS BIGINT) AS w_mm FROM bidir)"
+    )
+
+
+# Unrolled Bellman-Ford depth for the DuckDB twin: any shortest path's
+# cost is bounded by the direct staircase to the far corner, 19+19
+# edges at the max per-edge cost (vertical 0.05 deg ~ 5560 m, factor
+# <= 1.3 -> 7228 m/edge; horizontal <= 4450 m/edge) ~ 221.9 km; the
+# cheapest edge is a factor-1.0 horizontal at the top row, ~3351 m, so
+# an optimal path can use at most ~67 hops.  72 adds margin; the Spark
+# side iterates to its own fixed point and needs no bound.
+_SSSP_ROUNDS = 72
+
+
+def q_sssp(spark, sf_dir):
+    """Multi-round frontier Bellman-Ford SSSP (operators/routing.py)
+    from lattice corner node 0 over the congestion-weighted road graph:
+    per-round shuffle bounded by frontier adjacency, per-round
+    localCheckpoint + Observation convergence (the connected_components
+    loop hygiene), exact BIGINT mm costs end to end."""
+    from .operators.routing import sssp
+
+    return sssp(
+        _road_graph_edges(spark),
+        spark.range(1).select(F.lit(0).cast("int").alias("node")),
+    )
+
+
+def _sssp_oracle() -> str:
+    from .operators.routing import sssp_oracle_sql
+
+    return sssp_oracle_sql(
+        _road_graph_edges_sql(),
+        "(SELECT CAST(0 AS INT) AS node)",
+        rounds=_SSSP_ROUNDS,
+    )
+
+
+def q_isochrone(spark, sf_dir):
+    """Isochrone band rollup composed over the SSSP fixed point:
+    reachable nodes bucket into 20 km travel-cost bands (exact BIGINT
+    `div`), keeping bands < 8 — reach count + min/max cost per band."""
+    from .operators.routing import sssp
+
+    d = sssp(
+        _road_graph_edges(spark),
+        spark.range(1).select(F.lit(0).cast("int").alias("node")),
+    )
+    band = F.expr("dist_mm div 20000000").cast("int")
+    return (
+        d.select(band.alias("band"), "dist_mm")
+        .where(F.col("band") < 8)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("dist_mm").alias("min_mm"),
+            F.max("dist_mm").alias("max_mm"),
+        )
+    )
+
+
+def _isochrone_oracle() -> str:
+    from .operators.routing import isochrone_oracle_sql
+
+    return isochrone_oracle_sql(
+        _sssp_oracle(), band_mm=20_000_000, max_bands=8
+    )
+
+
 # Deterministic Manhattan street grid over the metro box for
 # map-matching: 200 horizontal segments (10 rows x 20 blocks) + 200
 # vertical (20 columns x 10 blocks), axis-aligned so the pairwise
@@ -3732,6 +3873,8 @@ QUERIES = {
     "kde": q_kde,
     "ripley": q_ripley,
     "traj_dtw": q_traj_dtw,
+    "sssp": q_sssp,
+    "isochrone": q_isochrone,
 }
 
 
@@ -3856,6 +3999,8 @@ def _static_oracles() -> dict[str, str]:
         "kde": _kde_oracle(),
         "ripley": _ripley_oracle(),
         "traj_dtw": _traj_dtw_oracle(),
+        "sssp": _sssp_oracle(),
+        "isochrone": _isochrone_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

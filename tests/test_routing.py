@@ -1,0 +1,120 @@
+"""Routing operator tests: SSSP fixed-point semantics on graphs small
+enough to verify by hand, plus DuckDB-twin parity on the contract's
+road-grid fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geogeometry_spark.operators.routing import sssp, sssp_oracle_sql
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src int, dst int, w_mm long")
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node int")
+
+
+def _dists(df):
+    return {r["node"]: r["dist_mm"] for r in df.collect()}
+
+
+def test_sssp_chain_sums_exactly(spark):
+    e = _edges(spark, [(0, 1, 5), (1, 2, 7), (2, 3, 11)])
+    got = _dists(sssp(e, _seeds(spark, [0])))
+    assert got == {0: 0, 1: 5, 2: 12, 3: 23}
+
+
+def test_sssp_detour_beats_direct_edge(spark):
+    # the 2-hop path (3 + 4 = 7) must displace the direct edge (10):
+    # label-correcting relaxation keeps improving settled nodes
+    e = _edges(spark, [(0, 2, 10), (0, 1, 3), (1, 2, 4)])
+    got = _dists(sssp(e, _seeds(spark, [0])))
+    assert got[2] == 7
+
+
+def test_sssp_longer_hop_path_wins_late(spark):
+    # a 4-hop cheap chain beats a 1-hop expensive edge; the frontier
+    # must stay alive past the round where node 4 first gets a label
+    e = _edges(
+        spark,
+        [(0, 4, 100)]
+        + [(i, i + 1, 10) for i in range(4)],
+    )
+    got = _dists(sssp(e, _seeds(spark, [0])))
+    assert got[4] == 40
+
+
+def test_sssp_multi_source_takes_nearest_seed(spark):
+    e = _edges(spark, [(0, 1, 10), (5, 1, 2), (1, 2, 3)])
+    got = _dists(sssp(e, _seeds(spark, [0, 5])))
+    assert got[1] == 2 and got[2] == 5 and got[0] == 0 and got[5] == 0
+
+
+def test_sssp_unreachable_nodes_absent(spark):
+    e = _edges(spark, [(0, 1, 5), (7, 8, 1)])  # 7,8 in a separate part
+    got = _dists(sssp(e, _seeds(spark, [0])))
+    assert set(got) == {0, 1}
+
+
+def test_sssp_directed_asymmetry(spark):
+    # reverse direction costs differ; dist must use the src->dst arc
+    e = _edges(spark, [(0, 1, 5), (1, 0, 50)])
+    got = _dists(sssp(e, _seeds(spark, [1])))
+    assert got == {1: 0, 0: 50}
+
+
+def test_sssp_warns_when_rounds_exhausted(spark):
+    e = _edges(spark, [(0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    with pytest.warns(RuntimeWarning, match="sssp"):
+        got = _dists(sssp(e, _seeds(spark, [0]), max_rounds=1))
+    # one round relaxes only the seed's out-edges
+    assert got[1] == 1 and 3 not in got
+
+
+def test_sssp_oracle_twin_matches_on_road_grid(spark, duck):
+    from geogeometry_spark.contract import (
+        _SSSP_ROUNDS,
+        _road_graph_edges,
+        _road_graph_edges_sql,
+    )
+
+    got = _dists(
+        sssp(
+            _road_graph_edges(spark),
+            spark.range(1).select(F.lit(0).cast("int").alias("node")),
+        )
+    )
+    want = dict(
+        duck.execute(
+            sssp_oracle_sql(
+                _road_graph_edges_sql(),
+                "(SELECT CAST(0 AS INT) AS node)",
+                rounds=_SSSP_ROUNDS,
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == 400
+
+
+def test_sssp_oracle_unroll_depth_is_converged(duck):
+    # the fixture bound arithmetic in contract.py promises d72 is the
+    # fixed point: one extra unrolled round must change nothing
+    from geogeometry_spark.contract import (
+        _SSSP_ROUNDS,
+        _road_graph_edges_sql,
+    )
+
+    def at(k):
+        return dict(
+            duck.execute(
+                sssp_oracle_sql(
+                    _road_graph_edges_sql(),
+                    "(SELECT CAST(0 AS INT) AS node)",
+                    rounds=k,
+                )
+            ).fetchall()
+        )
+
+    assert at(_SSSP_ROUNDS) == at(_SSSP_ROUNDS + 1)
