@@ -3638,6 +3638,38 @@ def _isochrone_oracle() -> str:
     )
 
 
+# four facilities at the lattice corners; exact-cost catchment ties
+# break to the smaller facility id in both engines
+_FACILITY_NODES = (0, 19, 380, 399)
+
+
+def q_nearest_facility(spark, sf_dir):
+    """Catchment assignment (operators/routing.py nearest_facility):
+    ONE multi-source frontier sweep labels every node with its
+    network-nearest corner facility and the exact mm travel cost —
+    the graph analogue of knn_bulk's nearest-site join, without
+    |facilities| separate runs."""
+    from .operators.routing import nearest_facility
+
+    return nearest_facility(
+        _road_graph_edges(spark),
+        spark.createDataFrame(
+            [(n,) for n in _FACILITY_NODES], "node int"
+        ),
+    )
+
+
+def _nearest_facility_oracle() -> str:
+    from .operators.routing import nearest_facility_oracle_sql
+
+    vals = ", ".join(f"({n})" for n in _FACILITY_NODES)
+    return nearest_facility_oracle_sql(
+        _road_graph_edges_sql(),
+        f"(SELECT CAST(n AS INT) AS node FROM (VALUES {vals}) t(n))",
+        rounds=_SSSP_ROUNDS,
+    )
+
+
 # Deterministic Manhattan street grid over the metro box for
 # map-matching: 200 horizontal segments (10 rows x 20 blocks) + 200
 # vertical (20 columns x 10 blocks), axis-aligned so the pairwise
@@ -3875,6 +3907,7 @@ QUERIES = {
     "traj_dtw": q_traj_dtw,
     "sssp": q_sssp,
     "isochrone": q_isochrone,
+    "nearest_facility": q_nearest_facility,
 }
 
 
@@ -4001,6 +4034,7 @@ def _static_oracles() -> dict[str, str]:
         "traj_dtw": _traj_dtw_oracle(),
         "sssp": _sssp_oracle(),
         "isochrone": _isochrone_oracle(),
+        "nearest_facility": _nearest_facility_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

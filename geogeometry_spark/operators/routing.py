@@ -56,9 +56,111 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "sssp",
+    "nearest_facility",
     "sssp_oracle_sql",
+    "nearest_facility_oracle_sql",
     "isochrone_oracle_sql",
 ]
+
+
+def _relax_loop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str,
+    dst_col: str,
+    w_col: str,
+    max_rounds: int,
+    with_label: bool,
+) -> DataFrame:
+    """Shared frontier label-correcting loop.  State per node is the
+    lexicographic-minimal struct (dist_mm[, seed]): with a label the
+    order breaks exact-cost ties on the smaller seed id, so catchment
+    assignment is deterministic and both engines agree bit-for-bit.
+    A label flip at equal cost counts as an improvement and re-enters
+    the frontier — the well-founded (dist, seed) order still bounds
+    rounds by the optimal-path hop diameter."""
+    e = edges.select(
+        F.col(src_col).alias("_src"),
+        F.col(dst_col).alias("_dst"),
+        F.col(w_col).cast("long").alias("_w"),
+    )
+    # one up-front shuffle keys the (static) edge relation by _src;
+    # checkpointing pins the layout so per-round joins reuse it and
+    # only the (small, shrinking) frontier side moves
+    e = e.repartition("_src").localCheckpoint()
+
+    state = [F.col("dist_mm")] + ([F.col("seed")] if with_label else [])
+    dist = (
+        seeds.withColumn("dist_mm", F.lit(0).cast("long"))
+        # seeds start on the frontier
+        .withColumn("_imp", F.lit(True))
+        .localCheckpoint()
+    )
+
+    out_cols = ["node", "dist_mm"] + (["seed"] if with_label else [])
+    converged = False
+    for _ in range(max_rounds):
+        frontier = dist.where("_imp")
+        relaxed = (
+            frontier.join(e, frontier["node"] == e["_src"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.struct(
+                    (F.col("dist_mm") + F.col("_w")).alias("dist_mm"),
+                    *(["seed"] if with_label else []),
+                ).alias("_cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("_cand").alias("_cand"))
+        )
+        obs = Observation()
+        cur = F.struct(*state).alias("_cur")
+        best = F.when(
+            F.col("_cur").isNull() | (F.col("_cand") < F.col("_cur")),
+            F.col("_cand"),
+        ).otherwise(F.col("_cur"))
+        merged = (
+            dist.drop("_imp")
+            .select("node", cur)
+            .join(relaxed, "node", "full_outer")
+            .select(
+                "node",
+                best.alias("_best"),
+                (
+                    F.col("_cur").isNull()
+                    | (F.col("_cand") < F.col("_cur"))
+                ).alias("_imp"),
+            )
+            .select(
+                "node",
+                F.col("_best.dist_mm").alias("dist_mm"),
+                *(
+                    [F.col("_best.seed").alias("seed")]
+                    if with_label
+                    else []
+                ),
+                "_imp",
+            )
+            .observe(obs, F.sum(F.col("_imp").cast("int")).alias("n_imp"))
+            .localCheckpoint()  # eager: runs the round's job
+        )
+        old = dist
+        dist = merged
+        old.unpersist()
+        if not obs.get["n_imp"]:
+            converged = True
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"sssp: no fixed point within max_rounds={max_rounds}; "
+            "distances may exceed true shortest paths on "
+            "long-diameter graphs. Increase max_rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return dist.select(*out_cols)
 
 
 def sssp(
@@ -83,72 +185,39 @@ def sssp(
     fixed point for non-negative weights regardless of relaxation
     order, so the frontier restriction changes WORK, never results.
     """
-    e = edges.select(
-        F.col(src_col).alias("_src"),
-        F.col(dst_col).alias("_dst"),
-        F.col(w_col).cast("long").alias("_w"),
+    seeds = (
+        sources.select(F.col(node_col).alias("node")).distinct()
     )
-    # one up-front shuffle keys the (static) edge relation by _src;
-    # checkpointing pins the layout so per-round joins reuse it and
-    # only the (small, shrinking) frontier side moves
-    e = e.repartition("_src").localCheckpoint()
+    return _relax_loop(
+        edges, seeds, src_col, dst_col, w_col, max_rounds, with_label=False
+    )
 
-    dist = (
-        sources.select(F.col(node_col).alias("node"))
+
+def nearest_facility(
+    edges: DataFrame,
+    facilities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w_mm",
+    node_col: str = "node",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Catchment assignment: every reachable node labeled with its
+    NETWORK-nearest facility (seed node id) and the travel cost to it
+    — the graph analogue of the kNN family's "nearest site" join,
+    computed as ONE multi-source sweep instead of |facilities| runs.
+
+    Ties on exact mm cost break to the smaller facility id via the
+    lexicographic (dist_mm, seed) state struct, so assignment is
+    deterministic.  Returns (node, dist_mm, seed)."""
+    seeds = (
+        facilities.select(F.col(node_col).alias("node"))
         .distinct()
-        .withColumn("dist_mm", F.lit(0).cast("long"))
-        # seeds start on the frontier
-        .withColumn("_imp", F.lit(True))
-        .localCheckpoint()
+        .withColumn("seed", F.col("node"))
     )
-
-    converged = False
-    for _ in range(max_rounds):
-        frontier = dist.where("_imp")
-        relaxed = (
-            frontier.join(e, frontier["node"] == e["_src"])
-            .select(
-                F.col("_dst").alias("node"),
-                (F.col("dist_mm") + F.col("_w")).alias("_cand"),
-            )
-            .groupBy("node")
-            .agg(F.min("_cand").alias("_cand"))
-        )
-        obs = Observation()
-        merged = (
-            dist.drop("_imp")
-            .join(relaxed, "node", "full_outer")
-            .select(
-                "node",
-                F.least(
-                    F.coalesce("dist_mm", F.col("_cand")),
-                    F.coalesce("_cand", F.col("dist_mm")),
-                ).alias("dist_mm"),
-                (
-                    F.col("dist_mm").isNull()
-                    | (F.col("_cand") < F.col("dist_mm"))
-                ).alias("_imp"),
-            )
-            .observe(obs, F.sum(F.col("_imp").cast("int")).alias("n_imp"))
-            .localCheckpoint()  # eager: runs the round's job
-        )
-        old = dist
-        dist = merged
-        old.unpersist()
-        if not obs.get["n_imp"]:
-            converged = True
-            break
-    if not converged:
-        import warnings
-
-        warnings.warn(
-            f"sssp: no fixed point within max_rounds={max_rounds}; "
-            "distances may exceed true shortest paths on "
-            "long-diameter graphs. Increase max_rounds.",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    return dist.select("node", "dist_mm")
+    return _relax_loop(
+        edges, seeds, src_col, dst_col, w_col, max_rounds, with_label=True
+    )
 
 
 def sssp_oracle_sql(
@@ -182,6 +251,42 @@ def sssp_oracle_sql(
         )
     return (
         "WITH " + ", ".join(parts) + f" SELECT node, dist_mm FROM d{rounds}"
+    )
+
+
+def nearest_facility_oracle_sql(
+    edges_subq: str,
+    facilities_subq: str,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w_mm",
+    node_col: str = "node",
+) -> str:
+    """DuckDB twin of :func:`nearest_facility`: the unrolled
+    Bellman-Ford of :func:`sssp_oracle_sql` with the per-node min taken
+    over the lexicographic struct {'d': dist, 's': seed} — the same
+    (dist_mm, seed) tie-break order the Spark loop uses, so catchment
+    labels match exactly."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT {src_col} AS src, {dst_col} AS dst, "
+        f"CAST({w_col} AS BIGINT) AS w FROM {edges_subq})",
+        f"d0 AS MATERIALIZED (SELECT DISTINCT {node_col} AS node, "
+        "{'d': CAST(0 AS BIGINT), 's': " + node_col + "} AS st "
+        f"FROM {facilities_subq})",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT node, MIN(st) AS st "
+            f"FROM (SELECT node, st FROM d{i} "
+            "UNION ALL "
+            "SELECT e.dst AS node, "
+            f"{{'d': d{i}.st.d + e.w, 's': d{i}.st.s}} AS st "
+            f"FROM d{i} JOIN e ON d{i}.node = e.src) GROUP BY node)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, st.d AS dist_mm, st.s AS seed FROM d{rounds}"
     )
 
 

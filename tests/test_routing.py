@@ -5,7 +5,12 @@ road-grid fixture."""
 import pytest
 from pyspark.sql import functions as F
 
-from geogeometry_spark.operators.routing import sssp, sssp_oracle_sql
+from geogeometry_spark.operators.routing import (
+    nearest_facility,
+    nearest_facility_oracle_sql,
+    sssp,
+    sssp_oracle_sql,
+)
 
 
 def _edges(spark, rows):
@@ -96,6 +101,71 @@ def test_sssp_oracle_twin_matches_on_road_grid(spark, duck):
         ).fetchall()
     )
     assert got == want and len(got) == 400
+
+
+def test_nearest_facility_assigns_by_network_cost(spark):
+    # chain 0-1-2-3-4 (unit costs both ways); facilities at 0 and 4:
+    # catchment splits at the middle, node 2 ties and takes seed 0
+    rows = []
+    for i in range(4):
+        rows += [(i, i + 1, 10), (i + 1, i, 10)]
+    got = {
+        r["node"]: (r["dist_mm"], r["seed"])
+        for r in nearest_facility(
+            _edges(spark, rows), _seeds(spark, [0, 4])
+        ).collect()
+    }
+    assert got == {
+        0: (0, 0),
+        1: (10, 0),
+        2: (20, 0),  # exact tie 20 vs 20 -> smaller facility id
+        3: (10, 4),
+        4: (0, 4),
+    }
+
+
+def test_nearest_facility_label_rides_cheaper_detour(spark):
+    # node 2 is 1 hop from facility 3 (cost 50) but 2 hops from
+    # facility 0 (3 + 4 = 7): the label must follow cost, not hops
+    e = _edges(spark, [(3, 2, 50), (0, 1, 3), (1, 2, 4)])
+    got = {
+        r["node"]: (r["dist_mm"], r["seed"])
+        for r in nearest_facility(e, _seeds(spark, [0, 3])).collect()
+    }
+    assert got[2] == (7, 0)
+
+
+def test_nearest_facility_oracle_twin_matches(spark, duck):
+    from geogeometry_spark.contract import (
+        _FACILITY_NODES,
+        _SSSP_ROUNDS,
+        _road_graph_edges,
+        _road_graph_edges_sql,
+    )
+
+    got = {
+        r["node"]: (r["dist_mm"], r["seed"])
+        for r in nearest_facility(
+            _road_graph_edges(spark),
+            _seeds(spark, list(_FACILITY_NODES)),
+        ).collect()
+    }
+    vals = ", ".join(f"({n})" for n in _FACILITY_NODES)
+    want = {
+        n: (d, s)
+        for n, d, s in duck.execute(
+            nearest_facility_oracle_sql(
+                _road_graph_edges_sql(),
+                f"(SELECT CAST(n AS INT) AS node FROM (VALUES {vals}) t(n))",
+                rounds=_SSSP_ROUNDS,
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) == 400
+    # every corner labels itself; all four catchments are non-empty
+    for f in _FACILITY_NODES:
+        assert got[f] == (0, f)
+    assert {s for _, s in got.values()} == set(_FACILITY_NODES)
 
 
 def test_sssp_oracle_unroll_depth_is_converged(duck):
