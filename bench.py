@@ -769,6 +769,47 @@ def main() -> None:
 
     timed("segment_join_1m_x_250k", segment_join_1m, runs=3, warmup=True)
 
+    # road-network routing over a deterministic 256x256 geodesic
+    # lattice with skip-8/skip-64 highway tiers (65,536 nodes, ~712k
+    # directed edges): frontier Bellman-Ford to the observed fixed
+    # point.  Round count is bounded by the highway hierarchy (~40-45
+    # regardless of lattice size), per-round shuffle bounded by
+    # frontier adjacency, every cost an exact BIGINT mm.  runs=1: the
+    # iterative driver loop re-plans each round, so a second sample
+    # measures the same ~45 fixed-cost jobs again (spread lives in
+    # scripts/scaling_routing.py's per-level medians instead).
+    from geogeometry_spark.operators.routing import nearest_facility, sssp
+    from geogeometry_spark.sources.tables import synthetic_road_graph
+
+    road_side = 256
+    roads = synthetic_road_graph(spark, road_side).localCheckpoint()
+    n_road_edges = roads.count()
+
+    def sssp_road():
+        sssp(
+            roads,
+            spark.range(1).select(F.lit(0).cast("int").alias("node")),
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("sssp_road_65k_nodes", sssp_road, runs=1, warmup=True)
+
+    # catchment assignment: ONE multi-source sweep from the four
+    # lattice corners (vs |facilities| separate SSSP runs); the
+    # lexicographic (dist, seed) state adds the label to every
+    # shuffled struct but halves the reach radius per seed
+    _corners = [
+        0, road_side - 1,
+        road_side * (road_side - 1), road_side * road_side - 1,
+    ]
+
+    def catchment_road():
+        nearest_facility(
+            roads,
+            spark.createDataFrame([(n,) for n in _corners], "node int"),
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("catchment_road_65k_4fac", catchment_road, runs=1, warmup=False)
+
     # Full payload (spreads, ann kernel rates) goes to a FILE; stdout gets
     # a compact one-line summary as the LAST line.  The driver captures a
     # bounded tail of stdout, and the r3 full line (~3 KB with spread
@@ -788,6 +829,11 @@ def main() -> None:
             "arrow_rows_per_sec": round(arrow_rps),
             "hof_rows_per_sec": round(hof_rps),
             "speedup": round(arrow_rps / hof_rps, 1),
+        },
+        "road_graph": {
+            "side": road_side,
+            "nodes": road_side * road_side,
+            "directed_edges": n_road_edges,
         },
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec": docs_per_sec,

@@ -63,6 +63,13 @@ __all__ = [
 ]
 
 
+#: bits reserved for the facility rank in the packed BIGINT state.
+#: 2^20 facilities per sweep; the remaining 43 bits hold dist_mm up
+#: to ~8.8e6 km — two orders of magnitude past any terrestrial path
+#: even with congestion-inflated weights.
+_SEED_BITS = 20
+
+
 def _relax_loop(
     edges: DataFrame,
     seeds: DataFrame,
@@ -72,32 +79,67 @@ def _relax_loop(
     max_rounds: int,
     with_label: bool,
 ) -> DataFrame:
-    """Shared frontier label-correcting loop.  State per node is the
-    lexicographic-minimal struct (dist_mm[, seed]): with a label the
-    order breaks exact-cost ties on the smaller seed id, so catchment
-    assignment is deterministic and both engines agree bit-for-bit.
+    """Shared frontier label-correcting loop.  State per node is ONE
+    BIGINT: bare dist_mm for SSSP, or ``dist_mm << 20 | seed_rank``
+    for catchment — ranks assigned in ascending facility-id order, so
+    the packed numeric order IS the lexicographic (dist_mm, seed)
+    order and exact-cost ties still break to the smaller facility id.
     A label flip at equal cost counts as an improvement and re-enters
     the frontier — the well-founded (dist, seed) order still bounds
-    rounds by the optimal-path hop diameter."""
+    rounds by the optimal-path hop diameter.
+
+    Why packed instead of a (dist_mm, seed) struct: Spark has no hash
+    partial aggregation for struct min — the per-destination ``min``
+    falls back to SortAggregate, i.e. a map-side SORT (with spill) of
+    every relaxed edge each round.  Measured on a 62M-edge
+    full-frontier round: the struct form was shuffle/sort-bound with
+    IDENTICAL wall at local[8] and local[32]; the packed-BIGINT form
+    hash-aggregates map-side, shuffling at most |distinct dst| partial
+    rows per task.  Relaxation stays a single long addition
+    (``packed + (w << 20)`` — the low rank bits are untouched), so
+    every value is still exact and the DuckDB struct-min twin still
+    matches bit-for-bit after decode."""
     e = edges.select(
         F.col(src_col).alias("_src"),
         F.col(dst_col).alias("_dst"),
         F.col(w_col).cast("long").alias("_w"),
     )
+    if with_label:
+        # facilities are config-scale; rank them densely so the label
+        # fits _SEED_BITS regardless of the id domain (node ids may be
+        # arbitrary 32-bit).  The window runs on the SEED relation
+        # only — never the node or edge relation.
+        from pyspark.sql import Window
+
+        seeds = seeds.select(
+            "node",
+            (F.row_number().over(Window.orderBy("seed")) - 1)
+            .cast("long")
+            .alias("_rank"),
+            "seed",
+        )
+        rank_map = seeds.select("_rank", "seed").localCheckpoint()
+        n_seeds = rank_map.count()
+        if n_seeds >= (1 << _SEED_BITS):
+            raise ValueError(
+                f"nearest_facility supports < {1 << _SEED_BITS} "
+                f"facilities per sweep (got {n_seeds}); shard the "
+                "facility set and take the per-node min across sweeps"
+            )
+        e = e.select("_src", "_dst", F.shiftleft("_w", _SEED_BITS).alias("_w"))
+        seeds = seeds.select("node", F.col("_rank").cast("long").alias("_st"))
+    else:
+        seeds = seeds.select("node", F.lit(0).cast("long").alias("_st"))
     # one up-front shuffle keys the (static) edge relation by _src;
     # checkpointing pins the layout so per-round joins reuse it and
     # only the (small, shrinking) frontier side moves
     e = e.repartition("_src").localCheckpoint()
 
-    state = [F.col("dist_mm")] + ([F.col("seed")] if with_label else [])
     dist = (
-        seeds.withColumn("dist_mm", F.lit(0).cast("long"))
         # seeds start on the frontier
-        .withColumn("_imp", F.lit(True))
-        .localCheckpoint()
+        seeds.withColumn("_imp", F.lit(True)).localCheckpoint()
     )
 
-    out_cols = ["node", "dist_mm"] + (["seed"] if with_label else [])
     converged = False
     for _ in range(max_rounds):
         frontier = dist.where("_imp")
@@ -105,41 +147,25 @@ def _relax_loop(
             frontier.join(e, frontier["node"] == e["_src"])
             .select(
                 F.col("_dst").alias("node"),
-                F.struct(
-                    (F.col("dist_mm") + F.col("_w")).alias("dist_mm"),
-                    *(["seed"] if with_label else []),
-                ).alias("_cand"),
+                (F.col("_st") + F.col("_w")).alias("_cand"),
             )
             .groupBy("node")
+            # plain BIGINT min: hash-aggregated map-side, so the
+            # shuffle carries <= |distinct dst| partials per task, not
+            # one row per relaxed edge (see docstring)
             .agg(F.min("_cand").alias("_cand"))
         )
         obs = Observation()
-        cur = F.struct(*state).alias("_cur")
-        best = F.when(
-            F.col("_cur").isNull() | (F.col("_cand") < F.col("_cur")),
-            F.col("_cand"),
-        ).otherwise(F.col("_cur"))
+        imp = F.col("_st").isNull() | (F.col("_cand") < F.col("_st"))
         merged = (
-            dist.drop("_imp")
-            .select("node", cur)
+            dist.select("node", "_st")
             .join(relaxed, "node", "full_outer")
             .select(
                 "node",
-                best.alias("_best"),
-                (
-                    F.col("_cur").isNull()
-                    | (F.col("_cand") < F.col("_cur"))
-                ).alias("_imp"),
-            )
-            .select(
-                "node",
-                F.col("_best.dist_mm").alias("dist_mm"),
-                *(
-                    [F.col("_best.seed").alias("seed")]
-                    if with_label
-                    else []
-                ),
-                "_imp",
+                F.when(imp, F.col("_cand"))
+                .otherwise(F.col("_st"))
+                .alias("_st"),
+                imp.alias("_imp"),
             )
             .observe(obs, F.sum(F.col("_imp").cast("int")).alias("n_imp"))
             .localCheckpoint()  # eager: runs the round's job
@@ -160,7 +186,20 @@ def _relax_loop(
             RuntimeWarning,
             stacklevel=2,
         )
-    return dist.select(*out_cols)
+    if with_label:
+        return (
+            dist.select(
+                "node",
+                F.shiftright("_st", _SEED_BITS).alias("dist_mm"),
+                F.col("_st")
+                .bitwiseAND(F.lit((1 << _SEED_BITS) - 1))
+                .alias("_rank"),
+            )
+            # decode rank -> facility id through the config-scale map
+            .join(F.broadcast(rank_map), "_rank")
+            .select("node", "dist_mm", "seed")
+        )
+    return dist.select("node", F.col("_st").alias("dist_mm"))
 
 
 def sssp(
@@ -208,8 +247,10 @@ def nearest_facility(
     computed as ONE multi-source sweep instead of |facilities| runs.
 
     Ties on exact mm cost break to the smaller facility id via the
-    lexicographic (dist_mm, seed) state struct, so assignment is
-    deterministic.  Returns (node, dist_mm, seed)."""
+    packed (dist_mm << 20 | seed_rank) BIGINT state (ranks assigned
+    in ascending facility-id order — see :func:`_relax_loop`), so
+    assignment is deterministic.  Supports < 2^20 facilities per
+    sweep.  Returns (node, dist_mm, seed)."""
     seeds = (
         facilities.select(F.col(node_col).alias("node"))
         .distinct()

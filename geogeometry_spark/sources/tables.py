@@ -230,6 +230,80 @@ def documents_with_spans(
     )
 
 
+def synthetic_road_graph(
+    spark: SparkSession,
+    side: int,
+    skips: tuple[int, ...] = (8, 64),
+    base_lat: float = 30.0,
+    base_lon: float = 10.0,
+    step_deg: float = 0.005,
+) -> DataFrame:
+    """Deterministic road network at bench scale for the routing
+    family (operators/routing.py): a ``side`` x ``side`` geodesic
+    lattice (4-neighborhood, both directions) plus skip-K "highway"
+    edges along each row and column for every K in ``skips``, both
+    directions, at 0.95x the geodesic cost per meter so optimal paths
+    climb the hierarchy.  With skips (8, 64) any offset within a side
+    of 512 decomposes into <= 7+7+7 hops per axis, so the frontier
+    Bellman-Ford fixed point lands within ~50 rounds regardless of
+    lattice size — the bounded-diameter shape real highway hierarchies
+    give continental road graphs.
+
+    Local street costs carry a per-edge congestion factor
+    1 + ((src+dst) % 5) * 0.02.  All weights are mm-quantized BIGINTs
+    (exact integer sums — the routing doctrine).  Columns:
+    src, dst, w_mm.  Node id = row * side + col.
+    """
+
+    def _lat(n):
+        return F.lit(base_lat) + F.floor(n / F.lit(float(side))).cast(
+            "double"
+        ) * F.lit(step_deg)
+
+    def _lon(n):
+        return F.lit(base_lon) + (n % side).cast("double") * F.lit(step_deg)
+
+    from ..functions import columns as C
+
+    def _weighted(und: DataFrame, cost_factor) -> DataFrame:
+        bidir = und.union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        hav = C.haversine(
+            _lat(F.col("src")), _lon(F.col("src")),
+            _lat(F.col("dst")), _lon(F.col("dst")),
+        )
+        return bidir.select(
+            "src",
+            "dst",
+            F.round(hav * cost_factor * F.lit(1000.0))
+            .cast("long")
+            .alias("w_mm"),
+        )
+
+    n = F.col("id")
+    row, col = n / F.lit(float(side)), n % side
+    congestion = (
+        F.lit(1.0) + ((F.col("src") + F.col("dst")) % 5).cast("double")
+        * F.lit(0.02)
+    )
+    parts = []
+    for k in (1,) + tuple(skips):
+        horiz = spark.range(side * side).where(col < side - k).select(
+            n.cast("int").alias("src"), (n + k).cast("int").alias("dst")
+        )
+        vert = spark.range(side * (side - k)).select(
+            n.cast("int").alias("src"),
+            (n + k * side).cast("int").alias("dst"),
+        )
+        factor = congestion if k == 1 else F.lit(0.95)
+        parts.append(_weighted(horiz.union(vert), factor))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 # SQL twin of the text0 span for oracle checks that need the raw text
 TEXT0_SQL = (
     "(substr(text, 1, 40) || CASE WHEN doc_id % 10 < 6 THEN "

@@ -52,6 +52,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("knn_window", "bnlj"): (
         "broadcast of the bounded query list; exact baseline for knn"
     ),
+    # nearest_facility densely ranks the FACILITY relation (config-
+    # scale, capped at 2^20 rows) so labels pack into the BIGINT
+    # state; the global row_number never touches nodes or edges.
+    ("nearest_facility", "global_window"): (
+        "row_number over the config-scale facility relation only"
+    ),
 }
 
 PATTERNS = {
