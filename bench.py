@@ -810,6 +810,19 @@ def main() -> None:
 
     timed("catchment_road_65k_4fac", catchment_road, runs=1, warmup=False)
 
+    # PageRank on the same 65k-node graph: 10 exact fixed-point
+    # rounds (integer multiply/floor-div/sum, dangling mass via the
+    # free per-round Observation).  runs=1 for the same reason as
+    # sssp — the loop's per-round cost is the measurement.
+    from geogeometry_spark.operators.pagerank import pagerank
+
+    def pagerank_road():
+        pagerank(roads, rounds=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("pagerank_road_65k_10r", pagerank_road, runs=1, warmup=False)
+
     # Full payload (spreads, ann kernel rates) goes to a FILE; stdout gets
     # a compact one-line summary as the LAST line.  The driver captures a
     # bounded tail of stdout, and the r3 full line (~3 KB with spread

@@ -3670,6 +3670,35 @@ def _nearest_facility_oracle() -> str:
     )
 
 
+# PageRank round count for the contract: the output is a pure
+# function of (input, K) on both sides — K trades gate wall for
+# settled mass (residual ~0.85^K), it cannot affect parity.  12
+# rounds settles 86% of the mass and keeps the Spark loop's fixed
+# per-round cost (~1.2 s at lattice scale) inside the gate budget.
+_PAGERANK_ROUNDS = 12
+
+
+def q_pagerank(spark, sf_dir):
+    """Exact fixed-point PageRank (operators/pagerank.py) over the
+    congestion-weighted lattice road graph: intersection centrality
+    after exactly 12 rounds, classic uniform out-degree split, ranks
+    as BIGINTs in 1e-12 units of total mass so every round is pure
+    integer multiply / floor-div / sum — bit-identical to the
+    unrolled DuckDB twin (Page et al. 1999; Jiang 2009 for street
+    networks)."""
+    from .operators.pagerank import pagerank
+
+    return pagerank(_road_graph_edges(spark), rounds=_PAGERANK_ROUNDS)
+
+
+def _pagerank_oracle() -> str:
+    from .operators.pagerank import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(
+        _road_graph_edges_sql(), rounds=_PAGERANK_ROUNDS
+    )
+
+
 # Deterministic Manhattan street grid over the metro box for
 # map-matching: 200 horizontal segments (10 rows x 20 blocks) + 200
 # vertical (20 columns x 10 blocks), axis-aligned so the pairwise
@@ -3908,6 +3937,7 @@ QUERIES = {
     "sssp": q_sssp,
     "isochrone": q_isochrone,
     "nearest_facility": q_nearest_facility,
+    "pagerank": q_pagerank,
 }
 
 
@@ -4035,6 +4065,7 @@ def _static_oracles() -> dict[str, str]:
         "sssp": _sssp_oracle(),
         "isochrone": _isochrone_oracle(),
         "nearest_facility": _nearest_facility_oracle(),
+        "pagerank": _pagerank_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -1,0 +1,256 @@
+"""Weighted PageRank over an edge relation with exact fixed-point
+BIGINT arithmetic — the third member of the graph-analytics family
+(connected components in operators/dedup.py, frontier SSSP in
+operators/routing.py).
+
+Why the engine has it: the routing family builds a road network FROM
+the reference's geodesic primitives (GeoGeometry.kt:565-608 haversine)
+and answers "how far" (SSSP) and "which facility" (catchment);
+PageRank answers "how central" — the standard road-importance /
+intersection-centrality measure (Page et al. 1999; Jiang 2009 applied
+it to street networks), and the hub score a POI-ranking pipeline wants
+next to visit counts.
+
+Exactness doctrine (the hmm_match / sssp rule — rationals in, exact
+integers through): ranks are BIGINTs in units of ``1/scale`` of the
+total mass.  Every per-round operation is integer multiply / floor
+divide / sum, so partial-aggregation order cannot move a single bit
+and the DuckDB twin (:func:`pagerank_oracle_sql` — the same K rounds
+unrolled to chained MATERIALIZED CTEs) matches bit-for-bit.  The
+float column in the output is ONE division of an exact BIGINT by the
+scale literal (IEEE division is correctly rounded, so it is identical
+cross-engine too).
+
+Per round (same loop hygiene as :func:`~.routing.sssp`):
+
+- contribution join ``ranks JOIN edges ON node = src`` — the edge
+  relation is re-keyed by ``src`` ONCE up front and checkpointed, and
+  the rank relation leaves every round keyed by ``node``, so the join
+  aligns without re-shuffling the big side;
+- per-destination ``sum`` of contributions is a plain BIGINT hash
+  aggregate — map-side combinable, the shuffle carries at most
+  |distinct dst| partial rows per task;
+- merge is one left join back onto the (static) node relation;
+- each round ``localCheckpoint``s eagerly and explicitly unpersists
+  the previous round (the connected_components block-manager
+  hygiene), and the dangling-node mass for the NEXT round rides the
+  checkpoint job for free via ``Observation``.
+
+Dangling nodes (no out-edges) are handled exactly: their round-``i``
+mass ``D_i`` is redistributed uniformly as
+``((D_i * num) // den) // n`` per node — the driver folds the observed
+BIGINT into the next round's base literal, and the twin computes the
+identical scalar subquery per unrolled round.
+
+Scale story (100 TB): the iteration is the canonical Pregel-on-
+DataFrames shape — two bounded shuffles per round (contribs by dst,
+none for the merge once layouts align), no driver-side graph state
+(the driver holds one BIGINT per round), round count is a fixed K
+(geometric convergence: the rank error shrinks by the damping factor
+per round, so K=20 at d=0.85 is ~1e-1.4 of total mass and K=50 is
+~1e-3.5 — pick K for the precision the ranking needs, independent of
+graph size).
+
+Overflow bound: per-edge contribution is ``((rank*num)//den * w)
+// outden``; since every rank < scale*(1+ε), the caller must keep
+``scale * num * max(w) < 2**63``.  With the default scale 1e12 and
+damping 85/100 that allows weights up to ~10^5 — normalize real-world
+weights (e.g. lane counts, capacity classes) into that envelope; the
+operator validates ``max(w)`` during the out-degree pass (free — same
+aggregate) and raises rather than silently wrapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "pagerank_oracle_sql"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str | None = None,
+    rounds: int = 20,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Exact fixed-point PageRank after exactly ``rounds`` iterations.
+
+    ``edges``: one row per directed edge; pass both directions for an
+    undirected network.  ``w_col=None`` is classic PageRank (uniform
+    split over out-degree); a weight column splits each node's mass
+    proportionally to integer edge weights (weights must satisfy the
+    module-docstring overflow bound).  Returns
+    ``(node, rank_scaled BIGINT, pr DOUBLE)`` — ``rank_scaled`` is the
+    exact fixed-point value (the cross-engine-comparable column),
+    ``pr = rank_scaled / scale``.
+
+    Runs a FIXED round count (no convergence stop) so the output is a
+    pure function of the input — the determinism the oracle contract
+    needs; pick ``rounds`` for the precision the ranking needs (see
+    module docstring).
+    """
+    num, den = int(damping_num), int(damping_den)
+    w = F.col(w_col).cast("long") if w_col else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src_col).alias("_src"),
+        F.col(dst_col).alias("_dst"),
+        w.alias("_w"),
+    )
+    # one up-front shuffle keys the static edge relation by _src (the
+    # sssp layout trick: localCheckpoint pins the partitioning so every
+    # round's contribution join reuses it)
+    e = e.repartition("_src").localCheckpoint()
+
+    outd = e.groupBy(F.col("_src").alias("node")).agg(
+        F.sum("_w").alias("_outden"), F.max("_w").alias("_maxw")
+    )
+    max_w = outd.agg(F.max("_maxw")).collect()[0][0] or 0
+    if scale * num * max_w >= 2**63:
+        raise ValueError(
+            f"pagerank overflow: scale({scale}) * damping_num({num}) * "
+            f"max weight({max_w}) must stay below 2^63 — normalize the "
+            "weight column or lower the scale"
+        )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .join(outd.select("node", "_outden"), "node", "left")
+    )
+    ranks = nodes.repartition("node").localCheckpoint()
+    n = ranks.count()
+    if n == 0:
+        return ranks.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("pr"),
+        )
+
+    # init mass: floor(scale / n) per node (mass lost to flooring is
+    # deterministic and identical in the twin)
+    init = scale // n
+    base = ((scale * (den - num)) // den) // n
+
+    obs = Observation()
+    ranks = (
+        ranks.withColumn("_r", F.lit(init).cast("long"))
+        .observe(
+            obs,
+            F.sum(
+                F.when(F.col("_outden").isNull(), F.col("_r")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dang"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(int(rounds)):
+        dang = obs.get["dang"] or 0
+        dang_term = ((int(dang) * num) // den) // n
+        contribs = (
+            ranks.where(F.col("_outden").isNotNull())
+            .join(e, ranks["node"] == e["_src"])
+            .select(
+                F.col("_dst").alias("node"),
+                # pinned op order, mirrored verbatim in the twin:
+                # ((r*num) div den * w) div outden — Spark `div` is
+                # BIGINT integer division, identical to DuckDB `//`
+                # for the non-negative values here
+                F.expr(
+                    f"((_r * {num}) div {den} * _w) div _outden"
+                ).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        obs = Observation()
+        merged = (
+            ranks.select("node", "_outden")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                "_outden",
+                (
+                    F.lit(int(base + dang_term)).cast("long")
+                    + F.coalesce(F.col("_c"), F.lit(0))
+                ).alias("_r"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(
+                        F.col("_outden").isNull(), F.col("_r")
+                    ).otherwise(F.lit(0))
+                ).alias("dang"),
+            )
+            .localCheckpoint()  # eager: runs the round's job
+        )
+        old = ranks
+        ranks = merged
+        old.unpersist()
+    return ranks.select(
+        "node",
+        F.col("_r").alias("rank_scaled"),
+        (F.col("_r") / F.lit(float(scale))).alias("pr"),
+    )
+
+
+def pagerank_oracle_sql(
+    edges_subq: str,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str | None = None,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the same K rounds unrolled to
+    chained MATERIALIZED CTEs (the sssp_oracle_sql pattern — the
+    per-round aggregate can't live inside a recursive CTE).  Every
+    operation is the identical integer multiply / floor-divide (``//``)
+    / sum, including the per-round dangling-mass scalar subquery, so
+    the result matches the operator bit-for-bit at any round count.
+    """
+    num, den = int(damping_num), int(damping_den)
+    w_sql = f"CAST({w_col} AS BIGINT)" if w_col else "CAST(1 AS BIGINT)"
+    base_a = (scale * (den - num)) // den
+    parts = [
+        f"e AS MATERIALIZED (SELECT {src_col} AS src, {dst_col} AS dst, "
+        f"{w_sql} AS w FROM {edges_subq})",
+        "outd AS MATERIALIZED (SELECT src AS node, SUM(w) AS outden "
+        "FROM e GROUP BY src)",
+        "nd AS MATERIALIZED (SELECT node, outden FROM "
+        "(SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)) "
+        "LEFT JOIN outd USING (node))",
+        "nc AS MATERIALIZED (SELECT COUNT(*) AS n FROM nd)",
+        f"r0 AS MATERIALIZED (SELECT node, outden, "
+        f"(SELECT {scale} // n FROM nc) AS r FROM nd)",
+    ]
+    for i in range(int(rounds)):
+        dang = (
+            f"(SELECT ((COALESCE(SUM(r), 0) * {num}) // {den}) "
+            f"// (SELECT n FROM nc) FROM r{i} WHERE outden IS NULL)"
+        )
+        contribs = (
+            f"SELECT e.dst AS node, SUM(((rr.r * {num}) // {den} * e.w) "
+            f"// rr.outden) AS c FROM r{i} rr JOIN e ON rr.node = e.src "
+            "WHERE rr.outden IS NOT NULL GROUP BY e.dst"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT p.node, p.outden, "
+            f"(SELECT {base_a} // n FROM nc) + {dang} + "
+            f"COALESCE(c.c, 0) AS r "
+            f"FROM r{i} p LEFT JOIN ({contribs}) c USING (node))"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, r AS rank_scaled, r / {float(scale)} AS pr "
+        f"FROM r{int(rounds)}"
+    )

@@ -1,0 +1,100 @@
+"""PageRank operator tests: exact fixed-point semantics verifiable by
+hand on tiny graphs, dangling-mass redistribution, the weighted split,
+the overflow guard, and bit-exact DuckDB-twin parity on an irregular
+graph that exercises every branch (dangling + weights + asymmetry)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from geogeometry_spark.operators.pagerank import (
+    pagerank,
+    pagerank_oracle_sql,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src int, dst int, w long")
+
+
+def _ranks(df):
+    return {r["node"]: r["rank_scaled"] for r in df.collect()}
+
+
+def test_two_cycle_is_symmetric_and_conserves_mass(spark):
+    # 0 <-> 1: by symmetry the ranks must stay equal every round, and
+    # with no dangling nodes mass only leaks via deterministic floors
+    e = _edges(spark, [(0, 1, 1), (1, 0, 1)])
+    got = _ranks(pagerank(e, w_col=None, rounds=5))
+    assert got[0] == got[1]
+    assert abs(sum(got.values()) - 10**12) < 100
+
+
+def test_sink_mass_redistributes(spark):
+    # 0 -> 1, 1 is dangling: without redistribution node 0 would decay
+    # to the base term alone; with it, 1's mass flows back uniformly
+    e = _edges(spark, [(0, 1, 1)])
+    got = _ranks(pagerank(e, rounds=3))
+    base = ((10**12 * 15) // 100) // 2
+    assert got[0] > base  # received redistributed dangling mass
+    assert got[1] > got[0]  # sink still accumulates 0's full push
+
+
+def test_weighted_split_follows_weights(spark):
+    # 0 pushes to 1 (w=3) and 2 (w=1): 1 must get ~3x 2's contribution
+    e = _edges(
+        spark, [(0, 1, 3), (0, 2, 1), (1, 0, 1), (2, 0, 1)]
+    )
+    got = _ranks(pagerank(e, w_col="w", rounds=8))
+    assert got[1] > got[2]
+    # exact one-round check: q = (init*85) div 100, split 3:1 by div
+    init = 10**12 // 3
+    q = (init * 85) // 100
+    one = _ranks(pagerank(e, w_col="w", rounds=1))
+    base = ((10**12 * 15) // 100) // 3
+    assert one[1] == base + (q * 3) // 4
+    assert one[2] == base + (q * 1) // 4
+
+
+def test_overflow_guard_raises(spark):
+    e = _edges(spark, [(0, 1, 10**9), (1, 0, 10**9)])
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank(e, w_col="w", rounds=1)
+
+
+def test_twin_parity_irregular_graph(spark):
+    # asymmetric graph with a dangling node (4), a weighted fan-out,
+    # and a node reachable only via the dangling redistribution (5->)
+    rows = [
+        (0, 1, 2),
+        (0, 2, 5),
+        (1, 2, 1),
+        (2, 0, 1),
+        (2, 3, 3),
+        (3, 4, 1),
+        (5, 0, 2),
+        (5, 4, 7),
+    ]
+    e = _edges(spark, rows)
+    got = sorted(
+        pagerank(e, w_col="w", rounds=9).collect(),
+        key=lambda r: r["node"],
+    )
+    vals = ", ".join(f"({s}, {d}, {w})" for s, d, w in rows)
+    sql = pagerank_oracle_sql(
+        f"(SELECT * FROM (VALUES {vals}) t(src, dst, w))",
+        rounds=9,
+        w_col="w",
+    )
+    exp = duckdb.sql(sql + " ORDER BY node").fetchall()
+    assert len(got) == len(exp) == 6
+    for g, x in zip(got, exp):
+        assert (g["node"], g["rank_scaled"]) == (x[0], x[1])
+        assert g["pr"] == x[2]  # single IEEE division — bit-exact
+
+
+def test_fixed_rounds_deterministic(spark):
+    e = _edges(spark, [(0, 1, 1), (1, 2, 1), (2, 0, 1)])
+    a = _ranks(pagerank(e, rounds=6))
+    b = _ranks(pagerank(e, rounds=6))
+    assert a == b
