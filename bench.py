@@ -522,7 +522,15 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def mobility_5m():
+        from geogeometry_spark.operators.trajectory import mobility_metrics
+
+        mobility_metrics(fixes, zoom=14).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     timed("traj_trips_5m", traj_trips_5m, runs=3, warmup=True)
+    timed("mobility_5m", mobility_5m, runs=3, warmup=False)
     timed("grid_dbscan_5m", dbscan_5m, runs=1, warmup=True)
     timed("hotspot_gi_5m", hotspot_5m, runs=3, warmup=True)
 

@@ -3670,6 +3670,24 @@ def _nearest_facility_oracle() -> str:
     )
 
 
+def q_mobility(spark, sf_dir):
+    """Per-user mobility features (operators/trajectory.py
+    mobility_metrics — González et al. 2008): fix/cell counts, exact
+    Simpson location concentration (the rational stand-in for location
+    entropy), and radius of gyration to the integer-µdeg centroid.
+    Two bounded passes over the fix relation; every distributed
+    aggregate an exact BIGINT."""
+    from .operators.trajectory import mobility_metrics
+
+    return mobility_metrics(_traj_points(spark, sf_dir), zoom=14)
+
+
+def _mobility_oracle() -> str:
+    from .operators.trajectory import mobility_metrics_oracle_sql
+
+    return mobility_metrics_oracle_sql(_TRAJ_SUBQ, zoom=14)
+
+
 # PageRank round count for the contract: the output is a pure
 # function of (input, K) on both sides — K trades gate wall for
 # settled mass (residual ~0.85^K), it cannot affect parity.  12
@@ -3938,6 +3956,7 @@ QUERIES = {
     "isochrone": q_isochrone,
     "nearest_facility": q_nearest_facility,
     "pagerank": q_pagerank,
+    "mobility": q_mobility,
 }
 
 
@@ -4066,6 +4085,7 @@ def _static_oracles() -> dict[str, str]:
         "isochrone": _isochrone_oracle(),
         "nearest_facility": _nearest_facility_oracle(),
         "pagerank": _pagerank_oracle(),
+        "mobility": _mobility_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -357,3 +357,72 @@ def test_resample_matches_duckdb_twin(spark):
     con.close()
     assert len(got) > 50
     assert got == want
+
+
+class TestMobilityMetrics:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, lat double, lon double"
+        )
+
+    def test_single_location_user(self, spark):
+        from geogeometry_spark.operators.trajectory import mobility_metrics
+
+        pts = self._pts(spark, [(1, i, 52.5, 13.4) for i in range(4)])
+        r = mobility_metrics(pts, zoom=14).collect()[0]
+        assert r["n_fixes"] == 4 and r["n_cells"] == 1
+        assert r["hhi_num"] == 16 and r["hhi"] == 1.0
+        # all fixes AT the centroid: rgyr exactly 0
+        assert r["sum_sq_m"] == 0 and r["rgyr_m"] == 0.0 and r["max_d_m"] == 0
+
+    def test_two_even_cells_hhi_half(self, spark):
+        from geogeometry_spark.operators.trajectory import mobility_metrics
+
+        # two far-apart locations, two fixes each: hhi = (4+4)/16 = 0.5
+        pts = self._pts(
+            spark,
+            [(1, 0, 52.5, 13.4), (1, 1, 52.5, 13.4),
+             (1, 2, 48.8, 2.35), (1, 3, 48.8, 2.35)],
+        )
+        r = mobility_metrics(pts, zoom=14).collect()[0]
+        assert r["n_cells"] == 2 and r["hhi"] == 0.5
+        # symmetric pair: both distances to the lat/lon-mean centroid
+        # are ~half the ~880 km separation; they differ by ~1% at this
+        # scale (the arithmetic-mean centroid is not the geodesic
+        # midpoint), so rgyr (their RMS) sits between them
+        assert 400_000 < r["max_d_m"] < 500_000
+        assert abs(r["rgyr_m"] - r["max_d_m"]) / r["max_d_m"] < 0.02
+
+    def test_southern_hemisphere_centroid_parity(self, spark, duck):
+        """Negative µdeg sums exercise the div/'//' trunc-toward-zero
+        agreement between the engines."""
+        import duckdb
+
+        from geogeometry_spark.operators.trajectory import (
+            mobility_metrics,
+            mobility_metrics_oracle_sql,
+        )
+
+        rows = [
+            (7, 0, -33.8701, 151.2001),
+            (7, 1, -33.8703, 151.2093),
+            (7, 2, -33.9001, 151.1807),
+            (8, 3, -54.8, -68.3),
+            (8, 4, -54.81, -68.31),
+        ]
+        pts = self._pts(spark, rows)
+        got = sorted(
+            mobility_metrics(pts, zoom=14).collect(),
+            key=lambda r: r["user_id"],
+        )
+        vals = ", ".join(
+            f"({u}, {e}, {la!r}, {lo!r})" for u, e, la, lo in rows
+        )
+        sql = mobility_metrics_oracle_sql(
+            f"(SELECT * FROM (VALUES {vals}) "
+            "t(user_id, event_id, lat, lon))",
+            zoom=14,
+        )
+        exp = duckdb.sql(sql + " ORDER BY user_id").fetchall()
+        for g, x in zip(got, exp):
+            assert tuple(g) == x
