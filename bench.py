@@ -529,8 +529,16 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def heading_stats_5m():
+        from geogeometry_spark.operators.trajectory import heading_stats
+
+        heading_stats(fixes, gap_s=43200).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     timed("traj_trips_5m", traj_trips_5m, runs=3, warmup=True)
     timed("mobility_5m", mobility_5m, runs=3, warmup=False)
+    timed("heading_stats_5m", heading_stats_5m, runs=3, warmup=False)
     timed("grid_dbscan_5m", dbscan_5m, runs=1, warmup=True)
     timed("hotspot_gi_5m", hotspot_5m, runs=3, warmup=True)
 

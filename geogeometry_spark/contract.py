@@ -3688,6 +3688,22 @@ def _mobility_oracle() -> str:
     return mobility_metrics_oracle_sql(_TRAJ_SUBQ, zoom=14)
 
 
+def q_heading_stats(spark, sf_dir):
+    """Per-trip circular heading statistics (operators/trajectory.py
+    heading_stats — Mardia & Jupp directional stats): mean direction,
+    resultant length R, circular variance over leg bearings; ppb-
+    quantized cos/sin sums so every distributed aggregate is exact."""
+    from .operators.trajectory import heading_stats
+
+    return heading_stats(_traj_points(spark, sf_dir), gap_s=43200)
+
+
+def _heading_stats_oracle() -> str:
+    from .operators.trajectory import heading_stats_oracle_sql
+
+    return heading_stats_oracle_sql(_TRAJ_SUBQ, gap_s=43200)
+
+
 # PageRank round count for the contract: the output is a pure
 # function of (input, K) on both sides — K trades gate wall for
 # settled mass (residual ~0.85^K), it cannot affect parity.  12
@@ -3957,6 +3973,7 @@ QUERIES = {
     "nearest_facility": q_nearest_facility,
     "pagerank": q_pagerank,
     "mobility": q_mobility,
+    "heading_stats": q_heading_stats,
 }
 
 
@@ -4086,6 +4103,7 @@ def _static_oracles() -> dict[str, str]:
         "nearest_facility": _nearest_facility_oracle(),
         "pagerank": _pagerank_oracle(),
         "mobility": _mobility_oracle(),
+        "heading_stats": _heading_stats_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

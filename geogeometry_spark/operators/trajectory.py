@@ -41,6 +41,7 @@ __all__ = [
     "simplify_trips",
     "resample_trips",
     "mobility_metrics",
+    "heading_stats",
 ]
 
 
@@ -724,4 +725,120 @@ def mobility_metrics_oracle_sql(
         "sqrt(CAST(sum_sq_m AS DOUBLE) / CAST(n_fixes AS DOUBLE)) "
         "AS rgyr_m, sum_sq_m, max_d_m "
         f"FROM ({a}) a JOIN ({b}) b USING ({user_col})"
+    )
+
+
+def heading_stats(
+    points: DataFrame,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-trip circular heading statistics (Mardia & Jupp 2000,
+    directional statistics): mean direction, mean resultant length R,
+    and circular variance 1-R over the trip's leg bearings — the
+    straightness/tortuosity feature a trajectory corpus attaches to
+    every trip (R→1 = beeline, R→0 = random walk / loop).
+
+    Directions are the reference bearing (GeoGeometry.kt:1121-1139 via
+    functions/columns.heading — the expression already oracle-green in
+    the distances family).  Zero-displacement legs (parked duplicate
+    fixes) carry no direction and are excluded by the exact integer
+    predicate ``leg_mm > 0``; trips with no moving leg emit no row.
+
+    Exactness doctrine: per-leg cos/sin quantize to ppb BIGINTs (the
+    kde stencil rule) so the per-trip sums are exact integers in any
+    combine order; R and the mean direction are then single IEEE
+    ops (mul/add/sqrt/div, one atan2) on the exact sums — identical
+    in the twin.  ONE user-hash exchange: the session window, the leg
+    window, and the (user, session) groupBy all share it.
+    """
+    sess = sessionize(points, gap_s, user_col, ts_col, id_col)
+    w = Window.partitionBy(user_col, "session_id").orderBy(ts_col, id_col)
+    plat, plon = F.lag(lat_col).over(w), F.lag(lon_col).over(w)
+    leg_mm = F.round(
+        C.haversine(plat, plon, F.col(lat_col), F.col(lon_col))
+        * F.lit(1000.0)
+    ).cast("long")
+    theta = C.heading(plat, plon, F.col(lat_col), F.col(lon_col))
+    rad = theta * F.lit(C.DEG2RAD)
+    legs = (
+        sess.withColumns(
+            {
+                "_leg": leg_mm,
+                "_c": F.round(F.cos(rad) * F.lit(1e9)).cast("long"),
+                "_s": F.round(F.sin(rad) * F.lit(1e9)).cast("long"),
+            }
+        )
+        .where(F.col("_leg") > 0)
+    )
+    agg = legs.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.sum("_c").alias("c_ppb"),
+        F.sum("_s").alias("s_ppb"),
+    )
+    cd, sd = F.col("c_ppb").cast("double"), F.col("s_ppb").cast("double")
+    r = F.sqrt(cd * cd + sd * sd) / (
+        F.col("n_legs").cast("double") * F.lit(1e9)
+    )
+    mean_dir = (
+        F.atan2(sd, cd) * F.lit(1.0 / C.DEG2RAD) + F.lit(360.0)
+    ) % F.lit(360.0)
+    return agg.select(
+        user_col,
+        "session_id",
+        "n_legs",
+        "c_ppb",
+        "s_ppb",
+        r.alias("resultant_r"),
+        (F.lit(1.0) - r).alias("circ_var"),
+        # atan2 is the one libm call whose last ulp differs between
+        # the JVM and C library on some inputs (unlike sqrt/div, it is
+        # not IEEE-correctly-rounded): round to 7 decimals (~1 cm of
+        # arc at Earth scale) — the speed_ms_r3 pinning rule
+        F.round(mean_dir, 7).alias("mean_dir_r7"),
+    )
+
+
+def heading_stats_oracle_sql(
+    subq: str,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`heading_stats`: same sessionize, same leg
+    predicate, same ppb quantization, same single-IEEE-op finals."""
+    sess = sessionize_oracle_sql(subq, gap_s, user_col, ts_col, id_col)
+    part = (
+        f"PARTITION BY {user_col}, session_id ORDER BY {ts_col}, {id_col}"
+    )
+    plat, plon = f"lag({lat}) OVER ({part})", f"lag({lon}) OVER ({part})"
+    hav = C.haversine_sql(plat, plon, lat, lon)
+    theta = C.heading_sql(plat, plon, lat, lon)
+    rad = f"(({theta}) * {C.DEG2RAD!r})"
+    legs = (
+        f"SELECT {user_col}, session_id, "
+        f"CAST(round(({hav}) * 1000.0) AS BIGINT) AS _leg, "
+        f"CAST(round(cos({rad}) * 1000000000.0) AS BIGINT) AS _c, "
+        f"CAST(round(sin({rad}) * 1000000000.0) AS BIGINT) AS _s "
+        f"FROM ({sess})"
+    )
+    return (
+        f"SELECT {user_col}, session_id, COUNT(*) AS n_legs, "
+        "SUM(_c) AS c_ppb, SUM(_s) AS s_ppb, "
+        "sqrt(CAST(SUM(_c) AS DOUBLE) * CAST(SUM(_c) AS DOUBLE) + "
+        "CAST(SUM(_s) AS DOUBLE) * CAST(SUM(_s) AS DOUBLE)) / "
+        "(CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS resultant_r, "
+        "1.0 - sqrt(CAST(SUM(_c) AS DOUBLE) * CAST(SUM(_c) AS DOUBLE) + "
+        "CAST(SUM(_s) AS DOUBLE) * CAST(SUM(_s) AS DOUBLE)) / "
+        "(CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS circ_var, "
+        "round(((atan2(CAST(SUM(_s) AS DOUBLE), CAST(SUM(_c) AS DOUBLE)) * "
+        f"{1.0 / C.DEG2RAD!r}) + 360.0) % 360.0, 7) AS mean_dir_r7 "
+        f"FROM ({legs}) WHERE _leg > 0 GROUP BY {user_col}, session_id"
     )

@@ -426,3 +426,54 @@ class TestMobilityMetrics:
         exp = duckdb.sql(sql + " ORDER BY user_id").fetchall()
         for g, x in zip(got, exp):
             assert tuple(g) == x
+
+
+class TestHeadingStats:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, ts_sec long, "
+            "lat double, lon double",
+        )
+
+    def test_beeline_has_resultant_one(self, spark):
+        from geogeometry_spark.operators.trajectory import heading_stats
+
+        # due-east march along the equator: every leg bearing 90
+        pts = self._pts(
+            spark,
+            [(1, i, i * 60, 0.0, 13.0 + i * 0.01) for i in range(5)],
+        )
+        r = heading_stats(pts).collect()[0]
+        assert r["n_legs"] == 4
+        assert abs(r["resultant_r"] - 1.0) < 1e-9
+        assert abs(r["mean_dir_r7"] - 90.0) < 1e-4
+        assert r["circ_var"] < 1e-9
+
+    def test_out_and_back_cancels(self, spark):
+        from geogeometry_spark.operators.trajectory import heading_stats
+
+        # east then west the same distance: headings 90 and 270 cancel
+        pts = self._pts(
+            spark,
+            [(1, 0, 0, 0.0, 13.0), (1, 1, 60, 0.0, 13.01),
+             (1, 2, 120, 0.0, 13.0)],
+        )
+        r = heading_stats(pts).collect()[0]
+        assert r["n_legs"] == 2
+        assert r["resultant_r"] < 1e-6 and r["circ_var"] > 1.0 - 1e-6
+
+    def test_parked_legs_excluded(self, spark):
+        from geogeometry_spark.operators.trajectory import heading_stats
+
+        # duplicate fixes contribute no direction; all-parked trip
+        # emits no row
+        pts = self._pts(
+            spark,
+            [(1, 0, 0, 0.0, 13.0), (1, 1, 60, 0.0, 13.0),
+             (1, 2, 120, 0.0, 13.01),
+             (2, 3, 0, 50.0, 8.0), (2, 4, 60, 50.0, 8.0)],
+        )
+        rows = heading_stats(pts).collect()
+        assert len(rows) == 1
+        assert rows[0]["user_id"] == 1 and rows[0]["n_legs"] == 1
