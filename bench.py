@@ -537,8 +537,16 @@ def main() -> None:
         ).save()
 
     timed("traj_trips_5m", traj_trips_5m, runs=3, warmup=True)
+    def cell_transitions_5m():
+        from geogeometry_spark.operators.trajectory import cell_transitions
+
+        cell_transitions(fixes, zoom=12).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     timed("mobility_5m", mobility_5m, runs=3, warmup=False)
     timed("heading_stats_5m", heading_stats_5m, runs=3, warmup=False)
+    timed("cell_transitions_5m", cell_transitions_5m, runs=3, warmup=False)
     timed("grid_dbscan_5m", dbscan_5m, runs=1, warmup=True)
     timed("hotspot_gi_5m", hotspot_5m, runs=3, warmup=True)
 

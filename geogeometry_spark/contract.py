@@ -3704,6 +3704,24 @@ def _heading_stats_oracle() -> str:
     return heading_stats_oracle_sql(_TRAJ_SUBQ, gap_s=43200)
 
 
+def q_cell_transitions(spark, sf_dir):
+    """First-order Markov mobility matrix (operators/trajectory.py
+    cell_transitions — Gambs 2012 / Song 2010): consecutive distinct
+    z12-cell visit pairs within each trip, with exact counts and
+    single-IEEE-division transition probabilities."""
+    from .operators.trajectory import cell_transitions
+
+    return cell_transitions(
+        _traj_points(spark, sf_dir), zoom=12, gap_s=43200
+    )
+
+
+def _cell_transitions_oracle() -> str:
+    from .operators.trajectory import cell_transitions_oracle_sql
+
+    return cell_transitions_oracle_sql(_TRAJ_SUBQ, zoom=12, gap_s=43200)
+
+
 # PageRank round count for the contract: the output is a pure
 # function of (input, K) on both sides — K trades gate wall for
 # settled mass (residual ~0.85^K), it cannot affect parity.  12
@@ -3974,6 +3992,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "mobility": q_mobility,
     "heading_stats": q_heading_stats,
+    "cell_transitions": q_cell_transitions,
 }
 
 
@@ -4104,6 +4123,7 @@ def _static_oracles() -> dict[str, str]:
         "pagerank": _pagerank_oracle(),
         "mobility": _mobility_oracle(),
         "heading_stats": _heading_stats_oracle(),
+        "cell_transitions": _cell_transitions_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -42,6 +42,7 @@ __all__ = [
     "resample_trips",
     "mobility_metrics",
     "heading_stats",
+    "cell_transitions",
 ]
 
 
@@ -841,4 +842,117 @@ def heading_stats_oracle_sql(
         "round(((atan2(CAST(SUM(_s) AS DOUBLE), CAST(SUM(_c) AS DOUBLE)) * "
         f"{1.0 / C.DEG2RAD!r}) + 360.0) % 360.0, 7) AS mean_dir_r7 "
         f"FROM ({legs}) WHERE _leg > 0 GROUP BY {user_col}, session_id"
+    )
+
+
+def cell_transitions(
+    points: DataFrame,
+    zoom: int = 12,
+    gap_s: int = 43200,
+    min_count: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """First-order Markov mobility model over grid cells (Gambs et
+    al. 2012 next-place prediction; Song et al. 2010 predictability):
+    count every transition between consecutive DISTINCT zoom-``zoom``
+    cells within a trip, and the per-origin transition probability —
+    the travel-pattern matrix a next-location model trains on.
+
+    Semantics: fixes order by (ts, id) within each (user, session);
+    runs of consecutive fixes in the SAME cell collapse to one visit
+    (a parked user generates no self-transitions); each adjacent visit
+    pair contributes one (from_cell, to_cell) count.  Transitions
+    never cross a session boundary.  Rows with fewer than
+    ``min_count`` observations are dropped (exact integer predicate).
+
+    Exactness: cell ids, counts, and origin totals are exact integers;
+    ``p`` is ONE IEEE division of exact BIGINTs — bit-identical in the
+    twin.  Plan: the session window, the visit-collapse filter, and
+    the second lag window all ride ONE user-hash exchange; the
+    (from, to) count is a map-side-combinable aggregate over visit
+    pairs (≤ one row per retained fix), and the origin total is a
+    window over the AGGREGATED matrix (|cells|² at worst, in practice
+    the sparse observed-transition set)."""
+    tx, ty = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    cell = tx * F.lit(1 << zoom) + ty
+    sess = sessionize(points, gap_s, user_col, ts_col, id_col)
+    w = Window.partitionBy(user_col, "session_id").orderBy(ts_col, id_col)
+    visits = (
+        sess.withColumn("_cell", cell)
+        .withColumn("_prev_fix_cell", F.lag("_cell").over(w))
+        .where(
+            F.col("_prev_fix_cell").isNull()
+            | (F.col("_prev_fix_cell") != F.col("_cell"))
+        )
+    )
+    trans = (
+        visits.withColumn("_from", F.lag("_cell").over(w))
+        .where(F.col("_from").isNotNull())
+        .groupBy(
+            F.col("_from").alias("from_cell"),
+            F.col("_cell").alias("to_cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+        .where(F.col("n_trans") >= F.lit(int(min_count)))
+    )
+    wo = Window.partitionBy("from_cell")
+    return trans.select(
+        "from_cell",
+        "to_cell",
+        "n_trans",
+        F.sum("n_trans").over(wo).alias("from_total"),
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wo).cast("double")
+        ).alias("p"),
+    )
+
+
+def cell_transitions_oracle_sql(
+    subq: str,
+    zoom: int = 12,
+    gap_s: int = 43200,
+    min_count: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`cell_transitions`: same visit collapse,
+    same windows, same exact counts and single IEEE division.
+
+    Caveat: ``min_count`` filters BEFORE the origin total (both
+    engines), so ``from_total`` is the total over RETAINED rows."""
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    cell = f"({tx} * {1 << zoom} + {ty})"
+    sess = sessionize_oracle_sql(subq, gap_s, user_col, ts_col, id_col)
+    part = (
+        f"PARTITION BY {user_col}, session_id ORDER BY {ts_col}, {id_col}"
+    )
+    cells = f"SELECT *, {cell} AS _cell FROM ({sess})"
+    visits = (
+        f"SELECT * FROM (SELECT *, lag(_cell) OVER ({part}) "
+        f"AS _prev_fix_cell FROM ({cells})) "
+        "WHERE _prev_fix_cell IS NULL OR _prev_fix_cell != _cell"
+    )
+    pairs = (
+        f"SELECT lag(_cell) OVER ({part}) AS from_cell, _cell AS to_cell "
+        f"FROM ({visits})"
+    )
+    trans = (
+        f"SELECT from_cell, to_cell, COUNT(*) AS n_trans FROM ({pairs}) "
+        "WHERE from_cell IS NOT NULL GROUP BY 1, 2 "
+        f"HAVING COUNT(*) >= {int(min_count)}"
+    )
+    return (
+        "SELECT from_cell, to_cell, n_trans, "
+        "SUM(n_trans) OVER (PARTITION BY from_cell) AS from_total, "
+        "CAST(n_trans AS DOUBLE) / CAST(SUM(n_trans) "
+        "OVER (PARTITION BY from_cell) AS DOUBLE) AS p "
+        f"FROM ({trans})"
     )

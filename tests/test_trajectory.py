@@ -477,3 +477,64 @@ class TestHeadingStats:
         rows = heading_stats(pts).collect()
         assert len(rows) == 1
         assert rows[0]["user_id"] == 1 and rows[0]["n_legs"] == 1
+
+
+class TestCellTransitions:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, ts_sec long, "
+            "lat double, lon double",
+        )
+
+    def test_parked_runs_collapse(self, spark):
+        from geogeometry_spark.operators.trajectory import cell_transitions
+
+        # A A A B B A: visits A,B,A -> transitions A->B, B->A (no
+        # self-loops from the parked runs); zoom 10 cells ~0.35 deg
+        a, b = (52.5, 13.40), (52.5, 14.40)
+        seq = [a, a, a, b, b, a]
+        pts = self._pts(
+            spark,
+            [(1, i, i * 60, p[0], p[1]) for i, p in enumerate(seq)],
+        )
+        rows = cell_transitions(pts, zoom=10).collect()
+        assert len(rows) == 2
+        by_pair = {(r["from_cell"], r["to_cell"]): r for r in rows}
+        cells = {r["from_cell"] for r in rows} | {
+            r["to_cell"] for r in rows
+        }
+        assert len(cells) == 2
+        for r in rows:
+            assert r["n_trans"] == 1 and r["from_total"] == 1
+            assert r["p"] == 1.0
+
+    def test_session_boundary_breaks_chain(self, spark):
+        from geogeometry_spark.operators.trajectory import cell_transitions
+
+        # A then (new session) B: no transition crosses the gap
+        a, b = (52.5, 13.40), (52.5, 14.40)
+        pts = self._pts(
+            spark,
+            [(1, 0, 0, a[0], a[1]), (1, 1, 100_000, b[0], b[1])],
+        )
+        assert cell_transitions(pts, zoom=10, gap_s=3600).count() == 0
+
+    def test_probabilities_sum_to_one_per_origin(self, spark):
+        from geogeometry_spark.operators.trajectory import cell_transitions
+
+        # from A: 2x to B, 1x to C -> p = 2/3, 1/3
+        a, b, c = (52.5, 13.40), (52.5, 14.40), (52.5, 15.40)
+        seq = [a, b, a, c, a, b]
+        pts = self._pts(
+            spark,
+            [(1, i, i * 60, p[0], p[1]) for i, p in enumerate(seq)],
+        )
+        rows = cell_transitions(pts, zoom=10).collect()
+        from collections import defaultdict
+
+        per_from = defaultdict(float)
+        for r in rows:
+            per_from[r["from_cell"]] += r["p"]
+        for s in per_from.values():
+            assert abs(s - 1.0) < 1e-12
