@@ -547,6 +547,17 @@ def main() -> None:
     timed("mobility_5m", mobility_5m, runs=3, warmup=False)
     timed("heading_stats_5m", heading_stats_5m, runs=3, warmup=False)
     timed("cell_transitions_5m", cell_transitions_5m, runs=3, warmup=False)
+
+    def mann_kendall_5m():
+        from geogeometry_spark.operators.hotspot import mann_kendall_trend
+
+        # synthetic_fixes: 100 fixes/user every 1800 s from epoch
+        # 1704067200 (~50 h span): 12 four-hour buckets cover 48 h
+        mann_kendall_trend(
+            fixes, t0=1704067200, bucket_s=14400, n_buckets=12, zoom=8
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("mann_kendall_5m", mann_kendall_5m, runs=3, warmup=False)
     timed("grid_dbscan_5m", dbscan_5m, runs=1, warmup=True)
     timed("hotspot_gi_5m", hotspot_5m, runs=3, warmup=True)
 

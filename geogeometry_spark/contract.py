@@ -3722,6 +3722,42 @@ def _cell_transitions_oracle() -> str:
     return cell_transitions_oracle_sql(_TRAJ_SUBQ, zoom=12, gap_s=43200)
 
 
+# Mann-Kendall window: 12 six-hour buckets from 2024-01-01T00:00Z —
+# covers the sf0.01 event stream (~2.7 days) and fronts the sf0.1
+# stream, so both scales yield nontrivial dense series.
+_MK_T0 = 1704067200
+_MK_BUCKET_S = 21600
+_MK_BUCKETS = 12
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Per-cell Mann-Kendall trend over dense 6-hour tile-count
+    series (operators/hotspot.py mann_kendall_trend — the
+    emerging-hot-spot trend step): exact integer S + tie-corrected
+    variance, IEEE-pinned z, 5% trend classification."""
+    from .operators.hotspot import mann_kendall_trend
+
+    return mann_kendall_trend(
+        _traj_points(spark, sf_dir),
+        t0=_MK_T0,
+        bucket_s=_MK_BUCKET_S,
+        n_buckets=_MK_BUCKETS,
+        zoom=6,
+    )
+
+
+def _mann_kendall_oracle() -> str:
+    from .operators.hotspot import mann_kendall_trend_oracle_sql
+
+    return mann_kendall_trend_oracle_sql(
+        _TRAJ_SUBQ,
+        t0=_MK_T0,
+        bucket_s=_MK_BUCKET_S,
+        n_buckets=_MK_BUCKETS,
+        zoom=6,
+    )
+
+
 # PageRank round count for the contract: the output is a pure
 # function of (input, K) on both sides — K trades gate wall for
 # settled mass (residual ~0.85^K), it cannot affect parity.  12
@@ -3993,6 +4029,7 @@ QUERIES = {
     "mobility": q_mobility,
     "heading_stats": q_heading_stats,
     "cell_transitions": q_cell_transitions,
+    "mann_kendall": q_mann_kendall,
 }
 
 
@@ -4124,6 +4161,7 @@ def _static_oracles() -> dict[str, str]:
         "mobility": _mobility_oracle(),
         "heading_stats": _heading_stats_oracle(),
         "cell_transitions": _cell_transitions_oracle(),
+        "mann_kendall": _mann_kendall_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -43,6 +43,8 @@ __all__ = [
     "getis_ord_gi_oracle_sql",
     "morans_i",
     "morans_i_oracle_sql",
+    "mann_kendall_trend",
+    "mann_kendall_trend_oracle_sql",
 ]
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -316,4 +318,186 @@ def getis_ord_gi_oracle_sql(
         "CAST(w_n AS DOUBLE) * CAST(w_n AS DOUBLE)) / "
         "CAST(n - 1 AS DOUBLE))) END, 3) AS gi_r3 "
         "FROM cells JOIN spread ON tx = nx AND ty = ny CROSS JOIN stats"
+    )
+
+
+def mann_kendall_trend(
+    points: DataFrame,
+    t0: int,
+    bucket_s: int,
+    n_buckets: int,
+    zoom: int = 8,
+    ts_col: str = "ts_sec",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-cell Mann-Kendall monotonic-trend test over a dense time
+    series of tile counts — the trend component of emerging-hot-spot
+    analysis (Mann 1945; Kendall 1975; the space-time-cube step layered
+    on the Gi* family above): is each cell's activity rising, falling,
+    or flat across ``n_buckets`` intervals of ``bucket_s`` seconds
+    starting at epoch ``t0``?
+
+    Per occupied cell the series is DENSE (missing buckets count 0 —
+    the published method requires the complete series; density is per
+    OCCUPIED cell only, the Gi* study-area convention, so the blowup
+    is a bounded ``n_buckets``x explode of the CELL relation, never the
+    point relation and never the empty lattice).  Statistic:
+
+    - ``s_stat`` = Σ_{i<j} sign(c_j - c_i) — exact integer over the
+      T(T-1)/2 ordered bucket pairs (T = ``n_buckets``, so the pair
+      join is a bounded T²-per-cell equi-join on the cell key);
+    - tie-corrected variance numerator (exact integer):
+      ``var18 = T(T-1)(2T+5) - Σ_v t_v(t_v-1)(2t_v+5)`` over the
+      per-cell multiplicities ``t_v`` of each distinct count value;
+    - ``z`` = (S∓1)/sqrt(var18/18) with the standard continuity
+      correction (0 when S=0 or var18=0) — IEEE-correctly-rounded
+      div/sqrt on exact integers, bit-identical in the twin;
+    - ``trend`` ∈ increasing/decreasing/none at the 5% two-sided
+      normal threshold (|z| > 1.96; exact float compare, same label
+      both engines).
+
+    Plan: ONE map-side count aggregate over in-window points, a
+    sequence-explode densification (no join), and two cell-keyed
+    self-aggregations (pairs + ties) that reuse the same hash
+    partitioning.  Fixes outside [t0, t0 + T·bucket_s) are filtered
+    before the shuffle.
+    """
+    T = int(n_buckets)
+    tx, ty = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    b = F.expr(f"({ts_col} - {int(t0)}) div {int(bucket_s)}").cast("int")
+    binned = (
+        points.where(
+            (F.col(ts_col) >= F.lit(int(t0)))
+            & (F.col(ts_col) < F.lit(int(t0) + T * int(bucket_s)))
+        )
+        .select(tx.alias("tx"), ty.alias("ty"), b.alias("_b"))
+        .groupBy("tx", "ty", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    dense = (
+        binned.groupBy("tx", "ty")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("_b"), F.collect_list("_c")
+            ).alias("_m")
+        )
+        .select(
+            "tx",
+            "ty",
+            F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("b"),
+            F.col("_m"),
+        )
+        .select(
+            "tx",
+            "ty",
+            "b",
+            F.coalesce(
+                F.col("_m")[F.col("b")], F.lit(0).cast("long")
+            ).alias("c"),
+        )
+    )
+    l, r = dense.alias("l"), dense.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.tx") == F.col("r.tx"))
+        & (F.col("l.ty") == F.col("r.ty"))
+        & (F.col("l.b") < F.col("r.b")),
+    ).select(
+        F.col("l.tx").alias("tx"),
+        F.col("l.ty").alias("ty"),
+        F.signum(
+            (F.col("r.c") - F.col("l.c")).cast("double")
+        ).cast("long").alias("_sgn"),
+    )
+    s = pairs.groupBy("tx", "ty").agg(F.sum("_sgn").alias("s_stat"))
+    ties = (
+        dense.groupBy("tx", "ty", "c")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - 1)
+                * (2 * F.col("_t") + 5)
+            ).alias("_tie")
+        )
+    )
+    base = T * (T - 1) * (2 * T + 5)
+    var18 = (F.lit(base) - F.col("_tie")).alias("var18")
+    joined = s.join(ties, ["tx", "ty"]).select("tx", "ty", "s_stat", var18)
+    sd = F.col("s_stat").cast("double")
+    vr = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (
+        F.when((F.col("s_stat") == 0) | (F.col("var18") == 0), F.lit(0.0))
+        .when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / vr)
+        .otherwise((sd + F.lit(1.0)) / vr)
+    )
+    return joined.select(
+        "tx",
+        "ty",
+        "s_stat",
+        "var18",
+        z.alias("z"),
+        F.when(z > F.lit(1.96), F.lit("increasing"))
+        .when(z < F.lit(-1.96), F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
+
+
+def mann_kendall_trend_oracle_sql(
+    subq: str,
+    t0: int,
+    bucket_s: int,
+    n_buckets: int,
+    zoom: int = 8,
+    ts_col: str = "ts_sec",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`mann_kendall_trend`: same dense series,
+    same exact integer S / tie arithmetic, same IEEE finals."""
+    T = int(n_buckets)
+    txs, tys = C.tile_xy_sql(lat, lon, zoom)
+    base = T * (T - 1) * (2 * T + 5)
+    binned = (
+        f"SELECT {txs} AS tx, {tys} AS ty, "
+        f"CAST(({ts_col} - {int(t0)}) // {int(bucket_s)} AS INT) AS b, "
+        f"COUNT(*) AS c FROM {subq} "
+        f"WHERE {ts_col} >= {int(t0)} "
+        f"AND {ts_col} < {int(t0) + T * int(bucket_s)} "
+        "GROUP BY 1, 2, 3"
+    )
+    dense = (
+        "SELECT cells.tx, cells.ty, g.b, COALESCE(bn.c, 0) AS c "
+        f"FROM (SELECT DISTINCT tx, ty FROM ({binned})) cells "
+        f"CROSS JOIN (SELECT UNNEST(range({T})) AS b) g "
+        f"LEFT JOIN ({binned}) bn "
+        "ON bn.tx = cells.tx AND bn.ty = cells.ty AND bn.b = g.b"
+    )
+    s = (
+        "SELECT l.tx, l.ty, SUM(CAST(sign(CAST(r.c - l.c AS DOUBLE)) "
+        "AS BIGINT)) AS s_stat "
+        f"FROM ({dense}) l JOIN ({dense}) r "
+        "ON l.tx = r.tx AND l.ty = r.ty AND l.b < r.b GROUP BY 1, 2"
+    )
+    ties = (
+        f"SELECT tx, ty, {base} - SUM(t * (t - 1) * (2 * t + 5)) AS var18 "
+        "FROM (SELECT tx, ty, c, COUNT(*) AS t "
+        f"FROM ({dense}) GROUP BY 1, 2, 3) GROUP BY 1, 2"
+    )
+    z = (
+        "CASE WHEN s_stat = 0 OR var18 = 0 THEN 0.0 "
+        "WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / "
+        "sqrt(CAST(var18 AS DOUBLE) / 18.0) "
+        "ELSE (CAST(s_stat AS DOUBLE) + 1.0) / "
+        "sqrt(CAST(var18 AS DOUBLE) / 18.0) END"
+    )
+    return (
+        f"SELECT tx, ty, s_stat, var18, {z} AS z, "
+        f"CASE WHEN ({z}) > 1.96 THEN 'increasing' "
+        f"WHEN ({z}) < -1.96 THEN 'decreasing' "
+        "ELSE 'none' END AS trend "
+        f"FROM ({s}) JOIN ({ties}) USING (tx, ty)"
     )

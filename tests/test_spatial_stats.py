@@ -398,3 +398,99 @@ def test_dbscan_null_coords_dropped_explicitly(spark):
         spark.createDataFrame(rows, SCHEMA), eps_m=50.0
     ).collect()
     assert [(r.event_id, r.cluster_id) for r in out] == [(1, 1)]
+
+
+class TestMannKendall:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts_sec long, lat double, lon double"
+        )
+
+    def test_strictly_rising_cell(self, spark):
+        from geogeometry_spark.operators.hotspot import mann_kendall_trend
+
+        # bucket b gets b+1 fixes: S = T(T-1)/2 (every pair ascending),
+        # no ties -> var18 = T(T-1)(2T+5)
+        T = 6
+        rows = []
+        eid = 0
+        for b in range(T):
+            for _ in range(b + 1):
+                rows.append((eid, b * 100, 52.5, 13.4))
+                eid += 1
+        out = mann_kendall_trend(
+            self._pts(spark, rows), t0=0, bucket_s=100, n_buckets=T,
+            zoom=8,
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["s_stat"] == T * (T - 1) // 2 == 15
+        assert r["var18"] == T * (T - 1) * (2 * T + 5)
+        import math
+
+        exp_z = (15 - 1) / math.sqrt(r["var18"] / 18.0)
+        assert r["z"] == exp_z
+        assert r["trend"] == ("increasing" if exp_z > 1.96 else "none")
+
+    def test_constant_cell_is_flat_with_full_ties(self, spark):
+        from geogeometry_spark.operators.hotspot import mann_kendall_trend
+
+        # every bucket has exactly 1 fix: all pairs tie -> S=0, and the
+        # tie correction cancels var18 entirely (one group of size T)
+        T = 5
+        rows = [(b, b * 10, 52.5, 13.4) for b in range(T)]
+        r = mann_kendall_trend(
+            self._pts(spark, rows), t0=0, bucket_s=10, n_buckets=T,
+            zoom=8,
+        ).collect()[0]
+        assert r["s_stat"] == 0 and r["var18"] == 0
+        assert r["z"] == 0.0 and r["trend"] == "none"
+
+    def test_missing_buckets_count_zero(self, spark):
+        from geogeometry_spark.operators.hotspot import mann_kendall_trend
+
+        # fixes only in the last bucket: series 0,0,0,1 -> S = 3
+        rows = [(0, 35, 52.5, 13.4)]
+        r = mann_kendall_trend(
+            self._pts(spark, rows), t0=0, bucket_s=10, n_buckets=4,
+            zoom=8,
+        ).collect()[0]
+        assert r["s_stat"] == 3
+
+    def test_out_of_window_fixes_ignored(self, spark):
+        from geogeometry_spark.operators.hotspot import mann_kendall_trend
+
+        rows = [(0, -5, 52.5, 13.4), (1, 100, 52.5, 13.4),
+                (2, 15, 52.5, 13.4)]
+        out = mann_kendall_trend(
+            self._pts(spark, rows), t0=0, bucket_s=10, n_buckets=3,
+            zoom=8,
+        ).collect()
+        # only ts=15 is in [0, 30): series 0,1,0
+        assert out[0]["s_stat"] == 0
+
+    def test_twin_parity_mixed(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.hotspot import (
+            mann_kendall_trend,
+            mann_kendall_trend_oracle_sql,
+        )
+
+        rows = [
+            (i, (i * 37) % 120, 52.5 + (i % 3) * 5.0, 13.4 + (i % 2) * 7.0)
+            for i in range(40)
+        ]
+        got = sorted(
+            map(tuple, mann_kendall_trend(
+                self._pts(spark, rows), t0=0, bucket_s=20, n_buckets=6,
+                zoom=6,
+            ).collect())
+        )
+        vals = ", ".join(f"({e}, {t}, {la!r}, {lo!r})" for e, t, la, lo in rows)
+        sql = mann_kendall_trend_oracle_sql(
+            f"(SELECT * FROM (VALUES {vals}) t(event_id, ts_sec, lat, lon))",
+            t0=0, bucket_s=20, n_buckets=6, zoom=6,
+        )
+        exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+        assert got == exp
