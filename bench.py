@@ -558,6 +558,15 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
 
     timed("mann_kendall_5m", mann_kendall_5m, runs=3, warmup=False)
+
+    def emerging_hotspots_5m():
+        from geogeometry_spark.operators.hotspot import emerging_hotspots
+
+        emerging_hotspots(
+            fixes, t0=1704067200, bucket_s=14400, n_buckets=12, zoom=8
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("emerging_hotspots_5m", emerging_hotspots_5m, runs=3, warmup=False)
     timed("grid_dbscan_5m", dbscan_5m, runs=1, warmup=True)
     timed("hotspot_gi_5m", hotspot_5m, runs=3, warmup=True)
 

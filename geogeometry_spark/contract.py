@@ -3758,6 +3758,35 @@ def _mann_kendall_oracle() -> str:
     )
 
 
+def q_emerging_hotspots(spark, sf_dir):
+    """Emerging-hot-spot analysis (operators/hotspot.py
+    emerging_hotspots — Getis-Ord Gi* per space-time-cube bin, then
+    Mann-Kendall trend over each cell's Gi* z series): classifies
+    every occupied z6 cell as intensifying / diminishing / persistent
+    hot or cold over twelve 6-hour buckets."""
+    from .operators.hotspot import emerging_hotspots
+
+    return emerging_hotspots(
+        _traj_points(spark, sf_dir),
+        t0=_MK_T0,
+        bucket_s=_MK_BUCKET_S,
+        n_buckets=_MK_BUCKETS,
+        zoom=6,
+    )
+
+
+def _emerging_hotspots_oracle() -> str:
+    from .operators.hotspot import emerging_hotspots_oracle_sql
+
+    return emerging_hotspots_oracle_sql(
+        _TRAJ_SUBQ,
+        t0=_MK_T0,
+        bucket_s=_MK_BUCKET_S,
+        n_buckets=_MK_BUCKETS,
+        zoom=6,
+    )
+
+
 # PageRank round count for the contract: the output is a pure
 # function of (input, K) on both sides — K trades gate wall for
 # settled mass (residual ~0.85^K), it cannot affect parity.  12
@@ -4030,6 +4059,7 @@ QUERIES = {
     "heading_stats": q_heading_stats,
     "cell_transitions": q_cell_transitions,
     "mann_kendall": q_mann_kendall,
+    "emerging_hotspots": q_emerging_hotspots,
 }
 
 
@@ -4162,6 +4192,7 @@ def _static_oracles() -> dict[str, str]:
         "heading_stats": _heading_stats_oracle(),
         "cell_transitions": _cell_transitions_oracle(),
         "mann_kendall": _mann_kendall_oracle(),
+        "emerging_hotspots": _emerging_hotspots_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

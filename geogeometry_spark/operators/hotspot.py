@@ -45,6 +45,8 @@ __all__ = [
     "morans_i_oracle_sql",
     "mann_kendall_trend",
     "mann_kendall_trend_oracle_sql",
+    "emerging_hotspots",
+    "emerging_hotspots_oracle_sql",
 ]
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -500,4 +502,311 @@ def mann_kendall_trend_oracle_sql(
         f"WHEN ({z}) < -1.96 THEN 'decreasing' "
         "ELSE 'none' END AS trend "
         f"FROM ({s}) JOIN ({ties}) USING (tx, ty)"
+    )
+
+
+def emerging_hotspots(
+    points: DataFrame,
+    t0: int,
+    bucket_s: int,
+    n_buckets: int,
+    zoom: int = 8,
+    ts_col: str = "ts_sec",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Emerging-hot-spot analysis — the published space-time-cube
+    composition (Getis & Ord 1992 Gi* per bin; Mann-Kendall trend over
+    each cell's Gi* z series; the Esri "emerging hot spot" method):
+    per zoom-``zoom`` cell, is its HOT-SPOT INTENSITY rising, falling,
+    or flat across ``n_buckets`` time buckets?
+
+    Pipeline (all the shapes already proven by the two parents):
+
+    1. in-window points bin to (cell, bucket) counts — map-side
+       combinable, filter before the shuffle;
+    2. the cube densifies in time per OCCUPIED cell (sequence explode,
+       missing buckets count 0 — the mann_kendall convention, bounded
+       Tx blowup of the cell relation);
+    3. Gi* per bin against the CUBE's global mean/std (driver-collected
+       scalar triple, the getis_ord_gi house pattern) with binary
+       3x3x3 space-time weights: 27-address spread of the BIN relation,
+       antimeridian x-wrap, temporal edges clamp;
+    4. Mann-Kendall S + tie-corrected variance over each cell's z
+       SERIES (bins whose z is defined) — floats compare exactly, and
+       equal z's are bit-identical in both engines so tie groups agree;
+    5. classification: trend (5% MK normal test) x the last bucket's
+       state (hot/cold at |z| > 1.96) → ``pattern`` like
+       ``increasing_hot`` (intensifying), ``none_hot`` (persistent),
+       ``decreasing_hot`` (diminishing).
+
+    Exactness: counts/spreads are BIGINTs; z is the pinned Gi* float
+    expression; the MK layer adds only sign comparisons (exact),
+    integer tie arithmetic, and one IEEE div/sqrt — bit-identical to
+    the twin before the final r-roundings.
+
+    Returns (tx, ty, n_z, s_stat, var18, mk_z, last_gi_r3, pattern).
+    """
+    T = int(n_buckets)
+    n_tiles = 1 << zoom
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    b = F.expr(f"({ts_col} - {int(t0)}) div {int(bucket_s)}").cast("int")
+    binned = (
+        points.where(
+            (F.col(ts_col) >= F.lit(int(t0)))
+            & (F.col(ts_col) < F.lit(int(t0) + T * int(bucket_s)))
+        )
+        .select(x.alias("tx"), y.alias("ty"), b.alias("_b"))
+        .groupBy("tx", "ty", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    bins = (
+        binned.groupBy("tx", "ty")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("_b"), F.collect_list("_c")
+            ).alias("_m")
+        )
+        .select(
+            "tx",
+            "ty",
+            F.explode(F.sequence(F.lit(0), F.lit(T - 1))).alias("b"),
+            F.col("_m"),
+        )
+        .select(
+            "tx",
+            "ty",
+            "b",
+            F.coalesce(
+                F.col("_m")[F.col("b")], F.lit(0).cast("long")
+            ).alias("c"),
+        )
+        # one checkpoint: the stats job, the spread, and the z join all
+        # read the (cells x T) cube instead of re-binning the points
+        .localCheckpoint()
+    )
+    stats = bins.agg(
+        F.count(F.lit(1)),
+        F.sum("c"),
+        F.sum(F.col("c") * F.col("c")),
+    ).first()
+    n, s1, s2 = int(stats[0]), int(stats[1] or 0), int(stats[2] or 0)
+    xbar = s1 / n if n else 0.0
+    var = s2 / n - xbar * xbar if n else 0.0
+    sdev = math.sqrt(var) if var > 0 else 0.0
+
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(db).alias("db"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for db in (-1, 0, 1)
+        ]
+    )
+    spread = (
+        bins.withColumn("_o", F.explode(offs))
+        .select(
+            F.pmod(F.col("tx") + F.col("_o.dx"), F.lit(n_tiles)).alias(
+                "nx"
+            ),
+            (F.col("ty") + F.col("_o.dy")).alias("ny"),
+            (F.col("b") + F.col("_o.db")).alias("nb"),
+            F.col("c").alias("_src"),
+        )
+        .where((F.col("nb") >= 0) & (F.col("nb") < T))
+        .groupBy("nx", "ny", "nb")
+        .agg(F.count(F.lit(1)).alias("w_n"), F.sum("_src").alias("g_sum"))
+    )
+    w = F.col("w_n").cast("double")
+    g = F.col("g_sum").cast("double")
+    n_d = F.lit(float(n))
+    den = F.lit(sdev) * F.sqrt(
+        (n_d * w - w * w) / F.lit(float(n - 1) if n > 1 else 1.0)
+    )
+    zc = F.when(
+        F.lit(n > 1) & F.lit(sdev > 0) & (den > 0),
+        (g - F.lit(xbar) * w) / den,
+    )
+    zbins = (
+        bins.join(
+            spread,
+            (F.col("tx") == F.col("nx"))
+            & (F.col("ty") == F.col("ny"))
+            & (F.col("b") == F.col("nb")),
+        )
+        .select("tx", "ty", "b", zc.alias("z"))
+        .where(F.col("z").isNotNull())
+        # four consumers (pair join both sides, n_z, ties, last): pin
+        # the z cube once instead of re-running the spread join per
+        # consumer
+        .localCheckpoint()
+    )
+    l, r = zbins.alias("l"), zbins.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.tx") == F.col("r.tx"))
+        & (F.col("l.ty") == F.col("r.ty"))
+        & (F.col("l.b") < F.col("r.b")),
+    ).select(
+        F.col("l.tx").alias("tx"),
+        F.col("l.ty").alias("ty"),
+        F.signum(F.col("r.z") - F.col("l.z")).cast("long").alias("_sgn"),
+    )
+    s = pairs.groupBy("tx", "ty").agg(F.sum("_sgn").alias("s_stat"))
+    nz = zbins.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("n_z"))
+    ties = (
+        zbins.groupBy("tx", "ty", "z")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie")
+        )
+    )
+    last = zbins.where(F.col("b") == T - 1).select(
+        "tx", "ty", F.round("z", 3).alias("last_gi_r3")
+    )
+    m = (
+        nz.join(s, ["tx", "ty"], "left")
+        .join(ties, ["tx", "ty"])
+        .join(last, ["tx", "ty"], "left")
+        .select(
+            "tx",
+            "ty",
+            "n_z",
+            F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
+            (
+                F.col("n_z")
+                * (F.col("n_z") - 1)
+                * (2 * F.col("n_z") + 5)
+                - F.col("_tie")
+            ).alias("var18"),
+            "last_gi_r3",
+        )
+    )
+    sd = F.col("s_stat").cast("double")
+    vr = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    mkz = (
+        F.when((F.col("s_stat") == 0) | (F.col("var18") == 0), F.lit(0.0))
+        .when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / vr)
+        .otherwise((sd + F.lit(1.0)) / vr)
+    )
+    trend = (
+        F.when(mkz > F.lit(1.96), F.lit("increasing"))
+        .when(mkz < F.lit(-1.96), F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+    )
+    state = (
+        F.when(F.col("last_gi_r3") > F.lit(1.96), F.lit("hot"))
+        .when(F.col("last_gi_r3") < F.lit(-1.96), F.lit("cold"))
+        .otherwise(F.lit("neutral"))
+    )
+    return m.select(
+        "tx",
+        "ty",
+        "n_z",
+        "s_stat",
+        "var18",
+        mkz.alias("mk_z"),
+        "last_gi_r3",
+        F.concat(trend, F.lit("_"), state).alias("pattern"),
+    )
+
+
+def emerging_hotspots_oracle_sql(
+    subq: str,
+    t0: int,
+    bucket_s: int,
+    n_buckets: int,
+    zoom: int = 8,
+    ts_col: str = "ts_sec",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`emerging_hotspots`: same cube, same Gi*
+    scalar/op order (stats in a CTE), same MK layer over z."""
+    T = int(n_buckets)
+    n_tiles = 1 << zoom
+    txs, tys = C.tile_xy_sql(lat, lon, zoom)
+    offs = ", ".join(
+        f"({dx}, {dy}, {db})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for db in (-1, 0, 1)
+    )
+    parts = [
+        f"binned AS (SELECT {txs} AS tx, {tys} AS ty, "
+        f"CAST(({ts_col} - {int(t0)}) // {int(bucket_s)} AS INT) AS b, "
+        f"COUNT(*) AS c FROM {subq} "
+        f"WHERE {ts_col} >= {int(t0)} "
+        f"AND {ts_col} < {int(t0) + T * int(bucket_s)} GROUP BY 1, 2, 3)",
+        "bins AS MATERIALIZED (SELECT cells.tx, cells.ty, g.b, "
+        "COALESCE(bn.c, 0) AS c "
+        "FROM (SELECT DISTINCT tx, ty FROM binned) cells "
+        f"CROSS JOIN (SELECT UNNEST(range({T})) AS b) g "
+        "LEFT JOIN binned bn ON bn.tx = cells.tx AND bn.ty = cells.ty "
+        "AND bn.b = g.b)",
+        "stats AS (SELECT count(*) AS n, "
+        "CAST(sum(c) AS DOUBLE) / count(*) AS xbar, "
+        "sqrt(CAST(sum(c * c) AS DOUBLE) / count(*) - "
+        "(CAST(sum(c) AS DOUBLE) / count(*)) * "
+        "(CAST(sum(c) AS DOUBLE) / count(*))) AS sdev FROM bins)",
+        f"offsets(dx, dy, db) AS (VALUES {offs})",
+        "spread AS (SELECT "
+        f"((tx + dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "ty + dy AS ny, b + db AS nb, count(*) AS w_n, sum(c) AS g_sum "
+        "FROM bins CROSS JOIN offsets "
+        f"WHERE b + db >= 0 AND b + db < {T} GROUP BY 1, 2, 3)",
+        "zbins AS MATERIALIZED (SELECT tx, ty, b, z FROM ("
+        "SELECT tx, ty, b, CASE WHEN n > 1 AND sdev > 0 AND "
+        "(sdev * sqrt((CAST(n AS DOUBLE) * CAST(w_n AS DOUBLE) - "
+        "CAST(w_n AS DOUBLE) * CAST(w_n AS DOUBLE)) / "
+        "CAST(n - 1 AS DOUBLE))) > 0 THEN "
+        "(CAST(g_sum AS DOUBLE) - xbar * CAST(w_n AS DOUBLE)) / "
+        "(sdev * sqrt((CAST(n AS DOUBLE) * CAST(w_n AS DOUBLE) - "
+        "CAST(w_n AS DOUBLE) * CAST(w_n AS DOUBLE)) / "
+        "CAST(n - 1 AS DOUBLE))) END AS z "
+        "FROM bins JOIN spread ON tx = nx AND ty = ny AND b = nb "
+        "CROSS JOIN stats) WHERE z IS NOT NULL)",
+        "s AS (SELECT l.tx, l.ty, "
+        "SUM(CAST(sign(r.z - l.z) AS BIGINT)) AS s_stat "
+        "FROM zbins l JOIN zbins r ON l.tx = r.tx AND l.ty = r.ty "
+        "AND l.b < r.b GROUP BY 1, 2)",
+        "nz AS (SELECT tx, ty, COUNT(*) AS n_z FROM zbins GROUP BY 1, 2)",
+        "ties AS (SELECT tx, ty, "
+        "SUM(t * (t - 1) * (2 * t + 5)) AS tie FROM "
+        "(SELECT tx, ty, z, COUNT(*) AS t FROM zbins GROUP BY 1, 2, 3) "
+        "GROUP BY 1, 2)",
+        f"last AS (SELECT tx, ty, round(z, 3) AS last_gi_r3 FROM zbins "
+        f"WHERE b = {T - 1})",
+        "m AS (SELECT nz.tx, nz.ty, n_z, COALESCE(s_stat, 0) AS s_stat, "
+        "n_z * (n_z - 1) * (2 * n_z + 5) - tie AS var18, last_gi_r3 "
+        "FROM nz LEFT JOIN s ON nz.tx = s.tx AND nz.ty = s.ty "
+        "JOIN ties ON nz.tx = ties.tx AND nz.ty = ties.ty "
+        "LEFT JOIN last ON nz.tx = last.tx AND nz.ty = last.ty)",
+    ]
+    mkz = (
+        "CASE WHEN s_stat = 0 OR var18 = 0 THEN 0.0 "
+        "WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / "
+        "sqrt(CAST(var18 AS DOUBLE) / 18.0) "
+        "ELSE (CAST(s_stat AS DOUBLE) + 1.0) / "
+        "sqrt(CAST(var18 AS DOUBLE) / 18.0) END"
+    )
+    trend = (
+        f"CASE WHEN ({mkz}) > 1.96 THEN 'increasing' "
+        f"WHEN ({mkz}) < -1.96 THEN 'decreasing' ELSE 'none' END"
+    )
+    state = (
+        "CASE WHEN last_gi_r3 > 1.96 THEN 'hot' "
+        "WHEN last_gi_r3 < -1.96 THEN 'cold' ELSE 'neutral' END"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT tx, ty, n_z, s_stat, var18, {mkz} AS mk_z, "
+        f"last_gi_r3, ({trend}) || '_' || ({state}) AS pattern FROM m"
     )

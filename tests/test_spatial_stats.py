@@ -494,3 +494,78 @@ class TestMannKendall:
         )
         exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
         assert got == exp
+
+
+class TestEmergingHotspots:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts_sec long, lat double, lon double"
+        )
+
+    def test_intensifying_cell_is_increasing_hot(self, spark):
+        from geogeometry_spark.operators.hotspot import emerging_hotspots
+
+        # one cell ramps 1,2,4,8,16,32 fixes per bucket while four
+        # far-away background cells stay at 1: the ramping cell's Gi*
+        # z series rises monotonically -> increasing trend, hot last
+        T = 6
+        rows, eid = [], 0
+        for bkt in range(T):
+            for _ in range(1 << bkt):
+                rows.append((eid, bkt * 100, 52.5, 13.4)); eid += 1
+            for k in range(4):
+                rows.append((eid, bkt * 100, -40.0 + k * 12.0, -100.0))
+                eid += 1
+        out = emerging_hotspots(
+            self._pts(spark, rows), t0=0, bucket_s=100, n_buckets=T,
+            zoom=4,
+        ).collect()
+        by_cell = {(r["tx"], r["ty"]): r for r in out}
+        hot = [r for r in out if r["pattern"].endswith("_hot")]
+        assert len(hot) == 1
+        assert hot[0]["pattern"] == "increasing_hot"
+        assert hot[0]["s_stat"] > 0
+
+    def test_uniform_cube_is_flat(self, spark):
+        from geogeometry_spark.operators.hotspot import emerging_hotspots
+
+        # every cell, every bucket: 1 fix -> zero variance, z undefined
+        # everywhere -> empty output (no z bins survive)
+        rows = []
+        eid = 0
+        for bkt in range(4):
+            for k in range(3):
+                rows.append((eid, bkt * 10, 10.0 + k * 20.0, 10.0))
+                eid += 1
+        out = emerging_hotspots(
+            self._pts(spark, rows), t0=0, bucket_s=10, n_buckets=4,
+            zoom=4,
+        ).collect()
+        assert out == []
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.hotspot import (
+            emerging_hotspots,
+            emerging_hotspots_oracle_sql,
+        )
+
+        rows = [
+            (i, (i * 53) % 240,
+             20.0 + ((i * 7) % 4) * 15.0, ((i * 11) % 5) * 20.0)
+            for i in range(160)
+        ]
+        got = sorted(map(tuple, emerging_hotspots(
+            self._pts(spark, rows), t0=0, bucket_s=40, n_buckets=6,
+            zoom=5,
+        ).collect()))
+        vals = ", ".join(
+            f"({e}, {t}, {la!r}, {lo!r})" for e, t, la, lo in rows
+        )
+        sql = emerging_hotspots_oracle_sql(
+            f"(SELECT * FROM (VALUES {vals}) t(event_id, ts_sec, lat, lon))",
+            t0=0, bucket_s=40, n_buckets=6, zoom=5,
+        )
+        exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+        assert got == exp and len(got) > 0
