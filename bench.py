@@ -567,6 +567,7 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
 
     timed("emerging_hotspots_5m", emerging_hotspots_5m, runs=3, warmup=False)
+
     timed("grid_dbscan_5m", dbscan_5m, runs=1, warmup=True)
     timed("hotspot_gi_5m", hotspot_5m, runs=3, warmup=True)
 
@@ -623,6 +624,21 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
 
     timed("segment_speeds_5m_metro", segment_speeds_5m, runs=3, warmup=True)
+
+    # v85 exact-percentile variant over the same fixture: the
+    # order-statistics member — matched legs shuffle once on seg_id
+    # for the exact rank window (vs segment_speeds' partial agg)
+    from geogeometry_spark.operators.map_match import (
+        segment_speed_percentiles,
+    )
+
+    def segment_v85_5m():
+        segment_speed_percentiles(
+            metro, _road_segments(spark), max_dist_m=150.0,
+            max_abs_lat=53.2,
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("segment_v85_5m_metro", segment_v85_5m, runs=3, warmup=False)
 
     # raster<->vector zonal stats over the same 5M metro fixes: one
     # rasterize groupBy (map-side combine) + native tile-space crossing

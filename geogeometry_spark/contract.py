@@ -3918,6 +3918,30 @@ def _segment_speeds_oracle() -> str:
     )
 
 
+def q_segment_v85(spark, sf_dir):
+    """Per-segment exact speed percentiles (operators/map_match.py
+    segment_speed_percentiles): median / v85 (the FHWA speed-zoning
+    statistic) / max leg speed as exact nearest-rank order statistics
+    — no percentile_approx; one seg_id window whose exchange the final
+    aggregate reuses."""
+    from .operators.map_match import segment_speed_percentiles
+
+    return segment_speed_percentiles(
+        _metro_points(spark, sf_dir),
+        _road_segments(spark),
+        max_dist_m=150.0,
+        max_abs_lat=53.2,
+    )
+
+
+def _segment_v85_oracle() -> str:
+    from .operators.map_match import segment_speed_percentiles_oracle_sql
+
+    return segment_speed_percentiles_oracle_sql(
+        _METRO_SUBQ, _ROADS_SUBQ, max_dist_m=150.0
+    )
+
+
 def _map_match_oracle() -> str:
     from .operators.map_match import map_match_oracle_sql
 
@@ -4060,6 +4084,7 @@ QUERIES = {
     "cell_transitions": q_cell_transitions,
     "mann_kendall": q_mann_kendall,
     "emerging_hotspots": q_emerging_hotspots,
+    "segment_v85": q_segment_v85,
 }
 
 
@@ -4193,6 +4218,7 @@ def _static_oracles() -> dict[str, str]:
         "cell_transitions": _cell_transitions_oracle(),
         "mann_kendall": _mann_kendall_oracle(),
         "emerging_hotspots": _emerging_hotspots_oracle(),
+        "segment_v85": _segment_v85_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

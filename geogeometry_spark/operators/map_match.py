@@ -49,6 +49,8 @@ __all__ = [
     "map_match_oracle_sql",
     "segment_speeds",
     "segment_speeds_oracle_sql",
+    "segment_speed_percentiles",
+    "segment_speed_percentiles_oracle_sql",
 ]
 
 # auto-broadcast cap for the expanded covering relation (rows); ~9x the
@@ -364,4 +366,149 @@ def segment_speeds_oracle_sql(
         f"sum(dt) AS dur_s, "
         f"round((sum(leg_mm) / 1000.0) / CAST(sum(dt) AS DOUBLE), 3) "
         f"AS speed_ms_r3 FROM ({inner}) GROUP BY seg_id"
+    )
+
+
+def segment_speed_percentiles(
+    points: DataFrame,
+    segments: DataFrame,
+    max_dist_m: float = 150.0,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    **mm_kw,
+) -> DataFrame:
+    """Per-segment speed DISTRIBUTION profile — the traffic-engineering
+    companion to :func:`segment_speeds`: median (v50), 85th-percentile
+    (v85 — the standard speed-limit-setting statistic, e.g. FHWA
+    speed-zoning guidance), and max leg speed per road segment.
+
+    Percentiles are EXACT order statistics under the nearest-rank
+    definition (value at row_number ``ceil(p * n)`` when legs sort by
+    (speed, id)): no interpolation, no approximation — the pick is an
+    actual observed leg speed, deterministic in both engines because
+    the sort key (an IEEE-division double + the integer id tiebreak)
+    is bit-identical.  ``percentile_approx`` is deliberately NOT used
+    (approximate ⇒ engine-dependent); this is the one member of the
+    segment family whose aggregate requires per-group ORDER, so the
+    plan shuffles the matched-leg relation once on ``seg_id`` and
+    sorts within partitions — bounded by matched legs (≤ one row per
+    in-range fix), never the raw point stream, and the window's
+    partition key is the output key so the final aggregate reuses the
+    exchange.
+
+    Leg attribution and exclusions are identical to segment_speeds
+    (END-fix snap, zero-duration and first-of-session legs dropped
+    before the probe).  Returns
+    (seg_id, n_legs, v50_r3, v85_r3, vmax_r3)."""
+    from pyspark.sql import Window
+
+    from .trajectory import _leg_mm, sessionize
+
+    sess = sessionize(points, gap_s, user_col, ts_col, id_col)
+    w = Window.partitionBy(user_col, "session_id").orderBy(ts_col, id_col)
+    legs = sess.select(
+        F.col(id_col),
+        F.col(lat_col),
+        F.col(lon_col),
+        _leg_mm(lat_col, lon_col, w).alias("_mm"),
+        (F.col(ts_col) - F.lag(ts_col).over(w)).alias("_dt"),
+    ).where(F.col("_mm").isNotNull() & (F.col("_dt") > 0))
+    matched = map_match(
+        legs,
+        segments,
+        max_dist_m=max_dist_m,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        carry_cols=("_mm", "_dt"),
+        **mm_kw,
+    )
+    v = (F.col("_mm") / F.lit(1000.0)) / F.col("_dt").cast("double")
+    ws = Window.partitionBy("seg_id").orderBy("_v", id_col)
+    ranked = matched.select(
+        "seg_id", F.col(id_col), v.alias("_v")
+    ).withColumns(
+        {
+            "_rk": F.row_number().over(ws),
+            "_n": F.count(F.lit(1)).over(Window.partitionBy("seg_id")),
+        }
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("_rk")
+            == F.ceil(F.col("_n").cast("double") * F.lit(p)).cast("long"),
+            F.col("_v"),
+        )
+    )
+    return ranked.groupBy("seg_id").agg(
+        F.max("_n").alias("n_legs"),
+        F.round(pick(0.5), 3).alias("v50_r3"),
+        F.round(pick(0.85), 3).alias("v85_r3"),
+        F.round(F.max("_v"), 3).alias("vmax_r3"),
+    )
+
+
+def segment_speed_percentiles_oracle_sql(
+    points_subq: str,
+    segments_subq: str,
+    max_dist_m: float = 150.0,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`segment_speed_percentiles`: same legs,
+    same brute-force match twin, same nearest-rank picks over the
+    identical (speed, id) order."""
+    from .trajectory import _leg_mm_sql, sessionize_oracle_sql
+
+    sess = sessionize_oracle_sql(
+        points_subq, gap_s, user_col, ts_col, id_col
+    )
+    part = (
+        f"PARTITION BY {user_col}, session_id "
+        f"ORDER BY {ts_col}, {id_col}"
+    )
+    leg = _leg_mm_sql(lat, lon, part)
+    legs_subq = (
+        f"(SELECT * FROM (SELECT {id_col}, {lat} AS lat, {lon} AS lon, "
+        f"{leg} AS leg_mm, "
+        f"{ts_col} - lag({ts_col}) OVER ({part}) AS dt "
+        f"FROM ({sess})) "
+        f"WHERE leg_mm IS NOT NULL AND dt > 0)"
+    )
+    inner = map_match_oracle_sql(
+        legs_subq,
+        segments_subq,
+        max_dist_m=max_dist_m,
+        id_col=id_col,
+        carry_cols=("leg_mm", "dt"),
+    )
+    ranked = (
+        "SELECT seg_id, "
+        "(leg_mm / 1000.0) / CAST(dt AS DOUBLE) AS v, "
+        f"row_number() OVER (PARTITION BY seg_id ORDER BY "
+        f"(leg_mm / 1000.0) / CAST(dt AS DOUBLE), {id_col}) AS rk, "
+        "count(*) OVER (PARTITION BY seg_id) AS n "
+        f"FROM ({inner})"
+    )
+
+    def pick(p: float) -> str:
+        return (
+            "MAX(CASE WHEN rk = CAST(ceil(CAST(n AS DOUBLE) * "
+            f"{p!r}) AS BIGINT) THEN v END)"
+        )
+
+    return (
+        "SELECT seg_id, MAX(n) AS n_legs, "
+        f"round({pick(0.5)}, 3) AS v50_r3, "
+        f"round({pick(0.85)}, 3) AS v85_r3, "
+        "round(MAX(v), 3) AS vmax_r3 "
+        f"FROM ({ranked}) GROUP BY seg_id"
     )

@@ -252,3 +252,71 @@ def test_segment_speeds_composition(spark):
     )
     con.close()
     assert sorted(tuple(x) for x in out) == want
+
+
+def test_segment_speed_percentiles_exact_ranks(spark):
+    from geogeometry_spark.operators.map_match import (
+        segment_speed_percentiles,
+        segment_speed_percentiles_oracle_sql,
+    )
+
+    # one segment, five legs with distinct speeds: ~1,2,3,4,5 m/s
+    # (100 m lon steps at the equator scaled by duration)
+    segs = spark.createDataFrame(
+        [(0, 0.0, 20.0, 0.0, 20.1)],
+        "seg_id long, alat double, alon double, blat double, blon double",
+    )
+    step = 0.001  # ~111.3 m
+    rows, t = [(1, 1, 0, 0.0, 20.0)], 0
+    for i, dur in enumerate((111, 56, 37, 28, 22)):  # ~1..5 m/s
+        t += dur
+        rows.append((i + 2, 1, t, 0.0, 20.0 + step * (i + 1)))
+    pts = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts_sec long, lat double, lon double",
+    )
+    out = segment_speed_percentiles(pts, segs, max_dist_m=200.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_legs == 5
+    # nearest-rank: v50 = rank ceil(2.5)=3 (3rd slowest), v85 = rank
+    # ceil(4.25)=5 (the max), vmax = max
+    assert r.v50_r3 == pytest.approx(3.0, abs=0.1)
+    assert r.v85_r3 == r.vmax_r3
+    assert r.vmax_r3 == pytest.approx(5.06, abs=0.1)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("fix_p", pts.toPandas())
+    con.register("seg_p", segs.toPandas())
+    want = sorted(
+        tuple(x)
+        for x in con.sql(
+            segment_speed_percentiles_oracle_sql(
+                "(SELECT * FROM fix_p)", "(SELECT * FROM seg_p)",
+                max_dist_m=200.0,
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert sorted(tuple(x) for x in out) == want
+
+
+def test_segment_speed_percentiles_single_leg(spark):
+    from geogeometry_spark.operators.map_match import (
+        segment_speed_percentiles,
+    )
+
+    segs = spark.createDataFrame(
+        [(0, 0.0, 20.0, 0.0, 20.1)],
+        "seg_id long, alat double, alon double, blat double, blon double",
+    )
+    pts = spark.createDataFrame(
+        [(1, 1, 0, 0.0, 20.0), (2, 1, 50, 0.0, 20.001)],
+        "event_id long, user_id long, ts_sec long, lat double, lon double",
+    )
+    r = segment_speed_percentiles(pts, segs, max_dist_m=200.0).collect()[0]
+    # n=1: every rank pick is the single observation
+    assert r.n_legs == 1
+    assert r.v50_r3 == r.v85_r3 == r.vmax_r3
