@@ -3816,6 +3816,35 @@ def _pagerank_oracle() -> str:
     )
 
 
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank (operators/pagerank.py pagerank with
+    seeds — Jeh & Widom 2003 random walk with restart) from the four
+    corner facilities: seed-relative network proximity scores, same
+    exact fixed-point integer arithmetic with the teleport terms
+    concentrated on the seed set."""
+    from .operators.pagerank import pagerank
+
+    return pagerank(
+        _road_graph_edges(spark),
+        rounds=_PAGERANK_ROUNDS,
+        seeds=spark.createDataFrame(
+            [(n,) for n in _FACILITY_NODES], "node int"
+        ),
+    )
+
+
+def _ppr_oracle() -> str:
+    from .operators.pagerank import pagerank_oracle_sql
+
+    vals = ", ".join(f"({n})" for n in _FACILITY_NODES)
+    return pagerank_oracle_sql(
+        _road_graph_edges_sql(),
+        rounds=_PAGERANK_ROUNDS,
+        seeds_subq=f"(SELECT CAST(n AS INT) AS node FROM "
+        f"(VALUES {vals}) t(n))",
+    )
+
+
 # Deterministic Manhattan street grid over the metro box for
 # map-matching: 200 horizontal segments (10 rows x 20 blocks) + 200
 # vertical (20 columns x 10 blocks), axis-aligned so the pairwise
@@ -4085,6 +4114,7 @@ QUERIES = {
     "mann_kendall": q_mann_kendall,
     "emerging_hotspots": q_emerging_hotspots,
     "segment_v85": q_segment_v85,
+    "ppr": q_ppr,
 }
 
 
@@ -4219,6 +4249,7 @@ def _static_oracles() -> dict[str, str]:
         "mann_kendall": _mann_kendall_oracle(),
         "emerging_hotspots": _emerging_hotspots_oracle(),
         "segment_v85": _segment_v85_oracle(),
+        "ppr": _ppr_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

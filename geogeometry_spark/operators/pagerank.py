@@ -77,6 +77,8 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    seeds: DataFrame | None = None,
+    node_col: str = "node",
 ) -> DataFrame:
     """Exact fixed-point PageRank after exactly ``rounds`` iterations.
 
@@ -88,6 +90,15 @@ def pagerank(
     ``(node, rank_scaled BIGINT, pr DOUBLE)`` — ``rank_scaled`` is the
     exact fixed-point value (the cross-engine-comparable column),
     ``pr = rank_scaled / scale``.
+
+    ``seeds`` switches to PERSONALIZED PageRank (random walk with
+    restart — Jeh & Widom 2003): the teleport mass (initial ranks, the
+    (1-d) base term, and redistributed dangling mass) concentrates
+    uniformly on the seed set instead of all nodes, yielding
+    seed-relative proximity scores (the "importance to THESE places"
+    ranking a POI-recommendation pipeline wants).  Same exact integer
+    arithmetic — the base literal just becomes conditional on the seed
+    flag carried through the rounds.
 
     Runs a FIXED round count (no convergence stop) so the output is a
     pure function of the input — the determinism the oracle contract
@@ -122,6 +133,16 @@ def pagerank(
         .distinct()
         .join(outd.select("node", "_outden"), "node", "left")
     )
+    if seeds is not None:
+        seed_rel = seeds.select(
+            F.col(node_col).alias("node"),
+            F.lit(True).alias("_seed"),
+        ).distinct()
+        nodes = nodes.join(seed_rel, "node", "left").withColumn(
+            "_seed", F.coalesce(F.col("_seed"), F.lit(False))
+        )
+    else:
+        nodes = nodes.withColumn("_seed", F.lit(True))
     ranks = nodes.repartition("node").localCheckpoint()
     n = ranks.count()
     if n == 0:
@@ -130,15 +151,30 @@ def pagerank(
             F.lit(0).cast("long").alias("rank_scaled"),
             F.lit(0.0).alias("pr"),
         )
+    # teleport-set size: all nodes (classic) or the seed set (PPR)
+    k = (
+        n
+        if seeds is None
+        else ranks.where(F.col("_seed")).count()
+    )
+    if k == 0:
+        raise ValueError(
+            "personalized pagerank needs >= 1 seed present in the graph"
+        )
 
-    # init mass: floor(scale / n) per node (mass lost to flooring is
-    # deterministic and identical in the twin)
-    init = scale // n
-    base = ((scale * (den - num)) // den) // n
+    # init mass: floor(scale / k) per teleport node (mass lost to
+    # flooring is deterministic and identical in the twin)
+    init = scale // k
+    base = ((scale * (den - num)) // den) // k
 
     obs = Observation()
     ranks = (
-        ranks.withColumn("_r", F.lit(init).cast("long"))
+        ranks.withColumn(
+            "_r",
+            F.when(F.col("_seed"), F.lit(init))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
         .observe(
             obs,
             F.sum(
@@ -151,7 +187,7 @@ def pagerank(
     )
     for _ in range(int(rounds)):
         dang = obs.get["dang"] or 0
-        dang_term = ((int(dang) * num) // den) // n
+        dang_term = ((int(dang) * num) // den) // k
         contribs = (
             ranks.where(F.col("_outden").isNotNull())
             .join(e, ranks["node"] == e["_src"])
@@ -170,13 +206,19 @@ def pagerank(
         )
         obs = Observation()
         merged = (
-            ranks.select("node", "_outden")
+            ranks.select("node", "_outden", "_seed")
             .join(contribs, "node", "left")
             .select(
                 "node",
                 "_outden",
+                "_seed",
                 (
-                    F.lit(int(base + dang_term)).cast("long")
+                    F.when(
+                        F.col("_seed"),
+                        F.lit(int(base + dang_term)),
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("long")
                     + F.coalesce(F.col("_c"), F.lit(0))
                 ).alias("_r"),
             )
@@ -209,6 +251,8 @@ def pagerank_oracle_sql(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    seeds_subq: str | None = None,
+    node_col: str = "node",
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the same K rounds unrolled to
     chained MATERIALIZED CTEs (the sssp_oracle_sql pattern — the
@@ -216,27 +260,45 @@ def pagerank_oracle_sql(
     operation is the identical integer multiply / floor-divide (``//``)
     / sum, including the per-round dangling-mass scalar subquery, so
     the result matches the operator bit-for-bit at any round count.
+    ``seeds_subq`` mirrors the personalized mode: the teleport terms
+    become conditional on the seed flag, divided by the seed count.
     """
     num, den = int(damping_num), int(damping_den)
     w_sql = f"CAST({w_col} AS BIGINT)" if w_col else "CAST(1 AS BIGINT)"
     base_a = (scale * (den - num)) // den
+    if seeds_subq is None:
+        nd = (
+            "nd AS MATERIALIZED (SELECT node, outden, TRUE AS seed FROM "
+            "(SELECT DISTINCT node FROM "
+            "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)) "
+            "LEFT JOIN outd USING (node))"
+        )
+    else:
+        nd = (
+            "nd AS MATERIALIZED (SELECT node, outden, "
+            "COALESCE(seed, FALSE) AS seed FROM "
+            "(SELECT DISTINCT node FROM "
+            "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)) "
+            "LEFT JOIN outd USING (node) LEFT JOIN "
+            f"(SELECT DISTINCT {node_col} AS node, TRUE AS seed "
+            f"FROM {seeds_subq}) USING (node))"
+        )
     parts = [
         f"e AS MATERIALIZED (SELECT {src_col} AS src, {dst_col} AS dst, "
         f"{w_sql} AS w FROM {edges_subq})",
         "outd AS MATERIALIZED (SELECT src AS node, SUM(w) AS outden "
         "FROM e GROUP BY src)",
-        "nd AS MATERIALIZED (SELECT node, outden FROM "
-        "(SELECT DISTINCT node FROM "
-        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)) "
-        "LEFT JOIN outd USING (node))",
-        "nc AS MATERIALIZED (SELECT COUNT(*) AS n FROM nd)",
-        f"r0 AS MATERIALIZED (SELECT node, outden, "
-        f"(SELECT {scale} // n FROM nc) AS r FROM nd)",
+        nd,
+        "nc AS MATERIALIZED (SELECT COUNT(*) FILTER (WHERE seed) AS k "
+        "FROM nd)",
+        f"r0 AS MATERIALIZED (SELECT node, outden, seed, "
+        f"CASE WHEN seed THEN (SELECT {scale} // k FROM nc) "
+        "ELSE 0 END AS r FROM nd)",
     ]
     for i in range(int(rounds)):
         dang = (
             f"(SELECT ((COALESCE(SUM(r), 0) * {num}) // {den}) "
-            f"// (SELECT n FROM nc) FROM r{i} WHERE outden IS NULL)"
+            f"// (SELECT k FROM nc) FROM r{i} WHERE outden IS NULL)"
         )
         contribs = (
             f"SELECT e.dst AS node, SUM(((rr.r * {num}) // {den} * e.w) "
@@ -244,9 +306,9 @@ def pagerank_oracle_sql(
             "WHERE rr.outden IS NOT NULL GROUP BY e.dst"
         )
         parts.append(
-            f"r{i + 1} AS MATERIALIZED (SELECT p.node, p.outden, "
-            f"(SELECT {base_a} // n FROM nc) + {dang} + "
-            f"COALESCE(c.c, 0) AS r "
+            f"r{i + 1} AS MATERIALIZED (SELECT p.node, p.outden, p.seed, "
+            f"CASE WHEN p.seed THEN (SELECT {base_a} // k FROM nc) + "
+            f"{dang} ELSE 0 END + COALESCE(c.c, 0) AS r "
             f"FROM r{i} p LEFT JOIN ({contribs}) c USING (node))"
         )
     return (

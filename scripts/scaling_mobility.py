@@ -37,7 +37,10 @@ RUNS = int(os.environ.get("SCALING_RUNS", "3"))
 
 
 def measure(cpus: int) -> dict:
-    from geogeometry_spark.operators.hotspot import mann_kendall_trend
+    from geogeometry_spark.operators.hotspot import (
+        emerging_hotspots,
+        mann_kendall_trend,
+    )
     from geogeometry_spark.operators.trajectory import (
         cell_transitions,
         heading_stats,
@@ -62,7 +65,24 @@ def measure(cpus: int) -> dict:
         "mann_kendall": lambda: mann_kendall_trend(
             fixes, t0=1704067200, bucket_s=14400, n_buckets=12, zoom=8
         ),
+        "emerging": lambda: emerging_hotspots(
+            fixes, t0=1704067200, bucket_s=14400, n_buckets=12, zoom=8
+        ),
     }
+    if os.environ.get("MOBILITY_V85") == "1":
+        from geogeometry_spark.contract import _road_segments
+        from geogeometry_spark.operators.map_match import (
+            segment_speed_percentiles,
+        )
+
+        metro = synthetic_fixes(
+            spark, N_USERS, FIXES_PER_USER, metro=True
+        ).localCheckpoint()
+        metro.count()
+        ops["v85"] = lambda: segment_speed_percentiles(
+            metro, _road_segments(spark), max_dist_m=150.0,
+            max_abs_lat=53.2,
+        )
     out = {}
     for name, build in ops.items():
         build().write.format("noop").mode("overwrite").save()  # warm-up
@@ -88,7 +108,9 @@ def main() -> None:
     lo, hi = str(min(levels)), str(max(levels))
     ratio = max(levels) / min(levels)
     out = {}
-    for op in ("mobility", "heading", "transitions", "mann_kendall"):
+    for op in raw[lo]:
+        if op == "n_fixes":
+            continue
         out[f"{op}_20m"] = {
             **{c: raw[c][op] for c in raw},
             "efficiency_n_to_4n": round(

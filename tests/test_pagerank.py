@@ -98,3 +98,64 @@ def test_fixed_rounds_deterministic(spark):
     a = _ranks(pagerank(e, rounds=6))
     b = _ranks(pagerank(e, rounds=6))
     assert a == b
+
+
+class TestPersonalizedPagerank:
+    def test_teleport_concentrates_on_seed(self, spark):
+        # cycle 0 -> 1 -> 2 -> 0, seed {0}: at the fixed point
+        # pi(0) = 0.15/(1-0.85^3) > pi(1) = 0.85*pi(0) > pi(2).  The
+        # initial mass wave circulates with period 3 and decays by the
+        # damping factor per hop, so 30 rounds leaves < 0.8% residual
+        # — well under the ~4% fixed-point gaps (8 rounds is NOT
+        # enough: the wave still dominates the ordering there).
+        e = _edges(spark, [(0, 1, 1), (1, 2, 1), (2, 0, 1)])
+        seeds = spark.createDataFrame([(0,)], "node int")
+        got = _ranks(pagerank(e, rounds=30, seeds=seeds))
+        assert got[0] > got[1] > got[2]
+
+    def test_unreached_node_scores_zero(self, spark):
+        # 0 -> 1; 2 -> 1: seeding {0} never reaches 2 (no teleport
+        # there, no inbound path)
+        e = _edges(spark, [(0, 1, 1), (2, 1, 1), (1, 0, 1)])
+        seeds = spark.createDataFrame([(0,)], "node int")
+        got = _ranks(pagerank(e, rounds=6, seeds=seeds))
+        assert got[2] == 0 and got[0] > 0 and got[1] > 0
+
+    def test_seed_absent_from_graph_raises(self, spark):
+        e = _edges(spark, [(0, 1, 1), (1, 0, 1)])
+        seeds = spark.createDataFrame([(99,)], "node int")
+        with pytest.raises(ValueError, match="seed"):
+            pagerank(e, rounds=2, seeds=seeds)
+
+    def test_twin_parity_with_seeds_and_dangling(self, spark):
+        rows = [
+            (0, 1, 2), (0, 2, 5), (1, 2, 1), (2, 0, 1),
+            (2, 3, 3), (3, 4, 1), (5, 0, 2), (5, 4, 7),
+        ]
+        e = _edges(spark, rows)
+        seeds = spark.createDataFrame([(0,), (5,)], "node int")
+        got = sorted(
+            pagerank(e, w_col="w", rounds=9, seeds=seeds).collect(),
+            key=lambda r: r["node"],
+        )
+        vals = ", ".join(f"({s}, {d}, {w})" for s, d, w in rows)
+        import duckdb
+
+        sql = pagerank_oracle_sql(
+            f"(SELECT * FROM (VALUES {vals}) t(src, dst, w))",
+            rounds=9,
+            w_col="w",
+            seeds_subq="(SELECT UNNEST([0, 5]) AS node)",
+        )
+        exp = duckdb.sql(sql + " ORDER BY node").fetchall()
+        assert len(got) == len(exp) == 6
+        for g, x in zip(got, exp):
+            assert (g["node"], g["rank_scaled"], g["pr"]) == x
+
+    def test_classic_mode_unchanged_by_seed_flag_plumbing(self, spark):
+        # seeds=None must reproduce the pre-PPR classic values (all
+        # nodes in the teleport set)
+        e = _edges(spark, [(0, 1, 1), (1, 0, 1)])
+        got = _ranks(pagerank(e, rounds=5))
+        assert got[0] == got[1]
+        assert abs(sum(got.values()) - 10**12) < 100
