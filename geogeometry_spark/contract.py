@@ -3758,6 +3758,22 @@ def _mann_kendall_oracle() -> str:
     )
 
 
+def q_quadrat(spark, sf_dir):
+    """Quadrat variance-mean-ratio CSR test (operators/hotspot.py
+    quadrat_dispersion — Fisher 1925 index of dispersion): one-row
+    global clustered/dispersed verdict over occupied z6 tiles, exact
+    BIGINT scalars + pinned IEEE combine."""
+    from .operators.hotspot import quadrat_dispersion
+
+    return quadrat_dispersion(_traj_points(spark, sf_dir), zoom=6)
+
+
+def _quadrat_oracle() -> str:
+    from .operators.hotspot import quadrat_dispersion_oracle_sql
+
+    return quadrat_dispersion_oracle_sql(_TRAJ_SUBQ, zoom=6)
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging-hot-spot analysis (operators/hotspot.py
     emerging_hotspots — Getis-Ord Gi* per space-time-cube bin, then
@@ -4115,6 +4131,7 @@ QUERIES = {
     "emerging_hotspots": q_emerging_hotspots,
     "segment_v85": q_segment_v85,
     "ppr": q_ppr,
+    "quadrat": q_quadrat,
 }
 
 
@@ -4250,6 +4267,7 @@ def _static_oracles() -> dict[str, str]:
         "emerging_hotspots": _emerging_hotspots_oracle(),
         "segment_v85": _segment_v85_oracle(),
         "ppr": _ppr_oracle(),
+        "quadrat": _quadrat_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

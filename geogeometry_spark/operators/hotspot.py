@@ -47,6 +47,8 @@ __all__ = [
     "mann_kendall_trend_oracle_sql",
     "emerging_hotspots",
     "emerging_hotspots_oracle_sql",
+    "quadrat_dispersion",
+    "quadrat_dispersion_oracle_sql",
 ]
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -809,4 +811,77 @@ def emerging_hotspots_oracle_sql(
         "WITH " + ", ".join(parts)
         + f" SELECT tx, ty, n_z, s_stat, var18, {mkz} AS mk_z, "
         f"last_gi_r3, ({trend}) || '_' || ({state}) AS pattern FROM m"
+    )
+
+
+def quadrat_dispersion(
+    points: DataFrame,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Quadrat variance-mean-ratio test for complete spatial
+    randomness (index of dispersion; Fisher 1925, David & Moore 1954;
+    the grid-based companion to :func:`ripley` in operators/density)
+    over occupied zoom-``zoom`` tiles: VMR = s²/x̄ (1 under CSR, > 1
+    clustered, < 1 dispersed), the chi-square statistic
+    (n-1)·VMR with n-1 df, and the standard normal approximation
+    z = sqrt(2·chi²) - sqrt(2·(n-1) - 1).
+
+    Occupied-cell convention and scale shape are exactly Gi*/Moran's:
+    one map-side-combinable count aggregate collapses the point
+    relation, three exact BIGINT scalars (n, Σx, Σx²) collect to the
+    driver, and the statistic combines in a pinned IEEE op order the
+    twin mirrors literally.  Returns one row:
+    (n_cells, sum_cnt, vmr_r6, chi2_r6, z_r6) — NULLs when undefined
+    (n < 2 or zero mean)."""
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    cells = points.groupBy(x.alias("tx"), y.alias("ty")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    row = cells.agg(
+        F.count(F.lit(1)),
+        F.sum("cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")),
+    ).first()
+    n, sx, sxx = int(row[0]), int(row[1] or 0), int(row[2] or 0)
+    vmr = chi2 = z = None
+    if n > 1 and sx > 0:
+        xbar = sx / n
+        s2 = (sxx - n * xbar * xbar) / (n - 1)
+        vmr = s2 / xbar
+        chi2 = (n - 1) * vmr
+        z = math.sqrt(2.0 * chi2) - math.sqrt(2.0 * (n - 1) - 1.0)
+    spark = points.sparkSession
+    rnd = lambda v: F.round(F.lit(v).cast("double"), 6)  # noqa: E731
+    return spark.range(1).select(
+        F.lit(n).alias("n_cells"),
+        F.lit(sx).alias("sum_cnt"),
+        rnd(vmr).alias("vmr_r6"),
+        rnd(chi2).alias("chi2_r6"),
+        rnd(z).alias("z_r6"),
+    )
+
+
+def quadrat_dispersion_oracle_sql(
+    subq: str, zoom: int = 8, lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB twin of :func:`quadrat_dispersion`: same occupied-cell
+    counts, same three exact scalars, literally the same op order."""
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2), "
+        "cstats AS (SELECT count(*) AS n, sum(cnt) AS sx, "
+        "sum(cnt * cnt) AS sxx FROM cells), "
+        "scal AS (SELECT n, sx, "
+        "CASE WHEN n > 1 AND sx > 0 THEN "
+        "((CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n) * "
+        "(CAST(sx AS DOUBLE) / n)) / (n - 1)) / "
+        "(CAST(sx AS DOUBLE) / n) END AS vmr FROM cstats) "
+        "SELECT n AS n_cells, sx AS sum_cnt, "
+        "round(vmr, 6) AS vmr_r6, "
+        "round((n - 1) * vmr, 6) AS chi2_r6, "
+        "round(sqrt(2.0 * ((n - 1) * vmr)) - "
+        "sqrt(2.0 * (n - 1) - 1.0), 6) AS z_r6 FROM scal"
     )

@@ -569,3 +569,62 @@ class TestEmergingHotspots:
         )
         exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
         assert got == exp and len(got) > 0
+
+
+class TestQuadratDispersion:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, lat double, lon double"
+        )
+
+    def test_clustered_pattern_vmr_above_one(self, spark):
+        from geogeometry_spark.operators.hotspot import quadrat_dispersion
+
+        # 30 fixes piled in one cell + 5 singleton cells far apart:
+        # counts (30,1,1,1,1,1) -> strongly clustered
+        rows = [(i, 52.5, 13.4) for i in range(30)] + [
+            (100 + k, -40.0 + k * 10.0, -100.0) for k in range(5)
+        ]
+        r = quadrat_dispersion(self._pts(spark, rows), zoom=6).collect()[0]
+        assert r["n_cells"] == 6 and r["sum_cnt"] == 35
+        assert r["vmr_r6"] > 10 and r["z_r6"] > 1.96
+
+    def test_uniform_counts_vmr_zero(self, spark):
+        from geogeometry_spark.operators.hotspot import quadrat_dispersion
+
+        # one fix per cell: zero variance -> VMR 0 (maximally even)
+        rows = [(k, -40.0 + k * 10.0, -100.0) for k in range(6)]
+        r = quadrat_dispersion(self._pts(spark, rows), zoom=6).collect()[0]
+        assert r["vmr_r6"] == 0.0 and r["chi2_r6"] == 0.0
+        assert r["z_r6"] < 0
+
+    def test_degenerate_single_cell_null(self, spark):
+        from geogeometry_spark.operators.hotspot import quadrat_dispersion
+
+        rows = [(0, 52.5, 13.4), (1, 52.5, 13.4)]
+        r = quadrat_dispersion(self._pts(spark, rows), zoom=6).collect()[0]
+        assert r["n_cells"] == 1
+        assert r["vmr_r6"] is None and r["z_r6"] is None
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.hotspot import (
+            quadrat_dispersion,
+            quadrat_dispersion_oracle_sql,
+        )
+
+        rows = [
+            (i, 20.0 + ((i * 7) % 5) * 11.0, ((i * 13) % 7) * 17.0 - 60.0)
+            for i in range(97)
+        ]
+        got = tuple(
+            quadrat_dispersion(self._pts(spark, rows), zoom=6).collect()[0]
+        )
+        vals = ", ".join(f"({e}, {la!r}, {lo!r})" for e, la, lo in rows)
+        sql = quadrat_dispersion_oracle_sql(
+            f"(SELECT * FROM (VALUES {vals}) t(event_id, lat, lon))",
+            zoom=6,
+        )
+        exp = duckdb.sql(sql).fetchall()[0]
+        assert got == exp
