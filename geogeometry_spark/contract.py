@@ -3774,6 +3774,22 @@ def _quadrat_oracle() -> str:
     return quadrat_dispersion_oracle_sql(_TRAJ_SUBQ, zoom=6)
 
 
+def q_lisa(spark, sf_dir):
+    """Local Moran's I / LISA (operators/hotspot.py local_morans_i —
+    Anselin 1995): per-z8-cell local autocorrelation of fix counts
+    with HH/LL/HL/LH quadrant labels, exact-BIGINT moment sums +
+    pinned per-row IEEE combine, 8-address cell-relation spread."""
+    from .operators.hotspot import local_morans_i
+
+    return local_morans_i(_traj_points(spark, sf_dir), zoom=8)
+
+
+def _lisa_oracle() -> str:
+    from .operators.hotspot import local_morans_i_oracle_sql
+
+    return local_morans_i_oracle_sql(_TRAJ_SUBQ, zoom=8)
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging-hot-spot analysis (operators/hotspot.py
     emerging_hotspots — Getis-Ord Gi* per space-time-cube bin, then
@@ -4132,6 +4148,7 @@ QUERIES = {
     "segment_v85": q_segment_v85,
     "ppr": q_ppr,
     "quadrat": q_quadrat,
+    "lisa": q_lisa,
 }
 
 
@@ -4268,6 +4285,7 @@ def _static_oracles() -> dict[str, str]:
         "segment_v85": _segment_v85_oracle(),
         "ppr": _ppr_oracle(),
         "quadrat": _quadrat_oracle(),
+        "lisa": _lisa_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -49,6 +49,8 @@ __all__ = [
     "emerging_hotspots_oracle_sql",
     "quadrat_dispersion",
     "quadrat_dispersion_oracle_sql",
+    "local_morans_i",
+    "local_morans_i_oracle_sql",
 ]
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -884,4 +886,210 @@ def quadrat_dispersion_oracle_sql(
         "round((n - 1) * vmr, 6) AS chi2_r6, "
         "round(sqrt(2.0 * ((n - 1) * vmr)) - "
         "sqrt(2.0 * (n - 1) - 1.0), 6) AS z_r6 FROM scal"
+    )
+
+
+def local_morans_i(
+    points: DataFrame,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Local Moran's I (LISA — Anselin 1995, "Local Indicators of
+    Spatial Association") of point counts binned to WebMercator tiles
+    at ``zoom``: the per-cell decomposition of :func:`morans_i`, with
+    a cluster-quadrant label per cell (HH/LL high-high and low-low
+    cores, HL/LH spatial outliers).  The reference stops at heat-map
+    counts; Gi* (``getis_ord_gi``) answers "is this cell hot?", LISA
+    answers "is this cell part of a cluster or an outlier against its
+    neighborhood?".
+
+    Same lattice conventions as Gi*/Moran: binary queen weights on the
+    8-neighborhood, x wrapping mod 2^zoom, restricted to OCCUPIED
+    cells.  Scale shape identical: one map-side-combinable count
+    collapse, a 5-scalar exact-BIGINT moment aggregate to the driver
+    (n, Σx, Σx², Σx³, Σx⁴ — Σ(x-x̄)² and Σ(x-x̄)⁴ expand binomially so
+    no float enters a shuffle), an 8-address spread of the CELL
+    relation, and one equi-join; every per-row statistic is then
+    native Column math over two BIGINTs (deg, nsum) and driver
+    literals, in a pinned IEEE op order the DuckDB twin mirrors
+    literally.
+
+    Per cell i with deviate zᵢ = xᵢ - x̄, m₂ = Σz²/n:
+    Iᵢ = (zᵢ/m₂)·Σⱼwᵢⱼzⱼ; E[Iᵢ] = -wᵢ/(n-1) and Var[Iᵢ] under
+    randomization (Anselin 1995 eq. 7-8 with binary weights, so
+    wᵢ₍₂₎ = wᵢ and 2wᵢ₍ₖₕ₎ = wᵢ² - wᵢ):
+    wᵢ(n-b₂)/(n-1) + (wᵢ²-wᵢ)(2b₂-n)/((n-1)(n-2)) - (wᵢ/(n-1))²
+    with kurtosis b₂ = m₄/m₂².
+
+    Returns (tx, ty, cnt, deg, lag_r6, ii_r6, z_r6, quad): the cell,
+    its count, occupied-neighbor count, spatial lag Σⱼwᵢⱼzⱼ, local I,
+    the permutation-free z-score (NULL when undefined: n < 3, zero
+    variance, deg = 0, or Var ≤ 0), and the quadrant label from the
+    signs of (zᵢ, lag) — sign compares on bit-identical doubles are
+    exact, so the label is deterministic cross-engine."""
+    n_tiles = 1 << zoom
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    cells = (
+        points.groupBy(x.alias("tx"), y.alias("ty"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    c = F.col("cnt")
+    stats = cells.agg(
+        F.count(F.lit(1)),
+        F.sum(c),
+        F.sum(c * c),
+        F.sum(c * c * c),
+        F.sum(c * c * c * c),
+    ).first()
+    n = int(stats[0])
+    sx, sxx, sx3, sx4 = (int(stats[k] or 0) for k in (1, 2, 3, 4))
+
+    # pinned driver-side scalar combine — mirrored literally by the twin
+    xbar = sx / n if n else 0.0
+    ssd = sxx - n * xbar * xbar  # Σ(x-x̄)²  (float, exact-int inputs)
+    m2 = ssd / n if n else 0.0
+    z4 = (
+        sx4
+        - 4.0 * xbar * sx3
+        + 6.0 * (xbar * xbar) * sxx
+        - 4.0 * (xbar * xbar * xbar) * sx
+        + n * (xbar * xbar * xbar * xbar)
+    )
+    m4 = z4 / n if n else 0.0
+    b2 = m4 / (m2 * m2) if m2 > 0 else 0.0
+    defined = n > 2 and m2 > 0
+
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _NBR_OFFSETS
+        ]
+    )
+    spread = (
+        cells.withColumn("_o", F.explode(offs))
+        .select(
+            F.pmod(F.col("tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("nx"),
+            (F.col("ty") + F.col("_o.dy")).alias("ny"),
+            F.col("cnt").alias("cnt_j"),
+        )
+        .groupBy("nx", "ny")
+        .agg(F.count(F.lit(1)).alias("deg"), F.sum("cnt_j").alias("nsum"))
+    )
+    joined = cells.join(
+        spread,
+        (F.col("tx") == F.col("nx")) & (F.col("ty") == F.col("ny")),
+        "left",
+    ).select(
+        "tx",
+        "ty",
+        "cnt",
+        F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+        F.coalesce(F.col("nsum"), F.lit(0)).alias("nsum"),
+    )
+
+    d = F.col("deg").cast("double")
+    zi = F.col("cnt").cast("double") - F.lit(xbar)
+    lag = F.col("nsum").cast("double") - d * F.lit(xbar)
+    # + 0.0 normalizes IEEE -0.0 (zi<0 × lag=0.0 when deg=0) to +0.0
+    # so the cross-engine value hash agrees on the sign of zero
+    ii = (zi / F.lit(m2)) * lag + F.lit(0.0) if m2 > 0 else F.lit(None)
+    n_d, b2_d = F.lit(float(n)), F.lit(b2)
+    e_i = -d / F.lit(float(n - 1) if n > 1 else 1.0)
+    var = (
+        d * (n_d - b2_d) / F.lit(float(n - 1) if n > 1 else 1.0)
+        + (d * d - d)
+        * (F.lit(2.0) * b2_d - n_d)
+        / F.lit(float((n - 1) * (n - 2)) if n > 2 else 1.0)
+        - e_i * e_i
+    )
+    z = F.when(
+        F.lit(defined) & (F.col("deg") > 0) & (var > 0),
+        (ii - e_i) / F.sqrt(var) + F.lit(0.0),
+    )
+    quad = F.when(~F.lit(defined), F.lit(None).cast("string")).otherwise(
+        F.when((zi >= 0) & (lag >= 0), F.lit("HH"))
+        .when((zi < 0) & (lag < 0), F.lit("LL"))
+        .when(zi >= 0, F.lit("HL"))
+        .otherwise(F.lit("LH"))
+    )
+    ii_out = F.when(F.lit(defined), ii) if m2 > 0 else F.lit(None).cast(
+        "double"
+    )
+    lag_out = F.when(F.lit(defined), lag)
+    return joined.select(
+        "tx",
+        "ty",
+        "cnt",
+        "deg",
+        F.round(lag_out, 6).alias("lag_r6"),
+        F.round(ii_out, 6).alias("ii_r6"),
+        F.round(z, 6).alias("z_r6"),
+        quad.alias("quad"),
+    )
+
+
+def local_morans_i_oracle_sql(
+    subq: str, zoom: int = 8, lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB twin of :func:`local_morans_i`: identical occupied-cell
+    lattice, exact-integer moment sums, 8-address spread, and
+    literally the same per-row op order (including the ``+ 0.0``
+    negative-zero normalization)."""
+    n_tiles = 1 << zoom
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _NBR_OFFSETS)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2), "
+        "mstats AS (SELECT count(*) AS n, "
+        "CAST(sum(cnt) AS DOUBLE) AS sx, "
+        "CAST(sum(cnt * cnt) AS DOUBLE) AS sxx, "
+        "CAST(sum(cnt * cnt * cnt) AS DOUBLE) AS sx3, "
+        "CAST(sum(cnt * cnt * cnt * cnt) AS DOUBLE) AS sx4 FROM cells), "
+        "scal0 AS (SELECT n, sx / n AS xbar, sx, sxx, sx3, sx4 "
+        "FROM mstats), "
+        "scal1 AS (SELECT n, xbar, "
+        "(sxx - n * xbar * xbar) / n AS m2, "
+        "(sx4 - 4.0 * xbar * sx3 + 6.0 * (xbar * xbar) * sxx "
+        "- 4.0 * (xbar * xbar * xbar) * sx "
+        "+ n * (xbar * xbar * xbar * xbar)) / n AS m4 FROM scal0), "
+        "scal AS (SELECT n, xbar, m2, "
+        "CASE WHEN m2 > 0 THEN m4 / (m2 * m2) ELSE 0.0 END AS b2, "
+        "(n > 2 AND m2 > 0) AS defined FROM scal1), "
+        f"offsets(dx, dy) AS (VALUES {offs}), "
+        "spread AS (SELECT "
+        f"((tx + dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "ty + dy AS ny, count(*) AS deg, sum(cnt) AS nsum "
+        "FROM cells CROSS JOIN offsets GROUP BY 1, 2), "
+        "j AS (SELECT c.tx, c.ty, c.cnt, "
+        "coalesce(s.deg, 0) AS deg, coalesce(s.nsum, 0) AS nsum "
+        "FROM cells c LEFT JOIN spread s "
+        "ON c.tx = s.nx AND c.ty = s.ny), "
+        "r AS (SELECT tx, ty, cnt, deg, n, xbar, m2, b2, defined, "
+        "CAST(deg AS DOUBLE) AS d, "
+        "CAST(cnt AS DOUBLE) - xbar AS zi, "
+        "CAST(nsum AS DOUBLE) - CAST(deg AS DOUBLE) * xbar AS lag "
+        "FROM j CROSS JOIN scal), "
+        "r2 AS (SELECT *, "
+        "CASE WHEN m2 > 0 THEN (zi / m2) * lag + 0.0 END AS ii, "
+        "-d / (CASE WHEN n > 1 THEN CAST(n - 1 AS DOUBLE) "
+        "ELSE 1.0 END) AS e_i, "
+        "d * (n - b2) / (CASE WHEN n > 1 THEN CAST(n - 1 AS DOUBLE) "
+        "ELSE 1.0 END) + (d * d - d) * (2.0 * b2 - n) / "
+        "(CASE WHEN n > 2 THEN CAST((n - 1) * (n - 2) AS DOUBLE) "
+        "ELSE 1.0 END) - (-d / (CASE WHEN n > 1 THEN "
+        "CAST(n - 1 AS DOUBLE) ELSE 1.0 END)) * "
+        "(-d / (CASE WHEN n > 1 THEN CAST(n - 1 AS DOUBLE) "
+        "ELSE 1.0 END)) AS var FROM r) "
+        "SELECT tx, ty, cnt, deg, "
+        "CASE WHEN defined THEN round(lag, 6) END AS lag_r6, "
+        "CASE WHEN defined THEN round(ii, 6) END AS ii_r6, "
+        "CASE WHEN defined AND deg > 0 AND var > 0 THEN "
+        "round((ii - e_i) / sqrt(var) + 0.0, 6) END AS z_r6, "
+        "CASE WHEN NOT defined THEN NULL "
+        "WHEN zi >= 0 AND lag >= 0 THEN 'HH' "
+        "WHEN zi < 0 AND lag < 0 THEN 'LL' "
+        "WHEN zi >= 0 THEN 'HL' ELSE 'LH' END AS quad FROM r2"
     )

@@ -628,3 +628,95 @@ class TestQuadratDispersion:
         )
         exp = duckdb.sql(sql).fetchall()[0]
         assert got == exp
+
+
+class TestLocalMoransI:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, lat double, lon double"
+        )
+
+    def test_hotspot_core_is_hh(self, spark):
+        from geogeometry_spark.operators.hotspot import local_morans_i
+
+        # dense 3x3 block of heavy cells in a field of light
+        # singletons: block centers come out HH.  Equatorial lats 0/5/
+        # 10 land in adjacent z6 mercator rows (y 32/31/30); at higher
+        # latitudes 5-deg spacing would skip rows.
+        rows = []
+        rid = 0
+        for bx in range(3):
+            for by in range(3):
+                for _ in range(20):
+                    rows.append((rid, 0.0 + by * 5.0, 10.0 + bx * 5.0))
+                    rid += 1
+        for k in range(8):
+            rows.append((10_000 + k, -40.0, -150.0 + k * 7.0))
+        df = local_morans_i(self._pts(spark, rows), zoom=6)
+        out = {(r["tx"], r["ty"]): r for r in df.collect()}
+        heavy = [r for r in out.values() if r["cnt"] == 20]
+        assert len(heavy) == 9
+        # the center cell of the block has 8 heavy neighbors -> HH
+        center = [r for r in heavy if r["deg"] == 8]
+        assert center and all(r["quad"] == "HH" for r in center)
+        assert all(r["z_r6"] is not None and r["z_r6"] > 0 for r in center)
+        # isolated singletons (below mean, no neighbors): lag is
+        # exactly 0.0 which is not < 0, so the quadrant is LH (low
+        # cell, zero-lag neighborhood) with undefined z
+        lone = [r for r in out.values() if r["deg"] == 0]
+        assert lone and all(r["quad"] == "LH" for r in lone)
+        assert all(r["lag_r6"] == 0.0 and r["z_r6"] is None for r in lone)
+
+    def test_outlier_is_hl(self, spark):
+        from geogeometry_spark.operators.hotspot import local_morans_i
+
+        # one heavy cell surrounded by singleton neighbors: HL outlier
+        rows = [(i, 5.0, 10.0) for i in range(50)]
+        rid = 100
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) != (0, 0):
+                    rows.append((rid, 5.0 + dy * 5.0, 10.0 + dx * 5.0))
+                    rid += 1
+        # background mass so the global mean sits near 1
+        for k in range(30):
+            rows.append((1000 + k, -40.0, -170.0 + k * 5.0))
+        df = local_morans_i(self._pts(spark, rows), zoom=6)
+        hot = [r for r in df.collect() if r["cnt"] == 50]
+        assert len(hot) == 1 and hot[0]["quad"] == "HL"
+        assert hot[0]["ii_r6"] < 0  # high cell, low-lag neighborhood
+
+    def test_degenerate_two_cells_null(self, spark):
+        from geogeometry_spark.operators.hotspot import local_morans_i
+
+        rows = [(0, 40.0, 10.0), (1, -40.0, -150.0)]
+        df = local_morans_i(self._pts(spark, rows), zoom=6)
+        for r in df.collect():
+            assert r["ii_r6"] is None and r["z_r6"] is None
+            assert r["quad"] is None
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.hotspot import (
+            local_morans_i,
+            local_morans_i_oracle_sql,
+        )
+
+        rows = [
+            (i, 25.0 + ((i * 7) % 6) * 9.0, ((i * 13) % 9) * 13.0 - 70.0)
+            for i in range(211)
+        ]
+        got = sorted(
+            map(
+                tuple,
+                local_morans_i(self._pts(spark, rows), zoom=6).collect(),
+            )
+        )
+        vals = ", ".join(f"({e}, {la!r}, {lo!r})" for e, la, lo in rows)
+        sql = local_morans_i_oracle_sql(
+            f"(SELECT * FROM (VALUES {vals}) t(event_id, lat, lon))",
+            zoom=6,
+        )
+        exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+        assert got == exp and len(got) > 0
