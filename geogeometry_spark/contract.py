@@ -3774,6 +3774,38 @@ def _quadrat_oracle() -> str:
     return quadrat_dispersion_oracle_sql(_TRAJ_SUBQ, zoom=6)
 
 
+def q_gearys_c(spark, sf_dir):
+    """Global Geary's C autocorrelation (operators/hotspot.py
+    gearys_c — Geary 1954, z under normality per Cliff & Ord 1981)
+    over z8 tile bins: pairwise-contrast companion to morans_i, all
+    distributed aggregates exact BIGINTs, pinned scalar combine."""
+    from .operators.hotspot import gearys_c
+
+    return gearys_c(_traj_points(spark, sf_dir), zoom=8)
+
+
+def _gearys_c_oracle() -> str:
+    from .operators.hotspot import gearys_c_oracle_sql
+
+    return gearys_c_oracle_sql(_TRAJ_SUBQ, zoom=8)
+
+
+def q_join_counts(spark, sf_dir):
+    """Black-white join-count statistics (operators/hotspot.py
+    join_counts — Moran 1948, free-sampling moments per Cliff & Ord
+    1981 / Sokal & Oden 1978) over z8 tile bins: exact-integer
+    above-mean marks, BB/WW/BW joins, z tests for both BB and BW."""
+    from .operators.hotspot import join_counts
+
+    return join_counts(_traj_points(spark, sf_dir), zoom=8)
+
+
+def _join_counts_oracle() -> str:
+    from .operators.hotspot import join_counts_oracle_sql
+
+    return join_counts_oracle_sql(_TRAJ_SUBQ, zoom=8)
+
+
 def q_lisa(spark, sf_dir):
     """Local Moran's I / LISA (operators/hotspot.py local_morans_i —
     Anselin 1995): per-z8-cell local autocorrelation of fix counts
@@ -4149,6 +4181,8 @@ QUERIES = {
     "ppr": q_ppr,
     "quadrat": q_quadrat,
     "lisa": q_lisa,
+    "gearys_c": q_gearys_c,
+    "join_counts": q_join_counts,
 }
 
 
@@ -4286,6 +4320,8 @@ def _static_oracles() -> dict[str, str]:
         "ppr": _ppr_oracle(),
         "quadrat": _quadrat_oracle(),
         "lisa": _lisa_oracle(),
+        "gearys_c": _gearys_c_oracle(),
+        "join_counts": _join_counts_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

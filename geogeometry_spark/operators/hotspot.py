@@ -51,6 +51,10 @@ __all__ = [
     "quadrat_dispersion_oracle_sql",
     "local_morans_i",
     "local_morans_i_oracle_sql",
+    "gearys_c",
+    "gearys_c_oracle_sql",
+    "join_counts",
+    "join_counts_oracle_sql",
 ]
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -1092,4 +1096,314 @@ def local_morans_i_oracle_sql(
         "WHEN zi >= 0 AND lag >= 0 THEN 'HH' "
         "WHEN zi < 0 AND lag < 0 THEN 'LL' "
         "WHEN zi >= 0 THEN 'HL' ELSE 'LH' END AS quad FROM r2"
+    )
+
+
+def gearys_c(
+    points: DataFrame,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Global Geary's C spatial autocorrelation (Geary 1954; z-score
+    under the normality assumption, Cliff & Ord 1981 ch. 2) of point
+    counts binned to WebMercator tiles at ``zoom`` — the
+    squared-difference companion to :func:`morans_i`: C ≈ 1 under
+    CSR, C < 1 clustered (neighbors alike), C > 1 dispersed.  Moran's
+    I weights cross-products around the global mean (hot/cold CORES
+    dominate); Geary's C weights pairwise contrasts, so it is the more
+    sensitive of the two to local edges/boundaries — the standard
+    reason analysts report both.
+
+    Identical lattice conventions and scale shape as :func:`morans_i`
+    (binary queen adjacency over OCCUPIED cells, x wrap mod 2^zoom):
+    one map-side-combinable collapse, 8-address spread of the cell
+    relation, one equi-join; every distributed aggregate — n, Σx, Σx²,
+    S0 = #ordered adjacent pairs, Σ(xᵢ-xⱼ)² over ordered pairs,
+    Σdegᵢ² — is an exact BIGINT, floats only in the driver-side
+    combine whose op order the DuckDB twin mirrors literally.
+
+    C = ((n-1)·Σwᵢⱼ(xᵢ-xⱼ)²) / (2·S0·Σ(xᵢ-x̄)²); E[C] = 1; under
+    normality Var[C] = ((2S1 + S2)(n-1) - 4S0²) / (2(n+1)S0²) with
+    S1 = 2S0 and S2 = 4Σdeg² for symmetric binary weights.
+
+    Returns one row: (n_cells, s0, gearys_c_r6, z_r6) with
+    z = (C - 1)/√Var (negative ⇒ clustered) — NULLs when undefined
+    (n < 2, zero variance, or no adjacent occupied pair)."""
+    n_tiles = 1 << zoom
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    cells = (
+        points.groupBy(x.alias("tx"), y.alias("ty"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    stats = cells.agg(
+        F.count(F.lit(1)),
+        F.sum("cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")),
+    ).first()
+    n, sx, sxx = int(stats[0]), int(stats[1] or 0), int(stats[2] or 0)
+
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _NBR_OFFSETS
+        ]
+    )
+    spread = cells.withColumn("_o", F.explode(offs)).select(
+        F.pmod(F.col("tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("ty") + F.col("_o.dy")).alias("ny"),
+        F.col("cnt").alias("cnt_j"),
+    )
+    pairs = cells.join(
+        spread,
+        (F.col("tx") == F.col("nx")) & (F.col("ty") == F.col("ny")),
+    ).select("tx", "ty", F.col("cnt").alias("cnt_i"), "cnt_j")
+    diff = F.col("cnt_i") - F.col("cnt_j")
+    prow = pairs.agg(F.count(F.lit(1)), F.sum(diff * diff)).first()
+    s0, sq = int(prow[0]), int(prow[1] or 0)
+    drow = (
+        pairs.groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum(F.col("deg") * F.col("deg")))
+        .first()
+    )
+    sd2 = int(drow[0] or 0)
+
+    spark = points.sparkSession
+    # pinned scalar op order — the oracle twin mirrors it literally
+    c_stat = z = None
+    if n > 1 and s0 > 0:
+        xbar = sx / n
+        ssd = sxx - n * xbar * xbar
+        # float(sq)/float(s0) FIRST (DuckDB's CAST-then-multiply):
+        # (n-1)*sq as an exact Python int would round once at the end,
+        # while the twin rounds sq to double before multiplying —
+        # divergent ulps once (n-1)*sq crosses 2^53
+        sqf, s0f = float(sq), float(s0)
+        if ssd > 0:
+            c_stat = ((n - 1) * sqf) / (2.0 * s0 * ssd)
+            s1 = 2.0 * s0
+            s2 = 4.0 * sd2
+            var = ((2.0 * s1 + s2) * (n - 1) - 4.0 * (s0f * s0)) / (
+                2.0 * (n + 1) * (s0f * s0)
+            )
+            if var > 0:
+                z = (c_stat - 1.0) / math.sqrt(var)
+    rnd = lambda v: F.round(F.lit(v).cast("double"), 6)  # noqa: E731
+    return spark.range(1).select(
+        F.lit(n).alias("n_cells"),
+        F.lit(s0).alias("s0"),
+        rnd(c_stat).alias("gearys_c_r6"),
+        rnd(z).alias("z_r6"),
+    )
+
+
+def gearys_c_oracle_sql(
+    subq: str, zoom: int = 8, lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB twin of :func:`gearys_c`: same lattice, same exact
+    integer aggregates, literally the same scalar op order."""
+    n_tiles = 1 << zoom
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _NBR_OFFSETS)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2), "
+        "cstats AS (SELECT count(*) AS n, "
+        "CAST(sum(cnt) AS DOUBLE) AS sx, "
+        "CAST(sum(cnt * cnt) AS DOUBLE) AS sxx FROM cells), "
+        f"offsets(dx, dy) AS (VALUES {offs}), "
+        "spread AS (SELECT "
+        f"((tx + dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "ty + dy AS ny, cnt AS cnt_j FROM cells CROSS JOIN offsets), "
+        "pairs AS (SELECT c.tx, c.ty, c.cnt AS cnt_i, s.cnt_j "
+        "FROM cells c JOIN spread s ON c.tx = s.nx AND c.ty = s.ny), "
+        "pstats AS (SELECT count(*) AS s0, "
+        "CAST(sum((cnt_i - cnt_j) * (cnt_i - cnt_j)) AS DOUBLE) AS sq "
+        "FROM pairs), "
+        "dstats AS (SELECT CAST(coalesce(sum(deg * deg), 0) AS DOUBLE) "
+        "AS sd2 FROM (SELECT count(*) AS deg FROM pairs "
+        "GROUP BY tx, ty)), "
+        "scal AS (SELECT n, s0, sx / n AS xbar, "
+        "sxx - n * (sx / n) * (sx / n) AS ssd, sq, sd2 "
+        "FROM cstats CROSS JOIN pstats CROSS JOIN dstats), "
+        "res AS (SELECT n, s0, "
+        "CASE WHEN n > 1 AND s0 > 0 AND ssd > 0 THEN "
+        "((n - 1) * sq) / (2.0 * s0 * ssd) END AS c_stat, "
+        "CASE WHEN n > 1 AND s0 > 0 AND ssd > 0 THEN "
+        "((2.0 * (2.0 * s0) + (4.0 * sd2)) * (n - 1) "
+        "- 4.0 * (CAST(s0 AS DOUBLE) * s0)) / "
+        "(2.0 * (n + 1) * (CAST(s0 AS DOUBLE) * s0)) END AS var "
+        "FROM scal) "
+        "SELECT n AS n_cells, s0, round(c_stat, 6) AS gearys_c_r6, "
+        "CASE WHEN var > 0 THEN "
+        "round((c_stat - 1.0) / sqrt(var), 6) END AS z_r6 FROM res"
+    )
+
+
+def join_counts(
+    points: DataFrame,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Black-white join-count statistics (Moran 1948; Cliff & Ord 1981
+    ch. 1; free-sampling moments as in Sokal & Oden 1978) over point
+    counts binned to WebMercator tiles at ``zoom`` — the
+    binary-marked member of the global-autocorrelation trio (Moran's
+    I / Geary's C / join counts): cells are BLACK when their count is
+    strictly above the study-area mean, and the statistic asks whether
+    like-marked cells adjoin more (BB/WW inflated, BW deflated ⇒
+    clustered) or less (BW inflated ⇒ checkerboard) than chance.
+
+    The black mark is the exact integer predicate ``cnt·n > Σx`` —
+    no float ever decides a mark, so the marked lattice is
+    bit-reproducible cross-engine.  Same occupied-cell queen-adjacency
+    conventions and scale shape as :func:`morans_i`; every distributed
+    aggregate (n, Σx, nb, ordered BB/WW/BW pair counts, Σdeg²) is an
+    exact BIGINT.  Unordered joins A = S0/2, D = ½Σd(d−1) =
+    (Σd²−S0)/2 are exact integer divisions of even integers.
+
+    Free-sampling moments with p = nb/n, q = 1-p:
+    E[BB] = A·p², Var[BB] = A·p² + 2D·p³ − (A+2D)·p⁴;
+    E[BW] = 2A·p·q, Var[BW] = 2(A+D)·p·q − 4(A+2D)·p²·q².
+
+    Returns one row: (n_cells, n_black, joins, bb, ww, bw, z_bb_r6,
+    z_bw_r6) — z-scores NULL when degenerate (n < 2, no joins, all
+    cells one color, or Var ≤ 0)."""
+    n_tiles = 1 << zoom
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    cells = (
+        points.groupBy(x.alias("tx"), y.alias("ty"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    stats = cells.agg(F.count(F.lit(1)), F.sum("cnt")).first()
+    n, sx = int(stats[0]), int(stats[1] or 0)
+    # exact integer mark: cnt > mean  <=>  cnt * n > Σx
+    marked = cells.select(
+        "tx",
+        "ty",
+        (F.col("cnt") * F.lit(n) > F.lit(sx)).cast("int").alias("blk"),
+    ).localCheckpoint()
+    nb = int(marked.agg(F.sum("blk")).first()[0] or 0)
+
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _NBR_OFFSETS
+        ]
+    )
+    spread = marked.withColumn("_o", F.explode(offs)).select(
+        F.pmod(F.col("tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("ty") + F.col("_o.dy")).alias("ny"),
+        F.col("blk").alias("blk_j"),
+    )
+    pairs = marked.join(
+        spread,
+        (F.col("tx") == F.col("nx")) & (F.col("ty") == F.col("ny")),
+    ).select("tx", "ty", F.col("blk").alias("blk_i"), "blk_j")
+    bi, bj = F.col("blk_i"), F.col("blk_j")
+    prow = pairs.agg(
+        F.count(F.lit(1)),
+        F.sum(bi * bj),
+        F.sum((1 - bi) * (1 - bj)),
+        F.sum(bi * (1 - bj) + (1 - bi) * bj),
+    ).first()
+    s0 = int(prow[0])
+    bb2, ww2, bw2 = (int(prow[k] or 0) for k in (1, 2, 3))
+    sd2 = int(
+        pairs.groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum(F.col("deg") * F.col("deg")))
+        .first()[0]
+        or 0
+    )
+    # symmetric adjacency: every unordered join appears twice
+    a, bb, ww, bw = s0 // 2, bb2 // 2, ww2 // 2, bw2 // 2
+    d = (sd2 - s0) // 2
+
+    # pinned scalar op order — the oracle twin mirrors it literally
+    z_bb = z_bw = None
+    if n > 1 and a > 0 and 0 < nb < n:
+        p = nb / n
+        q = 1.0 - p
+        af, df = float(a), float(d)
+        e_bb = af * (p * p)
+        v_bb = af * (p * p) + 2.0 * df * (p * p * p) - (
+            af + 2.0 * df
+        ) * (p * p * p * p)
+        if v_bb > 0:
+            z_bb = (bb - e_bb) / math.sqrt(v_bb)
+        e_bw = 2.0 * af * (p * q)
+        v_bw = 2.0 * (af + df) * (p * q) - 4.0 * (af + 2.0 * df) * (
+            (p * p) * (q * q)
+        )
+        if v_bw > 0:
+            z_bw = (bw - e_bw) / math.sqrt(v_bw)
+    spark = points.sparkSession
+    rnd = lambda v: F.round(F.lit(v).cast("double"), 6)  # noqa: E731
+    return spark.range(1).select(
+        F.lit(n).alias("n_cells"),
+        F.lit(nb).alias("n_black"),
+        F.lit(a).alias("joins"),
+        F.lit(bb).alias("bb"),
+        F.lit(ww).alias("ww"),
+        F.lit(bw).alias("bw"),
+        rnd(z_bb).alias("z_bb_r6"),
+        rnd(z_bw).alias("z_bw_r6"),
+    )
+
+
+def join_counts_oracle_sql(
+    subq: str, zoom: int = 8, lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB twin of :func:`join_counts`: same exact-integer marks,
+    pair counts, and literally the same pinned scalar op order."""
+    n_tiles = 1 << zoom
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _NBR_OFFSETS)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2), "
+        "cstats AS (SELECT count(*) AS n, sum(cnt) AS sx FROM cells), "
+        "marked AS (SELECT tx, ty, "
+        "CASE WHEN cnt * n > sx THEN 1 ELSE 0 END AS blk "
+        "FROM cells CROSS JOIN cstats), "
+        "mstats AS (SELECT sum(blk) AS nb FROM marked), "
+        f"offsets(dx, dy) AS (VALUES {offs}), "
+        "spread AS (SELECT "
+        f"((tx + dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "ty + dy AS ny, blk AS blk_j FROM marked CROSS JOIN offsets), "
+        "pairs AS (SELECT m.tx, m.ty, m.blk AS blk_i, s.blk_j "
+        "FROM marked m JOIN spread s ON m.tx = s.nx AND m.ty = s.ny), "
+        "pstats AS (SELECT count(*) AS s0, "
+        "coalesce(sum(blk_i * blk_j), 0) AS bb2, "
+        "coalesce(sum((1 - blk_i) * (1 - blk_j)), 0) AS ww2, "
+        "coalesce(sum(blk_i * (1 - blk_j) + (1 - blk_i) * blk_j), 0) "
+        "AS bw2 FROM pairs), "
+        "dstats AS (SELECT coalesce(sum(deg * deg), 0) AS sd2 "
+        "FROM (SELECT count(*) AS deg FROM pairs GROUP BY tx, ty)), "
+        "ints AS (SELECT n, nb, s0 // 2 AS a, bb2 // 2 AS bb, "
+        "ww2 // 2 AS ww, bw2 // 2 AS bw, (sd2 - s0) // 2 AS d "
+        "FROM cstats CROSS JOIN mstats CROSS JOIN pstats "
+        "CROSS JOIN dstats), "
+        "scal AS (SELECT *, CAST(nb AS DOUBLE) / n AS p, "
+        "1.0 - (CAST(nb AS DOUBLE) / n) AS q, "
+        "CAST(a AS DOUBLE) AS af, CAST(d AS DOUBLE) AS df, "
+        "(n > 1 AND a > 0 AND nb > 0 AND nb < n) AS ok FROM ints), "
+        "res AS (SELECT *, "
+        "CASE WHEN ok THEN af * (p * p) END AS e_bb, "
+        "CASE WHEN ok THEN af * (p * p) + 2.0 * df * (p * p * p) "
+        "- (af + 2.0 * df) * (p * p * p * p) END AS v_bb, "
+        "CASE WHEN ok THEN 2.0 * af * (p * q) END AS e_bw, "
+        "CASE WHEN ok THEN 2.0 * (af + df) * (p * q) "
+        "- 4.0 * (af + 2.0 * df) * ((p * p) * (q * q)) END AS v_bw "
+        "FROM scal) "
+        "SELECT n AS n_cells, nb AS n_black, a AS joins, bb, ww, bw, "
+        "CASE WHEN v_bb > 0 THEN round((bb - e_bb) / sqrt(v_bb), 6) "
+        "END AS z_bb_r6, "
+        "CASE WHEN v_bw > 0 THEN round((bw - e_bw) / sqrt(v_bw), 6) "
+        "END AS z_bw_r6 FROM res"
     )

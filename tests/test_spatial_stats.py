@@ -720,3 +720,132 @@ class TestLocalMoransI:
         )
         exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
         assert got == exp and len(got) > 0
+
+
+class TestGearysC:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, lat double, lon double"
+        )
+
+    def _chain(self, counts):
+        # 1-D chain of adjacent z6 cells along the equator row: z6
+        # tiles are 5.625 deg wide, so lon = 10 + 5.625*k hits
+        # consecutive tx with constant ty
+        rows, rid = [], 0
+        for k, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((rid, 0.0, 10.0 + 5.625 * k))
+                rid += 1
+        return rows
+
+    def test_clustered_chain_c_below_one(self, spark):
+        from geogeometry_spark.operators.hotspot import gearys_c
+
+        r = gearys_c(
+            self._pts(spark, self._chain([9, 9, 9, 9, 1, 1, 1, 1])),
+            zoom=6,
+        ).collect()[0]
+        assert r["n_cells"] == 8 and r["s0"] == 14
+        assert r["gearys_c_r6"] < 1.0 and r["z_r6"] < 0
+
+    def test_alternating_chain_c_above_one(self, spark):
+        from geogeometry_spark.operators.hotspot import gearys_c
+
+        r = gearys_c(
+            self._pts(spark, self._chain([9, 1, 9, 1, 9, 1, 9, 1])),
+            zoom=6,
+        ).collect()[0]
+        assert r["gearys_c_r6"] > 1.0 and r["z_r6"] > 0
+
+    def test_degenerate_constant_counts_null(self, spark):
+        from geogeometry_spark.operators.hotspot import gearys_c
+
+        r = gearys_c(
+            self._pts(spark, self._chain([3, 3, 3])), zoom=6
+        ).collect()[0]
+        assert r["gearys_c_r6"] is None and r["z_r6"] is None
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.hotspot import (
+            gearys_c,
+            gearys_c_oracle_sql,
+        )
+
+        rows = [
+            (i, 25.0 + ((i * 7) % 6) * 9.0, ((i * 13) % 9) * 13.0 - 70.0)
+            for i in range(173)
+        ]
+        got = tuple(gearys_c(self._pts(spark, rows), zoom=6).collect()[0])
+        vals = ", ".join(f"({e}, {la!r}, {lo!r})" for e, la, lo in rows)
+        exp = duckdb.sql(
+            gearys_c_oracle_sql(
+                f"(SELECT * FROM (VALUES {vals}) t(event_id, lat, lon))",
+                zoom=6,
+            )
+        ).fetchall()[0]
+        assert got == exp
+
+
+class TestJoinCounts:
+    _chain = TestGearysC._chain
+    _pts = TestGearysC._pts
+
+    def test_segregated_chain(self, spark):
+        from geogeometry_spark.operators.hotspot import join_counts
+
+        # 4 heavy then 4 light adjacent cells: joins A=7, exactly one
+        # mixed join, BB=WW=3 -> BW significantly LOW (clustered)
+        r = join_counts(
+            self._pts(spark, self._chain([9, 9, 9, 9, 1, 1, 1, 1])),
+            zoom=6,
+        ).collect()[0]
+        assert (r["n_cells"], r["n_black"], r["joins"]) == (8, 4, 7)
+        assert (r["bb"], r["ww"], r["bw"]) == (3, 3, 1)
+        # free-sampling hand check: p=1/2, A=7, E[BW]=2*7*(1/4)=3.5
+        assert r["z_bw_r6"] < 0 and r["z_bb_r6"] > 0
+
+    def test_checkerboard_chain(self, spark):
+        from geogeometry_spark.operators.hotspot import join_counts
+
+        # alternating marks: every join is mixed -> BW inflated
+        r = join_counts(
+            self._pts(spark, self._chain([9, 1, 9, 1, 9, 1, 9, 1])),
+            zoom=6,
+        ).collect()[0]
+        assert (r["bb"], r["ww"], r["bw"]) == (0, 0, 7)
+        assert r["z_bw_r6"] > 0
+
+    def test_one_color_null(self, spark):
+        from geogeometry_spark.operators.hotspot import join_counts
+
+        # constant counts: no cell is strictly above the mean
+        r = join_counts(
+            self._pts(spark, self._chain([3, 3, 3])), zoom=6
+        ).collect()[0]
+        assert r["n_black"] == 0
+        assert r["z_bb_r6"] is None and r["z_bw_r6"] is None
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.hotspot import (
+            join_counts,
+            join_counts_oracle_sql,
+        )
+
+        rows = [
+            (i, 25.0 + ((i * 7) % 6) * 9.0, ((i * 13) % 9) * 13.0 - 70.0)
+            for i in range(131)
+        ]
+        got = tuple(join_counts(self._pts(spark, rows), zoom=6).collect()[0])
+        vals = ", ".join(f"({e}, {la!r}, {lo!r})" for e, la, lo in rows)
+        exp = duckdb.sql(
+            join_counts_oracle_sql(
+                f"(SELECT * FROM (VALUES {vals}) t(event_id, lat, lon))",
+                zoom=6,
+            )
+        ).fetchall()[0]
+        assert got == exp
