@@ -3859,6 +3859,68 @@ def _emerging_hotspots_oracle() -> str:
 _PAGERANK_ROUNDS = 12
 
 
+def _braced_road_edges(spark: SparkSession) -> DataFrame:
+    """The 20x20 lattice plus one diagonal brace (n, n+21) per grid
+    cell — diagonal avenues through each block.  The pure lattice is
+    bipartite (triangle-free), so the braces are what give the
+    triangle/clustering fixture its known structure: every brace
+    closes exactly 2 triangles with its cell's corner, 361 cells ->
+    722 triangles, hand-checkable."""
+    und = _road_graph_edges(spark).select("src", "dst")
+    c = F.col("id").cast("int")
+    diag = spark.range(361).select(
+        (F.floor(c / F.lit(19.0)).cast("int") * 20 + (c % 19).cast("int"))
+        .alias("src"),
+    ).select(
+        "src", (F.col("src") + 21).alias("dst")
+    )
+    return und.union(diag)
+
+
+_BRACED_SUBQ = (
+    "(SELECT src, dst FROM " + "{road}"
+    " UNION ALL SELECT CAST(floor(c / 19.0) AS INT) * 20 "
+    "+ CAST(c % 19 AS INT) AS src, "
+    "CAST(floor(c / 19.0) AS INT) * 20 + CAST(c % 19 AS INT) + 21 AS dst "
+    "FROM range(361) t(c))"
+)
+
+
+def q_triangles(spark, sf_dir):
+    """Exact triangle count + transitivity (operators/graph.py
+    triangle_stats — Suri & Vassilvitskii 2011 degree-oriented wedge
+    join, Newman 2003 clustering coefficient) over the braced road
+    lattice: 722 triangles by construction."""
+    from .operators.graph import triangle_stats
+
+    return triangle_stats(_braced_road_edges(spark))
+
+
+def _triangles_oracle() -> str:
+    from .operators.graph import triangle_stats_oracle_sql
+
+    return triangle_stats_oracle_sql(
+        _BRACED_SUBQ.format(road=_road_graph_edges_sql())
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graph.py degree_assortativity
+    — Newman 2002 eq. 4) of the braced road lattice: exact BIGINT
+    edge-end sums, pinned Pearson combine."""
+    from .operators.graph import degree_assortativity
+
+    return degree_assortativity(_braced_road_edges(spark))
+
+
+def _assortativity_oracle() -> str:
+    from .operators.graph import degree_assortativity_oracle_sql
+
+    return degree_assortativity_oracle_sql(
+        _BRACED_SUBQ.format(road=_road_graph_edges_sql())
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Exact fixed-point PageRank (operators/pagerank.py) over the
     congestion-weighted lattice road graph: intersection centrality
@@ -4183,6 +4245,8 @@ QUERIES = {
     "lisa": q_lisa,
     "gearys_c": q_gearys_c,
     "join_counts": q_join_counts,
+    "triangles": q_triangles,
+    "assortativity": q_assortativity,
 }
 
 
@@ -4322,6 +4386,8 @@ def _static_oracles() -> dict[str, str]:
         "lisa": _lisa_oracle(),
         "gearys_c": _gearys_c_oracle(),
         "join_counts": _join_counts_oracle(),
+        "triangles": _triangles_oracle(),
+        "assortativity": _assortativity_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -1,0 +1,243 @@
+"""Whole-graph structure statistics over road / contact networks:
+exact triangle counting with the global clustering coefficient
+(transitivity), and degree assortativity.
+
+The reference has no graph layer at all; this extends the engine's
+graph family (sssp / isochrone / nearest_facility / pagerank /
+connected components) with the standard structural descriptors used on
+street and contact networks (Jiang & Claramunt 2004; Porta et al. 2006
+for street-network structure analysis).
+
+Scale design — triangle counting is the canonical "curse of the last
+reducer" workload (Suri & Vassilvitskii 2011, WWW): a naive wedge join
+blows up quadratically on hub nodes.  The fix implemented here is the
+published one — orient every undirected edge from the smaller to the
+larger endpoint under the total order (degree, node); every triangle
+then has exactly one source node (its smallest member under ≺) and is
+counted exactly once, and the oriented out-degree is O(√m), bounding
+the wedge relation by O(m^1.5) with NO hub blowup.  Everything is two
+equi-joins and map-side-combinable BIGINT aggregates; the only floats
+are the final one-row statistic divisions, in a pinned IEEE order the
+DuckDB twins mirror literally.
+
+Degree assortativity (Newman 2002, "Assortative mixing in networks",
+eq. 4) is one pass over the edge relation once degrees are attached:
+every sum (Σjk, Σ(j+k), Σ(j²+k²)) is an exact BIGINT over directed
+edge-ends, so the Pearson coefficient is a pure function of five exact
+integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "triangle_stats",
+    "triangle_stats_oracle_sql",
+    "degree_assortativity",
+    "degree_assortativity_oracle_sql",
+]
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected simple edges (a < b), self-loops dropped, both from
+    directed-symmetric and already-undirected inputs."""
+    a = F.least(F.col("src"), F.col("dst")).alias("a")
+    b = F.greatest(F.col("src"), F.col("dst")).alias("b")
+    return (
+        edges.select(a, b).where(F.col("a") != F.col("b")).distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle count + global clustering coefficient
+    (transitivity, Newman 2003 eq. 3.3: C = 3·triangles / wedges) of
+    the undirected simplification of ``edges (src, dst)``.
+
+    Degree-oriented node-iterator (Suri & Vassilvitskii 2011): edges
+    orient low→high under (deg, node); wedges are the self-join of the
+    oriented adjacency on its source with the (deg, node) order on the
+    two targets; the closing edge is one more equi-join.  Returns one
+    row: (n_nodes, m_edges, wedges, triangles, transitivity_r6) —
+    wedges = Σ deg(deg−1)/2 exact; transitivity NULL when the graph
+    has no wedge."""
+    und = _canonical_edges(edges).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n_nodes = deg.count()
+    m_edges = und.count()
+    wrow = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1))
+    ).first()
+    wedges = int(wrow[0] or 0) // 2
+
+    da = deg.select(
+        F.col("node").alias("a"), F.col("deg").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("deg").alias("deg_b")
+    )
+    with_deg = und.join(da, "a").join(db, "b")
+    lo_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("deg_b"))
+        .otherwise(F.col("deg_a"))
+        .alias("deg_v"),
+    ).localCheckpoint()
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("deg_v").alias("deg_x")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("deg_v").alias("deg_y")
+    )
+    # each triangle {a≺b≺c} appears once: u=a, (x,y)=(b,c) with b≺c
+    wedge = o1.join(o2, "u").where(
+        (F.col("deg_x") < F.col("deg_y"))
+        | ((F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tri = wedge.join(closing, ["x", "y"], "left_semi")
+    n_tri = tri.count()
+
+    trans = None
+    if wedges > 0:
+        trans = (3.0 * n_tri) / wedges
+    spark = edges.sparkSession
+    return spark.range(1).select(
+        F.lit(n_nodes).alias("n_nodes"),
+        F.lit(m_edges).alias("m_edges"),
+        F.lit(wedges).alias("wedges"),
+        F.lit(n_tri).alias("triangles"),
+        F.round(F.lit(trans).cast("double"), 6).alias("transitivity_r6"),
+    )
+
+
+def triangle_stats_oracle_sql(edges_subq: str) -> str:
+    """DuckDB twin of :func:`triangle_stats`: identical
+    canonicalization, (deg, node) orientation, wedge + closing-edge
+    joins, and pinned final division."""
+    return (
+        f"WITH und AS (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM {edges_subq} "
+        "WHERE src <> dst), "
+        "deg AS (SELECT node, count(*) AS deg FROM "
+        "(SELECT a AS node FROM und "
+        "UNION ALL SELECT b AS node FROM und) GROUP BY node), "
+        "gstats AS (SELECT count(*) AS n_nodes, "
+        "coalesce(sum(deg * (deg - 1)), 0) // 2 AS wedges FROM deg), "
+        "estats AS (SELECT count(*) AS m_edges FROM und), "
+        "oriented AS (SELECT "
+        "CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b) "
+        "THEN u.a ELSE u.b END AS u, "
+        "CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b) "
+        "THEN u.b ELSE u.a END AS v, "
+        "CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b) "
+        "THEN db.deg ELSE da.deg END AS deg_v "
+        "FROM und u JOIN deg da ON u.a = da.node "
+        "JOIN deg db ON u.b = db.node), "
+        "tri AS (SELECT count(*) AS n_tri FROM oriented o1 "
+        "JOIN oriented o2 ON o1.u = o2.u AND "
+        "(o1.deg_v < o2.deg_v OR (o1.deg_v = o2.deg_v AND o1.v < o2.v)) "
+        "WHERE EXISTS (SELECT 1 FROM oriented c "
+        "WHERE c.u = o1.v AND c.v = o2.v)) "
+        "SELECT n_nodes, m_edges, wedges, n_tri AS triangles, "
+        "CASE WHEN wedges > 0 THEN "
+        "round((3.0 * n_tri) / wedges, 6) END AS transitivity_r6 "
+        "FROM gstats CROSS JOIN estats CROSS JOIN tri"
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002 eq. 4) of the
+    undirected simplification of ``edges (src, dst)``: the Pearson
+    correlation of the degrees at the two ends of each edge — positive
+    when hubs link to hubs (social nets), negative when hubs link to
+    leaves (infrastructure; street grids sit near 0).
+
+    Degrees attach by two equi-joins; the directed edge-end sums
+    (M = 2m, Σjk, Σ(j+k), Σ(j²+k²)) are exact BIGINTs, and
+    r = (Σjk/M − (Σ(j+k)/(2M))²) / (Σ(j²+k²)/(2M) − (Σ(j+k)/(2M))²)
+    combines driver-side in a pinned IEEE order mirrored by the twin.
+    Returns one row: (n_nodes, m_edges, assortativity_r6) — NULL for
+    degree-regular graphs (zero variance)."""
+    und = _canonical_edges(edges).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n_nodes = deg.count()
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dj"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("dk"))
+    j, k = F.col("dj"), F.col("dk")
+    row = (
+        und.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(j * k),
+            F.sum(j + k),
+            F.sum(j * j + k * k),
+        )
+        .first()
+    )
+    m = int(row[0])
+    sjk, sj, sj2 = (int(row[i] or 0) for i in (1, 2, 3))
+    # pinned scalar op order — the oracle twin mirrors it literally
+    r = None
+    if m > 0:
+        big_m = 2.0 * m  # directed edge-end count
+        mean = sj / big_m
+        # float(sjk) FIRST (the twin's CAST-then-divide): exact-int
+        # division would round once at the end and drift past 2^53
+        num = float(sjk) / m - mean * mean
+        den = sj2 / big_m - mean * mean
+        if den > 0:
+            r = num / den
+    spark = edges.sparkSession
+    return spark.range(1).select(
+        F.lit(n_nodes).alias("n_nodes"),
+        F.lit(m).alias("m_edges"),
+        F.round(F.lit(r).cast("double"), 6).alias("assortativity_r6"),
+    )
+
+
+def degree_assortativity_oracle_sql(edges_subq: str) -> str:
+    """DuckDB twin of :func:`degree_assortativity`."""
+    return (
+        f"WITH und AS (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM {edges_subq} "
+        "WHERE src <> dst), "
+        "deg AS (SELECT node, count(*) AS deg FROM "
+        "(SELECT a AS node FROM und "
+        "UNION ALL SELECT b AS node FROM und) GROUP BY node), "
+        "nstats AS (SELECT count(*) AS n_nodes FROM deg), "
+        "esums AS (SELECT count(*) AS m, "
+        "coalesce(sum(da.deg * db.deg), 0) AS sjk, "
+        "coalesce(sum(da.deg + db.deg), 0) AS sj, "
+        "coalesce(sum(da.deg * da.deg + db.deg * db.deg), 0) AS sj2 "
+        "FROM und u JOIN deg da ON u.a = da.node "
+        "JOIN deg db ON u.b = db.node), "
+        "scal AS (SELECT n_nodes, m, "
+        "CAST(sj AS DOUBLE) / (2.0 * m) AS mean, "
+        "CAST(sjk AS DOUBLE) / m AS jk_m, "
+        "CAST(sj2 AS DOUBLE) / (2.0 * m) AS j2_m "
+        "FROM nstats CROSS JOIN esums WHERE m > 0), "
+        "res AS (SELECT n_nodes, m, jk_m - mean * mean AS num, "
+        "j2_m - mean * mean AS den FROM scal) "
+        "SELECT n_nodes, m AS m_edges, "
+        "CASE WHEN den > 0 THEN round(num / den, 6) END "
+        "AS assortativity_r6 FROM res"
+    )

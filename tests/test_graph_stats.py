@@ -1,0 +1,146 @@
+"""Unit tests for operators/graph.py (triangle counting /
+transitivity, degree assortativity) on hand-built graphs with known
+closed-form values, plus DuckDB twin parity on a pseudo-random
+graph."""
+
+import pytest
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src int, dst int")
+
+
+class TestTriangleStats:
+    def test_single_triangle(self, spark):
+        from geogeometry_spark.operators.graph import triangle_stats
+
+        r = triangle_stats(
+            _edges(spark, [(1, 2), (2, 3), (3, 1)])
+        ).collect()[0]
+        assert (r["n_nodes"], r["m_edges"], r["wedges"]) == (3, 3, 3)
+        assert r["triangles"] == 1 and r["transitivity_r6"] == 1.0
+
+    def test_k4_complete(self, spark):
+        from geogeometry_spark.operators.graph import triangle_stats
+
+        pairs = [(i, j) for i in range(4) for j in range(4) if i < j]
+        r = triangle_stats(_edges(spark, pairs)).collect()[0]
+        # K4: C(4,3)=4 triangles, each node deg 3 -> 4*3 wedges... /2 = 12
+        assert (r["m_edges"], r["wedges"], r["triangles"]) == (6, 12, 4)
+        assert r["transitivity_r6"] == 1.0
+
+    def test_star_no_triangles(self, spark):
+        from geogeometry_spark.operators.graph import triangle_stats
+
+        r = triangle_stats(
+            _edges(spark, [(0, k) for k in range(1, 6)])
+        ).collect()[0]
+        # hub deg 5 -> 10 wedges, zero closed
+        assert (r["wedges"], r["triangles"]) == (10, 0)
+        assert r["transitivity_r6"] == 0.0
+
+    def test_directed_both_ways_and_self_loops_collapse(self, spark):
+        from geogeometry_spark.operators.graph import triangle_stats
+
+        pairs = (
+            [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)]
+            + [(1, 1), (2, 2)]  # self-loops dropped
+        )
+        r = triangle_stats(_edges(spark, pairs)).collect()[0]
+        assert (r["m_edges"], r["triangles"]) == (3, 1)
+
+    def test_single_edge_null_transitivity(self, spark):
+        from geogeometry_spark.operators.graph import triangle_stats
+
+        r = triangle_stats(_edges(spark, [(1, 2)])).collect()[0]
+        assert r["wedges"] == 0 and r["transitivity_r6"] is None
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.graph import (
+            triangle_stats,
+            triangle_stats_oracle_sql,
+        )
+
+        # pseudo-random graph with hubs: node k links to (k*7)%53 and
+        # (k*k)%53 — duplicates and self-loops included on purpose
+        pairs = [(k, (k * 7) % 53) for k in range(53)] + [
+            (k, (k * k) % 53) for k in range(53)
+        ]
+        got = tuple(triangle_stats(_edges(spark, pairs)).collect()[0])
+        vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+        exp = duckdb.sql(
+            triangle_stats_oracle_sql(
+                f"(SELECT * FROM (VALUES {vals}) t(src, dst))"
+            )
+        ).fetchall()[0]
+        assert got == exp and got[3] > 0
+
+
+class TestDegreeAssortativity:
+    def test_star_disassortative(self, spark):
+        from geogeometry_spark.operators.graph import degree_assortativity
+
+        # star: every edge joins deg-5 hub to deg-1 leaf -> r = -1 is
+        # undefined here (both endpoint-degree sequences are constant
+        # per side; Newman r for a star is NULL: den = 0? No —
+        # j always 5, k always 1 -> var > 0 over edge ends) -> r = -1
+        r = degree_assortativity(
+            _edges(spark, [(0, k) for k in range(1, 6)])
+        ).collect()[0]
+        assert r["assortativity_r6"] == -1.0
+
+    def test_cycle_regular_null(self, spark):
+        from geogeometry_spark.operators.graph import degree_assortativity
+
+        # 2-regular cycle: zero degree variance -> NULL
+        n = 6
+        r = degree_assortativity(
+            _edges(spark, [(k, (k + 1) % n) for k in range(n)])
+        ).collect()[0]
+        assert r["m_edges"] == n and r["assortativity_r6"] is None
+
+    def test_path3_value(self, spark):
+        from geogeometry_spark.operators.graph import degree_assortativity
+
+        # path 1-2-3: edge ends (1,2) and (2,1): mean=3/2, Sjk=2+2=4,
+        # Sj2=1+4+4+1=10 -> num=4/2-2.25=-0.25, den=10/4-2.25=0.25 -> -1
+        r = degree_assortativity(
+            _edges(spark, [(1, 2), (2, 3)])
+        ).collect()[0]
+        assert r["assortativity_r6"] == -1.0
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.graph import (
+            degree_assortativity,
+            degree_assortativity_oracle_sql,
+        )
+
+        pairs = [(k, (k * 7) % 53) for k in range(53)] + [
+            (k, (k * k) % 53) for k in range(53)
+        ]
+        got = tuple(
+            degree_assortativity(_edges(spark, pairs)).collect()[0]
+        )
+        vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+        exp = duckdb.sql(
+            degree_assortativity_oracle_sql(
+                f"(SELECT * FROM (VALUES {vals}) t(src, dst))"
+            )
+        ).fetchall()[0]
+        assert got == exp
+
+
+class TestBracedLatticeFixture:
+    def test_722_triangles_by_construction(self, spark):
+        from geogeometry_spark.contract import _braced_road_edges
+        from geogeometry_spark.operators.graph import triangle_stats
+
+        r = triangle_stats(_braced_road_edges(spark)).collect()[0]
+        # 760 lattice links + 361 diagonal braces; each brace closes
+        # exactly 2 triangles with its cell corners
+        assert (r["n_nodes"], r["m_edges"]) == (400, 1121)
+        assert r["triangles"] == 722
