@@ -3921,6 +3921,37 @@ def _assortativity_oracle() -> str:
     )
 
 
+# Huff facilities: the four lattice-corner facility nodes with
+# deterministic attractiveness 1.0 + (node % 3) * 0.5 — two ties in
+# weight, distinct positions, so both the gravity pull and the
+# strict-> argmax tie rule are exercised.
+_HUFF_FACILITIES = [
+    (n, 52.0 + (n // 20) * 0.05, 13.0 + (n % 20) * 0.05,
+     1.0 + (n % 3) * 0.5)
+    for n in _FACILITY_NODES
+]
+
+
+def q_huff(spark, sf_dir):
+    """Huff gravity catchment probabilities (operators/routing.py
+    huff_catchment — Huff 1963, λ=2) over z12 metro demand cells vs
+    the four corner facilities: integer-µdeg cell centroids,
+    meter-quantized distances, pinned unrolled score sum + argmax."""
+    from .operators.routing import huff_catchment
+
+    return huff_catchment(
+        _metro_points(spark, sf_dir), _HUFF_FACILITIES, zoom=12
+    )
+
+
+def _huff_oracle() -> str:
+    from .operators.routing import huff_catchment_oracle_sql
+
+    return huff_catchment_oracle_sql(
+        _METRO_SUBQ, _HUFF_FACILITIES, zoom=12
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Exact fixed-point PageRank (operators/pagerank.py) over the
     congestion-weighted lattice road graph: intersection centrality
@@ -4247,6 +4278,7 @@ QUERIES = {
     "join_counts": q_join_counts,
     "triangles": q_triangles,
     "assortativity": q_assortativity,
+    "huff": q_huff,
 }
 
 
@@ -4388,6 +4420,7 @@ def _static_oracles() -> dict[str, str]:
         "join_counts": _join_counts_oracle(),
         "triangles": _triangles_oracle(),
         "assortativity": _assortativity_oracle(),
+        "huff": _huff_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

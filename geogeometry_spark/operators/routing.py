@@ -54,8 +54,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..functions import columns as C
+
 __all__ = [
     "sssp",
+    "huff_catchment",
+    "huff_catchment_oracle_sql",
     "nearest_facility",
     "sssp_oracle_sql",
     "nearest_facility_oracle_sql",
@@ -348,4 +352,137 @@ def isochrone_oracle_sql(
         "MAX(dist_mm) AS max_mm FROM s "
         f"WHERE dist_mm // {int(band_mm)} < {int(max_bands)} "
         "GROUP BY 1"
+    )
+
+
+def huff_catchment(
+    points: DataFrame,
+    facilities: list[tuple[int, float, float, float]],
+    zoom: int = 12,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    exponent: int = 2,
+) -> DataFrame:
+    """Huff gravity catchment model (Huff 1963, "A Probabilistic
+    Analysis of Shopping Center Trade Areas"; Huff 2003 calibration
+    convention λ = 2): for every occupied demand cell i, the
+    probability a resident patronizes facility j is
+    P(i→j) = wⱼ·dᵢⱼ^(-λ) / Σₖ wₖ·dᵢₖ^(-λ) — the probabilistic
+    successor to the hard nearest-facility assignment
+    (:func:`nearest_facility`): catchments overlap, and attractive
+    facilities pull demand across boundaries.
+
+    ``facilities`` is a plan-time Python list of (id, lat, lon,
+    attractiveness) — the same driver-literal convention as the
+    engine's other small broadcast dims (knn query lists, IVF
+    centroids); the per-facility score columns unroll into the plan in
+    ASCENDING ID ORDER so the float sum and the strict-> argmax fold
+    have one pinned evaluation order for the twin to mirror.  There is
+    no join and no extra shuffle: one map-side-combinable cell
+    collapse, then per-row native Column math.
+
+    Determinism: demand cells are zoom-``zoom`` tiles represented by
+    their exact integer-µdeg fix centroid (the :mod:`trajectory`
+    stay-point convention — two BIGINT sums, one pinned division);
+    distances METER-quantize to BIGINT (``round(haversine)``, floored
+    at 1 m — the mm-quantization trick of traj_trips, scaled so d² of
+    antipodal demand cannot overflow), so the gravity weights are pure
+    functions of exact integers.
+
+    Returns (tx, ty, cnt, best_fac, p_best_r6, p_sum_chk): cell,
+    demand count, the argmax facility (first-listed wins exact ties),
+    its capture probability, and the Σⱼ P(i→j) = 1 sanity column
+    (rounded; deviates only by IEEE summation slack)."""
+    if not facilities:
+        raise ValueError("huff_catchment needs at least one facility")
+    facs = sorted(facilities)
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    ulat = F.round(F.col(lat_col) * F.lit(1000000.0)).cast("long")
+    ulon = F.round(F.col(lon_col) * F.lit(1000000.0)).cast("long")
+    cells = points.groupBy(x.alias("tx"), y.alias("ty")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(ulat).alias("sulat"),
+        F.sum(ulon).alias("sulon"),
+    )
+    rep_lat = (
+        F.col("sulat").cast("double") / F.col("cnt").cast("double")
+    ) / F.lit(1000000.0)
+    rep_lon = (
+        F.col("sulon").cast("double") / F.col("cnt").cast("double")
+    ) / F.lit(1000000.0)
+
+    scores = []
+    for fid, flat, flon, w in facs:
+        d_m = F.greatest(
+            F.round(
+                C.haversine(
+                    rep_lat, rep_lon, F.lit(float(flat)), F.lit(float(flon))
+                )
+            ).cast("long"),
+            F.lit(1),
+        )
+        denom = d_m * d_m if exponent == 2 else d_m
+        scores.append((fid, F.lit(float(w)) / denom.cast("double")))
+    total = scores[0][1]
+    for _, s in scores[1:]:
+        total = total + s
+    best, sb = F.lit(int(scores[0][0])), scores[0][1]
+    for fid, s in scores[1:]:
+        nb = F.when(s > sb, F.lit(int(fid))).otherwise(best)
+        ns = F.when(s > sb, s).otherwise(sb)
+        best, sb = nb, ns
+    return cells.select(
+        "tx",
+        "ty",
+        "cnt",
+        best.alias("best_fac"),
+        F.round(sb / total, 6).alias("p_best_r6"),
+        F.round(total / total, 6).alias("p_sum_chk"),
+    )
+
+
+def huff_catchment_oracle_sql(
+    subq: str,
+    facilities: list[tuple[int, float, float, float]],
+    zoom: int = 12,
+    lat: str = "lat",
+    lon: str = "lon",
+    exponent: int = 2,
+) -> str:
+    """DuckDB twin of :func:`huff_catchment`: the same ascending-id
+    unroll of score expressions, the same left-assoc float sum, and
+    the same strict-> CASE argmax fold."""
+    facs = sorted(facilities)
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    cells = (
+        f"SELECT {tx} AS tx, {ty} AS ty, count(*) AS cnt, "
+        f"sum(CAST(round(({lat}) * 1000000.0) AS BIGINT)) AS sulat, "
+        f"sum(CAST(round(({lon}) * 1000000.0) AS BIGINT)) AS sulon "
+        f"FROM {subq} GROUP BY 1, 2"
+    )
+    rep_lat = "((CAST(sulat AS DOUBLE) / CAST(cnt AS DOUBLE)) / 1000000.0)"
+    rep_lon = "((CAST(sulon AS DOUBLE) / CAST(cnt AS DOUBLE)) / 1000000.0)"
+    score_cols = []
+    for k, (fid, flat, flon, w) in enumerate(facs):
+        hav = C.haversine_sql(rep_lat, rep_lon, repr(float(flat)),
+                              repr(float(flon)))
+        d_m = f"greatest(CAST(round({hav}) AS BIGINT), 1)"
+        denom = f"({d_m} * {d_m})" if exponent == 2 else d_m
+        score_cols.append(
+            f"{float(w)!r} / CAST({denom} AS DOUBLE) AS s{k}"
+        )
+    total = "s0"
+    for k in range(1, len(facs)):
+        total = f"({total} + s{k})"
+    best, sb = str(int(facs[0][0])), "s0"
+    for k in range(1, len(facs)):
+        fid = int(facs[k][0])
+        best = f"CASE WHEN s{k} > {sb} THEN {fid} ELSE {best} END"
+        sb = f"CASE WHEN s{k} > {sb} THEN s{k} ELSE {sb} END"
+    return (
+        f"WITH cells AS ({cells}), "
+        f"sc AS (SELECT tx, ty, cnt, {', '.join(score_cols)} FROM cells) "
+        f"SELECT tx, ty, cnt, ({best}) AS best_fac, "
+        f"round(({sb}) / ({total}), 6) AS p_best_r6, "
+        f"round(({total}) / ({total}), 6) AS p_sum_chk FROM sc"
     )

@@ -144,3 +144,79 @@ class TestBracedLatticeFixture:
         # exactly 2 triangles with its cell corners
         assert (r["n_nodes"], r["m_edges"]) == (400, 1121)
         assert r["triangles"] == 722
+
+
+class TestHuffCatchment:
+    FACS = [
+        (1, 0.0, 0.0, 1.0),
+        (2, 0.0, 1.0, 1.0),
+        (3, 1.0, 0.5, 2.0),
+    ]
+
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, lat double, lon double"
+        )
+
+    def test_capture_and_probabilities(self, spark):
+        from geogeometry_spark.operators.routing import huff_catchment
+
+        # demand piled right on facility 1: it captures ~everything
+        rows = [(i, 0.0001, 0.0001) for i in range(5)]
+        r = huff_catchment(
+            self._pts(spark, rows), self.FACS, zoom=10
+        ).collect()
+        assert len(r) == 1
+        assert r[0]["best_fac"] == 1 and r[0]["p_best_r6"] > 0.99
+        assert r[0]["p_sum_chk"] == 1.0
+
+    def test_attractiveness_beats_distance_tie(self, spark):
+        from geogeometry_spark.operators.routing import huff_catchment
+
+        # demand equidistant from facilities 1 and 2 (0, 0.5): the
+        # doubled-weight facility 3 is farther but the 1-vs-2 tie
+        # breaks to the FIRST listed (strict > keeps the earlier id)
+        rows = [(0, 0.0, 0.5)]
+        facs = [(1, 0.0, 0.0, 1.0), (2, 0.0, 1.0, 1.0)]
+        r = huff_catchment(
+            self._pts(spark, rows), facs, zoom=10
+        ).collect()[0]
+        assert r["best_fac"] == 1
+        assert r["p_best_r6"] == pytest.approx(0.5, abs=1e-5)
+
+    def test_empty_facilities_raises(self, spark):
+        from geogeometry_spark.operators.routing import huff_catchment
+
+        with pytest.raises(ValueError, match="at least one facility"):
+            huff_catchment(self._pts(spark, [(0, 0.0, 0.0)]), [])
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.routing import (
+            huff_catchment,
+            huff_catchment_oracle_sql,
+        )
+
+        rows = [
+            (i, ((i * 7) % 21) * 0.05, ((i * 13) % 21) * 0.05)
+            for i in range(157)
+        ]
+        got = sorted(
+            map(
+                tuple,
+                huff_catchment(
+                    self._pts(spark, rows), self.FACS, zoom=10
+                ).collect(),
+            )
+        )
+        vals = ", ".join(f"({e}, {la!r}, {lo!r})" for e, la, lo in rows)
+        sql = huff_catchment_oracle_sql(
+            "(SELECT event_id, CAST(lat AS DOUBLE) AS lat, "
+            "CAST(lon AS DOUBLE) AS lon FROM "
+            f"(VALUES {vals}) t(event_id, lat, lon))",
+            self.FACS,
+            zoom=10,
+        )
+        exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+        assert got == exp and len(got) > 3
