@@ -742,6 +742,62 @@ def main() -> None:
 
     timed("morans_i_5m", morans_i_5m, runs=3, warmup=True)
 
+    # the rest of the autocorrelation family over the same 5M global
+    # fixes: all are one occupied-cell collapse + cell-relation-only
+    # spreads/joins — the point scan dominates, the statistics are
+    # O(occupied cells)
+    from geogeometry_spark.operators.hotspot import (
+        gearys_c,
+        join_counts,
+        local_morans_i,
+        quadrat_dispersion,
+    )
+
+    def lisa_5m():
+        local_morans_i(fixes, zoom=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("lisa_5m", lisa_5m, runs=3, warmup=True)
+
+    def gearys_c_5m():
+        gearys_c(fixes, zoom=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("gearys_c_5m", gearys_c_5m, runs=3, warmup=True)
+
+    def join_counts_5m():
+        join_counts(fixes, zoom=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("join_counts_5m", join_counts_5m, runs=3, warmup=True)
+
+    def quadrat_5m():
+        quadrat_dispersion(fixes, zoom=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("quadrat_5m", quadrat_5m, runs=3, warmup=True)
+
+    # Huff catchment over the 5M metro fixes vs a 16-facility grid:
+    # zero joins — one cell collapse, then 16 unrolled score columns
+    from geogeometry_spark.operators.routing import huff_catchment
+
+    huff_facs = [
+        (k, 52.1 + (k // 4) * 0.25, 13.2 + (k % 4) * 0.4,
+         1.0 + (k % 3) * 0.5)
+        for k in range(16)
+    ]
+
+    def huff_5m():
+        huff_catchment(metro, huff_facs, zoom=12).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("huff_5m_16fac", huff_5m, runs=3, warmup=True)
+
     # KDE surface over the same 5M global fixes: occupied z8 cells
     # collapse once (map-side combine), the 29-address integer stencil
     # explodes the CELL relation only, one re-aggregation

@@ -426,11 +426,24 @@ def huff_catchment(
     total = scores[0][1]
     for _, s in scores[1:]:
         total = total + s
-    best, sb = F.lit(int(scores[0][0])), scores[0][1]
-    for fid, s in scores[1:]:
-        nb = F.when(s > sb, F.lit(int(fid))).otherwise(best)
-        ns = F.when(s > sb, s).otherwise(sb)
-        best, sb = nb, ns
+    # linear-size argmax: a recursive strict-> fold would embed the
+    # running max TWICE per facility (2^k expression nodes — 16
+    # facilities already blow the analyzer); greatest() + first-equal
+    # CASE is linear and keeps the same first-listed-wins tie rule
+    if len(scores) == 1:
+        best, sb = F.lit(int(scores[0][0])), scores[0][1]
+    else:
+        sb = F.greatest(*[s for _, s in scores])
+        best = F
+        chain = None
+        for fid, s in scores:
+            cond = s == sb
+            chain = (
+                F.when(cond, F.lit(int(fid)))
+                if chain is None
+                else chain.when(cond, F.lit(int(fid)))
+            )
+        best = chain
     return cells.select(
         "tx",
         "ty",
@@ -474,11 +487,18 @@ def huff_catchment_oracle_sql(
     total = "s0"
     for k in range(1, len(facs)):
         total = f"({total} + s{k})"
-    best, sb = str(int(facs[0][0])), "s0"
-    for k in range(1, len(facs)):
-        fid = int(facs[k][0])
-        best = f"CASE WHEN s{k} > {sb} THEN {fid} ELSE {best} END"
-        sb = f"CASE WHEN s{k} > {sb} THEN s{k} ELSE {sb} END"
+    if len(facs) == 1:
+        sb, best = "s0", str(int(facs[0][0]))
+    else:
+        sb = "greatest(" + ", ".join(f"s{k}" for k in range(len(facs))) + ")"
+        best = (
+            "CASE "
+            + " ".join(
+                f"WHEN s{k} = {sb} THEN {int(facs[k][0])}"
+                for k in range(len(facs))
+            )
+            + " END"
+        )
     return (
         f"WITH cells AS ({cells}), "
         f"sc AS (SELECT tx, ty, cnt, {', '.join(score_cols)} FROM cells) "
