@@ -3774,6 +3774,22 @@ def _quadrat_oracle() -> str:
     return quadrat_dispersion_oracle_sql(_TRAJ_SUBQ, zoom=6)
 
 
+def q_sde(spark, sf_dir):
+    """Per-user standard deviational ellipse (operators/trajectory.py
+    deviational_ellipse — Lefever 1926 / Yuill 1971 directional
+    distribution): covariance eigen-decomposition in closed form, one
+    pinned atan2, exact microdeg moment sums off the integer anchor."""
+    from .operators.trajectory import deviational_ellipse
+
+    return deviational_ellipse(_traj_points(spark, sf_dir))
+
+
+def _sde_oracle() -> str:
+    from .operators.trajectory import deviational_ellipse_oracle_sql
+
+    return deviational_ellipse_oracle_sql(_TRAJ_SUBQ)
+
+
 def q_gearys_c(spark, sf_dir):
     """Global Geary's C autocorrelation (operators/hotspot.py
     gearys_c — Geary 1954, z under normality per Cliff & Ord 1981)
@@ -4279,6 +4295,7 @@ QUERIES = {
     "triangles": q_triangles,
     "assortativity": q_assortativity,
     "huff": q_huff,
+    "sde": q_sde,
 }
 
 
@@ -4421,6 +4438,7 @@ def _static_oracles() -> dict[str, str]:
         "triangles": _triangles_oracle(),
         "assortativity": _assortativity_oracle(),
         "huff": _huff_oracle(),
+        "sde": _sde_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -43,6 +43,8 @@ __all__ = [
     "mobility_metrics",
     "heading_stats",
     "cell_transitions",
+    "deviational_ellipse",
+    "deviational_ellipse_oracle_sql",
 ]
 
 
@@ -955,4 +957,155 @@ def cell_transitions_oracle_sql(
         "CAST(n_trans AS DOUBLE) / CAST(SUM(n_trans) "
         "OVER (PARTITION BY from_cell) AS DOUBLE) AS p "
         f"FROM ({trans})"
+    )
+
+
+def deviational_ellipse(
+    points: DataFrame,
+    user_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-user standard deviational ellipse (Lefever 1926; Yuill 1971
+    — ArcGIS "Directional Distribution"): the directional dispersion
+    summary a mobility corpus attaches to every entity — center, the
+    major-axis orientation, and the two axis lengths of the 1-σ
+    ellipse of the user's fixes in degree space (x = lon, y = lat,
+    population n in the denominators).
+
+    Rather than the textbook rotate-and-resum form (which needs
+    per-row sin/cos of the fitted angle), the axes come from the
+    closed-form eigenvalues of the 2x2 covariance matrix —
+    λ± = ((Cxx+Cyy) ± sqrt((Cxx−Cyy)² + 4Cxy²))/2 — and the
+    orientation from θ = ½·atan2(2Cxy, Cxx−Cyy): algebraically the
+    same ellipse, but the only libm call left is ONE atan2 (pinned by
+    the heading_stats r7-rounding doctrine); everything else is
+    IEEE-exact +−*/sqrt.
+
+    Exactness: fixes quantize to integer µdeg; the user's integer
+    anchor (Σµdeg div n — the mobility centroid decode) recenters
+    per-row deviations so all five moment sums (Σdx, Σdy, Σdx²,
+    Σdy², Σdxdy) are exact BIGINTs with NO overflow for any
+    continental-scale footprint (bound: n·max|dµdeg|² < 2^63, ~1e4
+    antipodal fixes — quantize coarser upstream for globe-spanning
+    entities); central moments then shift off the anchor in pinned
+    float ops.  ONE user-hash exchange: the anchor window and the
+    moment groupBy share it (the trajectory-family doctrine).
+
+    Returns one row per user: (user, n_fixes, c_lat_r7, c_lon_r7,
+    angle_r7 — major-axis orientation in degrees CCW from east in
+    (−90, 90] — major_deg_r7, minor_deg_r7); degenerate users
+    (n = 1 or zero spread) get 0.0 axes and angle."""
+    ula = F.round(F.col(lat_col) * F.lit(1e6)).cast("long")
+    ulo = F.round(F.col(lon_col) * F.lit(1e6)).cast("long")
+    wu = Window.partitionBy(user_col)
+    base = points.select(
+        user_col,
+        ula.alias("_ula"),
+        ulo.alias("_ulo"),
+        F.sum(ula).over(wu).alias("_sla"),
+        F.sum(ulo).over(wu).alias("_slo"),
+        F.count(F.lit(1)).over(wu).alias("_n"),
+    ).select(
+        user_col,
+        "_ula",
+        "_ulo",
+        F.expr("_sla div _n").alias("_ay"),
+        F.expr("_slo div _n").alias("_ax"),
+    )
+    dx = F.col("_ulo") - F.col("_ax")
+    dy = F.col("_ula") - F.col("_ay")
+    g = base.groupBy(user_col, "_ax", "_ay").agg(
+        F.count(F.lit(1)).alias("n_fixes"),
+        F.sum(dx).alias("sdx"),
+        F.sum(dy).alias("sdy"),
+        F.sum(dx * dx).alias("sdx2"),
+        F.sum(dy * dy).alias("sdy2"),
+        F.sum(dx * dy).alias("sdxy"),
+    )
+    n_d = F.col("n_fixes").cast("double")
+    mx = F.col("sdx").cast("double") / n_d
+    my = F.col("sdy").cast("double") / n_d
+    cxx = F.col("sdx2").cast("double") / n_d - mx * mx
+    cyy = F.col("sdy2").cast("double") / n_d - my * my
+    cxy = F.col("sdxy").cast("double") / n_d - mx * my
+    tr = cxx + cyy
+    df = cxx - cyy
+    disc = F.sqrt(df * df + F.lit(4.0) * (cxy * cxy))
+    l1 = (tr + disc) / F.lit(2.0)
+    l2 = (tr - disc) / F.lit(2.0)
+    major = F.when(l1 > 0, F.sqrt(l1) / F.lit(1e6)).otherwise(F.lit(0.0))
+    minor = F.when(l2 > 0, F.sqrt(l2) / F.lit(1e6)).otherwise(F.lit(0.0))
+    angle = (
+        F.atan2(F.lit(2.0) * cxy, df) / F.lit(2.0)
+    ) * F.lit(1.0 / C.DEG2RAD)
+    c_lat = (F.col("_ay").cast("double") + my) / F.lit(1e6)
+    c_lon = (F.col("_ax").cast("double") + mx) / F.lit(1e6)
+    return g.select(
+        F.col(user_col),
+        "n_fixes",
+        # centers stay UNROUNDED: they are rationals (exact-int sums /
+        # n) whose decimal expansion can land exactly on a rounding
+        # boundary where Spark's BigDecimal HALF_UP and DuckDB's
+        # multiply-then-round disagree; the pre-round doubles are
+        # bit-identical (pure IEEE + and /), so raw is the exact form
+        c_lat.alias("c_lat"),
+        c_lon.alias("c_lon"),
+        F.round(angle, 7).alias("angle_r7"),
+        F.round(major, 7).alias("major_deg_r7"),
+        F.round(minor, 7).alias("minor_deg_r7"),
+    )
+
+
+def deviational_ellipse_oracle_sql(
+    subq: str,
+    user_col: str = "user_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`deviational_ellipse`: identical µdeg
+    anchor decode, exact moment sums, eigenvalue combine, and the
+    same single atan2 under r7 rounding."""
+    ula = f"CAST(round(({lat}) * 1000000.0) AS BIGINT)"
+    ulo = f"CAST(round(({lon}) * 1000000.0) AS BIGINT)"
+    part = f"OVER (PARTITION BY {user_col})"
+    base = (
+        f"SELECT {user_col}, {ula} AS _ula, {ulo} AS _ulo, "
+        f"(SUM({ula}) {part}) // (COUNT(*) {part}) AS _ay, "
+        f"(SUM({ulo}) {part}) // (COUNT(*) {part}) AS _ax "
+        f"FROM {subq}"
+    )
+    g = (
+        f"SELECT {user_col}, _ax, _ay, COUNT(*) AS n_fixes, "
+        "SUM(_ulo - _ax) AS sdx, SUM(_ula - _ay) AS sdy, "
+        "SUM((_ulo - _ax) * (_ulo - _ax)) AS sdx2, "
+        "SUM((_ula - _ay) * (_ula - _ay)) AS sdy2, "
+        "SUM((_ulo - _ax) * (_ula - _ay)) AS sdxy "
+        f"FROM ({base}) GROUP BY 1, 2, 3"
+    )
+    mx = "(CAST(sdx AS DOUBLE) / CAST(n_fixes AS DOUBLE))"
+    my = "(CAST(sdy AS DOUBLE) / CAST(n_fixes AS DOUBLE))"
+    cxx = f"(CAST(sdx2 AS DOUBLE) / CAST(n_fixes AS DOUBLE) - {mx} * {mx})"
+    cyy = f"(CAST(sdy2 AS DOUBLE) / CAST(n_fixes AS DOUBLE) - {my} * {my})"
+    cxy = f"(CAST(sdxy AS DOUBLE) / CAST(n_fixes AS DOUBLE) - {mx} * {my})"
+    scal = (
+        f"SELECT {user_col}, n_fixes, _ax, _ay, {mx} AS mx, {my} AS my, "
+        f"{cxx} AS cxx, {cyy} AS cyy, {cxy} AS cxy FROM ({g})"
+    )
+    return (
+        f"WITH s AS ({scal}), "
+        "e AS (SELECT *, cxx + cyy AS tr, cxx - cyy AS df, "
+        "sqrt((cxx - cyy) * (cxx - cyy) + 4.0 * (cxy * cxy)) AS disc "
+        "FROM s) "
+        f"SELECT {user_col}, n_fixes, "
+        "(CAST(_ay AS DOUBLE) + my) / 1000000.0 AS c_lat, "
+        "(CAST(_ax AS DOUBLE) + mx) / 1000000.0 AS c_lon, "
+        f"round((atan2(2.0 * cxy, df) / 2.0) * {1.0 / C.DEG2RAD!r}, 7) "
+        "AS angle_r7, "
+        "CASE WHEN (tr + disc) / 2.0 > 0 THEN "
+        "round(sqrt((tr + disc) / 2.0) / 1000000.0, 7) ELSE 0.0 END "
+        "AS major_deg_r7, "
+        "CASE WHEN (tr - disc) / 2.0 > 0 THEN "
+        "round(sqrt((tr - disc) / 2.0) / 1000000.0, 7) ELSE 0.0 END "
+        "AS minor_deg_r7 FROM e"
     )

@@ -220,3 +220,72 @@ class TestHuffCatchment:
         )
         exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
         assert got == exp and len(got) > 3
+
+
+class TestDeviationalEllipse:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, lat double, lon double"
+        )
+
+    def test_diagonal_line_angle_45(self, spark):
+        from geogeometry_spark.operators.trajectory import (
+            deviational_ellipse,
+        )
+
+        # fixes on the lat=lon line: major axis at 45 deg, minor ~ 0
+        rows = [(i, 1, i * 0.001, i * 0.001) for i in range(11)]
+        r = deviational_ellipse(self._pts(spark, rows)).collect()[0]
+        assert r["angle_r7"] == pytest.approx(45.0, abs=1e-6)
+        assert r["minor_deg_r7"] == pytest.approx(0.0, abs=1e-6)
+        assert r["major_deg_r7"] > 0
+        assert r["c_lat"] == pytest.approx(0.005, abs=1e-9)
+
+    def test_east_west_spread_angle_zero(self, spark):
+        from geogeometry_spark.operators.trajectory import (
+            deviational_ellipse,
+        )
+
+        # wide in lon, narrow in lat: angle ~ 0, major >> minor
+        rows = [(i, 7, (i % 3) * 0.0001, i * 0.01) for i in range(12)]
+        r = deviational_ellipse(self._pts(spark, rows)).collect()[0]
+        assert abs(r["angle_r7"]) < 1.0
+        assert r["major_deg_r7"] > 10 * r["minor_deg_r7"]
+
+    def test_single_fix_degenerate(self, spark):
+        from geogeometry_spark.operators.trajectory import (
+            deviational_ellipse,
+        )
+
+        r = deviational_ellipse(
+            self._pts(spark, [(0, 3, 52.5, 13.4)])
+        ).collect()[0]
+        assert (r["major_deg_r7"], r["minor_deg_r7"]) == (0.0, 0.0)
+        assert r["c_lat"] == pytest.approx(52.5, abs=1e-6)
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.trajectory import (
+            deviational_ellipse,
+            deviational_ellipse_oracle_sql,
+        )
+
+        rows = [
+            (i, i % 7, ((i * 31) % 100) * 0.003 - 0.15 + (i % 7) * 10.0,
+             ((i * 17) % 100) * 0.005 - 0.25)
+            for i in range(301)
+        ]
+        got = sorted(
+            map(tuple, deviational_ellipse(self._pts(spark, rows)).collect())
+        )
+        vals = ", ".join(
+            f"({e}, {u}, {la!r}, {lo!r})" for e, u, la, lo in rows
+        )
+        sql = deviational_ellipse_oracle_sql(
+            "(SELECT event_id, user_id, CAST(lat AS DOUBLE) AS lat, "
+            "CAST(lon AS DOUBLE) AS lon FROM "
+            f"(VALUES {vals}) t(event_id, user_id, lat, lon))"
+        )
+        exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+        assert got == exp and len(got) == 7
