@@ -3790,6 +3790,54 @@ def _sde_oracle() -> str:
     return deviational_ellipse_oracle_sql(_TRAJ_SUBQ)
 
 
+# moving-fix predicate: EXACT integer recomputation of the fixture's
+# own jitter gate, usable identically in both engines
+def _moving_flag():
+    return ((F.col("ts_sec") + F.col("user_id") * 977) % 14400) < 10800
+
+
+_MOVING_FLAG_SQL = "((ts_sec + user_id * 977) % 14400) < 10800"
+
+
+def q_bimoran(spark, sf_dir):
+    """Bivariate cross Moran's I (operators/hotspot.py
+    bivariate_morans_i — Wartenberg 1985): do cells dense in MOVING
+    fixes neighbor cells dense in PARKED fixes, over the z8 occupied
+    lattice; all distributed aggregates exact BIGINTs."""
+    from .operators.hotspot import bivariate_morans_i
+
+    return bivariate_morans_i(
+        _traj_points(spark, sf_dir), _moving_flag(), zoom=8
+    )
+
+
+def _bimoran_oracle() -> str:
+    from .operators.hotspot import bivariate_morans_i_oracle_sql
+
+    return bivariate_morans_i_oracle_sql(
+        _TRAJ_SUBQ, _MOVING_FLAG_SQL, zoom=8
+    )
+
+
+def q_lq(spark, sf_dir):
+    """Per-cell location quotient (operators/hotspot.py
+    location_quotient — Haig 1926) of moving-fix share vs the global
+    share: ratio-of-ratios form so no integer product can overflow."""
+    from .operators.hotspot import location_quotient
+
+    return location_quotient(
+        _traj_points(spark, sf_dir), _moving_flag(), zoom=8
+    )
+
+
+def _lq_oracle() -> str:
+    from .operators.hotspot import location_quotient_oracle_sql
+
+    return location_quotient_oracle_sql(
+        _TRAJ_SUBQ, _MOVING_FLAG_SQL, zoom=8
+    )
+
+
 def q_gearys_c(spark, sf_dir):
     """Global Geary's C autocorrelation (operators/hotspot.py
     gearys_c — Geary 1954, z under normality per Cliff & Ord 1981)
@@ -4296,6 +4344,8 @@ QUERIES = {
     "assortativity": q_assortativity,
     "huff": q_huff,
     "sde": q_sde,
+    "bimoran": q_bimoran,
+    "lq": q_lq,
 }
 
 
@@ -4439,6 +4489,8 @@ def _static_oracles() -> dict[str, str]:
         "assortativity": _assortativity_oracle(),
         "huff": _huff_oracle(),
         "sde": _sde_oracle(),
+        "bimoran": _bimoran_oracle(),
+        "lq": _lq_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

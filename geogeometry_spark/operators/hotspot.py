@@ -55,6 +55,10 @@ __all__ = [
     "gearys_c_oracle_sql",
     "join_counts",
     "join_counts_oracle_sql",
+    "bivariate_morans_i",
+    "bivariate_morans_i_oracle_sql",
+    "location_quotient",
+    "location_quotient_oracle_sql",
 ]
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -1406,4 +1410,200 @@ def join_counts_oracle_sql(
         "END AS z_bb_r6, "
         "CASE WHEN v_bw > 0 THEN round((bw - e_bw) / sqrt(v_bw), 6) "
         "END AS z_bw_r6 FROM res"
+    )
+
+
+def bivariate_morans_i(
+    points: DataFrame,
+    x_flag,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Bivariate (cross) Moran's I (Wartenberg 1985, "Multivariate
+    Spatial Correlation"; the GeoDa bivariate-Moran convention) between
+    two per-cell count variables: x = points where ``x_flag`` (a
+    boolean Column) holds, y = the rest.  Answers "are high-x cells
+    surrounded by high-y cells?" — e.g. do parked-vehicle
+    concentrations neighbor moving-traffic concentrations.
+
+    I_xy = (n/S0) · Σᵢⱼ wᵢⱼ(xᵢ-x̄)(yⱼ-ȳ) / sqrt(Σ(x-x̄)²·Σ(y-ȳ)²)
+    over the same occupied-cell queen lattice as :func:`morans_i`;
+    the cross-sum expands to Σxᵢyⱼ − ȳΣxᵢ − x̄Σyⱼ + S0·x̄ȳ so every
+    distributed aggregate stays an exact BIGINT.  Inference for the
+    bivariate statistic is conventionally permutation-based (no
+    closed-form normality z), so the result row carries the statistic
+    and its exact integer ingredients: (n_cells, s0, bi_moran_r6) —
+    NULL when undefined (n < 2, no adjacent pair, zero variance in
+    either variable)."""
+    n_tiles = 1 << zoom
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    flag = F.when(x_flag, F.lit(1)).otherwise(F.lit(0))
+    cells = (
+        points.groupBy(x.alias("tx"), y.alias("ty"))
+        .agg(
+            F.sum(flag).alias("cx"),
+            F.sum(1 - flag).alias("cy"),
+        )
+        .localCheckpoint()
+    )
+    stats = cells.agg(
+        F.count(F.lit(1)),
+        F.sum("cx"),
+        F.sum(F.col("cx") * F.col("cx")),
+        F.sum("cy"),
+        F.sum(F.col("cy") * F.col("cy")),
+    ).first()
+    n = int(stats[0])
+    sx, sxx, sy, syy = (int(stats[k] or 0) for k in (1, 2, 3, 4))
+
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _NBR_OFFSETS
+        ]
+    )
+    spread = cells.withColumn("_o", F.explode(offs)).select(
+        F.pmod(F.col("tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("ty") + F.col("_o.dy")).alias("ny"),
+        F.col("cy").alias("cy_j"),
+    )
+    pairs = cells.join(
+        spread,
+        (F.col("tx") == F.col("nx")) & (F.col("ty") == F.col("ny")),
+    ).select(F.col("cx").alias("cx_i"), "cy_j")
+    prow = pairs.agg(
+        F.count(F.lit(1)),
+        F.sum(F.col("cx_i") * F.col("cy_j")),
+        F.sum("cx_i"),
+        F.sum("cy_j"),
+    ).first()
+    s0 = int(prow[0])
+    sxy, spx, spy = (int(prow[k] or 0) for k in (1, 2, 3))
+
+    # pinned scalar op order — the oracle twin mirrors it literally
+    bi = None
+    if n > 1 and s0 > 0:
+        xbar = sx / n
+        ybar = sy / n
+        mx2 = sxx - n * xbar * xbar
+        my2 = syy - n * ybar * ybar
+        if mx2 > 0 and my2 > 0:
+            cross = sxy - ybar * spx - xbar * spy + s0 * (xbar * ybar)
+            bi = (n / (s0 * 1.0)) * (cross / math.sqrt(mx2 * my2))
+    spark = points.sparkSession
+    rnd = lambda v: F.round(F.lit(v).cast("double"), 6)  # noqa: E731
+    return spark.range(1).select(
+        F.lit(n).alias("n_cells"),
+        F.lit(s0).alias("s0"),
+        rnd(bi).alias("bi_moran_r6"),
+    )
+
+
+def bivariate_morans_i_oracle_sql(
+    subq: str,
+    x_flag_sql: str,
+    zoom: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`bivariate_morans_i`."""
+    n_tiles = 1 << zoom
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _NBR_OFFSETS)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"sum(CASE WHEN {x_flag_sql} THEN 1 ELSE 0 END) AS cx, "
+        f"sum(CASE WHEN {x_flag_sql} THEN 0 ELSE 1 END) AS cy "
+        f"FROM {subq} GROUP BY 1, 2), "
+        "cstats AS (SELECT count(*) AS n, "
+        "CAST(sum(cx) AS DOUBLE) AS sx, "
+        "CAST(sum(cx * cx) AS DOUBLE) AS sxx, "
+        "CAST(sum(cy) AS DOUBLE) AS sy, "
+        "CAST(sum(cy * cy) AS DOUBLE) AS syy FROM cells), "
+        f"offsets(dx, dy) AS (VALUES {offs}), "
+        "spread AS (SELECT "
+        f"((tx + dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "ty + dy AS ny, cy AS cy_j FROM cells CROSS JOIN offsets), "
+        "pairs AS (SELECT c.cx AS cx_i, s.cy_j "
+        "FROM cells c JOIN spread s ON c.tx = s.nx AND c.ty = s.ny), "
+        "pstats AS (SELECT count(*) AS s0, "
+        "CAST(coalesce(sum(cx_i * cy_j), 0) AS DOUBLE) AS sxy, "
+        "CAST(coalesce(sum(cx_i), 0) AS DOUBLE) AS spx, "
+        "CAST(coalesce(sum(cy_j), 0) AS DOUBLE) AS spy FROM pairs), "
+        "scal AS (SELECT n, s0, sx / n AS xbar, sy / n AS ybar, "
+        "sxx - n * (sx / n) * (sx / n) AS mx2, "
+        "syy - n * (sy / n) * (sy / n) AS my2, sxy, spx, spy "
+        "FROM cstats CROSS JOIN pstats) "
+        "SELECT n AS n_cells, s0, "
+        "CASE WHEN n > 1 AND s0 > 0 AND mx2 > 0 AND my2 > 0 THEN "
+        "round((CAST(n AS DOUBLE) / (s0 * 1.0)) * "
+        "((sxy - ybar * spx - xbar * spy + s0 * (xbar * ybar)) / "
+        "sqrt(mx2 * my2)), 6) END AS bi_moran_r6 FROM scal"
+    )
+
+
+def location_quotient(
+    points: DataFrame,
+    x_flag,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-cell location quotient (Haig 1926; the regional-science
+    concentration measure; Isserman 1977 for its inference caveats):
+    LQ_i = (xᵢ/tᵢ) / (X/T) — how over- or under-represented the
+    ``x_flag`` class is in cell i relative to its global share.
+    LQ > 1: the class concentrates there (e.g. parked vehicles in a
+    depot cell); LQ < 1: under-represented.
+
+    One map-side-combinable aggregate (conditional sums — no second
+    relation, no join); two driver scalars; the per-row statistic is
+    (xᵢ/tᵢ)·(T/X) in pinned IEEE order — the ratio-of-ratios form, NOT
+    (xᵢ·T)/(X·tᵢ), whose integer products overflow BIGINT at corpus
+    scale.  Returns (tx, ty, cnt, x_cnt, lq_r6) per occupied cell —
+    lq NULL when the class is globally empty."""
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    flag = F.when(x_flag, F.lit(1)).otherwise(F.lit(0))
+    cells = points.groupBy(x.alias("tx"), y.alias("ty")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(flag).alias("x_cnt"),
+    )
+    tot = cells.agg(F.sum("cnt"), F.sum("x_cnt")).first()
+    t_all, x_all = int(tot[0] or 0), int(tot[1] or 0)
+    ratio = (
+        float(t_all) / x_all if x_all > 0 else None
+    )  # T/X, one pinned division
+    lq = (
+        (F.col("x_cnt").cast("double") / F.col("cnt").cast("double"))
+        * F.lit(ratio)
+        if ratio is not None
+        else F.lit(None).cast("double")
+    )
+    return cells.select(
+        "tx", "ty", "cnt", "x_cnt", F.round(lq, 6).alias("lq_r6")
+    )
+
+
+def location_quotient_oracle_sql(
+    subq: str,
+    x_flag_sql: str,
+    zoom: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`location_quotient`."""
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        "count(*) AS cnt, "
+        f"sum(CASE WHEN {x_flag_sql} THEN 1 ELSE 0 END) AS x_cnt "
+        f"FROM {subq} GROUP BY 1, 2), "
+        "tot AS (SELECT sum(cnt) AS t_all, sum(x_cnt) AS x_all "
+        "FROM cells) "
+        "SELECT tx, ty, cnt, x_cnt, "
+        "CASE WHEN x_all > 0 THEN "
+        "round((CAST(x_cnt AS DOUBLE) / CAST(cnt AS DOUBLE)) * "
+        "(CAST(t_all AS DOUBLE) / x_all), 6) END AS lq_r6 "
+        "FROM cells CROSS JOIN tot"
     )

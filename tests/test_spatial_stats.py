@@ -849,3 +849,153 @@ class TestJoinCounts:
             )
         ).fetchall()[0]
         assert got == exp
+
+
+class TestBivariateMoran:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, lat double, lon double, is_x int"
+        )
+
+    def _chain(self, xcounts, ycounts):
+        rows, rid = [], 0
+        for k, (cx, cy) in enumerate(zip(xcounts, ycounts)):
+            for _ in range(cx):
+                rows.append((rid, 0.0, 10.0 + 5.625 * k, 1))
+                rid += 1
+            for _ in range(cy):
+                rows.append((rid, 0.0, 10.0 + 5.625 * k, 0))
+                rid += 1
+        return rows
+
+    def test_antitracking_classes_negative(self, spark):
+        from geogeometry_spark.operators.hotspot import bivariate_morans_i
+        from pyspark.sql import functions as F
+
+        # x-heavy cells alternate with y-heavy cells: high-x cells
+        # neighbor low-y... wait, alternating means high-x cells sit
+        # NEXT TO high-y cells -> positive cross correlation
+        rows = self._chain([9, 1, 9, 1, 9, 1], [1, 9, 1, 9, 1, 9])
+        r = bivariate_morans_i(
+            self._pts(spark, rows), F.col("is_x") == 1, zoom=6
+        ).collect()[0]
+        assert r["bi_moran_r6"] > 0
+
+    def test_cotracking_classes(self, spark):
+        from geogeometry_spark.operators.hotspot import bivariate_morans_i
+        from pyspark.sql import functions as F
+
+        # both classes pile into the same half of the chain: a high-x
+        # cell's NEIGHBORS are mostly the low-y far half -> the cross
+        # statistic goes negative relative to alternating
+        rows = self._chain([9, 9, 9, 1, 1, 1], [1, 1, 1, 9, 9, 9])
+        r = bivariate_morans_i(
+            self._pts(spark, rows), F.col("is_x") == 1, zoom=6
+        ).collect()[0]
+        assert r["bi_moran_r6"] < 0
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from geogeometry_spark.operators.hotspot import (
+            bivariate_morans_i,
+            bivariate_morans_i_oracle_sql,
+        )
+
+        rows = [
+            (i, 25.0 + ((i * 7) % 6) * 9.0, ((i * 13) % 9) * 13.0 - 70.0,
+             (i * 11) % 3 == 0)
+            for i in range(211)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, lat double, lon double, is_x boolean"
+        )
+        got = tuple(
+            bivariate_morans_i(df, F.col("is_x"), zoom=6).collect()[0]
+        )
+        vals = ", ".join(
+            f"({e}, {la!r}, {lo!r}, {x})" for e, la, lo, x in rows
+        )
+        sql = bivariate_morans_i_oracle_sql(
+            "(SELECT event_id, CAST(lat AS DOUBLE) AS lat, "
+            "CAST(lon AS DOUBLE) AS lon, is_x FROM "
+            f"(VALUES {vals}) t(event_id, lat, lon, is_x))",
+            "is_x",
+            zoom=6,
+        )
+        exp = duckdb.sql(sql).fetchall()[0]
+        assert got == exp
+
+
+class TestLocationQuotient:
+    def test_values_by_hand(self, spark):
+        from geogeometry_spark.operators.hotspot import location_quotient
+        from pyspark.sql import functions as F
+
+        # cell A: 3 of 4 are x (share .75); cell B: 1 of 4 (share .25)
+        # global share .5 -> LQ 1.5 and 0.5
+        rows = (
+            [(i, 0.0, 10.0, 1) for i in range(3)]
+            + [(3, 0.0, 10.0, 0)]
+            + [(4, 0.0, -150.0, 1)]
+            + [(5 + i, 0.0, -150.0, 0) for i in range(3)]
+        )
+        df = spark.createDataFrame(
+            rows, "event_id long, lat double, lon double, is_x int"
+        )
+        out = {
+            (r["tx"], r["ty"]): r
+            for r in location_quotient(
+                df, F.col("is_x") == 1, zoom=6
+            ).collect()
+        }
+        lqs = sorted(r["lq_r6"] for r in out.values())
+        assert lqs == [0.5, 1.5]
+
+    def test_empty_class_null(self, spark):
+        from geogeometry_spark.operators.hotspot import location_quotient
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(0, 0.0, 10.0, 0), (1, 0.0, -150.0, 0)],
+            "event_id long, lat double, lon double, is_x int",
+        )
+        out = location_quotient(df, F.col("is_x") == 1, zoom=6).collect()
+        assert all(r["lq_r6"] is None for r in out)
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from geogeometry_spark.operators.hotspot import (
+            location_quotient,
+            location_quotient_oracle_sql,
+        )
+
+        rows = [
+            (i, 25.0 + ((i * 7) % 6) * 9.0, ((i * 13) % 9) * 13.0 - 70.0,
+             (i * 11) % 3 == 0)
+            for i in range(151)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, lat double, lon double, is_x boolean"
+        )
+        got = sorted(
+            map(
+                tuple,
+                location_quotient(df, F.col("is_x"), zoom=6).collect(),
+            )
+        )
+        vals = ", ".join(
+            f"({e}, {la!r}, {lo!r}, {x})" for e, la, lo, x in rows
+        )
+        sql = location_quotient_oracle_sql(
+            "(SELECT event_id, CAST(lat AS DOUBLE) AS lat, "
+            "CAST(lon AS DOUBLE) AS lon, is_x FROM "
+            f"(VALUES {vals}) t(event_id, lat, lon, is_x))",
+            "is_x",
+            zoom=6,
+        )
+        exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+        assert got == exp
