@@ -3422,6 +3422,31 @@ def _grid_dbscan_oracle() -> str:
     )
 
 
+def q_st_dbscan(spark, sf_dir):
+    """Spatiotemporal DBSCAN (operators/cluster.py st_dbscan — Birant
+    & Kut 2007, min_pts=1 eps-linkage) at eps 1 km / 6 h over the fix
+    stream: a user's parked clique splits into per-revisit clusters
+    wherever the 6 h time gate cuts the chain that plain grid_dbscan
+    would merge."""
+    from .operators.cluster import st_dbscan
+
+    out = st_dbscan(
+        _traj_points(spark, sf_dir), eps_m=1000.0, eps_t=21600
+    )
+    return out.select("event_id", "user_id", "cluster_id")
+
+
+def _st_dbscan_oracle() -> str:
+    from .operators.cluster import st_dbscan_oracle_sql
+
+    return st_dbscan_oracle_sql(
+        _TRAJ_SUBQ,
+        eps_m=1000.0,
+        eps_t=21600,
+        select_cols="k.event_id, k.user_id",
+    )
+
+
 def q_kde(spark, sf_dir):
     """Truncated-Gaussian KDE surface over z8 tiles of the fix stream
     (operators/density.py): occupied-cell collapse, 29-address integer
@@ -4346,6 +4371,7 @@ QUERIES = {
     "sde": q_sde,
     "bimoran": q_bimoran,
     "lq": q_lq,
+    "st_dbscan": q_st_dbscan,
 }
 
 
@@ -4491,6 +4517,7 @@ def _static_oracles() -> dict[str, str]:
         "sde": _sde_oracle(),
         "bimoran": _bimoran_oracle(),
         "lq": _lq_oracle(),
+        "st_dbscan": _st_dbscan_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -999,3 +999,92 @@ class TestLocationQuotient:
         )
         exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
         assert got == exp
+
+
+class TestStDbscan:
+    SCHEMA = "event_id long, user_id long, ts_sec long, lat double, lon double"
+
+    def test_time_gate_splits_space_cluster(self, spark):
+        from geogeometry_spark.operators.cluster import st_dbscan
+
+        # same place visited twice, 10 days apart: grid_dbscan would
+        # merge; ST-DBSCAN must split into two clusters
+        rows = [
+            (1, 1, 1000, 52.5, 13.4),
+            (2, 1, 2000, 52.5001, 13.4001),
+            (3, 1, 1000 + 864000, 52.5, 13.4),
+            (4, 1, 2000 + 864000, 52.5001, 13.4001),
+        ]
+        out = st_dbscan(
+            spark.createDataFrame(rows, self.SCHEMA),
+            eps_m=200.0,
+            eps_t=3600,
+        ).collect()
+        lab = {r["event_id"]: r["cluster_id"] for r in out}
+        assert lab[1] == lab[2] == 1
+        assert lab[3] == lab[4] == 3
+        assert lab[1] != lab[3]
+
+    def test_chain_through_time_buckets(self, spark):
+        from geogeometry_spark.operators.cluster import st_dbscan
+
+        # fixes 30 min apart chain across bucket boundaries (eps_t 1 h
+        # -> adjacent-bucket candidates must be probed)
+        rows = [
+            (i, 1, 1000 + i * 1800, 52.5, 13.4 + i * 0.0001)
+            for i in range(6)
+        ]
+        out = st_dbscan(
+            spark.createDataFrame(rows, self.SCHEMA),
+            eps_m=200.0,
+            eps_t=3600,
+        ).collect()
+        assert {r["cluster_id"] for r in out} == {0}
+
+    def test_space_gate_still_applies(self, spark):
+        from geogeometry_spark.operators.cluster import st_dbscan
+
+        # simultaneous but far apart: separate clusters
+        rows = [(1, 1, 1000, 52.5, 13.4), (2, 2, 1000, 52.5, 14.4)]
+        out = st_dbscan(
+            spark.createDataFrame(rows, self.SCHEMA),
+            eps_m=200.0,
+            eps_t=3600,
+        ).collect()
+        assert len({r["cluster_id"] for r in out}) == 2
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.cluster import (
+            st_dbscan,
+            st_dbscan_oracle_sql,
+        )
+
+        rows = [
+            (i, i % 5, 1000 + (i * 977) % 50000,
+             52.0 + ((i * 31) % 40) * 0.002,
+             13.0 + ((i * 17) % 40) * 0.003)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        got = sorted(
+            (r["event_id"], r["cluster_id"])
+            for r in st_dbscan(df, eps_m=400.0, eps_t=7200).collect()
+        )
+        vals = ", ".join(
+            f"({e}, {u}, {t}, {la!r}, {lo!r})" for e, u, t, la, lo in rows
+        )
+        sql = st_dbscan_oracle_sql(
+            "(SELECT event_id, user_id, ts_sec, "
+            "CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon "
+            f"FROM (VALUES {vals}) t(event_id, user_id, ts_sec, lat, lon))",
+            eps_m=400.0,
+            eps_t=7200,
+            select_cols="k.event_id, k.user_id",
+        )
+        exp = sorted(
+            (e, c) for e, u, c in duckdb.sql(sql).fetchall()
+        )
+        assert got == exp and len(got) == 200
+        assert len({c for _, c in got}) > 1
