@@ -4041,6 +4041,28 @@ def _huff_oracle() -> str:
     )
 
 
+def q_kcore(spark, sf_dir):
+    """3-core of the braced road lattice (operators/graph.py k_core —
+    Seidman 1983; synchronous distributed peeling, Batagelj &
+    Zaveršnik 2003): the two brace-less lattice corners peel, the
+    remaining 398 nodes hold within-core degree >= 3."""
+    from .operators.graph import k_core
+
+    return k_core(_braced_road_edges(spark), k=3)
+
+
+def _kcore_oracle() -> str:
+    from .operators.graph import k_core_oracle_sql
+
+    # peeling depth of the fixture is 2 rounds (measured); 6 is the
+    # _SSSP_ROUNDS-style margin — exact whenever rounds >= depth
+    return k_core_oracle_sql(
+        _BRACED_SUBQ.format(road=_road_graph_edges_sql()),
+        k=3,
+        twin_rounds=6,
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Exact fixed-point PageRank (operators/pagerank.py) over the
     congestion-weighted lattice road graph: intersection centrality
@@ -4368,6 +4390,7 @@ QUERIES = {
     "triangles": q_triangles,
     "assortativity": q_assortativity,
     "huff": q_huff,
+    "kcore": q_kcore,
     "sde": q_sde,
     "bimoran": q_bimoran,
     "lq": q_lq,
@@ -4514,6 +4537,7 @@ def _static_oracles() -> dict[str, str]:
         "triangles": _triangles_oracle(),
         "assortativity": _assortativity_oracle(),
         "huff": _huff_oracle(),
+        "kcore": _kcore_oracle(),
         "sde": _sde_oracle(),
         "bimoran": _bimoran_oracle(),
         "lq": _lq_oracle(),

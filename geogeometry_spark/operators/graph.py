@@ -37,6 +37,8 @@ __all__ = [
     "triangle_stats_oracle_sql",
     "degree_assortativity",
     "degree_assortativity_oracle_sql",
+    "k_core",
+    "k_core_oracle_sql",
 ]
 
 
@@ -241,3 +243,105 @@ def degree_assortativity_oracle_sql(edges_subq: str) -> str:
         "CASE WHEN den > 0 THEN round(num / den, 6) END "
         "AS assortativity_r6 FROM res"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Nodes of the k-core (Seidman 1983, "Network structure and
+    minimum degree"): the maximal subgraph in which every node keeps
+    degree ≥ k — the standard cohesion filter before community/
+    centrality work on road and contact networks (Batagelj & Zaveršnik
+    2003 give the sequential peeling algorithm; this is its
+    synchronous distributed form: each round deletes ALL nodes below
+    degree k simultaneously, which converges to the same unique
+    fixed point because the k-core is order-independent).
+
+    Scale shape per round: degree = map-side-combinable count over the
+    live-edge relation; the survivor set semi-joins back on BOTH
+    endpoints (two equi-joins on the canonical undirected relation);
+    ``localCheckpoint`` + ``Observation`` per round (the
+    connected_components / sssp loop hygiene) — the driver holds one
+    (removed-count,) scalar per round, and a round that removes zero
+    nodes is the fixed point.  Round count is bounded by the peeling
+    depth (≤ graph diameter for chain-degenerate graphs; a handful on
+    braced road lattices).
+
+    Returns (node, deg) for every k-core member with its WITHIN-CORE
+    degree.  Raises RuntimeError if ``max_rounds`` is hit without
+    convergence (never silently mislabels — the ADVICE r3
+    connected-components rule)."""
+    from pyspark.sql import Observation
+
+    live = _canonical_edges(edges).localCheckpoint()
+    for rnd in range(max_rounds):
+        deg = (
+            live.select(F.col("a").alias("node"))
+            .union(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        obs = Observation()
+        nxt = (
+            live.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .observe(obs, F.count(F.lit(1)).alias("m"))
+            .localCheckpoint()
+        )
+        m_next = obs.get["m"]
+        m_prev = live.count()
+        live.unpersist()
+        live = nxt
+        if m_next == m_prev:
+            break
+    else:
+        raise RuntimeError(
+            f"k_core did not converge within {max_rounds} rounds"
+        )
+    return (
+        live.select(F.col("a").alias("node"))
+        .union(live.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def k_core_oracle_sql(
+    edges_subq: str, k: int = 3, twin_rounds: int = 8
+) -> str:
+    """Unrolled-round DuckDB twin of :func:`k_core` (the _SSSP_ROUNDS
+    doctrine: exact whenever ``twin_rounds`` ≥ the peeling depth of
+    the fixture — the Spark side iterates to its own fixed point and
+    needs no bound).  Each MATERIALIZED round recomputes degrees over
+    the surviving edge relation and keeps edges whose BOTH endpoints
+    hold degree ≥ k."""
+    sql = [
+        f"WITH und0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) "
+        f"AS a, greatest(src, dst) AS b FROM {edges_subq} "
+        "WHERE src <> dst)"
+    ]
+    prev = "und0"
+    for r in range(1, twin_rounds + 1):
+        cur = f"und{r}"
+        sql.append(
+            f", {cur} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e "
+            f"JOIN (SELECT node FROM (SELECT node, count(*) AS deg "
+            f"FROM (SELECT a AS node FROM {prev} "
+            f"UNION ALL SELECT b AS node FROM {prev}) GROUP BY node) "
+            f"WHERE deg >= {k}) ka ON e.a = ka.node "
+            f"JOIN (SELECT node FROM (SELECT node, count(*) AS deg "
+            f"FROM (SELECT a AS node FROM {prev} "
+            f"UNION ALL SELECT b AS node FROM {prev}) GROUP BY node) "
+            f"WHERE deg >= {k}) kb ON e.b = kb.node)"
+        )
+        prev = cur
+    sql.append(
+        f" SELECT node, count(*) AS deg FROM "
+        f"(SELECT a AS node FROM {prev} UNION ALL "
+        f"SELECT b AS node FROM {prev}) GROUP BY node"
+    )
+    return "".join(sql)

@@ -289,3 +289,73 @@ class TestDeviationalEllipse:
         )
         exp = sorted(map(tuple, duckdb.sql(sql).fetchall()))
         assert got == exp and len(got) == 7
+
+
+class TestKCore:
+    def test_k4_with_pendant_tail(self, spark):
+        from geogeometry_spark.operators.graph import k_core
+
+        pairs = [(i, j) for i in range(4) for j in range(4) if i < j] + [
+            (3, 9),
+            (9, 10),
+        ]
+        got = sorted(
+            map(tuple, k_core(_edges(spark, pairs), k=3).collect())
+        )
+        assert got == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+    def test_triangle_strip_cascades_to_empty(self, spark):
+        from geogeometry_spark.operators.graph import k_core
+
+        # strip: (i,i+1) and (i,i+2) — interior deg 4, ends deg 2;
+        # peeling the ends cascades inward over many SYNCHRONOUS
+        # rounds until nothing is left (the multi-round loop path)
+        m = 12
+        pairs = [(i, i + 1) for i in range(m)] + [
+            (i, i + 2) for i in range(m - 1)
+        ]
+        assert k_core(_edges(spark, pairs), k=3).count() == 0
+
+    def test_max_rounds_raises(self, spark):
+        from geogeometry_spark.operators.graph import k_core
+
+        m = 12
+        pairs = [(i, i + 1) for i in range(m)] + [
+            (i, i + 2) for i in range(m - 1)
+        ]
+        with pytest.raises(RuntimeError, match="did not converge"):
+            k_core(_edges(spark, pairs), k=3, max_rounds=2)
+
+    def test_twin_parity_cascade(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.graph import (
+            k_core,
+            k_core_oracle_sql,
+        )
+
+        # strip + a K5 anchor at the far end: the strip erodes, the
+        # clique survives — multi-round parity with an unroll >= depth
+        m = 10
+        pairs = (
+            [(i, i + 1) for i in range(m)]
+            + [(i, i + 2) for i in range(m - 1)]
+            + [(100 + i, 100 + j) for i in range(5) for j in range(5) if i < j]
+            + [(m, 100)]
+        )
+        got = sorted(map(tuple, k_core(_edges(spark, pairs), k=3).collect()))
+        vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+        exp = sorted(
+            map(
+                tuple,
+                duckdb.sql(
+                    k_core_oracle_sql(
+                        f"(SELECT * FROM (VALUES {vals}) t(src, dst))",
+                        k=3,
+                        twin_rounds=12,
+                    )
+                ).fetchall(),
+            )
+        )
+        assert got == exp
+        assert {n for n, _ in got} == {100 + i for i in range(5)}
