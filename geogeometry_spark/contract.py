@@ -3863,6 +3863,21 @@ def _lq_oracle() -> str:
     )
 
 
+def q_gini(spark, sf_dir):
+    """Spatial Gini of fix counts over occupied z8 cells
+    (operators/hotspot.py spatial_gini): exact-integer grouped-
+    histogram numerator, one pinned final division."""
+    from .operators.hotspot import spatial_gini
+
+    return spatial_gini(_traj_points(spark, sf_dir), zoom=8)
+
+
+def _gini_oracle() -> str:
+    from .operators.hotspot import spatial_gini_oracle_sql
+
+    return spatial_gini_oracle_sql(_TRAJ_SUBQ, zoom=8)
+
+
 def q_gearys_c(spark, sf_dir):
     """Global Geary's C autocorrelation (operators/hotspot.py
     gearys_c — Geary 1954, z under normality per Cliff & Ord 1981)
@@ -4395,6 +4410,7 @@ QUERIES = {
     "bimoran": q_bimoran,
     "lq": q_lq,
     "st_dbscan": q_st_dbscan,
+    "gini": q_gini,
 }
 
 
@@ -4542,6 +4558,7 @@ def _static_oracles() -> dict[str, str]:
         "bimoran": _bimoran_oracle(),
         "lq": _lq_oracle(),
         "st_dbscan": _st_dbscan_oracle(),
+        "gini": _gini_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -59,6 +59,8 @@ __all__ = [
     "bivariate_morans_i_oracle_sql",
     "location_quotient",
     "location_quotient_oracle_sql",
+    "spatial_gini",
+    "spatial_gini_oracle_sql",
 ]
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -1606,4 +1608,87 @@ def location_quotient_oracle_sql(
         "round((CAST(x_cnt AS DOUBLE) / CAST(cnt AS DOUBLE)) * "
         "(CAST(t_all AS DOUBLE) / x_all), 6) END AS lq_r6 "
         "FROM cells CROSS JOIN tot"
+    )
+
+
+def spatial_gini(
+    points: DataFrame,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Gini coefficient of point counts over occupied cells (Gini
+    1912; the standard spatial-inequality summary over a density
+    surface, cf. Tsai 2005 for urban-form concentration): 0 = every
+    occupied cell holds the same count, →1 = all mass in one cell of
+    many.
+
+    Exactness: the statistic is a pure function of the grouped count
+    histogram.  Cells collapse map-side; the (count-value,
+    multiplicity) relation — bounded by the number of DISTINCT cell
+    counts, ≤ O(√Σ) — collects to the driver (the IVF-centroid
+    bounded-driver-relation pattern), where the pairwise-difference
+    numerator Σᵢ<ⱼ mᵢmⱼ(cⱼ−cᵢ) folds in ONE exact-integer O(k) pass
+    over the sorted histogram (mⱼ·(cⱼ·cumM − cumS) with running exact
+    sums); because it is pure integer arithmetic, any exact evaluation
+    order gives the identical numerator, so the twin's window-cumsum
+    form needs no op-order pinning — only the single final IEEE
+    division mirrors.  G = 2·num / (n·S) with NULLs when undefined
+    (n < 2 or zero mass).
+
+    Returns one row: (n_cells, sum_cnt, gini_r6)."""
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    hist = (
+        points.groupBy(x.alias("tx"), y.alias("ty"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .orderBy("cnt")
+        .collect()
+    )
+    n = sum(int(r["m"]) for r in hist)
+    s = sum(int(r["cnt"]) * int(r["m"]) for r in hist)
+    num = 0
+    cum_m = 0
+    cum_s = 0
+    for r in hist:
+        c, m = int(r["cnt"]), int(r["m"])
+        num += m * (c * cum_m - cum_s)
+        cum_m += m
+        cum_s += m * c
+    gini = None
+    if n > 1 and s > 0:
+        gini = (2.0 * num) / (float(n) * s)
+    spark = points.sparkSession
+    return spark.range(1).select(
+        F.lit(n).alias("n_cells"),
+        F.lit(s).alias("sum_cnt"),
+        F.round(F.lit(gini).cast("double"), 6).alias("gini_r6"),
+    )
+
+
+def spatial_gini_oracle_sql(
+    subq: str, zoom: int = 8, lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB twin of :func:`spatial_gini`: the same exact-integer
+    numerator via a window cumsum over the sorted histogram (integer
+    arithmetic is order-insensitive), the same single pinned final
+    division."""
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2), "
+        "hist AS (SELECT cnt AS c, count(*) AS m FROM cells "
+        "GROUP BY cnt), "
+        "w AS (SELECT c, m, "
+        "coalesce(sum(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), 0) AS cum_m, "
+        "coalesce(sum(m * c) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), 0) AS cum_s FROM hist), "
+        "agg AS (SELECT sum(m) AS n, sum(m * c) AS s, "
+        "sum(m * (c * cum_m - cum_s)) AS num FROM w) "
+        "SELECT n AS n_cells, s AS sum_cnt, "
+        "CASE WHEN n > 1 AND s > 0 THEN "
+        "round((2.0 * num) / (CAST(n AS DOUBLE) * s), 6) END "
+        "AS gini_r6 FROM agg"
     )

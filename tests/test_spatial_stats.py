@@ -1088,3 +1088,69 @@ class TestStDbscan:
         )
         assert got == exp and len(got) == 200
         assert len({c for _, c in got}) > 1
+
+
+class TestSpatialGini:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, lat double, lon double"
+        )
+
+    def _chain(self, counts):
+        rows, rid = [], 0
+        for k, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((rid, 0.0, 10.0 + 5.625 * k))
+                rid += 1
+        return rows
+
+    def test_uniform_zero(self, spark):
+        from geogeometry_spark.operators.hotspot import spatial_gini
+
+        r = spatial_gini(
+            self._pts(spark, self._chain([4, 4, 4, 4])), zoom=6
+        ).collect()[0]
+        assert r["gini_r6"] == 0.0
+
+    def test_hand_value(self, spark):
+        from geogeometry_spark.operators.hotspot import spatial_gini
+
+        # counts (1, 3): num = 2*sum m_i m_j diff = 2*2 = 4;
+        # G = 4/(2*4) = 0.5
+        r = spatial_gini(
+            self._pts(spark, self._chain([1, 3])), zoom=6
+        ).collect()[0]
+        assert (r["n_cells"], r["sum_cnt"]) == (2, 4)
+        assert r["gini_r6"] == 0.5
+
+    def test_concentrated_near_one(self, spark):
+        from geogeometry_spark.operators.hotspot import spatial_gini
+
+        r = spatial_gini(
+            self._pts(spark, self._chain([97, 1, 1, 1])), zoom=6
+        ).collect()[0]
+        assert r["gini_r6"] > 0.7
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.hotspot import (
+            spatial_gini,
+            spatial_gini_oracle_sql,
+        )
+
+        rows = [
+            (i, 25.0 + ((i * 7) % 6) * 9.0, ((i * 13) % 9) * 13.0 - 70.0)
+            for i in range(223)
+        ]
+        got = tuple(spatial_gini(self._pts(spark, rows), zoom=6).collect()[0])
+        vals = ", ".join(f"({e}, {la!r}, {lo!r})" for e, la, lo in rows)
+        exp = duckdb.sql(
+            spatial_gini_oracle_sql(
+                "(SELECT event_id, CAST(lat AS DOUBLE) AS lat, "
+                "CAST(lon AS DOUBLE) AS lon FROM "
+                f"(VALUES {vals}) t(event_id, lat, lon))",
+                zoom=6,
+            )
+        ).fetchall()[0]
+        assert got == exp
