@@ -3878,6 +3878,21 @@ def _gini_oracle() -> str:
     return spatial_gini_oracle_sql(_TRAJ_SUBQ, zoom=8)
 
 
+def q_general_g(spark, sf_dir):
+    """Getis-Ord General G high/low clustering (operators/hotspot.py
+    general_g — Getis & Ord 1992, randomization z validated by 200k-
+    permutation Monte-Carlo) over z8 tile bins."""
+    from .operators.hotspot import general_g
+
+    return general_g(_traj_points(spark, sf_dir), zoom=8)
+
+
+def _general_g_oracle() -> str:
+    from .operators.hotspot import general_g_oracle_sql
+
+    return general_g_oracle_sql(_TRAJ_SUBQ, zoom=8)
+
+
 def q_gearys_c(spark, sf_dir):
     """Global Geary's C autocorrelation (operators/hotspot.py
     gearys_c — Geary 1954, z under normality per Cliff & Ord 1981)
@@ -4411,6 +4426,7 @@ QUERIES = {
     "lq": q_lq,
     "st_dbscan": q_st_dbscan,
     "gini": q_gini,
+    "general_g": q_general_g,
 }
 
 
@@ -4559,6 +4575,7 @@ def _static_oracles() -> dict[str, str]:
         "lq": _lq_oracle(),
         "st_dbscan": _st_dbscan_oracle(),
         "gini": _gini_oracle(),
+        "general_g": _general_g_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -61,6 +61,8 @@ __all__ = [
     "location_quotient_oracle_sql",
     "spatial_gini",
     "spatial_gini_oracle_sql",
+    "general_g",
+    "general_g_oracle_sql",
 ]
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -1691,4 +1693,180 @@ def spatial_gini_oracle_sql(
         "CASE WHEN n > 1 AND s > 0 THEN "
         "round((2.0 * num) / (CAST(n AS DOUBLE) * s), 6) END "
         "AS gini_r6 FROM agg"
+    )
+
+
+def general_g(
+    points: DataFrame,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Getis-Ord General G — global high/low clustering (Getis & Ord
+    1992 eq. 8-12; the ArcGIS "High/Low Clustering" tool; z under
+    randomization): G = Σᵢ≠ⱼwᵢⱼxᵢxⱼ / Σᵢ≠ⱼxᵢxⱼ over the occupied-cell
+    queen lattice.  Completes the Getis-Ord family: Gi* locates hot
+    cells, General G says whether HIGH values cluster study-area-wide
+    (z > 0) or LOW values do (z < 0) — a sign Moran's I cannot give
+    (I is symmetric in highs and lows).
+
+    Same lattice machinery and exactness doctrine as
+    :func:`morans_i`: every distributed aggregate (n, Σx..Σx⁴,
+    S0 = ordered adjacent pairs, Σ adjacent xᵢxⱼ, Σdeg²) is an exact
+    BIGINT; the driver combine converts each ingredient to double
+    FIRST (the twin's CAST order) and evaluates the B-coefficient
+    variance formula in one pinned order.  The transcription of
+    E[G²]'s five B terms was validated against a 200k-permutation
+    Monte-Carlo on a 5x5 lattice (ratio 1.000006 — see
+    tests/test_spatial_stats.py::TestGeneralG).
+
+    Returns one row: (n_cells, s0, g_r9, e_g_r9, z_r6) — NULL when
+    undefined (n < 4 for the randomization moments, no adjacent pair,
+    or zero denominator/variance)."""
+    n_tiles = 1 << zoom
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    cells = (
+        points.groupBy(x.alias("tx"), y.alias("ty"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    c = F.col("cnt")
+    stats = cells.agg(
+        F.count(F.lit(1)),
+        F.sum(c),
+        F.sum(c * c),
+        F.sum(c * c * c),
+        F.sum(c * c * c * c),
+    ).first()
+    n = int(stats[0])
+    m1, m2, m3, m4 = (int(stats[k] or 0) for k in (1, 2, 3, 4))
+
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _NBR_OFFSETS
+        ]
+    )
+    spread = cells.withColumn("_o", F.explode(offs)).select(
+        F.pmod(F.col("tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("ty") + F.col("_o.dy")).alias("ny"),
+        F.col("cnt").alias("cnt_j"),
+    )
+    pairs = cells.join(
+        spread,
+        (F.col("tx") == F.col("nx")) & (F.col("ty") == F.col("ny")),
+    ).select("tx", "ty", F.col("cnt").alias("cnt_i"), "cnt_j")
+    prow = pairs.agg(
+        F.count(F.lit(1)), F.sum(F.col("cnt_i") * F.col("cnt_j"))
+    ).first()
+    s0, sp = int(prow[0]), int(prow[1] or 0)
+    sd2 = int(
+        pairs.groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum(F.col("deg") * F.col("deg")))
+        .first()[0]
+        or 0
+    )
+
+    # double-FIRST conversions (the twin's CAST order), then one
+    # pinned combine — m1^4 etc. would overflow/re-round otherwise
+    g = e_g = z = None
+    if n > 3 and s0 > 0:
+        nf = float(n)
+        w0 = float(s0)
+        s1 = 2.0 * w0
+        s2 = 4.0 * float(sd2)
+        m1f, m2f, m3f, m4f = float(m1), float(m2), float(m3), float(m4)
+        den = m1f * m1f - m2f
+        if den > 0:
+            g = float(sp) / den
+            e_g = w0 / (nf * (nf - 1.0))
+            b0 = (nf * nf - 3.0 * nf + 3.0) * s1 - nf * s2 + 3.0 * (
+                w0 * w0
+            )
+            b1 = -((nf * nf - nf) * s1 - 2.0 * nf * s2 + 6.0 * (w0 * w0))
+            b2 = -(2.0 * nf * s1 - (nf + 3.0) * s2 + 6.0 * (w0 * w0))
+            b3 = 4.0 * (nf - 1.0) * s1 - 2.0 * (nf + 1.0) * s2 + 8.0 * (
+                w0 * w0
+            )
+            b4 = s1 - s2 + w0 * w0
+            eg2 = (
+                b0 * (m2f * m2f)
+                + b1 * m4f
+                + b2 * ((m1f * m1f) * m2f)
+                + b3 * (m1f * m3f)
+                + b4 * (((m1f * m1f) * m1f) * m1f)
+            ) / (
+                (den * den)
+                * (nf * (nf - 1.0) * (nf - 2.0) * (nf - 3.0))
+            )
+            var = eg2 - e_g * e_g
+            if var > 0:
+                z = (g - e_g) / math.sqrt(var)
+    spark = points.sparkSession
+    return spark.range(1).select(
+        F.lit(n).alias("n_cells"),
+        F.lit(s0).alias("s0"),
+        F.round(F.lit(g).cast("double"), 9).alias("g_r9"),
+        F.round(F.lit(e_g).cast("double"), 9).alias("e_g_r9"),
+        F.round(F.lit(z).cast("double"), 6).alias("z_r6"),
+    )
+
+
+def general_g_oracle_sql(
+    subq: str, zoom: int = 8, lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB twin of :func:`general_g`: identical exact aggregates,
+    identical double-first CASTs and pinned combine."""
+    n_tiles = 1 << zoom
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _NBR_OFFSETS)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2), "
+        "cstats AS (SELECT CAST(count(*) AS DOUBLE) AS nf, "
+        "count(*) AS n_int, "
+        "CAST(sum(cnt) AS DOUBLE) AS m1, "
+        "CAST(sum(cnt * cnt) AS DOUBLE) AS m2, "
+        "CAST(sum(cnt * cnt * cnt) AS DOUBLE) AS m3, "
+        "CAST(sum(cnt * cnt * cnt * cnt) AS DOUBLE) AS m4 FROM cells), "
+        f"offsets(dx, dy) AS (VALUES {offs}), "
+        "spread AS (SELECT "
+        f"((tx + dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "ty + dy AS ny, cnt AS cnt_j FROM cells CROSS JOIN offsets), "
+        "pairs AS (SELECT c.tx, c.ty, c.cnt AS cnt_i, s.cnt_j "
+        "FROM cells c JOIN spread s ON c.tx = s.nx AND c.ty = s.ny), "
+        "pstats AS (SELECT count(*) AS s0_int, "
+        "CAST(count(*) AS DOUBLE) AS w0, "
+        "CAST(coalesce(sum(cnt_i * cnt_j), 0) AS DOUBLE) AS sp "
+        "FROM pairs), "
+        "dstats AS (SELECT CAST(coalesce(sum(deg * deg), 0) AS DOUBLE) "
+        "AS sd2 FROM (SELECT count(*) AS deg FROM pairs "
+        "GROUP BY tx, ty)), "
+        "scal AS (SELECT n_int, nf, s0_int, w0, 2.0 * w0 AS s1, "
+        "4.0 * sd2 AS s2, m1, m2, m3, m4, sp, "
+        "m1 * m1 - m2 AS den "
+        "FROM cstats CROSS JOIN pstats CROSS JOIN dstats), "
+        "r AS (SELECT *, "
+        "CASE WHEN n_int > 3 AND s0_int > 0 AND den > 0 THEN "
+        "sp / den END AS g, "
+        "CASE WHEN n_int > 3 AND s0_int > 0 AND den > 0 THEN "
+        "w0 / (nf * (nf - 1.0)) END AS e_g, "
+        "CASE WHEN n_int > 3 AND s0_int > 0 AND den > 0 THEN "
+        "(((nf * nf - 3.0 * nf + 3.0) * s1 - nf * s2 + 3.0 * (w0 * w0)) "
+        "* (m2 * m2) "
+        "+ (-((nf * nf - nf) * s1 - 2.0 * nf * s2 + 6.0 * (w0 * w0))) "
+        "* m4 "
+        "+ (-(2.0 * nf * s1 - (nf + 3.0) * s2 + 6.0 * (w0 * w0))) "
+        "* ((m1 * m1) * m2) "
+        "+ (4.0 * (nf - 1.0) * s1 - 2.0 * (nf + 1.0) * s2 "
+        "+ 8.0 * (w0 * w0)) * (m1 * m3) "
+        "+ (s1 - s2 + w0 * w0) * (((m1 * m1) * m1) * m1)) / "
+        "((den * den) * (nf * (nf - 1.0) * (nf - 2.0) * (nf - 3.0))) "
+        "- (w0 / (nf * (nf - 1.0))) * (w0 / (nf * (nf - 1.0))) "
+        "END AS var FROM scal) "
+        "SELECT n_int AS n_cells, s0_int AS s0, "
+        "round(g, 9) AS g_r9, round(e_g, 9) AS e_g_r9, "
+        "CASE WHEN var > 0 THEN round((g - e_g) / sqrt(var), 6) END "
+        "AS z_r6 FROM r"
     )

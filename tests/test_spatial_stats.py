@@ -1154,3 +1154,100 @@ class TestSpatialGini:
             )
         ).fetchall()[0]
         assert got == exp
+
+
+class TestGeneralG:
+    _pts = TestSpatialGini._pts
+    _chain = TestSpatialGini._chain
+
+    def test_high_clustering_positive_z(self, spark):
+        from geogeometry_spark.operators.hotspot import general_g
+
+        # the two heavy cells adjoin: Σw x_i x_j is dominated by the
+        # 81-product pair -> G above E[G], z > 0 (high values cluster)
+        r = general_g(
+            self._pts(spark, self._chain([9, 9, 1, 1, 1, 1, 1, 1])),
+            zoom=6,
+        ).collect()[0]
+        assert r["z_r6"] > 0 and r["g_r9"] > r["e_g_r9"]
+
+    def test_high_values_separated_negative_z(self, spark):
+        from geogeometry_spark.operators.hotspot import general_g
+
+        # heavy cells at the two ends of the chain, never adjacent:
+        # adjacent products are all small -> G below E[G], z < 0
+        r = general_g(
+            self._pts(spark, self._chain([9, 1, 1, 1, 1, 1, 1, 9])),
+            zoom=6,
+        ).collect()[0]
+        assert r["z_r6"] < 0 and r["g_r9"] < r["e_g_r9"]
+
+    def test_variance_formula_vs_monte_carlo(self, spark):
+        # the transcription check that gates the operator: analytic
+        # Var(G) under randomization vs permutation variance on a 5x5
+        # queen lattice (deterministic rng seed)
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        vals = np.array(
+            [1, 1, 2, 1, 1, 3, 9, 4, 1, 2, 1, 5, 2, 1, 1, 2, 1, 1, 7,
+             1, 1, 1, 2, 1, 6],
+            dtype=float,
+        )
+        n = 25
+        coords = [(i // 5, i % 5) for i in range(n)]
+        w = np.zeros((n, n))
+        for a in range(n):
+            for b in range(n):
+                if a != b and abs(coords[a][0] - coords[b][0]) <= 1 and \
+                        abs(coords[a][1] - coords[b][1]) <= 1:
+                    w[a, b] = 1.0
+
+        def g_of(x):
+            num = (w * np.outer(x, x)).sum()
+            den = np.outer(x, x).sum() - (x * x).sum()
+            return num / den
+
+        w0 = w.sum()
+        s1 = 0.5 * ((w + w.T) ** 2).sum()
+        s2 = ((w.sum(1) + w.sum(0)) ** 2).sum()
+        m1, m2 = vals.sum(), (vals ** 2).sum()
+        m3, m4 = (vals ** 3).sum(), (vals ** 4).sum()
+        b0 = (n * n - 3 * n + 3) * s1 - n * s2 + 3 * w0 * w0
+        b1 = -((n * n - n) * s1 - 2 * n * s2 + 6 * w0 * w0)
+        b2 = -(2 * n * s1 - (n + 3) * s2 + 6 * w0 * w0)
+        b3 = 4 * (n - 1) * s1 - 2 * (n + 1) * s2 + 8 * w0 * w0
+        b4 = s1 - s2 + w0 * w0
+        e_g = w0 / (n * (n - 1))
+        eg2 = (
+            b0 * m2 * m2 + b1 * m4 + b2 * m1 * m1 * m2 + b3 * m1 * m3
+            + b4 * m1 ** 4
+        ) / (((m1 * m1 - m2) ** 2) * n * (n - 1) * (n - 2) * (n - 3))
+        var_analytic = eg2 - e_g * e_g
+        gs = np.array([g_of(rng.permutation(vals)) for _ in range(20000)])
+        assert abs(gs.mean() - e_g) < 3e-4
+        assert 0.97 < var_analytic / gs.var() < 1.03
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.hotspot import (
+            general_g,
+            general_g_oracle_sql,
+        )
+
+        rows = [
+            (i, 25.0 + ((i * 7) % 6) * 9.0, ((i * 13) % 9) * 13.0 - 70.0)
+            for i in range(199)
+        ]
+        got = tuple(general_g(self._pts(spark, rows), zoom=6).collect()[0])
+        vals = ", ".join(f"({e}, {la!r}, {lo!r})" for e, la, lo in rows)
+        exp = duckdb.sql(
+            general_g_oracle_sql(
+                "(SELECT event_id, CAST(lat AS DOUBLE) AS lat, "
+                "CAST(lon AS DOUBLE) AS lon FROM "
+                f"(VALUES {vals}) t(event_id, lat, lon))",
+                zoom=6,
+            )
+        ).fetchall()[0]
+        assert got == exp
