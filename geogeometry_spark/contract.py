@@ -3893,6 +3893,27 @@ def _general_g_oracle() -> str:
     return general_g_oracle_sql(_TRAJ_SUBQ, zoom=8)
 
 
+def q_knox(spark, sf_dir):
+    """Knox space-time interaction test (operators/colocation.py
+    knox_test — Knox 1964, Poisson z per David & Barton 1966) at
+    delta 1 km / tau 6 h over the fix stream: exact pair counts from
+    the composite-bucket forward joins + the distinct-timestamp
+    histogram range window."""
+    from .operators.colocation import knox_test
+
+    return knox_test(
+        _traj_points(spark, sf_dir), delta_m=1000.0, tau_s=21600
+    )
+
+
+def _knox_oracle() -> str:
+    from .operators.colocation import knox_test_oracle_sql
+
+    return knox_test_oracle_sql(
+        _TRAJ_SUBQ, delta_m=1000.0, tau_s=21600
+    )
+
+
 def q_gearys_c(spark, sf_dir):
     """Global Geary's C autocorrelation (operators/hotspot.py
     gearys_c — Geary 1954, z under normality per Cliff & Ord 1981)
@@ -4427,6 +4448,7 @@ QUERIES = {
     "st_dbscan": q_st_dbscan,
     "gini": q_gini,
     "general_g": q_general_g,
+    "knox": q_knox,
 }
 
 
@@ -4576,6 +4598,7 @@ def _static_oracles() -> dict[str, str]:
         "st_dbscan": _st_dbscan_oracle(),
         "gini": _gini_oracle(),
         "general_g": _general_g_oracle(),
+        "knox": _knox_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):
         # cover_cells, convex_hull, concave_hull, simplify, hull_area.
         # ann_ivf's oracle is added dynamically in build_oracles()

@@ -45,6 +45,8 @@ __all__ = [
     "colocation_join_oracle_sql",
     "convoy_groups",
     "convoy_groups_oracle_sql",
+    "knox_test",
+    "knox_test_oracle_sql",
 ]
 
 # forward-offset halving (the grid_dbscan trick in 3 dimensions): the
@@ -260,4 +262,247 @@ def convoy_groups_oracle_sql(
         "UNION SELECT r.u, e.v FROM creach r JOIN cedges e ON r.v = e.u) "
         "SELECT u AS user_id, least(u, min(v)) AS convoy_id "
         "FROM creach GROUP BY u"
+    )
+
+
+def knox_test(
+    points: DataFrame,
+    delta_m: float = 1000.0,
+    tau_s: int = 21600,
+    id_col: str = "event_id",
+    ts_col: str = "ts_sec",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> DataFrame:
+    """Knox space-time interaction test (Knox 1964, "The detection of
+    space-time interactions"; Poisson z per David & Barton 1966) —
+    the classic epidemiology / incident-analysis question: are events
+    close in SPACE also close in TIME more often than chance
+    (contagion, outbreaks, aftershock-like clustering)?
+
+    X = #unordered pairs within ``delta_m`` meters AND ``tau_s``
+    seconds; under independence E[X] = Ns·Nt / N with Ns = space-close
+    pairs, Nt = time-close pairs, N = n(n−1)/2, and the Poisson
+    approximation gives z = (X − E)/√E.
+
+    All four counts are exact BIGINTs from three bounded plans:
+
+    - X rides the colocation composite (τ-bucket, δ-tile) forward
+      join — a pair is counted from exactly one side;
+    - Ns rides the spatial 9-address forward join at the DBSCAN zoom
+      rule — candidate-bounded by cell density, never all-pairs;
+    - Nt needs no pair join at all: pairs collapse onto the DISTINCT-
+      TIMESTAMP histogram (bounded by the time span in seconds, NOT by
+      corpus rows), and one range-window (1..τ FOLLOWING) over that
+      tiny ordered relation sums forward co-counts — the global window
+      runs over the histogram only (allowlist: the nearest_facility
+      doctrine), and integer sums need no order pinning.
+
+    Returns one row: (n_pts, x_st, ns, nt, e_x_r6, z_r6) — z NULL
+    when degenerate (n < 2 or E = 0)."""
+    from pyspark.sql import Window
+
+    from .cluster import dbscan_zoom_for_eps
+
+    zoom = dbscan_zoom_for_eps(delta_m, max_abs_lat)
+    n_tiles = 1 << zoom
+
+    pts = points.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(lat_col).alias("_lat"),
+        F.col(lon_col).alias("_lon"),
+    ).localCheckpoint()
+    n = pts.count()
+
+    # ---- Nt: distinct-timestamp histogram + forward range window
+    hist = pts.groupBy("_ts").agg(F.count(F.lit(1)).alias("_c"))
+    wt = (
+        Window.orderBy("_ts").rangeBetween(1, int(tau_s))
+    )
+    nt_row = hist.select(
+        F.col("_c"),
+        F.coalesce(F.sum("_c").over(wt), F.lit(0)).alias("_fwd"),
+    ).agg(
+        F.sum(F.col("_c") * F.col("_fwd")),
+        F.sum(F.col("_c") * (F.col("_c") - 1)),
+    ).first()
+    nt = int(nt_row[0] or 0) + int(nt_row[1] or 0) // 2
+
+    # ---- Ns: spatial forward 5-address join (grid_dbscan halving)
+    tx, ty = C.tile_xy(F.col("_lat"), F.col("_lon"), zoom)
+    keyed = pts.withColumns({"_tx": tx, "_ty": ty})
+    s_offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(dx == 0 and dy == 0).alias("same"),
+            )
+            for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1))
+        ]
+    )
+    probe_s = keyed.withColumn("_o", F.explode(s_offs)).select(
+        F.col("_id").alias("_ia"),
+        F.col("_lat").alias("_lata"),
+        F.col("_lon").alias("_lona"),
+        F.col("_o.same").alias("_same"),
+        F.pmod(F.col("_tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("_nx"),
+        (F.col("_ty") + F.col("_o.dy")).alias("_ny"),
+    )
+    build_s = keyed.select(
+        F.col("_id").alias("_ib"),
+        F.col("_lat").alias("_latb"),
+        F.col("_lon").alias("_lonb"),
+        F.col("_tx").alias("_nx"),
+        F.col("_ty").alias("_ny"),
+    )
+    dist = C.haversine(
+        F.col("_lata"), F.col("_lona"), F.col("_latb"), F.col("_lonb")
+    )
+    pair_ok = F.when(F.col("_same"), F.col("_ia") < F.col("_ib")).otherwise(
+        F.col("_ia") != F.col("_ib")
+    )
+    ns = (
+        probe_s.join(build_s, ["_nx", "_ny"])
+        .where(pair_ok & (dist <= F.lit(float(delta_m))))
+        .count()
+    )
+
+    # ---- X: composite (τ-bucket, tile) forward join, both filters
+    tb = F.expr(f"_ts div {int(tau_s)}")
+    keyed_st = keyed.withColumn("_tb", tb)
+    st_offs = F.array(
+        *[
+            F.struct(
+                F.lit(dt).alias("dt"),
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit((dt, dx, dy) == (0, 0, 0)).alias("same"),
+            )
+            for dt, dx, dy in [(0, 0, 0)]
+            + [
+                (a, b, c)
+                for a in (-1, 0, 1)
+                for b in (-1, 0, 1)
+                for c in (-1, 0, 1)
+                if (a, b, c) > (0, 0, 0)
+            ]
+        ]
+    )
+    probe_x = keyed_st.withColumn("_o", F.explode(st_offs)).select(
+        F.col("_id").alias("_ia"),
+        F.col("_ts").alias("_tsa"),
+        F.col("_lat").alias("_lata"),
+        F.col("_lon").alias("_lona"),
+        F.col("_o.same").alias("_same"),
+        (F.col("_tb") + F.col("_o.dt")).alias("_nb"),
+        F.pmod(F.col("_tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("_nx"),
+        (F.col("_ty") + F.col("_o.dy")).alias("_ny"),
+    )
+    build_x = keyed_st.select(
+        F.col("_id").alias("_ib"),
+        F.col("_ts").alias("_tsb"),
+        F.col("_lat").alias("_latb"),
+        F.col("_lon").alias("_lonb"),
+        F.col("_tb").alias("_nb"),
+        F.col("_tx").alias("_nx"),
+        F.col("_ty").alias("_ny"),
+    )
+    x_st = (
+        probe_x.join(build_x, ["_nb", "_nx", "_ny"])
+        .where(
+            pair_ok
+            & (F.abs(F.col("_tsa") - F.col("_tsb")) <= F.lit(int(tau_s)))
+            & (dist <= F.lit(float(delta_m)))
+        )
+        .count()
+    )
+
+    # pinned scalar combine — double-FIRST like general_g
+    e_x = z = None
+    if n > 1:
+        n_pairs = n * (n - 1) // 2
+        e_x = (float(ns) * nt) / n_pairs
+        if e_x > 0:
+            z = (x_st - e_x) / math.sqrt(e_x)
+    spark = points.sparkSession
+    return spark.range(1).select(
+        F.lit(n).alias("n_pts"),
+        F.lit(x_st).alias("x_st"),
+        F.lit(ns).alias("ns"),
+        F.lit(nt).alias("nt"),
+        F.round(F.lit(e_x).cast("double"), 6).alias("e_x_r6"),
+        F.round(F.lit(z).cast("double"), 6).alias("z_r6"),
+    )
+
+
+def knox_test_oracle_sql(
+    subq: str,
+    delta_m: float = 1000.0,
+    tau_s: int = 21600,
+    id_col: str = "event_id",
+    ts_col: str = "ts_sec",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> str:
+    """DuckDB twin of :func:`knox_test`: 27/9-address closures over
+    the same exact predicates (integer counts need no order pinning),
+    range-window time histogram, identical pinned final combine."""
+    from .cluster import dbscan_zoom_for_eps
+
+    zoom = dbscan_zoom_for_eps(delta_m, max_abs_lat)
+    n_tiles = 1 << zoom
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    hav = C.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    s_offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    return (
+        f"WITH pts AS (SELECT {id_col} AS id, {ts_col} AS ts, "
+        f"{lat} AS lat, {lon} AS lon, {tx} AS tx, {ty} AS ty, "
+        f"{ts_col} // {int(tau_s)} AS tb FROM {subq} "
+        f"WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL), "
+        "nstats AS (SELECT count(*) AS n FROM pts), "
+        "hist AS (SELECT ts, count(*) AS c FROM pts GROUP BY ts), "
+        "ntw AS (SELECT c, coalesce(sum(c) OVER (ORDER BY ts "
+        f"RANGE BETWEEN 1 FOLLOWING AND {int(tau_s)} FOLLOWING), 0) "
+        "AS fwd FROM hist), "
+        "ntstats AS (SELECT coalesce(sum(c * fwd), 0) "
+        "+ coalesce(sum(c * (c - 1)), 0) // 2 AS nt FROM ntw), "
+        f"soffsets(dx, dy) AS (VALUES {s_offs}), "
+        "nsstats AS (SELECT count(*) // 2 AS ns FROM "
+        "(SELECT p.*, "
+        f"((p.tx + o.dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "p.ty + o.dy AS ny FROM pts p CROSS JOIN soffsets o) a "
+        "JOIN pts b ON a.nx = b.tx AND a.ny = b.ty AND a.id <> b.id "
+        f"AND ({hav}) <= {float(delta_m)!r}), "
+        "stoffsets(dt, dx, dy) AS (VALUES "
+        + ", ".join(
+            f"({dt}, {dx}, {dy})"
+            for dt in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + "), "
+        "xstats AS (SELECT count(*) // 2 AS x_st FROM "
+        "(SELECT p.*, p.tb + o.dt AS nb, "
+        f"((p.tx + o.dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "p.ty + o.dy AS ny FROM pts p CROSS JOIN stoffsets o) a "
+        "JOIN pts b ON a.nb = b.tb AND a.nx = b.tx AND a.ny = b.ty "
+        "AND a.id <> b.id "
+        f"AND abs(a.ts - b.ts) <= {int(tau_s)} "
+        f"AND ({hav}) <= {float(delta_m)!r}), "
+        "scal AS (SELECT n, x_st, ns, nt, "
+        "CASE WHEN n > 1 THEN "
+        "(CAST(ns AS DOUBLE) * nt) / (n * (n - 1) // 2) END AS e_x "
+        "FROM nstats CROSS JOIN ntstats CROSS JOIN nsstats "
+        "CROSS JOIN xstats) "
+        "SELECT n AS n_pts, x_st, ns, nt, round(e_x, 6) AS e_x_r6, "
+        "CASE WHEN e_x > 0 THEN "
+        "round((x_st - e_x) / sqrt(e_x), 6) END AS z_r6 FROM scal"
     )

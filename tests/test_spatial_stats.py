@@ -1251,3 +1251,82 @@ class TestGeneralG:
             )
         ).fetchall()[0]
         assert got == exp
+
+
+class TestKnox:
+    SCHEMA = "event_id long, user_id long, ts_sec long, lat double, lon double"
+
+    def test_exact_counts_by_hand(self, spark):
+        from geogeometry_spark.operators.colocation import knox_test
+
+        # 4 events: A,B close in space AND time; C same place much
+        # later; D far away but at A's time.
+        rows = [
+            (1, 1, 1000, 52.5, 13.4),
+            (2, 1, 1500, 52.5001, 13.4001),   # ~13 m, 500 s from A
+            (3, 1, 10_000_000, 52.5, 13.4),   # same place, far time
+            (4, 1, 1000, -33.9, 151.2),       # far place, same time
+        ]
+        r = knox_test(
+            spark.createDataFrame(rows, self.SCHEMA),
+            delta_m=200.0,
+            tau_s=3600,
+        ).collect()[0]
+        # space-close pairs: {A,B},{A,C},{B,C}; time-close: {A,B},
+        # {A,D},{B,D}; both: {A,B}
+        assert (r["n_pts"], r["ns"], r["nt"], r["x_st"]) == (4, 3, 3, 1)
+        # E = 3*3/6 = 1.5
+        assert r["e_x_r6"] == 1.5
+
+    def test_interaction_positive_z(self, spark):
+        from geogeometry_spark.operators.colocation import knox_test
+
+        # 3 space-time clusters at distinct places AND distinct times:
+        # every space-close pair is also time-close -> X = Ns >> E
+        rows = []
+        rid = 0
+        for k in range(3):
+            for j in range(6):
+                rows.append(
+                    (rid, 1, 1000 + k * 500_000 + j * 60,
+                     10.0 + k * 20.0, 10.0 + k * 20.0 + j * 0.0001)
+                )
+                rid += 1
+        r = knox_test(
+            spark.createDataFrame(rows, self.SCHEMA),
+            delta_m=500.0,
+            tau_s=3600,
+        ).collect()[0]
+        assert r["x_st"] == r["ns"] == 45  # 3 * C(6,2)
+        assert r["z_r6"] > 2
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.colocation import (
+            knox_test,
+            knox_test_oracle_sql,
+        )
+
+        rows = [
+            (i, i % 5, 1000 + (i * 977) % 40000,
+             52.0 + ((i * 31) % 30) * 0.004,
+             13.0 + ((i * 17) % 30) * 0.006)
+            for i in range(180)
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        got = tuple(
+            knox_test(df, delta_m=700.0, tau_s=7200).collect()[0]
+        )
+        vals = ", ".join(
+            f"({e}, {u}, {t}, {la!r}, {lo!r})" for e, u, t, la, lo in rows
+        )
+        sql = knox_test_oracle_sql(
+            "(SELECT event_id, user_id, ts_sec, "
+            "CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon "
+            f"FROM (VALUES {vals}) t(event_id, user_id, ts_sec, lat, lon))",
+            delta_m=700.0,
+            tau_s=7200,
+        )
+        exp = tuple(duckdb.sql(sql).fetchall()[0])
+        assert got == exp and got[1] > 0

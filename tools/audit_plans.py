@@ -58,6 +58,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("nearest_facility", "global_window"): (
         "row_number over the config-scale facility relation only"
     ),
+    # knox's time-close pair count runs a range window over the
+    # DISTINCT-TIMESTAMP histogram — bounded by the time span in
+    # seconds, not by corpus rows (the nearest_facility doctrine).
+    ("knox", "global_window"): (
+        "range window over the distinct-timestamp histogram only"
+    ),
 }
 
 PATTERNS = {
