@@ -798,6 +798,59 @@ def main() -> None:
 
     timed("huff_5m_16fac", huff_5m, runs=3, warmup=True)
 
+    def gini_5m():
+        from geogeometry_spark.operators.hotspot import spatial_gini
+
+        spatial_gini(fixes, zoom=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("gini_5m", gini_5m, runs=3, warmup=True)
+
+    def general_g_5m():
+        from geogeometry_spark.operators.hotspot import general_g
+
+        general_g(fixes, zoom=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("general_g_5m", general_g_5m, runs=3, warmup=True)
+
+    def sde_5m():
+        from geogeometry_spark.operators.trajectory import (
+            deviational_ellipse,
+        )
+
+        deviational_ellipse(fixes).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("sde_5m", sde_5m, runs=3, warmup=True)
+
+    # ST-DBSCAN over the 5M metro fixes at the grid_dbscan fixture's
+    # eps plus a 30-min time gate: candidates bounded by the composite
+    # (time-bucket, tile) density instead of the tile alone
+    def st_dbscan_5m():
+        from geogeometry_spark.operators.cluster import st_dbscan
+
+        st_dbscan(
+            metro, eps_m=50.0, eps_t=1800
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("st_dbscan_5m_metro", st_dbscan_5m, runs=1, warmup=True)
+
+    # Knox test over the 5M metro fixes at 100 m / 15 min: three
+    # bounded exact pair counts (composite forward join, spatial
+    # forward join, distinct-second histogram window)
+    def knox_5m():
+        from geogeometry_spark.operators.colocation import knox_test
+
+        knox_test(
+            metro, delta_m=100.0, tau_s=900
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("knox_5m_metro", knox_5m, runs=1, warmup=True)
+
     # KDE surface over the same 5M global fixes: occupied z8 cells
     # collapse once (map-side combine), the 29-address integer stencil
     # explodes the CELL relation only, one re-aggregation
