@@ -3501,6 +3501,70 @@ def _ripley_oracle() -> str:
     )
 
 
+def q_clark_evans(spark, sf_dir):
+    """Clark-Evans nearest-neighbor index over the metro fix stream
+    (operators/density.py): coincident fixes collapse to
+    multiplicity-weighted reps (their NN distance is exactly 0),
+    singleton reps probe the 3x3 grid neighborhood for their
+    mm-quantized NN within r_max=500 m (truncated estimator, censored
+    count reported), pinned R-index / z scalars."""
+    from .operators.density import clark_evans
+
+    return clark_evans(
+        _metro_points(spark, sf_dir),
+        r_max_m=500.0,
+        area_m2=_RIPLEY_AREA_M2,
+        max_abs_lat=54.0,
+    )
+
+
+def _clark_evans_oracle() -> str:
+    from .operators.density import clark_evans_oracle_sql
+
+    return clark_evans_oracle_sql(
+        _METRO_SUBQ,
+        r_max_m=500.0,
+        area_m2=_RIPLEY_AREA_M2,
+        max_abs_lat=54.0,
+    )
+
+
+# integer "sensor reading" attached to each metro fix — a deterministic
+# 8-level measurement both engines derive identically from event_id
+_VARIO_VALUE_SQL = "(event_id * 31) % 8"
+_VARIO_EDGES_M = [250.0, 500.0, 1000.0, 2000.0]
+
+
+def q_variogram(spark, sf_dir):
+    """Empirical semivariogram of an 8-level integer measurement over
+    the metro fix stream (operators/density.py): (position, value) rep
+    collapse, forward-halved 5-offset grid candidate pairs, exact
+    BIGINT per-bin N / squared-difference sums, one pinned gamma
+    division per lag bin."""
+    from .operators.density import variogram
+
+    pts = _metro_points(spark, sf_dir).withColumn(
+        "reading", (F.col("event_id") * 31) % 8
+    )
+    return variogram(
+        pts,
+        value_col="reading",
+        lag_edges_m=_VARIO_EDGES_M,
+        max_abs_lat=54.0,
+    )
+
+
+def _variogram_oracle() -> str:
+    from .operators.density import variogram_oracle_sql
+
+    return variogram_oracle_sql(
+        _METRO_SUBQ,
+        value_sql=_VARIO_VALUE_SQL,
+        lag_edges_m=_VARIO_EDGES_M,
+        max_abs_lat=54.0,
+    )
+
+
 def q_traj_dtw(spark, sf_dir):
     """DTW trajectory-similarity join (operators/traj_similarity.py):
     unordered trip pairs whose DTW total cost <= 10 km — the
@@ -4422,6 +4486,8 @@ QUERIES = {
     "map_match": q_map_match,
     "kde": q_kde,
     "ripley": q_ripley,
+    "clark_evans": q_clark_evans,
+    "variogram": q_variogram,
     "traj_dtw": q_traj_dtw,
     "sssp": q_sssp,
     "isochrone": q_isochrone,
@@ -4572,6 +4638,8 @@ def _static_oracles() -> dict[str, str]:
         "map_match": _map_match_oracle(),
         "kde": _kde_oracle(),
         "ripley": _ripley_oracle(),
+        "clark_evans": _clark_evans_oracle(),
+        "variogram": _variogram_oracle(),
         "traj_dtw": _traj_dtw_oracle(),
         "sssp": _sssp_oracle(),
         "isochrone": _isochrone_oracle(),

@@ -62,6 +62,10 @@ __all__ = [
     "kde_grid_oracle_sql",
     "ripley_k",
     "ripley_k_oracle_sql",
+    "clark_evans",
+    "clark_evans_oracle_sql",
+    "variogram",
+    "variogram_oracle_sql",
 ]
 
 
@@ -398,4 +402,437 @@ def ripley_k_oracle_sql(
         " / 3.141592653589793) - CAST(r_mm AS DOUBLE) / 1000.0 END, 3) "
         "AS l_r3 "
         "FROM ladder CROSS JOIN counts CROSS JOIN scalars"
+    )
+
+
+def clark_evans(
+    points: DataFrame,
+    r_max_m: float,
+    area_m2: float,
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> DataFrame:
+    """Clark-Evans nearest-neighbor index R (Clark & Evans 1954) with
+    the Donnelly-free naive SE — the first-moment companion to
+    :func:`ripley_k`: R = observed mean NN distance / expected mean
+    under CSR (0.5 / sqrt(density)), with a z-test from
+    SE = 0.26136 / sqrt(n * density).  R < 1 clustered, R > 1
+    dispersed.
+
+    TRUNCATED estimator: nearest neighbors are searched within
+    ``r_max_m`` only (the grid-candidate bound that keeps the join
+    linear at engine scale; points whose true NN lies further are
+    counted as ``n_censored`` and excluded from the mean — the
+    standard fixed-search-radius NN variant; pick r_max comfortably
+    above the expected NN spacing).  Density uses the INCLUDED count
+    over ``area_m2`` so both sides of the ratio describe the same
+    population.
+
+    Scale design (the ripley_k doctrine): coincident fixes (identical
+    1-microdegree position) collapse to one multiplicity-weighted rep
+    — every point sharing its position with another has NN distance
+    exactly 0 and never enters the candidate join; only singleton reps
+    probe the 3x3 neighborhood at the finest r_max-safe zoom against
+    ALL reps.  The NN distance per singleton is an exact BIGINT
+    min(mm-quantized geodesic), the sums that reach the driver are
+    exact BIGINTs, and the handful of final scalars combine in a
+    pinned IEEE order the DuckDB twin mirrors literally.
+
+    Returns one row: (n_points, n_included, n_censored, mean_nn_r3,
+    r_index_r6, z_r6); statistic NULL when undefined (no included
+    points or zero area)."""
+    zoom = dbscan_zoom_for_eps(float(r_max_m), max_abs_lat)
+    if zoom < 2:
+        raise ValueError(
+            f"r_max {r_max_m} m needs zoom {zoom} (< 2): planetary "
+            "search radii degenerate to all-pairs; reduce r_max."
+        )
+    n_tiles = 1 << zoom
+    r_mm = round(float(r_max_m) * 1000.0)
+
+    ula = F.round(F.col(lat_col) * F.lit(1e6)).cast("long")
+    ulo = F.round(F.col(lon_col) * F.lit(1e6)).cast("long")
+    keyed = points.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    ).withColumns({"_ula": ula, "_ulo": ulo})
+    reps = keyed.groupBy("_ula", "_ulo").agg(
+        F.min(id_col).alias("_pos"), F.count(F.lit(1)).alias("_m")
+    )
+    rlat = F.col("_ula").cast("double") / F.lit(1e6)
+    rlon = F.col("_ulo").cast("double") / F.lit(1e6)
+    tx, ty = C.tile_xy(rlat, rlon, zoom)
+    reps = reps.select(
+        "_pos", "_m",
+        rlat.alias("_rlat"), rlon.alias("_rlon"),
+        tx.alias("_tx"), ty.alias("_ty"),
+    ).localCheckpoint()
+
+    srow = reps.agg(
+        F.sum("_m"),
+        F.sum(F.when(F.col("_m") >= 2, F.col("_m"))),
+        F.sum(F.when(F.col("_m") == 1, F.lit(1))),
+    ).first()
+    n_total = int(srow[0] or 0)
+    n_coinc = int(srow[1] or 0)  # points with a coincident partner: NN = 0
+
+    # full 9-address probe from SINGLETON reps only (coincident piles
+    # already know their NN is 0); build side is every rep
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = (
+        reps.where(F.col("_m") == 1)
+        .withColumn("_o", F.explode(offs))
+        .select(
+            F.col("_pos").alias("_pa"),
+            F.col("_rlat").alias("_lata"),
+            F.col("_rlon").alias("_lona"),
+            F.pmod(F.col("_tx") + F.col("_o.dx"), F.lit(n_tiles)).alias(
+                "_nx"
+            ),
+            (F.col("_ty") + F.col("_o.dy")).alias("_ny"),
+        )
+    )
+    build = reps.select(
+        F.col("_pos").alias("_pb"),
+        F.col("_rlat").alias("_latb"),
+        F.col("_rlon").alias("_lonb"),
+        F.col("_tx").alias("_nx"),
+        F.col("_ty").alias("_ny"),
+    )
+    dist_mm = F.round(
+        C.haversine(
+            F.col("_lata"), F.col("_lona"), F.col("_latb"), F.col("_lonb")
+        )
+        * F.lit(1000.0)
+    ).cast("long")
+    nn = (
+        probe.join(build, ["_nx", "_ny"])
+        .where(F.col("_pa") != F.col("_pb"))
+        .select(F.col("_pa"), dist_mm.alias("_d"))
+        .where(F.col("_d") <= F.lit(r_mm))
+        .groupBy("_pa")
+        .agg(F.min("_d").alias("_nn"))
+    )
+    nrow = nn.agg(F.count(F.lit(1)), F.sum("_nn")).first()
+    n_single_in = int(nrow[0] or 0)
+    sum_nn_mm = int(nrow[1] or 0)
+
+    n_incl = n_coinc + n_single_in
+    n_cens = n_total - n_incl
+
+    # pinned scalar op order — the oracle twin mirrors it literally
+    mean_nn = r_index = z = None
+    if n_incl > 0 and area_m2 > 0:
+        mean_nn = (sum_nn_mm / 1000.0) / n_incl
+        rho = n_incl / float(area_m2)
+        d_exp = 0.5 / math.sqrt(rho)
+        r_index = mean_nn / d_exp
+        se = 0.26136 / math.sqrt(n_incl * rho)
+        z = (mean_nn - d_exp) / se
+    spark = points.sparkSession
+    return spark.range(1).select(
+        F.lit(n_total).alias("n_points"),
+        F.lit(n_incl).alias("n_included"),
+        F.lit(n_cens).alias("n_censored"),
+        F.round(F.lit(mean_nn).cast("double"), 3).alias("mean_nn_r3"),
+        F.round(F.lit(r_index).cast("double"), 6).alias("r_index_r6"),
+        F.round(F.lit(z).cast("double"), 6).alias("z_r6"),
+    )
+
+
+def clark_evans_oracle_sql(
+    subq: str,
+    r_max_m: float,
+    area_m2: float,
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> str:
+    """DuckDB twin of :func:`clark_evans`: identical rep collapse,
+    identical 9-address grid NN search with the same mm truncation,
+    the same pinned final scalar order."""
+    zoom = dbscan_zoom_for_eps(float(r_max_m), max_abs_lat)
+    n_tiles = 1 << zoom
+    r_mm = round(float(r_max_m) * 1000.0)
+    rlat, rlon = "CAST(ula AS DOUBLE) / 1e6", "CAST(ulo AS DOUBLE) / 1e6"
+    tx, ty = C.tile_xy_sql(rlat, rlon, zoom)
+    hav = C.haversine_sql("a.rlat", "a.rlon", "b.rlat", "b.rlon")
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    area = f"{float(area_m2)!r}"
+    return (
+        f"WITH keyed AS (SELECT {id_col} AS pid, "
+        f"CAST(round(({lat}) * 1e6) AS BIGINT) AS ula, "
+        f"CAST(round(({lon}) * 1e6) AS BIGINT) AS ulo FROM {subq} "
+        f"WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL), "
+        f"reps AS (SELECT ula, ulo, min(pid) AS pos, count(*) AS m, "
+        f"{rlat} AS rlat, {rlon} AS rlon, {tx} AS tx, {ty} AS ty "
+        "FROM keyed GROUP BY ula, ulo), "
+        "scalars AS (SELECT coalesce(sum(m), 0) AS n_total, "
+        "coalesce(sum(CASE WHEN m >= 2 THEN m END), 0) AS n_coinc "
+        "FROM reps), "
+        f"offsets(dx, dy) AS (VALUES {offs}), "
+        "nn AS (SELECT a.pos, min("
+        f"CAST(round(({hav}) * 1000.0) AS BIGINT)) AS d FROM "
+        "(SELECT r.*, "
+        f"((r.tx + o.dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "r.ty + o.dy AS ny FROM reps r CROSS JOIN offsets o "
+        "WHERE r.m = 1) a "
+        "JOIN reps b ON a.nx = b.tx AND a.ny = b.ty "
+        "AND a.pos <> b.pos "
+        f"WHERE CAST(round(({hav}) * 1000.0) AS BIGINT) <= {r_mm} "
+        "GROUP BY a.pos), "
+        "nstats AS (SELECT count(*) AS n_single_in, "
+        "coalesce(sum(d), 0) AS sum_nn FROM nn), "
+        "comb AS (SELECT n_total, n_coinc + n_single_in AS n_incl, "
+        "n_total - (n_coinc + n_single_in) AS n_cens, sum_nn "
+        "FROM scalars CROSS JOIN nstats), "
+        "res AS (SELECT n_total, n_incl, n_cens, "
+        f"CASE WHEN n_incl > 0 AND {area} > 0 THEN "
+        "(CAST(sum_nn AS DOUBLE) / 1000.0) / n_incl END AS mean_nn, "
+        f"CASE WHEN n_incl > 0 AND {area} > 0 THEN "
+        f"0.5 / sqrt(CAST(n_incl AS DOUBLE) / {area}) END AS d_exp, "
+        f"CASE WHEN n_incl > 0 AND {area} > 0 THEN "
+        f"0.26136 / sqrt(n_incl * (CAST(n_incl AS DOUBLE) / {area})) "
+        "END AS se FROM comb) "
+        "SELECT n_total AS n_points, n_incl AS n_included, "
+        "n_cens AS n_censored, round(mean_nn, 3) AS mean_nn_r3, "
+        "round(mean_nn / d_exp, 6) AS r_index_r6, "
+        "round((mean_nn - d_exp) / se, 6) AS z_r6 FROM res"
+    )
+
+
+def variogram(
+    points: DataFrame,
+    value_col: str,
+    lag_edges_m: list[float],
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> DataFrame:
+    """Empirical semivariogram gamma(h) (Matheron 1963) of an
+    INTEGER-valued measurement over a lag-bin ladder — the
+    geostatistical step past :func:`ripley_k`: for each distance bin
+    (lo, hi], gamma = sum (v_i - v_j)^2 over unordered point pairs in
+    the bin / (2 * N(h)).  Rising gamma that sills = spatial
+    dependence with a range; flat gamma = no spatial structure.
+
+    ``value_col`` must be integral (cast upstream; continuous
+    measurements should be pre-quantized to the precision you need —
+    standard variography practice, and what keeps every shuffled
+    aggregate an exact BIGINT so partial-agg order cannot move the
+    result).
+
+    Scale design: reps collapse by (1-microdegree position, value)
+    with a multiplicity — a parked pile contributes m*(m-1)/2
+    zero-distance zero-difference pairs to the first bin via exact
+    integer arithmetic, never a clique join.  Cross-rep candidate
+    pairs ride the ripley_k forward-halved 5-offset grid join at the
+    finest max-lag-safe zoom (each unordered cell pair probed from one
+    side only; 5/9 of the naive spread).  Per-bin N and sum of squared
+    differences are conditional BIGINT sums over ONE mm-quantized
+    geodesic evaluation; the single gamma division is pinned and
+    mirrored by the twin.
+
+    Returns one row per bin: (bin, lo_mm, hi_mm, n_pairs, gamma_r6);
+    bin 0 covers [0, edges[0]] and includes coincident pairs."""
+    if not lag_edges_m:
+        raise ValueError("lag_edges_m must be non-empty")
+    edges = sorted(float(e) for e in lag_edges_m)
+    h_max = edges[-1]
+    zoom = dbscan_zoom_for_eps(h_max, max_abs_lat)
+    if zoom < 2:
+        raise ValueError(
+            f"max lag {h_max} m needs zoom {zoom} (< 2): planetary "
+            "lags degenerate to all-pairs; reduce the ladder."
+        )
+    n_tiles = 1 << zoom
+    e_mm = [round(e * 1000.0) for e in edges]
+
+    ula = F.round(F.col(lat_col) * F.lit(1e6)).cast("long")
+    ulo = F.round(F.col(lon_col) * F.lit(1e6)).cast("long")
+    v = F.col(value_col).cast("long")
+    keyed = points.where(
+        F.col(lat_col).isNotNull()
+        & F.col(lon_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).withColumns({"_ula": ula, "_ulo": ulo, "_v": v})
+    reps = keyed.groupBy("_ula", "_ulo", "_v").agg(
+        F.min(id_col).alias("_pos"), F.count(F.lit(1)).alias("_m")
+    )
+    rlat = F.col("_ula").cast("double") / F.lit(1e6)
+    rlon = F.col("_ulo").cast("double") / F.lit(1e6)
+    tx, ty = C.tile_xy(rlat, rlon, zoom)
+    reps = reps.select(
+        "_pos", "_m", "_v",
+        rlat.alias("_rlat"), rlon.alias("_rlon"),
+        tx.alias("_tx"), ty.alias("_ty"),
+    ).localCheckpoint()
+
+    # within-rep pairs: distance 0, difference 0 — they raise N(h) of
+    # bin 0 but never the numerator; m(m-1) is even so /2 is exact
+    srow = reps.agg(
+        F.sum(
+            (F.col("_m") * (F.col("_m") - F.lit(1)) / F.lit(2)).cast(
+                "long"
+            )
+        )
+    ).first()
+    self_pairs = int(srow[0] or 0)
+
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(dx == 0 and dy == 0).alias("same"),
+            )
+            for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1))
+        ]
+    )
+    probe = reps.withColumn("_o", F.explode(offs)).select(
+        F.col("_pos").alias("_pa"),
+        F.col("_m").alias("_ma"),
+        F.col("_v").alias("_va"),
+        F.col("_rlat").alias("_lata"),
+        F.col("_rlon").alias("_lona"),
+        F.col("_o.same").alias("_same"),
+        F.pmod(F.col("_tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("_nx"),
+        (F.col("_ty") + F.col("_o.dy")).alias("_ny"),
+    )
+    build = reps.select(
+        F.col("_pos").alias("_pb"),
+        F.col("_m").alias("_mb"),
+        F.col("_v").alias("_vb"),
+        F.col("_rlat").alias("_latb"),
+        F.col("_rlon").alias("_lonb"),
+        F.col("_tx").alias("_nx"),
+        F.col("_ty").alias("_ny"),
+    )
+    dist_mm = F.round(
+        C.haversine(
+            F.col("_lata"), F.col("_lona"), F.col("_latb"), F.col("_lonb")
+        )
+        * F.lit(1000.0)
+    ).cast("long")
+    pair_ok = F.when(F.col("_same"), F.col("_pa") < F.col("_pb")).otherwise(
+        F.col("_pa") != F.col("_pb")
+    )
+    diff = F.col("_va") - F.col("_vb")
+    cand = (
+        probe.join(build, ["_nx", "_ny"])
+        .where(pair_ok)
+        .select(
+            (F.col("_ma") * F.col("_mb")).alias("_w"),
+            (F.col("_ma") * F.col("_mb") * diff * diff).alias("_sq"),
+            dist_mm.alias("_d"),
+        )
+        .where(F.col("_d") <= F.lit(e_mm[-1]))
+    )
+    lows = [-1] + e_mm[:-1]
+    aggs = []
+    for i, (lo, hi) in enumerate(zip(lows, e_mm)):
+        in_bin = (F.col("_d") > F.lit(lo)) & (F.col("_d") <= F.lit(hi))
+        aggs.append(F.sum(F.when(in_bin, F.col("_w"))).alias(f"_n{i}"))
+        aggs.append(F.sum(F.when(in_bin, F.col("_sq"))).alias(f"_s{i}"))
+    crow = cand.agg(*aggs).first()
+
+    spark = points.sparkSession
+    rows = []
+    for i, (lo, hi) in enumerate(zip(lows, e_mm)):
+        n_pairs = int(crow[2 * i] or 0) + (self_pairs if i == 0 else 0)
+        sq = int(crow[2 * i + 1] or 0)
+        gamma = None
+        if n_pairs > 0:
+            # pinned: one division, mirrored literally by the twin
+            gamma = float(sq) / (2.0 * n_pairs)
+        rows.append((i, lo + 1 if lo < 0 else lo, hi, n_pairs, gamma))
+    out = spark.createDataFrame(
+        rows,
+        "bin int, lo_mm long, hi_mm long, n_pairs long, _g double",
+    )
+    return out.select(
+        "bin", "lo_mm", "hi_mm", "n_pairs",
+        F.round(F.col("_g"), 6).alias("gamma_r6"),
+    )
+
+
+def variogram_oracle_sql(
+    subq: str,
+    value_sql: str,
+    lag_edges_m: list[float],
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> str:
+    """DuckDB twin of :func:`variogram`: the same (position, value)
+    rep collapse, the same forward-halved grid candidate join, the
+    same conditional BIGINT bin sums and single pinned division."""
+    edges = sorted(float(e) for e in lag_edges_m)
+    zoom = dbscan_zoom_for_eps(edges[-1], max_abs_lat)
+    n_tiles = 1 << zoom
+    e_mm = [round(e * 1000.0) for e in edges]
+    lows = [-1] + e_mm[:-1]
+    rlat, rlon = "CAST(ula AS DOUBLE) / 1e6", "CAST(ulo AS DOUBLE) / 1e6"
+    tx, ty = C.tile_xy_sql(rlat, rlon, zoom)
+    hav = C.haversine_sql("a.rlat", "a.rlon", "b.rlat", "b.rlon")
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    sums = ", ".join(
+        f"coalesce(sum(CASE WHEN d > {lo} AND d <= {hi} THEN w END), 0)"
+        f" AS n{i}, "
+        f"coalesce(sum(CASE WHEN d > {lo} AND d <= {hi} THEN sq END), 0)"
+        f" AS s{i}"
+        for i, (lo, hi) in enumerate(zip(lows, e_mm))
+    )
+    ladder = ", ".join(
+        f"({i}, {lo + 1 if lo < 0 else lo}, {hi})"
+        for i, (lo, hi) in enumerate(zip(lows, e_mm))
+    )
+    nsel = " ".join(f"WHEN bin = {i} THEN n{i}" for i in range(len(e_mm)))
+    ssel = " ".join(f"WHEN bin = {i} THEN s{i}" for i in range(len(e_mm)))
+    return (
+        f"WITH keyed AS (SELECT {id_col} AS pid, "
+        f"CAST(({value_sql}) AS BIGINT) AS v, "
+        f"CAST(round(({lat}) * 1e6) AS BIGINT) AS ula, "
+        f"CAST(round(({lon}) * 1e6) AS BIGINT) AS ulo FROM {subq} "
+        f"WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL "
+        f"AND ({value_sql}) IS NOT NULL), "
+        "reps AS (SELECT ula, ulo, v, min(pid) AS pos, count(*) AS m, "
+        f"{rlat} AS rlat, {rlon} AS rlon, {tx} AS tx, {ty} AS ty "
+        "FROM keyed GROUP BY ula, ulo, v), "
+        "scalars AS (SELECT coalesce(sum("
+        "CAST(m * (m - 1) / 2 AS BIGINT)), 0) AS self_pairs FROM reps), "
+        f"offsets(dx, dy) AS (VALUES {offs}), "
+        "cand AS (SELECT a.m * b.m AS w, "
+        "a.m * b.m * (a.v - b.v) * (a.v - b.v) AS sq, "
+        f"CAST(round(({hav}) * 1000.0) AS BIGINT) AS d FROM "
+        "(SELECT r.*, "
+        f"((r.tx + o.dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "r.ty + o.dy AS ny FROM reps r CROSS JOIN offsets o) a "
+        "JOIN reps b ON a.nx = b.tx AND a.ny = b.ty "
+        "AND a.pos < b.pos), "
+        f"counts AS (SELECT {sums} FROM cand WHERE d <= {e_mm[-1]}), "
+        f"ladder(bin, lo_mm, hi_mm) AS (VALUES {ladder}), "
+        "binned AS (SELECT bin, lo_mm, hi_mm, "
+        f"(CASE {nsel} END) + (CASE WHEN bin = 0 THEN self_pairs "
+        "ELSE 0 END) AS n_pairs, "
+        f"CASE {ssel} END AS sq "
+        "FROM ladder CROSS JOIN counts CROSS JOIN scalars) "
+        "SELECT bin, lo_mm, hi_mm, n_pairs, "
+        "CASE WHEN n_pairs > 0 THEN "
+        "round(CAST(sq AS DOUBLE) / (2.0 * n_pairs), 6) END AS gamma_r6 "
+        "FROM binned"
     )

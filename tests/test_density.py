@@ -255,3 +255,248 @@ def test_ripley_rejects_empty_and_planetary(spark):
         ripley_k(df, radii_m=[], area_m2=1.0)
     with pytest.raises(ValueError, match="all-pairs"):
         ripley_k(df, radii_m=[9.0e6], area_m2=1.0)
+
+
+# --------------------------------------------------------------------------
+# Clark-Evans nearest-neighbor index
+# --------------------------------------------------------------------------
+
+def _ce_import():
+    from geogeometry_spark.operators.density import (
+        clark_evans,
+        clark_evans_oracle_sql,
+    )
+
+    return clark_evans, clark_evans_oracle_sql
+
+
+def test_clark_evans_brute_force_parity(spark):
+    # 50 scattered singletons: mean NN distance must equal the O(n^2)
+    # reference (every true NN is inside r_max, so nothing censors)
+    clark_evans, _ = _ce_import()
+    pts = [
+        (
+            i,
+            1,
+            52.0 + ((i * 13) % 40) * 0.0007,
+            13.0 + ((i * 29) % 50) * 0.0011,
+        )
+        for i in range(50)
+    ]
+    out = clark_evans(
+        spark.createDataFrame(pts, PT_SCHEMA),
+        r_max_m=2000.0,
+        area_m2=2.0e7,
+        max_abs_lat=53.0,
+    ).collect()[0]
+    nn_mm = []
+    for i, (_, _, la1, lo1) in enumerate(pts):
+        best = min(
+            round(hav_py(la1, lo1, la2, lo2) * 1000.0)
+            for j, (_, _, la2, lo2) in enumerate(pts)
+            if j != i
+        )
+        nn_mm.append(best)
+    assert out.n_points == 50
+    assert out.n_included == 50
+    assert out.n_censored == 0
+    mean_nn = (sum(nn_mm) / 1000.0) / 50
+    assert out.mean_nn_r3 == round(mean_nn, 3)
+    rho = 50 / 2.0e7
+    d_exp = 0.5 / math.sqrt(rho)
+    assert out.r_index_r6 == pytest.approx(mean_nn / d_exp, abs=2e-6)
+
+
+def test_clark_evans_coincident_and_censored(spark):
+    # two coincident points (NN = 0 each) plus one isolated point far
+    # beyond r_max: the isolated one censors, the pile contributes 0
+    clark_evans, _ = _ce_import()
+    rows = [
+        (1, 1, 52.0, 13.0),
+        (2, 1, 52.0, 13.0),
+        (3, 1, 55.0, 20.0),
+    ]
+    out = clark_evans(
+        spark.createDataFrame(rows, PT_SCHEMA),
+        r_max_m=500.0,
+        area_m2=1.0e6,
+        max_abs_lat=56.0,
+    ).collect()[0]
+    assert out.n_points == 3
+    assert out.n_included == 2
+    assert out.n_censored == 1
+    assert out.mean_nn_r3 == 0.0
+    assert out.r_index_r6 == 0.0  # clustered limit
+
+
+def test_clark_evans_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    clark_evans, clark_evans_oracle_sql = _ce_import()
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                i % 11,
+                52.0 + ((i * 17) % 90) * 0.0009,
+                13.0 + ((i * 41) % 70) * 0.0013,
+            )
+        )
+    rows += [(1000 + j, 5, 52.01, 13.01) for j in range(5)]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "lat", "lon"]
+    )
+    duck.register("pts_ce", pdf)
+    got = [
+        tuple(r)
+        for r in clark_evans(
+            spark.createDataFrame(pdf),
+            r_max_m=400.0,
+            area_m2=5.0e7,
+            max_abs_lat=53.0,
+        ).collect()
+    ]
+    want = duck.sql(
+        clark_evans_oracle_sql(
+            "(SELECT event_id, lat, lon FROM pts_ce)",
+            r_max_m=400.0,
+            area_m2=5.0e7,
+            max_abs_lat=53.0,
+        )
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_clark_evans_rejects_planetary(spark):
+    clark_evans, _ = _ce_import()
+    df = spark.createDataFrame([(1, 1, 0.0, 0.0)], PT_SCHEMA)
+    with pytest.raises(ValueError, match="all-pairs"):
+        clark_evans(df, r_max_m=1.0e7, area_m2=1.0)
+
+
+# --------------------------------------------------------------------------
+# Empirical semivariogram
+# --------------------------------------------------------------------------
+
+def _vg_import():
+    from geogeometry_spark.operators.density import (
+        variogram,
+        variogram_oracle_sql,
+    )
+
+    return variogram, variogram_oracle_sql
+
+
+VG_SCHEMA = "event_id long, user_id long, lat double, lon double, v long"
+
+
+def test_variogram_brute_force_parity(spark):
+    # 40 points with an integer reading: per-bin pair counts and
+    # gamma must equal the O(n^2) reference
+    import itertools
+
+    variogram, _ = _vg_import()
+    pts = [
+        (
+            i,
+            1,
+            52.0 + ((i * 13) % 40) * 0.0007,
+            13.0 + ((i * 29) % 50) * 0.0011,
+            (i * 7) % 5,
+        )
+        for i in range(40)
+    ]
+    edges = [100.0, 400.0, 1200.0, 4000.0]
+    out = variogram(
+        spark.createDataFrame(pts, VG_SCHEMA),
+        value_col="v",
+        lag_edges_m=edges,
+        max_abs_lat=53.0,
+    ).collect()
+    e_mm = [round(e * 1000.0) for e in edges]
+    lows = [-1] + e_mm[:-1]
+    want_n = [0] * len(e_mm)
+    want_s = [0] * len(e_mm)
+    for (a, b) in itertools.combinations(pts, 2):
+        d = round(hav_py(a[2], a[3], b[2], b[3]) * 1000.0)
+        for i, (lo, hi) in enumerate(zip(lows, e_mm)):
+            if lo < d <= hi:
+                want_n[i] += 1
+                want_s[i] += (a[4] - b[4]) ** 2
+    by_bin = {r.bin: r for r in out}
+    for i in range(len(e_mm)):
+        r = by_bin[i]
+        assert r.n_pairs == want_n[i], (i, r.n_pairs, want_n[i])
+        if want_n[i]:
+            assert r.gamma_r6 == round(want_s[i] / (2.0 * want_n[i]), 6)
+        else:
+            assert r.gamma_r6 is None
+
+
+def test_variogram_coincident_pairs_count_in_bin0(spark):
+    # a pile of 3 identical (position, value) rows adds 3 zero-
+    # difference pairs to bin 0; a same-position DIFFERENT value adds
+    # 3 more pairs with difference 4
+    variogram, _ = _vg_import()
+    rows = [
+        (1, 1, 52.0, 13.0, 2),
+        (2, 1, 52.0, 13.0, 2),
+        (3, 1, 52.0, 13.0, 2),
+        (4, 1, 52.0, 13.0, 4),
+    ]
+    out = variogram(
+        spark.createDataFrame(rows, VG_SCHEMA),
+        value_col="v",
+        lag_edges_m=[100.0],
+        max_abs_lat=53.0,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_pairs == 6
+    # numerator: 3 cross pairs with diff^2 = 4 -> 12 / (2 * 6) = 1.0
+    assert r.gamma_r6 == 1.0
+
+
+def test_variogram_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    variogram, variogram_oracle_sql = _vg_import()
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                i % 11,
+                52.0 + ((i * 17) % 90) * 0.0009,
+                13.0 + ((i * 41) % 70) * 0.0013,
+                (i * 3) % 6,
+            )
+        )
+    rows += [(1000 + j, 5, 52.01, 13.01, j % 2) for j in range(5)]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "lat", "lon", "v"]
+    )
+    duck.register("pts_vg", pdf)
+    edges = [100.0, 300.0, 900.0]
+    got = sorted(
+        tuple(r)
+        for r in variogram(
+            spark.createDataFrame(pdf),
+            value_col="v",
+            lag_edges_m=edges,
+            max_abs_lat=53.0,
+        ).collect()
+    )
+    want = sorted(
+        tuple(w)
+        for w in duck.sql(
+            variogram_oracle_sql(
+                "(SELECT event_id, lat, lon, v FROM pts_vg)",
+                value_sql="v",
+                lag_edges_m=edges,
+                max_abs_lat=53.0,
+            )
+        ).fetchall()
+    )
+    assert got == want
