@@ -3942,6 +3942,22 @@ def _gini_oracle() -> str:
     return spatial_gini_oracle_sql(_TRAJ_SUBQ, zoom=8)
 
 
+def q_entropy(spark, sf_dir):
+    """Shannon spatial entropy / evenness / Theil concentration of fix
+    counts over occupied z8 cells (operators/hotspot.py
+    spatial_entropy): grouped-histogram collapse, ppb-quantized BIGINT
+    term sum (order-free in both engines), pinned scalar combine."""
+    from .operators.hotspot import spatial_entropy
+
+    return spatial_entropy(_traj_points(spark, sf_dir), zoom=8)
+
+
+def _entropy_oracle() -> str:
+    from .operators.hotspot import spatial_entropy_oracle_sql
+
+    return spatial_entropy_oracle_sql(_TRAJ_SUBQ, zoom=8)
+
+
 def q_general_g(spark, sf_dir):
     """Getis-Ord General G high/low clustering (operators/hotspot.py
     general_g — Getis & Ord 1992, randomization z validated by 200k-
@@ -4513,6 +4529,7 @@ QUERIES = {
     "lq": q_lq,
     "st_dbscan": q_st_dbscan,
     "gini": q_gini,
+    "entropy": q_entropy,
     "general_g": q_general_g,
     "knox": q_knox,
 }
@@ -4665,6 +4682,7 @@ def _static_oracles() -> dict[str, str]:
         "lq": _lq_oracle(),
         "st_dbscan": _st_dbscan_oracle(),
         "gini": _gini_oracle(),
+        "entropy": _entropy_oracle(),
         "general_g": _general_g_oracle(),
         "knox": _knox_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):

@@ -63,6 +63,8 @@ __all__ = [
     "spatial_gini_oracle_sql",
     "general_g",
     "general_g_oracle_sql",
+    "spatial_entropy",
+    "spatial_entropy_oracle_sql",
 ]
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -1869,4 +1871,92 @@ def general_g_oracle_sql(
         "round(g, 9) AS g_r9, round(e_g, 9) AS e_g_r9, "
         "CASE WHEN var > 0 THEN round((g - e_g) / sqrt(var), 6) END "
         "AS z_r6 FROM r"
+    )
+
+
+def spatial_entropy(
+    points: DataFrame,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Shannon spatial entropy, evenness, and the Theil concentration
+    index of point counts over occupied cells (Batty 1974 spatial
+    entropy; Theil 1967) — the information-theoretic companions to
+    :func:`spatial_gini` on the same surface: H near ln(n) = mass
+    spread evenly over occupied cells, H near 0 = mass piled in one
+    cell; Theil = ln(n) - H is the dual concentration reading.
+
+    Exactness: like gini, the statistic is a pure function of the
+    grouped count histogram (distinct count values, <= O(sqrt(S))
+    rows), which collects to the driver.  With p_i = c_i / S,
+    H = -sum p_i ln p_i = ln(S) - T / S where T = sum_hist m*(c*ln c).
+    Each histogram term is quantized to an exact BIGINT in parts-per-
+    1e9 with an explicit floor(x * 1e9 + 0.5) (identical in DuckDB, so
+    no round-mode mismatch and no float ever sums in either engine —
+    integer addition is order-free); Python's math.log and DuckDB's
+    ln() resolve to the same system libm in-container, so the
+    quantized terms are bit-identical.  The three final scalars
+    combine in a pinned IEEE order the twin mirrors literally.
+
+    Returns one row: (n_cells, sum_cnt, entropy_r6, evenness_r6,
+    theil_r6); evenness NULL when n < 2 (ln n = 0), all NULL when no
+    mass."""
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    hist = (
+        points.groupBy(x.alias("tx"), y.alias("ty"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .collect()
+    )
+    n = sum(int(r["m"]) for r in hist)
+    s = sum(int(r["cnt"]) * int(r["m"]) for r in hist)
+    t_q = 0
+    for r in hist:
+        c, m = int(r["cnt"]), int(r["m"])
+        # exact-integer accumulation of m * (c * ln c) in ppb units;
+        # floor(x + 0.5) == DuckDB round() for the nonnegative terms
+        t_q += int(math.floor(m * (c * math.log(c)) * 1e9 + 0.5))
+    entropy = evenness = theil = None
+    if n >= 1 and s > 0:
+        entropy = math.log(s) - (t_q / 1e9) / s
+        theil = math.log(n) - entropy
+        if n >= 2:
+            evenness = entropy / math.log(n)
+    spark = points.sparkSession
+    rnd = lambda v: F.round(F.lit(v).cast("double"), 6)  # noqa: E731
+    return spark.range(1).select(
+        F.lit(n).alias("n_cells"),
+        F.lit(s).alias("sum_cnt"),
+        rnd(entropy).alias("entropy_r6"),
+        rnd(evenness).alias("evenness_r6"),
+        rnd(theil).alias("theil_r6"),
+    )
+
+
+def spatial_entropy_oracle_sql(
+    subq: str, zoom: int = 8, lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB twin of :func:`spatial_entropy`: same histogram, same
+    floor-quantized BIGINT term sum (order-free), same pinned scalar
+    order and final rounding."""
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2), "
+        "hist AS (SELECT cnt AS c, count(*) AS m FROM cells "
+        "GROUP BY cnt), "
+        "agg AS (SELECT coalesce(sum(m), 0) AS n, "
+        "coalesce(sum(m * c), 0) AS s, "
+        "coalesce(sum(CAST(floor(m * (c * ln(c)) * 1e9 + 0.5) "
+        "AS BIGINT)), 0) AS t_q FROM hist), "
+        "res AS (SELECT n, s, "
+        "CASE WHEN n >= 1 AND s > 0 THEN "
+        "ln(s) - (CAST(t_q AS DOUBLE) / 1e9) / s END AS h FROM agg) "
+        "SELECT n AS n_cells, s AS sum_cnt, "
+        "round(h, 6) AS entropy_r6, "
+        "CASE WHEN n >= 2 THEN round(h / ln(n), 6) END AS evenness_r6, "
+        "CASE WHEN n >= 1 AND s > 0 THEN round(ln(n) - h, 6) END "
+        "AS theil_r6 FROM res"
     )

@@ -1330,3 +1330,77 @@ class TestKnox:
         )
         exp = tuple(duckdb.sql(sql).fetchall()[0])
         assert got == exp and got[1] > 0
+
+
+# --------------------------------------------------------------------------
+# spatial entropy / evenness / Theil
+# --------------------------------------------------------------------------
+
+def test_spatial_entropy_closed_form(spark):
+    import math
+
+    from geogeometry_spark.operators.hotspot import spatial_entropy
+
+    # 4 cells with counts 1, 1, 2, 4 (well separated at z8)
+    rows = []
+    eid = 0
+    for k, (lat, cnt) in enumerate([(10.0, 1), (20.0, 1), (30.0, 2), (40.0, 4)]):
+        for _ in range(cnt):
+            rows.append((eid, 1, lat, float(10 * k)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, lat double, lon double"
+    )
+    out = spatial_entropy(df, zoom=8).collect()[0]
+    s = 8.0
+    probs = [1 / s, 1 / s, 2 / s, 4 / s]
+    h = -sum(p * math.log(p) for p in probs)
+    assert out.n_cells == 4
+    assert out.sum_cnt == 8
+    assert out.entropy_r6 == pytest.approx(h, abs=2e-6)
+    assert out.evenness_r6 == pytest.approx(h / math.log(4), abs=2e-6)
+    assert out.theil_r6 == pytest.approx(math.log(4) - h, abs=2e-6)
+
+
+def test_spatial_entropy_uniform_and_degenerate(spark):
+    from geogeometry_spark.operators.hotspot import spatial_entropy
+
+    # all mass in one cell: H = 0, theil = 0 (n = 1), evenness NULL
+    one = spark.createDataFrame(
+        [(i, 1, 50.0, 50.0) for i in range(5)],
+        "event_id long, user_id long, lat double, lon double",
+    )
+    r = spatial_entropy(one, zoom=8).collect()[0]
+    assert r.n_cells == 1 and r.entropy_r6 == 0.0
+    assert r.evenness_r6 is None and r.theil_r6 == 0.0
+
+
+def test_spatial_entropy_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    from geogeometry_spark.operators.hotspot import (
+        spatial_entropy,
+        spatial_entropy_oracle_sql,
+    )
+
+    rows = [
+        (
+            i,
+            i % 7,
+            -60.0 + ((i * 17) % 120) * 0.9,
+            -170.0 + ((i * 41) % 340),
+        )
+        for i in range(500)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "lat", "lon"])
+    duck.register("pts_ent", pdf)
+    got = [
+        tuple(r)
+        for r in spatial_entropy(spark.createDataFrame(pdf), zoom=6).collect()
+    ]
+    want = duck.sql(
+        spatial_entropy_oracle_sql(
+            "(SELECT lat, lon FROM pts_ent)", zoom=6
+        )
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
