@@ -4215,6 +4215,34 @@ def _pagerank_oracle() -> str:
     )
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (operators/pagerank.py hits — Kleinberg
+    1999) after 8 rounds over a one-way-street subset of the road
+    lattice (dropping (src*13+dst)%3==0 arcs makes the graph
+    genuinely asymmetric, so hub != authority): L1-normalized scores
+    as BIGINTs in 1e-9 units, every round pure integer multiply /
+    floor-div / sum — bit-identical to the unrolled DuckDB twin."""
+    from .operators.pagerank import hits
+
+    e = _road_graph_edges(spark).where(
+        (F.col("src") * 13 + F.col("dst")) % 3 != 0
+    )
+    return hits(e, rounds=_HITS_ROUNDS)
+
+
+_HITS_ROUNDS = 8
+
+
+def _hits_oracle() -> str:
+    from .operators.pagerank import hits_oracle_sql
+
+    e_sql = (
+        f"(SELECT src, dst FROM {_road_graph_edges_sql()} "
+        "WHERE (src * 13 + dst) % 3 <> 0)"
+    )
+    return hits_oracle_sql(e_sql, rounds=_HITS_ROUNDS)
+
+
 def q_ppr(spark, sf_dir):
     """Personalized PageRank (operators/pagerank.py pagerank with
     seeds — Jeh & Widom 2003 random walk with restart) from the four
@@ -4509,6 +4537,7 @@ QUERIES = {
     "isochrone": q_isochrone,
     "nearest_facility": q_nearest_facility,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "mobility": q_mobility,
     "heading_stats": q_heading_stats,
     "cell_transitions": q_cell_transitions,
@@ -4662,6 +4691,7 @@ def _static_oracles() -> dict[str, str]:
         "isochrone": _isochrone_oracle(),
         "nearest_facility": _nearest_facility_oracle(),
         "pagerank": _pagerank_oracle(),
+        "hits": _hits_oracle(),
         "mobility": _mobility_oracle(),
         "heading_stats": _heading_stats_oracle(),
         "cell_transitions": _cell_transitions_oracle(),

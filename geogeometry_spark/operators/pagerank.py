@@ -65,7 +65,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "pagerank_oracle_sql"]
+__all__ = ["pagerank", "pagerank_oracle_sql", "hits", "hits_oracle_sql"]
 
 
 def pagerank(
@@ -315,4 +315,199 @@ def pagerank_oracle_sql(
         "WITH " + ", ".join(parts)
         + f" SELECT node, r AS rank_scaled, r / {float(scale)} AS pr "
         f"FROM r{int(rounds)}"
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 10,
+    scale: int = 10**9,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) after exactly
+    ``rounds`` iterations, with the :func:`pagerank` exactness
+    doctrine: scores are BIGINTs in units of ``1/scale`` of the
+    L1-normalized total, every per-round operation is integer
+    multiply / floor-divide / sum, and the DuckDB twin
+    (:func:`hits_oracle_sql`, K rounds unrolled to MATERIALIZED CTEs)
+    matches bit-for-bit.
+
+    Per round: authority(v) = sum of hub(u) over in-edges u->v, then
+    L1-renormalized to ``scale`` via ``(raw * scale) // A`` (A = the
+    round's raw total — one driver-side BIGINT, read off the
+    checkpointed node-scale relation); hub(u) = sum of the NEW
+    authority(v) over out-edges, renormalized the same way.  L1
+    instead of the textbook L2 keeps the fixed point exactly
+    representable in integers (same ranking — normalization choice
+    only rescales).
+
+    Scale story: identical Pregel-on-DataFrames shape to pagerank —
+    the edge relation is keyed ONCE by src and reused every round
+    (the authority-side aggregate shuffles by dst, the hub-side by
+    src; both map-side combinable BIGINT sums), node-scale relations
+    localCheckpoint per round with explicit unpersist of the previous
+    round.  Overflow: raw sums stay <= scale, so ``scale ** 2`` must
+    stay below 2^63 (validated; default 1e9 gives 1e18 headroom).
+
+    Returns (node, hub_scaled, auth_scaled, hub, auth) — the scaled
+    BIGINTs are the cross-engine-comparable columns; hub/auth are one
+    exact IEEE division by the scale literal."""
+    if scale * scale >= 2**63:
+        raise ValueError(
+            f"hits overflow: scale({scale})^2 must stay below 2^63"
+        )
+    if int(rounds) < 1:
+        raise ValueError("hits needs rounds >= 1")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    e = e.repartition("_src").localCheckpoint()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    spark = edges.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "node long, hub_scaled long, auth_scaled long, "
+            "hub double, auth double",
+        )
+    init = scale // n
+    h = nodes.select(
+        "node", F.lit(init).cast("long").alias("_s")
+    ).localCheckpoint()
+    a = None
+    for _ in range(int(rounds)):
+        # authority step: sum incoming hub mass, L1-renormalize
+        araw = (
+            h.join(e, h["node"] == e["_src"])
+            .select(F.col("_dst").alias("node"), F.col("_s").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_raw"))
+        )
+        araw = (
+            nodes.join(araw, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_raw"), F.lit(0))
+                .cast("long")
+                .alias("_raw"),
+            )
+            .localCheckpoint()
+        )
+        tot_a = int(araw.agg(F.sum("_raw")).first()[0] or 0)
+        a_new = araw.select(
+            "node",
+            (
+                F.expr(f"(_raw * {scale}) div {tot_a}")
+                if tot_a > 0
+                else F.lit(0)
+            )
+            .cast("long")
+            .alias("_s"),
+        ).localCheckpoint()
+        araw.unpersist()
+        if a is not None:
+            a.unpersist()
+        a = a_new
+        # hub step: sum outgoing NEW authority mass, renormalize
+        hraw = (
+            a.join(e, a["node"] == e["_dst"])
+            .select(F.col("_src").alias("node"), F.col("_s").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_raw"))
+        )
+        hraw = (
+            nodes.join(hraw, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_raw"), F.lit(0))
+                .cast("long")
+                .alias("_raw"),
+            )
+            .localCheckpoint()
+        )
+        tot_h = int(hraw.agg(F.sum("_raw")).first()[0] or 0)
+        h_new = hraw.select(
+            "node",
+            (
+                F.expr(f"(_raw * {scale}) div {tot_h}")
+                if tot_h > 0
+                else F.lit(0)
+            )
+            .cast("long")
+            .alias("_s"),
+        ).localCheckpoint()
+        hraw.unpersist()
+        h.unpersist()
+        h = h_new
+    out = h.select("node", F.col("_s").alias("hub_scaled")).join(
+        a.select("node", F.col("_s").alias("auth_scaled")), "node"
+    )
+    return out.select(
+        "node",
+        "hub_scaled",
+        "auth_scaled",
+        (F.col("hub_scaled") / F.lit(float(scale))).alias("hub"),
+        (F.col("auth_scaled") / F.lit(float(scale))).alias("auth"),
+    )
+
+
+def hits_oracle_sql(
+    edges_subq: str,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**9,
+) -> str:
+    """DuckDB twin of :func:`hits`: the same K rounds unrolled to
+    chained MATERIALIZED CTEs, the same integer multiply /
+    floor-divide / sum per round including the L1 renormalization
+    scalar subqueries — bit-identical at any round count."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT {src_col} AS src, {dst_col} AS dst "
+        f"FROM {edges_subq})",
+        "nd AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "nc AS MATERIALIZED (SELECT COUNT(*) AS n FROM nd)",
+        f"h0 AS MATERIALIZED (SELECT node, "
+        f"(SELECT {scale} // n FROM nc) AS s FROM nd)",
+    ]
+    for i in range(int(rounds)):
+        parts.append(
+            f"a{i}_raw AS MATERIALIZED (SELECT nd.node, "
+            "COALESCE(c.c, 0) AS raw FROM nd LEFT JOIN "
+            f"(SELECT e.dst AS node, SUM(h.s) AS c FROM h{i} h "
+            "JOIN e ON h.node = e.src GROUP BY e.dst) c USING (node))"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node, CASE WHEN "
+            f"(SELECT SUM(raw) FROM a{i}_raw) > 0 THEN "
+            f"(raw * {scale}) // (SELECT SUM(raw) FROM a{i}_raw) "
+            f"ELSE 0 END AS s FROM a{i}_raw)"
+        )
+        parts.append(
+            f"h{i + 1}_raw AS MATERIALIZED (SELECT nd.node, "
+            "COALESCE(c.c, 0) AS raw FROM nd LEFT JOIN "
+            f"(SELECT e.src AS node, SUM(a.s) AS c FROM a{i} a "
+            "JOIN e ON a.node = e.dst GROUP BY e.src) c USING (node))"
+        )
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT node, CASE WHEN "
+            f"(SELECT SUM(raw) FROM h{i + 1}_raw) > 0 THEN "
+            f"(raw * {scale}) // (SELECT SUM(raw) FROM h{i + 1}_raw) "
+            f"ELSE 0 END AS s FROM h{i + 1}_raw)"
+        )
+    k = int(rounds)
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT h.node, h.s AS hub_scaled, a.s AS auth_scaled, "
+        f"h.s / {float(scale)} AS hub, a.s / {float(scale)} AS auth "
+        f"FROM h{k} h JOIN a{k - 1} a USING (node)"
     )

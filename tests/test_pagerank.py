@@ -159,3 +159,93 @@ class TestPersonalizedPagerank:
         got = _ranks(pagerank(e, rounds=5))
         assert got[0] == got[1]
         assert abs(sum(got.values()) - 10**12) < 100
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities
+# --------------------------------------------------------------------------
+
+from geogeometry_spark.operators.pagerank import hits, hits_oracle_sql  # noqa: E402
+
+
+def _hits_brute(edges, rounds, scale=10**9):
+    """Pure-Python replica of the integer HITS loop."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    h = {u: scale // n for u in nodes}
+    a = {u: 0 for u in nodes}
+    for _ in range(rounds):
+        raw = {u: 0 for u in nodes}
+        for s, d in edges:
+            raw[d] += h[s]
+        tot = sum(raw.values())
+        a = {
+            u: (raw[u] * scale) // tot if tot > 0 else 0 for u in nodes
+        }
+        raw = {u: 0 for u in nodes}
+        for s, d in edges:
+            raw[s] += a[d]
+        tot = sum(raw.values())
+        h = {
+            u: (raw[u] * scale) // tot if tot > 0 else 0 for u in nodes
+        }
+    return h, a
+
+
+def test_hits_star_graph_hub_vs_authority(spark):
+    # 0 -> 1, 0 -> 2, 0 -> 3: node 0 is the only hub, 1..3 are the
+    # only authorities — scores must separate completely
+    e = _edges(spark, [(0, 1, 1), (0, 2, 1), (0, 3, 1)])
+    got = {r["node"]: r for r in hits(e, rounds=4).collect()}
+    assert got[0]["auth_scaled"] == 0
+    assert got[0]["hub_scaled"] == 10**9  # all hub mass
+    for v in (1, 2, 3):
+        assert got[v]["hub_scaled"] == 0
+        assert got[v]["auth_scaled"] == (10**9) // 3
+
+
+def test_hits_matches_python_brute_force(spark):
+    rows = [
+        (i % 7, (i * 3 + 1) % 7, 1) for i in range(15)
+    ]
+    rows = [r for r in rows if r[0] != r[1]]
+    edges = [(s, d) for s, d, _ in rows]
+    got_h, got_a = {}, {}
+    for r in hits(_edges(spark, rows), rounds=6).collect():
+        got_h[r["node"]] = r["hub_scaled"]
+        got_a[r["node"]] = r["auth_scaled"]
+    want_h, want_a = _hits_brute(edges, 6)
+    assert got_h == want_h
+    assert got_a == want_a
+
+
+def test_hits_twin_parity_irregular_graph(spark):
+    rows = [
+        (i % 11, (i * 7 + 3) % 11, 1)
+        for i in range(28)
+        if i % 11 != (i * 7 + 3) % 11
+    ]
+    got = sorted(
+        (r["node"], r["hub_scaled"], r["auth_scaled"], r["hub"], r["auth"])
+        for r in hits(_edges(spark, rows), rounds=5).collect()
+    )
+    vals = ", ".join(f"({s}, {d})" for s, d, _ in rows)
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            hits_oracle_sql(
+                f"(SELECT * FROM (VALUES {vals}) t(src, dst))", rounds=5
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_hits_guards(spark):
+    e = _edges(spark, [(0, 1, 1)])
+    with pytest.raises(ValueError, match="overflow"):
+        hits(e, scale=10**10)
+    with pytest.raises(ValueError, match="rounds"):
+        hits(e, rounds=0)
