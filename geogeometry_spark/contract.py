@@ -4194,6 +4194,31 @@ def _kcore_oracle() -> str:
     )
 
 
+def q_closeness(spark, sf_dir):
+    """Landmark harmonic closeness centrality (operators/routing.py
+    harmonic_closeness — Marchiori & Latora 2000, Eppstein & Wang 2004
+    sampling) from the four corner facilities over the road lattice:
+    ONE product-graph sssp sweep relaxes all four landmark replicas
+    together, reciprocals quantize as exact 1e12 // dist_mm integer
+    divisions, order-free BIGINT centrality sums."""
+    from .operators.routing import harmonic_closeness
+
+    return harmonic_closeness(
+        _road_graph_edges(spark),
+        spark.createDataFrame([(n,) for n in _FACILITY_NODES], "node int"),
+    )
+
+
+def _closeness_oracle() -> str:
+    from .operators.routing import harmonic_closeness_oracle_sql
+
+    return harmonic_closeness_oracle_sql(
+        _road_graph_edges_sql(),
+        list(_FACILITY_NODES),
+        rounds=_SSSP_ROUNDS,
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Exact fixed-point PageRank (operators/pagerank.py) over the
     congestion-weighted lattice road graph: intersection centrality
@@ -4538,6 +4563,7 @@ QUERIES = {
     "nearest_facility": q_nearest_facility,
     "pagerank": q_pagerank,
     "hits": q_hits,
+    "closeness": q_closeness,
     "mobility": q_mobility,
     "heading_stats": q_heading_stats,
     "cell_transitions": q_cell_transitions,
@@ -4692,6 +4718,7 @@ def _static_oracles() -> dict[str, str]:
         "nearest_facility": _nearest_facility_oracle(),
         "pagerank": _pagerank_oracle(),
         "hits": _hits_oracle(),
+        "closeness": _closeness_oracle(),
         "mobility": _mobility_oracle(),
         "heading_stats": _heading_stats_oracle(),
         "cell_transitions": _cell_transitions_oracle(),

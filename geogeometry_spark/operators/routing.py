@@ -58,6 +58,8 @@ from ..functions import columns as C
 
 __all__ = [
     "sssp",
+    "harmonic_closeness",
+    "harmonic_closeness_oracle_sql",
     "huff_catchment",
     "huff_catchment_oracle_sql",
     "nearest_facility",
@@ -505,4 +507,135 @@ def huff_catchment_oracle_sql(
         f"SELECT tx, ty, cnt, ({best}) AS best_fac, "
         f"round(({sb}) / ({total}), 6) AS p_best_r6, "
         f"round(({total}) / ({total}), 6) AS p_sum_chk FROM sc"
+    )
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w_mm",
+    node_col: str = "node",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Landmark-based harmonic closeness centrality (Marchiori &
+    Latora 2000; Boldi & Vigna 2014 for why harmonic > classic
+    closeness on disconnected graphs): for every node v,
+    C_H(v) = sum over landmark sources s of 1 / d(s, v) — the
+    standard scalable estimator (Eppstein & Wang 2004) that
+    substitutes a fixed landmark set for the all-pairs sweep exact
+    closeness would need.  Unreachable landmarks contribute 0 (the
+    harmonic estimator's built-in disconnection handling).
+
+    Scale design — the PRODUCT-GRAPH trick: per-landmark distances
+    are the one thing a multi-source sweep cannot give (it min-folds
+    sources away), so each landmark gets its own composite node space
+    ``node * L + rank`` and ONE :func:`sssp` run relaxes all L
+    replicas together — the battle-tested packed-BIGINT frontier loop,
+    unchanged, over an edge relation replicated L times (the honest
+    cost of L independent source sweeps, paid in one job with one
+    frontier).  Landmark counts are config-scale (4-32); node ids
+    must be non-negative and < 2^62 / L.
+
+    Exactness: distances are exact mm BIGINTs from sssp; each
+    reciprocal quantizes as ``10**12 // dist_mm`` (exact integer
+    division, = 1/d in meters scaled by 1e9), so the centrality sum
+    is order-free BIGINT addition and the one final double is a
+    single IEEE division by the scale literal.
+
+    Returns (node, n_reached, closeness_q, closeness): how many
+    landmarks reach the node at finite positive distance, the exact
+    scaled harmonic sum, and closeness_q / 1e9 (units 1/m)."""
+    lm = landmarks.select(F.col(node_col).alias("_lm")).distinct()
+    from pyspark.sql import Window
+
+    lm = lm.select(
+        "_lm",
+        (F.row_number().over(Window.orderBy("_lm")) - 1)
+        .cast("long")
+        .alias("_rank"),
+    ).localCheckpoint()
+    n_lm = lm.count()
+    if n_lm == 0:
+        raise ValueError("harmonic_closeness needs >= 1 landmark")
+    spark = edges.sparkSession
+    reps = F.broadcast(
+        spark.range(n_lm).select(F.col("id").alias("_rep"))
+    )
+    prod_edges = edges.crossJoin(reps).select(
+        (F.col(src_col) * n_lm + F.col("_rep")).alias("src"),
+        (F.col(dst_col) * n_lm + F.col("_rep")).alias("dst"),
+        F.col(w_col).alias("w_mm"),
+    )
+    seeds = lm.select((F.col("_lm") * n_lm + F.col("_rank")).alias("node"))
+    dist = sssp(
+        prod_edges,
+        seeds,
+        src_col="src",
+        dst_col="dst",
+        w_col="w_mm",
+        node_col="node",
+        max_rounds=max_rounds,
+    )
+    term = F.expr("1000000000000 div dist_mm")
+    return (
+        dist.where(F.col("dist_mm") > 0)
+        .select(
+            F.expr(f"node div {n_lm}").alias("node"),
+            term.alias("_t"),
+        )
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("_t").alias("closeness_q"),
+        )
+        .select(
+            "node",
+            "n_reached",
+            "closeness_q",
+            (F.col("closeness_q") / F.lit(1e9)).alias("closeness"),
+        )
+    )
+
+
+def harmonic_closeness_oracle_sql(
+    edges_subq: str,
+    landmark_ids: list[int],
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w_mm",
+) -> str:
+    """DuckDB twin of :func:`harmonic_closeness`: the same product
+    graph (edges replicated L times into composite node spaces), the
+    same unrolled Bellman-Ford (:func:`sssp_oracle_sql`), the same
+    exact reciprocal quantization and grouped BIGINT sum."""
+    ids = sorted(set(int(x) for x in landmark_ids))
+    n_lm = len(ids)
+    if n_lm == 0:
+        raise ValueError("harmonic_closeness needs >= 1 landmark")
+    prod_edges = (
+        f"(SELECT {src_col} * {n_lm} + i AS src, "
+        f"{dst_col} * {n_lm} + i AS dst, {w_col} AS w_mm "
+        f"FROM {edges_subq} CROSS JOIN range({n_lm}) t(i))"
+    )
+    seeds = ", ".join(
+        f"({nid * n_lm + rank})" for rank, nid in enumerate(ids)
+    )
+    inner = sssp_oracle_sql(
+        prod_edges,
+        f"(SELECT * FROM (VALUES {seeds}) s(node))",
+        rounds,
+        src_col="src",
+        dst_col="dst",
+        w_col="w_mm",
+        node_col="node",
+    )
+    return (
+        f"SELECT node // {n_lm} AS node, "
+        "CAST(count(*) AS BIGINT) AS n_reached, "
+        "SUM(1000000000000 // dist_mm) AS closeness_q, "
+        "SUM(1000000000000 // dist_mm) / 1e9 AS closeness "
+        f"FROM ({inner}) WHERE dist_mm > 0 GROUP BY node // {n_lm}"
     )

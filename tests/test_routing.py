@@ -188,3 +188,78 @@ def test_sssp_oracle_unroll_depth_is_converged(duck):
         )
 
     assert at(_SSSP_ROUNDS) == at(_SSSP_ROUNDS + 1)
+
+
+# --------------------------------------------------------------------------
+# harmonic closeness (landmark product graph)
+# --------------------------------------------------------------------------
+
+def test_harmonic_closeness_path_graph(spark):
+    from geogeometry_spark.operators.routing import harmonic_closeness
+
+    # path 0 -1000mm- 1 -1000mm- 2, landmarks {0, 2}
+    rows = [
+        (0, 1, 1000),
+        (1, 0, 1000),
+        (1, 2, 1000),
+        (2, 1, 1000),
+    ]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    lm = spark.createDataFrame([(0,), (2,)], "node int")
+    got = {
+        r["node"]: r for r in harmonic_closeness(e, lm).collect()
+    }
+    # node 1: 1/1m from each side -> q = 2 * (1e12 // 1000)
+    assert got[1]["n_reached"] == 2
+    assert got[1]["closeness_q"] == 2 * (10**12 // 1000)
+    assert got[1]["closeness"] == pytest.approx(2.0)
+    # node 0: landmark 0 contributes nothing (d=0), landmark 2 at 2m
+    assert got[0]["n_reached"] == 1
+    assert got[0]["closeness_q"] == 10**12 // 2000
+
+
+def test_harmonic_closeness_disconnected_contributes_zero(spark):
+    from geogeometry_spark.operators.routing import harmonic_closeness
+
+    # two components; landmark in one of them
+    rows = [(0, 1, 500), (1, 0, 500), (5, 6, 500), (6, 5, 500)]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    lm = spark.createDataFrame([(0,)], "node int")
+    got = {r["node"]: r for r in harmonic_closeness(e, lm).collect()}
+    assert 5 not in got and 6 not in got  # unreachable: no row
+    assert got[1]["n_reached"] == 1
+
+
+def test_harmonic_closeness_twin_parity(spark):
+    import duckdb
+
+    from geogeometry_spark.operators.routing import (
+        harmonic_closeness,
+        harmonic_closeness_oracle_sql,
+    )
+
+    rows = [
+        (i % 9, (i * 5 + 2) % 9, 1000 + (i * 37) % 500)
+        for i in range(20)
+        if i % 9 != (i * 5 + 2) % 9
+    ]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    lm = spark.createDataFrame([(0,), (4,), (7,)], "node int")
+    got = sorted(
+        tuple(r)
+        for r in harmonic_closeness(e, lm).collect()
+    )
+    vals = ", ".join(f"({s}, {d}, {w})" for s, d, w in rows)
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            harmonic_closeness_oracle_sql(
+                f"(SELECT * FROM (VALUES {vals}) t(src, dst, w_mm))",
+                [0, 4, 7],
+                rounds=12,
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
