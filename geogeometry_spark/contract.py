@@ -4194,6 +4194,18 @@ def _kcore_oracle() -> str:
     )
 
 
+def q_mst(spark, sf_dir):
+    """Minimum spanning forest of the congestion-weighted road lattice
+    by distributed Boruvka (operators/graph.py boruvka_mst): per-round
+    component-min outgoing edge under the (w, a, b) total order,
+    merges via the alternating-star connected-components loop.
+    Nested iteration is not SQL-expressible -> rows-only driver check;
+    Kruskal-parity pytests pin the exact edge set."""
+    from .operators.graph import boruvka_mst
+
+    return boruvka_mst(_road_graph_edges(spark))
+
+
 def q_closeness(spark, sf_dir):
     """Landmark harmonic closeness centrality (operators/routing.py
     harmonic_closeness — Marchiori & Latora 2000, Eppstein & Wang 2004
@@ -4564,6 +4576,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "hits": q_hits,
     "closeness": q_closeness,
+    "mst": q_mst,
     "mobility": q_mobility,
     "heading_stats": q_heading_stats,
     "cell_transitions": q_cell_transitions,

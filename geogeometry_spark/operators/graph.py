@@ -39,6 +39,7 @@ __all__ = [
     "degree_assortativity_oracle_sql",
     "k_core",
     "k_core_oracle_sql",
+    "boruvka_mst",
 ]
 
 
@@ -345,3 +346,117 @@ def k_core_oracle_sql(
         f"SELECT b AS node FROM {prev}) GROUP BY node"
     )
     return "".join(sql)
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w_mm",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Minimum spanning forest by distributed Boruvka (Boruvka 1926;
+    the MapReduce formulation of Lattanzi et al. 2011 "Filtering: a
+    method for solving graph problems in MapReduce") — the backbone-
+    extraction step a road/contact network pipeline wants next to
+    connected components: the cheapest subnetwork keeping every
+    component connected (network design, cluster backbones,
+    single-linkage dendrogram levels).
+
+    Edge weights get the TOTAL order (w, a, b) — ties broken by the
+    canonical endpoint pair — so the forest is the UNIQUE MST under
+    that order (identical to Kruskal with the same tie-break; how the
+    pytests pin it).  Per round, every component selects its minimum
+    outgoing edge under that order (the classic Boruvka step, here a
+    map-side-combinable min-aggregate keyed by component), selected
+    edges merge components through :func:`~.dedup.connected_components`
+    (the alternating-star loop — itself O(log n) rounds on a relation
+    that SHRINKS geometrically: one edge per component), and the
+    component labeling localCheckpoints per round.  Boruvka halves the
+    component count every round, so ``max_rounds`` of 40 covers any
+    graph to 2^40 nodes.
+
+    Not SQL-expressible (nested iteration: Boruvka rounds around a
+    pointer-jumping loop), so the driver records a rows-only check;
+    Kruskal-parity pytests pin the semantics.
+
+    Returns the forest edge set (src, dst, w) with src < dst — n_nodes
+    minus n_components rows."""
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    e = (
+        edges.select(a, b, F.col(w_col).cast("long").alias("w"))
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    comp = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select("b"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    from .dedup import connected_components
+
+    picked = []
+    for _ in range(int(max_rounds)):
+        ca = comp.select(
+            F.col("node").alias("a"), F.col("comp").alias("ca")
+        )
+        cb = comp.select(
+            F.col("node").alias("b"), F.col("comp").alias("cb")
+        )
+        lab = (
+            e.join(ca, "a")
+            .join(cb, "b")
+            .where(F.col("ca") != F.col("cb"))
+            .localCheckpoint()
+        )
+        if lab.isEmpty():
+            break
+        # each component's minimum OUTGOING edge under the total order
+        # (w, a, b): struct min keyed by component — the candidate
+        # relation is one row per cross-component edge side
+        cand = F.struct(
+            F.col("w"), F.col("a"), F.col("b"), F.col("ca"), F.col("cb")
+        ).alias("cand")
+        half = lab.select(F.col("ca").alias("c"), cand).union(
+            lab.select(F.col("cb").alias("c"), cand)
+        )
+        sel = (
+            half.groupBy("c")
+            .agg(F.min("cand").alias("m"))
+            .select("m.w", "m.a", "m.b", "m.ca", "m.cb")
+            .distinct()  # both endpoints may pick the same edge
+            .localCheckpoint()
+        )
+        picked.append(sel.select("a", "b", "w"))
+        # merge: CC over the selected component-pair graph (one edge
+        # per component -> geometrically shrinking relation)
+        cc = connected_components(
+            sel.select(F.col("ca").alias("id_a"), F.col("cb").alias("id_b"))
+        )
+        new_comp = (
+            comp.join(
+                cc.withColumnRenamed("node", "comp"), "comp", "left"
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("component"), F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        comp.unpersist()
+        lab.unpersist()
+        comp = new_comp
+    if not picked:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "src long, dst long, w long")
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.union(p)
+    return out.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    )

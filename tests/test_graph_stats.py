@@ -359,3 +359,99 @@ class TestKCore:
         )
         assert got == exp
         assert {n for n, _ in got} == {100 + i for i in range(5)}
+
+
+# --------------------------------------------------------------------------
+# Boruvka minimum spanning forest
+# --------------------------------------------------------------------------
+
+def _kruskal(edges):
+    """Reference Kruskal under the SAME (w, a, b) total order."""
+    canon = {}
+    for s, d, w in edges:
+        a, b = (s, d) if s < d else (d, s)
+        if a == b:
+            continue
+        if (a, b) not in canon or w < canon[(a, b)]:
+            canon[(a, b)] = w
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for (a, b), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((a, b, w))
+    return out
+
+
+def test_mst_matches_kruskal_random_graph(spark):
+    from geogeometry_spark.operators.graph import boruvka_mst
+
+    rows = [
+        (i % 23, (i * 7 + 3) % 23, 100 + (i * 37) % 400)
+        for i in range(60)
+        if i % 23 != (i * 7 + 3) % 23
+    ]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    got = {
+        (r["src"], r["dst"], r["w"]) for r in boruvka_mst(e).collect()
+    }
+    assert got == _kruskal(rows)
+
+
+def test_mst_forest_on_disconnected_graph(spark):
+    from geogeometry_spark.operators.graph import boruvka_mst
+
+    rows = [
+        (0, 1, 10), (1, 2, 20), (0, 2, 30),   # triangle: drops (0,2)
+        (10, 11, 5),                          # separate component
+    ]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    got = {
+        (r["src"], r["dst"], r["w"]) for r in boruvka_mst(e).collect()
+    }
+    assert got == {(0, 1, 10), (1, 2, 20), (10, 11, 5)}
+
+
+def test_mst_tie_break_is_canonical_pair_order(spark):
+    from geogeometry_spark.operators.graph import boruvka_mst
+
+    # square with ALL equal weights: MST must be the Kruskal result
+    # under (w, a, b) order — edges (0,1), (0,3), (1,2)
+    rows = [(0, 1, 7), (1, 2, 7), (2, 3, 7), (0, 3, 7)]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    got = {
+        (r["src"], r["dst"], r["w"]) for r in boruvka_mst(e).collect()
+    }
+    assert got == _kruskal(rows) == {(0, 1, 7), (0, 3, 7), (1, 2, 7)}
+
+
+def test_mst_spanning_tree_size_on_lattice(spark):
+    from geogeometry_spark.operators.graph import boruvka_mst
+
+    # 5x5 grid lattice, distinct weights
+    def nid(r, c):
+        return r * 5 + c
+
+    rows = []
+    k = 0
+    for r in range(5):
+        for c in range(5):
+            if c + 1 < 5:
+                rows.append((nid(r, c), nid(r, c + 1), 100 + (k * 17) % 97))
+                k += 1
+            if r + 1 < 5:
+                rows.append((nid(r, c), nid(r + 1, c), 100 + (k * 17) % 97))
+                k += 1
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    got = {(r["src"], r["dst"], r["w"]) for r in boruvka_mst(e).collect()}
+    want = _kruskal(rows)
+    assert got == want
+    assert len(got) == 24  # n - 1
