@@ -3586,6 +3586,52 @@ def _traj_dtw_oracle() -> str:
     )
 
 
+def q_traj_lcss(spark, sf_dir):
+    """LCSS trajectory-similarity join (operators/traj_similarity.py
+    lcss_join — Vlachos et al. 2002): trip pairs whose eps=250m
+    longest-common-subsequence similarity >= 0.5; cell-overlap
+    candidates (a match can happen anywhere along the trips, so the
+    necessity is shared occupied cells, not close heads), zero-
+    boundary anti-diagonal Arrow DP, recursive-CTE DuckDB twin."""
+    from .operators.traj_similarity import lcss_join
+
+    return lcss_join(
+        _traj_points(spark, sf_dir), eps_m=250.0, min_sim=0.5,
+        gap_s=43200,
+    )
+
+
+def _traj_lcss_oracle() -> str:
+    from .operators.traj_similarity import lcss_join_oracle_sql
+
+    return lcss_join_oracle_sql(
+        _TRAJ_SUBQ, eps_m=250.0, min_sim=0.5, gap_s=43200
+    )
+
+
+def q_traj_edr(spark, sf_dir):
+    """EDR trajectory-similarity join (operators/traj_similarity.py
+    edr_join — Chen, Ozsu & Oria 2005): trip pairs within 12 edits
+    under the eps=250m match, sharing >= 1 eps-close fix pair (the
+    documented cell-overlap restriction); boundary-row anti-diagonal
+    Arrow DP with the INF clamp, recursive-CTE DuckDB twin joining
+    the distance list one diagonal behind."""
+    from .operators.traj_similarity import edr_join
+
+    return edr_join(
+        _traj_points(spark, sf_dir), eps_m=250.0, max_edits=12,
+        gap_s=43200,
+    )
+
+
+def _traj_edr_oracle() -> str:
+    from .operators.traj_similarity import edr_join_oracle_sql
+
+    return edr_join_oracle_sql(
+        _TRAJ_SUBQ, eps_m=250.0, max_edits=12, gap_s=43200
+    )
+
+
 # Deterministic 20x20 road-network lattice for routing: node n sits at
 # (52 + floor(n/20)*0.05, 13 + (n%20)*0.05); the 760 undirected lattice
 # links become 1520 directed edges whose cost is the geodesic length
@@ -4570,6 +4616,8 @@ QUERIES = {
     "clark_evans": q_clark_evans,
     "variogram": q_variogram,
     "traj_dtw": q_traj_dtw,
+    "traj_lcss": q_traj_lcss,
+    "traj_edr": q_traj_edr,
     "sssp": q_sssp,
     "isochrone": q_isochrone,
     "nearest_facility": q_nearest_facility,
@@ -4726,6 +4774,8 @@ def _static_oracles() -> dict[str, str]:
         "clark_evans": _clark_evans_oracle(),
         "variogram": _variogram_oracle(),
         "traj_dtw": _traj_dtw_oracle(),
+        "traj_lcss": _traj_lcss_oracle(),
+        "traj_edr": _traj_edr_oracle(),
         "sssp": _sssp_oracle(),
         "isochrone": _isochrone_oracle(),
         "nearest_facility": _nearest_facility_oracle(),

@@ -50,6 +50,10 @@ __all__ = [
     "dtw_join_oracle_sql",
     "route_clusters",
     "route_clusters_oracle_sql",
+    "lcss_join",
+    "lcss_join_oracle_sql",
+    "edr_join",
+    "edr_join_oracle_sql",
 ]
 
 _RING = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -811,4 +815,525 @@ def route_clusters_oracle_sql(
         "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "
         "SELECT u AS trip, least(u, min(v)) AS route_id "
         "FROM reach GROUP BY u"
+    )
+
+
+# --------------------------------------------------------------------------
+# Threshold-match sequence DPs: LCSS and EDR
+# --------------------------------------------------------------------------
+
+def _lcss_dp_len(d: "np.ndarray", eps_mm: int) -> int:
+    """Exact LCSS length over an (n, m) int64 mm-distance matrix with
+    the eps threshold match (Vlachos et al. 2002):
+    c(i,j) = max(c(i-1,j), c(i,j-1), c(i-1,j-1) + [d(i,j) <= eps]).
+
+    (The max-of-three form equals the textbook two-case recurrence by
+    the monotone property |c(i,j) - c(i-1,j)| <= 1.)  Same
+    anti-diagonal vectorization as :func:`_frechet_dp_mm`, but with
+    ZERO-filled garbage: the LCSS boundary value is 0, and off-
+    diagonal cells provably stay 0 (their predecessors are all 0 and
+    their match term tests the INF-free out-of-range read as False),
+    so no masks are needed at all."""
+    import numpy as np
+
+    n, m = d.shape
+    match = (d <= eps_mm)
+    prev = np.zeros(n, np.int64)   # diagonal k-1, indexed by i
+    prev2 = np.zeros(n, np.int64)  # diagonal k-2
+    for k in range(n + m - 1):
+        i_lo = max(0, k - m + 1)
+        i_hi = min(n - 1, k)
+        ii = np.arange(i_lo, i_hi + 1)
+        mk = match[ii, k - ii].astype(np.int64)
+        cur = np.zeros(n, np.int64)
+        im1 = np.maximum(ii - 1, 0)
+        up = np.where(ii > 0, prev[im1], 0)     # c(i-1, j)
+        left = prev[ii]                          # c(i,  j-1)
+        diag = np.where(ii > 0, prev2[im1], 0)   # c(i-1, j-1)
+        cur[i_lo : i_hi + 1] = np.maximum(
+            np.maximum(up, left), diag + mk
+        )
+        prev2, prev = prev, cur
+    return int(prev[n - 1])
+
+
+def _edr_dp_edits(d: "np.ndarray", eps_mm: int) -> int:
+    """Exact EDR edit count over an (n, m) int64 mm-distance matrix
+    (Chen, Ozsu & Oria 2005): c(i,0) = i, c(0,j) = j,
+    c(i,j) = min(c(i-1,j) + 1, c(i,j-1) + 1,
+                 c(i-1,j-1) + [d(i,j) > eps]).
+
+    Anti-diagonal sweep over the (n+1) x (m+1) grid INCLUDING the
+    boundary row/column (set explicitly each diagonal); INF-filled
+    garbage with the DTW clamp (min-combine grows garbage by +1 per
+    sweep, the clamp pins it; INF = 2^56 leaves headroom)."""
+    import numpy as np
+
+    n, m = d.shape
+    cost = (d > eps_mm).astype(np.int64)
+    inf = np.int64(1) << 56
+    prev = np.full(n + 1, inf, np.int64)   # diagonal kk-1, indexed by i
+    prev2 = np.full(n + 1, inf, np.int64)  # diagonal kk-2
+    for kk in range(n + m + 1):
+        i_lo = max(0, kk - m)
+        i_hi = min(n, kk)
+        ii = np.arange(i_lo, i_hi + 1)
+        jj = kk - ii
+        cur = np.full(n + 1, inf, np.int64)
+        im1 = np.maximum(ii - 1, 0)
+        up = np.where(ii > 0, prev[im1], inf)    # c(i-1, j)
+        left = prev[ii]                           # c(i,  j-1)
+        diag = np.where(ii > 0, prev2[im1], inf)  # c(i-1, j-1)
+        inter = (ii > 0) & (jj > 0)
+        ci = np.zeros(len(ii), np.int64)
+        ci[inter] = cost[ii[inter] - 1, jj[inter] - 1]
+        val = np.minimum(
+            np.minimum(up + 1, left + 1), diag + ci
+        )
+        val = np.minimum(val, inf)
+        val = np.where(ii == 0, jj, val)  # c(0, j) = j
+        val = np.where(jj == 0, ii, val)  # c(i, 0) = i
+        cur[i_lo : i_hi + 1] = val
+        prev2, prev = prev, cur
+    return int(prev[n])
+
+
+def _overlap_match_join(
+    points: DataFrame,
+    kernel,
+    out_col: str,
+    eps_m: float,
+    gap_s: int,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    max_abs_lat: float,
+    max_trip_fixes: int,
+) -> DataFrame:
+    """Shared body of :func:`lcss_join` / :func:`edr_join`.
+
+    Candidates differ from the coupled-walk trio: an eps-threshold
+    match can happen ANYWHERE along the trips (heads need not be
+    close), so the correct necessity is "the trips share at least one
+    eps-close fix pair" — generated as a CELL-OVERLAP equi-join: each
+    trip collapses to its DISTINCT occupied cells at the eps-safe zoom
+    (bounded by trip length, usually far smaller), one side spreads to
+    the 3x3 ring (x-wrap), and the distinct pair set comes off the
+    cell equi-join.  Any eps-match implies ring-adjacent cells, so no
+    qualifying pair is missed; pairs with NO eps-close fix pair are by
+    construction excluded (for LCSS that is exactly sim > 0; for EDR
+    it is the documented at-least-one-match restriction).
+
+    The exact phase is the :func:`_coupled_dp_join` shape: per-pair
+    ordered coordinate arrays attach via two slim equi-joins, the DP
+    runs as an Arrow batch kernel over mm-quantized distances."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.geometry import haversine as _hav
+
+    zoom = dbscan_zoom_for_eps(eps_m, max_abs_lat)
+    if zoom < 2:
+        raise ValueError(
+            f"eps {eps_m} m needs zoom {zoom} (< 2): planetary-scale "
+            "match radii degenerate to all-pairs; reduce eps."
+        )
+    n_tiles = 1 << zoom
+    eps_mm = round(eps_m * 1000.0)
+
+    fx = sessionize(
+        points, gap_s=gap_s, user_col=user_col, ts_col=ts_col,
+        id_col=id_col,
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col("session_id").alias("_s"),
+        F.col(ts_col).alias("_t"),
+        F.col(id_col).alias("_id"),
+        F.col(lat_col).alias("_la"),
+        F.col(lon_col).alias("_lo"),
+    )
+    sizes = fx.groupBy("_u", "_s").agg(F.count(F.lit(1)).alias("_n"))
+    fx = (
+        fx.join(
+            sizes.where(F.col("_n") <= max_trip_fixes), ["_u", "_s"]
+        ).localCheckpoint()
+    )
+
+    cx, cy = C.tile_xy(F.col("_la"), F.col("_lo"), zoom)
+    cells = fx.select(
+        "_u", "_s", cx.alias("_cx"), cy.alias("_cy")
+    ).dropDuplicates(["_u", "_s", "_cx", "_cy"])
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _RING
+        ]
+    )
+    probe = (
+        cells.select(
+            F.col("_u").alias("_ua"), F.col("_s").alias("_sa"),
+            "_cx", "_cy",
+        )
+        .withColumn("_o", F.explode(offs))
+        .select(
+            "_ua", "_sa",
+            F.pmod(F.col("_cx") + F.col("_o.dx"), F.lit(n_tiles)).alias(
+                "_jx"
+            ),
+            (F.col("_cy") + F.col("_o.dy")).alias("_jy"),
+        )
+        .dropDuplicates(["_ua", "_sa", "_jx", "_jy"])
+    )
+    build = cells.select(
+        F.col("_u").alias("_ub"), F.col("_s").alias("_sb"),
+        F.col("_cx").alias("_jx"), F.col("_cy").alias("_jy"),
+    )
+    a_lt_b = (F.col("_ua") < F.col("_ub")) | (
+        (F.col("_ua") == F.col("_ub")) & (F.col("_sa") < F.col("_sb"))
+    )
+    cand = (
+        probe.join(build, ["_jx", "_jy"])
+        .where(a_lt_b)
+        .select("_ua", "_sa", "_ub", "_sb")
+        .distinct()
+    )
+
+    seq = F.array_sort(F.collect_list(F.struct("_t", "_id", "_la", "_lo")))
+    seqs = fx.groupBy("_u", "_s").agg(seq.alias("_q")).select(
+        "_u", "_s",
+        F.col("_q._la").alias("_las"), F.col("_q._lo").alias("_los"),
+    )
+    pairs = (
+        cand.join(
+            seqs.select(
+                F.col("_u").alias("_ua"), F.col("_s").alias("_sa"),
+                F.col("_las").alias("_laa"), F.col("_los").alias("_loa"),
+            ),
+            ["_ua", "_sa"],
+        )
+        .join(
+            seqs.select(
+                F.col("_u").alias("_ub"), F.col("_s").alias("_sb"),
+                F.col("_las").alias("_lab"), F.col("_los").alias("_lob"),
+            ),
+            ["_ub", "_sb"],
+        )
+        .select("_ua", "_sa", "_ub", "_sb", "_laa", "_loa", "_lab", "_lob")
+    )
+
+    utype = points.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"user_a {utype}, session_a long, user_b {utype}, "
+        f"session_b long, n_a long, n_b long, {out_col} long"
+    )
+    cols = ["user_a", "session_a", "user_b", "session_b",
+            "n_a", "n_b", out_col]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for ua, sa, ub, sb, laa, loa, lab, lob in zip(
+                pdf["_ua"], pdf["_sa"], pdf["_ub"], pdf["_sb"],
+                pdf["_laa"], pdf["_loa"], pdf["_lab"], pdf["_lob"],
+            ):
+                a_la = np.asarray(laa, np.float64)
+                a_lo = np.asarray(loa, np.float64)
+                b_la = np.asarray(lab, np.float64)
+                b_lo = np.asarray(lob, np.float64)
+                d = np.floor(
+                    _hav(
+                        a_la[:, None], a_lo[:, None],
+                        b_la[None, :], b_lo[None, :],
+                    )
+                    * 1000.0
+                    + 0.5
+                ).astype(np.int64)
+                rows.append(
+                    (ua, sa, ub, sb, len(a_la), len(b_la),
+                     kernel(d, eps_mm))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pairs.mapInPandas(run, out_schema)
+
+
+def lcss_join(
+    points: DataFrame,
+    eps_m: float = 250.0,
+    min_sim: float = 0.5,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 85.05112878,
+    max_trip_fixes: int = 512,
+) -> DataFrame:
+    """LCSS trajectory-similarity join (Vlachos, Kollios & Gunopulos
+    2002): unordered trip pairs whose longest common subsequence under
+    the eps-threshold match, normalized by the shorter trip, is
+    >= ``min_sim`` — the noise-ROBUST member of the similarity family
+    (outlier fixes simply fail to match; DTW/Fréchet force every fix
+    into the alignment).
+
+    ``min_sim`` must be > 0: a positive similarity requires at least
+    one eps-close fix pair, which is exactly the cell-overlap
+    candidate necessity (:func:`_overlap_match_join`).
+
+    Output: (user_a, session_a, user_b, session_b, n_a, n_b, lcss,
+    lcss_sim_r6) with (user_a, session_a) < (user_b, session_b); the
+    similarity is the single pinned division lcss / min(n_a, n_b),
+    rounded to 6."""
+    if not (0.0 < min_sim <= 1.0):
+        raise ValueError("min_sim must be in (0, 1]")
+    out = _overlap_match_join(
+        points, _lcss_dp_len, "lcss", eps_m, gap_s, user_col,
+        ts_col, id_col, lat_col, lon_col, max_abs_lat, max_trip_fixes,
+    )
+    sim = F.round(
+        F.col("lcss") / F.least(F.col("n_a"), F.col("n_b")), 6
+    )
+    return out.withColumn("lcss_sim_r6", sim).where(
+        F.col("lcss_sim_r6") >= F.lit(float(min_sim))
+    )
+
+
+def edr_join(
+    points: DataFrame,
+    eps_m: float = 250.0,
+    max_edits: int = 10,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 85.05112878,
+    max_trip_fixes: int = 512,
+) -> DataFrame:
+    """EDR trajectory-similarity join (Chen, Ozsu & Oria 2005, "Edit
+    Distance on Real sequence"): unordered trip pairs needing at most
+    ``max_edits`` insert/delete/substitute operations to align under
+    the eps-threshold match — the edit-model member of the family
+    (counts HOW MANY fixes disagree, where DTW integrates how far).
+
+    Candidate restriction (documented semantics): pairs must share at
+    least one eps-close fix pair (the cell-overlap necessity).  A pair
+    of short trips with NO close fixes trivially satisfies
+    ``edr = max(n_a, n_b) <= max_edits`` but is excluded — "similar
+    yet never near" is noise for a mobility pipeline, and the oracle
+    twin applies the identical rule.
+
+    Output: (user_a, session_a, user_b, session_b, n_a, n_b, edr)
+    with (user_a, session_a) < (user_b, session_b)."""
+    if int(max_edits) < 0:
+        raise ValueError("max_edits must be >= 0")
+    out = _overlap_match_join(
+        points, _edr_dp_edits, "edr", eps_m, gap_s, user_col,
+        ts_col, id_col, lat_col, lon_col, max_abs_lat, max_trip_fixes,
+    )
+    return out.where(F.col("edr") <= F.lit(int(max_edits)))
+
+
+def _overlap_base_sql(
+    subq: str,
+    eps_m: float,
+    gap_s: int,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    lat: str,
+    lon: str,
+    max_abs_lat: float,
+    max_trip_fixes: int,
+) -> tuple[list[str], int]:
+    """Shared WITH-parts for the cell-overlap DP twins, through the
+    per-diagonal distance lists (same grid/diags/dgrid/dlists shape as
+    :func:`_coupled_dp_oracle_sql`, with cell-overlap candidates
+    instead of head-ring ones).  Returns (parts, eps_mm)."""
+    zoom = dbscan_zoom_for_eps(eps_m, max_abs_lat)
+    n = 1 << zoom
+    eps_mm = round(eps_m * 1000.0)
+    sess = sessionize_oracle_sql(
+        subq, gap_s=gap_s, user_col=user_col, ts_col=ts_col,
+        id_col=id_col,
+    )
+    ctx, cty = C.tile_xy_sql(lat, lon, zoom)
+    gv = C.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx, dy in _RING
+    )
+    inf = 1 << 62
+    parts = [
+        f"sess AS ({sess})",
+        "fx AS MATERIALIZED (SELECT s.*, row_number() OVER "
+        "(PARTITION BY user_id, session_id "
+        f"ORDER BY {ts_col}, {id_col}) - 1 AS pos "
+        "FROM sess s JOIN (SELECT user_id, session_id FROM sess "
+        "GROUP BY user_id, session_id "
+        f"HAVING count(*) <= {max_trip_fixes}) k "
+        "USING (user_id, session_id))",
+        "trips AS (SELECT user_id, session_id, count(*) AS nf "
+        "FROM fx GROUP BY user_id, session_id)",
+        f"cells AS (SELECT DISTINCT user_id, session_id, {ctx} AS cx, "
+        f"{cty} AS cy FROM fx)",
+        f"offsets(dx, dy) AS (VALUES {offs})",
+        "probe AS (SELECT DISTINCT user_id, session_id, "
+        f"((cx + dx) % {n} + {n}) % {n} AS jx, cy + dy AS jy "
+        "FROM cells CROSS JOIN offsets)",
+        "cand0 AS MATERIALIZED (SELECT DISTINCT a.user_id AS ua, "
+        "a.session_id AS sa, b.user_id AS ub, b.session_id AS sb "
+        "FROM probe a JOIN cells b ON a.jx = b.cx AND a.jy = b.cy "
+        "WHERE (a.user_id, a.session_id) < (b.user_id, b.session_id))",
+        "cand AS MATERIALIZED (SELECT c.ua, c.sa, c.ub, c.sb, "
+        "ta.nf AS n_a, tb.nf AS n_b FROM cand0 c "
+        "JOIN trips ta ON ta.user_id = c.ua AND ta.session_id = c.sa "
+        "JOIN trips tb ON tb.user_id = c.ub AND tb.session_id = c.sb)",
+        "grid AS (SELECT p.ua, p.sa, p.ub, p.sb, a.pos AS i, "
+        f"b.pos AS j, CAST(round(({gv}) * 1000.0) AS BIGINT) AS d "
+        "FROM cand p "
+        "JOIN (SELECT user_id, session_id, pos, "
+        f"{lat} AS lat, {lon} AS lon FROM fx) a "
+        "ON a.user_id = p.ua AND a.session_id = p.sa "
+        "JOIN (SELECT user_id, session_id, pos, "
+        f"{lat} AS lat, {lon} AS lon FROM fx) b "
+        "ON b.user_id = p.ub AND b.session_id = p.sb)",
+        "diags AS (SELECT ua, sa, ub, sb, n_a, n_b, "
+        "unnest(range(0, n_a + n_b - 1)) AS k FROM cand)",
+        "lattice AS (SELECT ua, sa, ub, sb, k, "
+        "unnest(range(0, n_a)) AS i FROM diags)",
+        "dgrid AS (SELECT l.ua, l.sa, l.ub, l.sb, l.k, l.i, "
+        f"coalesce(g.d, {inf}) AS d FROM lattice l LEFT JOIN grid g "
+        "ON g.ua = l.ua AND g.sa = l.sa AND g.ub = l.ub "
+        "AND g.sb = l.sb AND g.i = l.i AND g.j = l.k - l.i)",
+        "dlists AS MATERIALIZED (SELECT ua, sa, ub, sb, k, "
+        "list(d ORDER BY i) AS dl "
+        "FROM dgrid GROUP BY ua, sa, ub, sb, k)",
+    ]
+    return parts, eps_mm
+
+
+def lcss_join_oracle_sql(
+    subq: str,
+    eps_m: float = 250.0,
+    min_sim: float = 0.5,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_abs_lat: float = 85.05112878,
+    max_trip_fixes: int = 512,
+) -> str:
+    """DuckDB twin of :func:`lcss_join`: same sessionize / cap /
+    cell-overlap candidates, then the anti-diagonal LCSS DP as a
+    recursive CTE with ZERO boundaries (the max-of-three recurrence;
+    off-diagonal garbage provably stays 0 — see :func:`_lcss_dp_len`),
+    same pinned similarity division and filter."""
+    parts, eps_mm = _overlap_base_sql(
+        subq, eps_m, gap_s, user_col, ts_col, id_col, lat, lon,
+        max_abs_lat, max_trip_fixes,
+    )
+    z = "CAST(0 AS BIGINT)"
+    combine = (
+        "greatest("
+        f"CASE WHEN x > 1 THEN r.c_cur[x - 1] ELSE {z} END, "
+        "r.c_cur[x], "
+        f"(CASE WHEN x > 1 THEN r.c_prev[x - 1] ELSE {z} END) + "
+        f"(CASE WHEN d.dl[x] <= {eps_mm} THEN 1 ELSE 0 END))"
+    )
+    parts.append(
+        "rec AS ("
+        "SELECT p.ua, p.sa, p.ub, p.sb, p.n_a, p.n_b, "
+        "p.n_a + p.n_b - 2 AS kmax, 0 AS k, "
+        f"list_transform(d0.dl, v -> CASE WHEN v <= {eps_mm} "
+        f"THEN CAST(1 AS BIGINT) ELSE {z} END) AS c_cur, "
+        f"list_transform(range(1, p.n_a + 1), x -> {z}) AS c_prev "
+        "FROM cand p JOIN dlists d0 ON d0.ua = p.ua AND d0.sa = p.sa "
+        "AND d0.ub = p.ub AND d0.sb = p.sb AND d0.k = 0 "
+        "UNION ALL "
+        "SELECT r.ua, r.sa, r.ub, r.sb, r.n_a, r.n_b, r.kmax, r.k + 1, "
+        f"list_transform(range(1, r.n_a + 1), x -> {combine}), "
+        "r.c_cur "
+        "FROM rec r JOIN dlists d ON d.ua = r.ua AND d.sa = r.sa "
+        "AND d.ub = r.ub AND d.sb = r.sb AND d.k = r.k + 1 "
+        "WHERE r.k < r.kmax)"
+    )
+    return (
+        "WITH RECURSIVE " + ", ".join(parts)
+        + " SELECT ua AS user_a, sa AS session_a, ub AS user_b, "
+        "sb AS session_b, n_a, n_b, c_cur[n_a] AS lcss, "
+        "round(CAST(c_cur[n_a] AS DOUBLE) / least(n_a, n_b), 6) "
+        "AS lcss_sim_r6 "
+        "FROM rec WHERE k = kmax AND "
+        "round(CAST(c_cur[n_a] AS DOUBLE) / least(n_a, n_b), 6) "
+        f">= {float(min_sim)!r}"
+    )
+
+
+def edr_join_oracle_sql(
+    subq: str,
+    eps_m: float = 250.0,
+    max_edits: int = 10,
+    gap_s: int = 43200,
+    user_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_abs_lat: float = 85.05112878,
+    max_trip_fixes: int = 512,
+) -> str:
+    """DuckDB twin of :func:`edr_join`: the cell-overlap harness with
+    the EDR DP over the (n+1) x (m+1) grid INCLUDING boundaries —
+    lists carry n_a + 1 entries (x = 1 is the i = 0 boundary row, set
+    per diagonal by CASE alongside the j = 0 column), the distance
+    list joins one diagonal BEHIND (cost(i,j) lives on match-grid
+    diagonal i + j - 2), and min-combine garbage clamps to INF = 2^56
+    exactly like :func:`_edr_dp_edits`."""
+    parts, eps_mm = _overlap_base_sql(
+        subq, eps_m, gap_s, user_col, ts_col, id_col, lat, lon,
+        max_abs_lat, max_trip_fixes,
+    )
+    inf = 1 << 56
+    iz = f"CAST({inf} AS BIGINT)"
+    combine = (
+        "CASE WHEN x = 1 THEN (CASE WHEN r.k + 1 <= r.n_b "
+        f"THEN CAST(r.k + 1 AS BIGINT) ELSE {iz} END) "
+        "WHEN x - 1 = r.k + 1 THEN CAST(r.k + 1 AS BIGINT) "
+        "ELSE least("
+        f"(CASE WHEN x > 1 THEN r.c_cur[x - 1] ELSE {iz} END) + 1, "
+        "r.c_cur[x] + 1, "
+        f"(CASE WHEN x > 1 THEN r.c_prev[x - 1] ELSE {iz} END) + "
+        f"(CASE WHEN coalesce(d.dl[x - 1], {inf}) <= {eps_mm} "
+        "THEN 0 ELSE 1 END), "
+        f"{iz}) END"
+    )
+    parts.append(
+        "rec AS ("
+        "SELECT p.ua, p.sa, p.ub, p.sb, p.n_a, p.n_b, "
+        "p.n_a + p.n_b AS kmax, 0 AS k, "
+        "list_transform(range(1, p.n_a + 2), x -> "
+        f"CASE WHEN x = 1 THEN CAST(0 AS BIGINT) ELSE {iz} END) "
+        "AS c_cur, "
+        f"list_transform(range(1, p.n_a + 2), x -> {iz}) AS c_prev "
+        "FROM cand p "
+        "UNION ALL "
+        "SELECT r.ua, r.sa, r.ub, r.sb, r.n_a, r.n_b, r.kmax, r.k + 1, "
+        f"list_transform(range(1, r.n_a + 2), x -> {combine}), "
+        "r.c_cur "
+        "FROM rec r LEFT JOIN dlists d ON d.ua = r.ua AND d.sa = r.sa "
+        "AND d.ub = r.ub AND d.sb = r.sb AND d.k = r.k - 1 "
+        "WHERE r.k < r.kmax)"
+    )
+    return (
+        "WITH RECURSIVE " + ", ".join(parts)
+        + " SELECT ua AS user_a, sa AS session_a, ub AS user_b, "
+        "sb AS session_b, n_a, n_b, c_cur[n_a + 1] AS edr "
+        "FROM rec WHERE k = kmax AND "
+        f"c_cur[n_a + 1] <= {int(max_edits)}"
     )

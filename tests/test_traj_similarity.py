@@ -523,3 +523,185 @@ def test_dtw_matches_duckdb_twin(spark, duck):
     )
     assert len(got) >= 20
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# LCSS / EDR threshold-match joins
+# --------------------------------------------------------------------------
+
+def _lcss_brute(a, b, eps_mm):
+    """Textbook O(nm) LCSS on mm-rounded haversine matches."""
+    import math as _m
+
+    from geogeometry_spark.kernels.geometry import haversine as _hav
+
+    n, m = len(a), len(b)
+    c = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d = _m.floor(
+                _hav(a[i - 1][0], a[i - 1][1], b[j - 1][0], b[j - 1][1])
+                * 1000.0
+                + 0.5
+            )
+            if d <= eps_mm:
+                c[i][j] = c[i - 1][j - 1] + 1
+            else:
+                c[i][j] = max(c[i - 1][j], c[i][j - 1])
+    return c[n][m]
+
+
+def _edr_brute(a, b, eps_mm):
+    import math as _m
+
+    from geogeometry_spark.kernels.geometry import haversine as _hav
+
+    n, m = len(a), len(b)
+    c = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        c[i][0] = i
+    for j in range(m + 1):
+        c[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d = _m.floor(
+                _hav(a[i - 1][0], a[i - 1][1], b[j - 1][0], b[j - 1][1])
+                * 1000.0
+                + 0.5
+            )
+            sub = 0 if d <= eps_mm else 1
+            c[i][j] = min(
+                c[i - 1][j] + 1, c[i][j - 1] + 1, c[i - 1][j - 1] + sub
+            )
+    return c[n][m]
+
+
+def _dp_kernels_random_cases():
+    import numpy as np
+
+    from geogeometry_spark.kernels.geometry import haversine as _hav
+
+    rng_pts = []
+    for seed in (3, 7, 11):
+        a = [
+            (52.0 + ((seed * i * 13) % 40) * 0.0005,
+             13.0 + ((seed * i * 29) % 50) * 0.0008)
+            for i in range(1, 8 + seed % 4)
+        ]
+        b = [
+            (52.0 + ((seed * i * 17 + 5) % 40) * 0.0005,
+             13.0 + ((seed * i * 31 + 2) % 50) * 0.0008)
+            for i in range(1, 11 - seed % 3)
+        ]
+        a_la = np.array([p[0] for p in a])
+        a_lo = np.array([p[1] for p in a])
+        b_la = np.array([p[0] for p in b])
+        b_lo = np.array([p[1] for p in b])
+        d = np.floor(
+            _hav(a_la[:, None], a_lo[:, None], b_la[None, :], b_lo[None, :])
+            * 1000.0
+            + 0.5
+        ).astype(np.int64)
+        rng_pts.append((a, b, d))
+    return rng_pts
+
+
+def test_lcss_edr_kernels_match_textbook_dp():
+    from geogeometry_spark.operators.traj_similarity import (
+        _edr_dp_edits,
+        _lcss_dp_len,
+    )
+
+    for a, b, d in _dp_kernels_random_cases():
+        for eps_mm in (20_000, 60_000, 150_000):
+            assert _lcss_dp_len(d, eps_mm) == _lcss_brute(a, b, eps_mm)
+            assert _edr_dp_edits(d, eps_mm) == _edr_brute(a, b, eps_mm)
+
+
+def _mk_traj_rows():
+    """Two users, same route (one noisy detour), one far-away user."""
+    rows = []
+    base = 1_700_000_000
+    for i in range(8):
+        rows.append((100 + i, 1, base + i * 60,
+                     52.0 + i * 0.001, 13.0 + i * 0.001))
+        la = 52.0 + i * 0.001 + (0.02 if i == 4 else 0.00004)
+        rows.append((200 + i, 2, base + i * 60, la,
+                     13.0 + i * 0.001 + 0.00004))
+    for i in range(6):
+        rows.append((300 + i, 3, base + i * 60, -30.0, 100.0 + i * 0.001))
+    return rows
+
+
+TRJ_SCHEMA = "event_id long, user_id long, ts_sec long, lat double, lon double"
+
+
+def test_lcss_join_noise_robustness(spark):
+    from geogeometry_spark.operators.traj_similarity import lcss_join
+
+    df = spark.createDataFrame(_mk_traj_rows(), TRJ_SCHEMA)
+    out = lcss_join(df, eps_m=100.0, min_sim=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_a"], r["user_b"]) == (1, 2)
+    # 7 of 8 fixes match (the detour fix fails): sim = 7/8
+    assert r["lcss"] == 7
+    assert r["lcss_sim_r6"] == 0.875
+
+
+def test_edr_join_counts_detour_edits(spark):
+    from geogeometry_spark.operators.traj_similarity import edr_join
+
+    df = spark.createDataFrame(_mk_traj_rows(), TRJ_SCHEMA)
+    out = edr_join(df, eps_m=100.0, max_edits=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_a"], r["user_b"]) == (1, 2)
+    assert r["edr"] == 1  # one substitution fixes the detour
+
+
+def test_lcss_edr_twin_parity(spark, duck):
+    import pandas as pd
+
+    from geogeometry_spark.operators.traj_similarity import (
+        edr_join,
+        edr_join_oracle_sql,
+        lcss_join,
+        lcss_join_oracle_sql,
+    )
+
+    rows = _mk_traj_rows()
+    # two extra same-user sessions (>12 h apart) for multi-trip users
+    rows += [
+        (400 + i, 1, 1_700_100_000 + i * 60,
+         52.0 + i * 0.0012, 13.0 + i * 0.0009)
+        for i in range(5)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts_sec", "lat", "lon"]
+    )
+    duck.register("trj_lcss", pdf)
+    df = spark.createDataFrame(pdf)
+    sub = "(SELECT event_id, user_id, ts_sec, lat, lon FROM trj_lcss)"
+    got = sorted(
+        tuple(r) for r in lcss_join(df, eps_m=150.0, min_sim=0.3).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.sql(
+            lcss_join_oracle_sql(sub, eps_m=150.0, min_sim=0.3)
+        ).fetchall()
+    )
+    assert got == want
+    assert got  # non-degenerate
+    got_e = sorted(
+        tuple(r) for r in edr_join(df, eps_m=150.0, max_edits=6).collect()
+    )
+    want_e = sorted(
+        tuple(r)
+        for r in duck.sql(
+            edr_join_oracle_sql(sub, eps_m=150.0, max_edits=6)
+        ).fetchall()
+    )
+    assert got_e == want_e
+    assert got_e
