@@ -1973,6 +1973,21 @@ O_DEDUP_EXACT = (
 )
 
 
+def q_tfidf_sim(spark, sf_dir):
+    """Top-20 TF-IDF-cosine document pairs (operators/text.py
+    tfidf_topk_pairs): rare-term-blocked candidates, milli-idf /
+    ppm-weight floor quantization so pair dots are exact BIGINT sums,
+    deterministic (dot DESC, id_a, id_b) TakeOrderedAndProject
+    top-k."""
+    return text.tfidf_topk_pairs(
+        src.load_table(spark, sf_dir, "documents"), k=20
+    )
+
+
+def _tfidf_sim_oracle() -> str:
+    return text.tfidf_topk_pairs_oracle_sql("documents", k=20)
+
+
 def q_token_stats(spark, sf_dir):
     docs = src.load_table(spark, sf_dir, "documents")
     return text.with_token_stats(docs).select(
@@ -4570,6 +4585,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "embed_pairs_topk": q_embed_pairs_topk,
     "token_stats": q_token_stats,
+    "tfidf_sim": q_tfidf_sim,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4723,6 +4739,7 @@ def _static_oracles() -> dict[str, str]:
         "ngram_jaccard": O_NGRAM_JACCARD,
         "embed_pairs_topk": O_EMBED_PAIRS,
         "token_stats": O_TOKEN_STATS,
+        "tfidf_sim": _tfidf_sim_oracle(),
         "text_quality": O_TEXT_QUALITY,
         "lang_id": _lang_oracle(),
         "fingerprint": O_FINGERPRINT,

@@ -354,3 +354,152 @@ def winnow_candidates(
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return pairs.where(F.col("n_shared") >= min_shared)
+
+
+def tfidf_topk_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    df_max_frac: float = 0.06,
+    tf_cap: int = 255,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k most TF-IDF-cosine-similar document pairs (Salton &
+    Buckley 1988 weighting; Bayardo et al. 2007 for the candidate
+    doctrine) — the sparse-vector member of the similarity family
+    next to the dense embedding ANN path.
+
+    Candidates are RARE-TERM blocked (the prefix-filtering idea):
+    only pairs sharing at least one term with document frequency
+    <= ``df_max_frac`` * N ever get scored — a pair sharing nothing
+    but stopwords is no near-dup candidate.  The cosine for a
+    candidate pair is then EXACT over the pair's FULL weight vectors
+    (every common term, rare or not).
+
+    Exactness doctrine (rationals in, exact integers through):
+    tf caps at ``tf_cap``; idf quantizes to BIGINT "milli" units
+    floor(ln(N / df) * 1000 + 0.5) computed ONCE per distinct df
+    value driver-side (the bounded-driver-relation pattern; Python
+    libm == DuckDB libm in-container, proven by the entropy oracle);
+    per-doc weights w = tf * idf_m stay BIGINT; the L2 norm is ONE
+    sqrt over the exact BIGINT norm-square; normalized weights
+    re-quantize to ppm BIGINTs via floor((w / sqrt(n2)) * 1e6 + 0.5);
+    pair dots are order-free BIGINT sums of ppm products (overflow
+    headroom: 1e12 per common term, 9e6 terms to the brink).  Ranking
+    sorts the exact integer dot (desc, then id_a, id_b) via the
+    TakeOrderedAndProject top-k, so ties are deterministic; the
+    readable cosine is one final round(dot / 1e12, 6).
+
+    Returns (rank, id_a, id_b, dot_q, cos_r6)."""
+    spark = docs.sparkSession
+    import math
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_t"),
+    ).where(F.col("_t") != "")
+    tf = toks.groupBy("_id", "_t").agg(
+        F.least(F.count(F.lit(1)), F.lit(int(tf_cap))).alias("_tf")
+    )
+    n_docs = docs.count()
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "rank int, id_a long, id_b long, dot_q long, cos_r6 double"
+        )
+    dfrel = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    df_vals = [r[0] for r in dfrel.select("_df").distinct().collect()]
+    idf_rows = [
+        (int(v), int(math.floor(math.log(n_docs / v) * 1000 + 0.5)))
+        for v in df_vals
+    ]
+    idf_df = spark.createDataFrame(idf_rows, "_df long, _idf long")
+    terms = dfrel.join(F.broadcast(idf_df), "_df")
+    w = tf.join(F.broadcast(terms), "_t").select(
+        "_id", "_t", "_df", (F.col("_tf") * F.col("_idf")).alias("_w")
+    )
+    norm2 = w.groupBy("_id").agg(
+        F.sum(F.col("_w") * F.col("_w")).alias("_n2")
+    )
+    what = (
+        w.join(norm2, "_id")
+        .where(F.col("_n2") > 0)
+        .select(
+            "_id", "_t", "_df",
+            F.floor(
+                (F.col("_w") / F.sqrt(F.col("_n2").cast("double")))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).alias("_wq"),
+        )
+        .localCheckpoint()
+    )
+    df_max = max(1, math.floor(float(df_max_frac) * n_docs))
+    rare = what.where(F.col("_df") <= F.lit(df_max))
+    pairs = (
+        rare.select(F.col("_id").alias("id_a"), "_t")
+        .join(rare.select(F.col("_id").alias("id_b"), "_t"), "_t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pa = what.select(F.col("_id").alias("id_a"), "_t",
+                     F.col("_wq").alias("_wa"))
+    pb = what.select(F.col("_id").alias("id_b"), "_t",
+                     F.col("_wq").alias("_wb"))
+    dots = (
+        pairs.join(pa, "id_a")
+        .join(pb, ["id_b", "_t"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("dot_q"))
+    )
+    from .similarity import ranked_topk
+
+    top = ranked_topk(dots, int(k), "dot_q", "id_a", "id_b")
+    return top.select(
+        "rank", "id_a", "id_b", "dot_q",
+        F.round(F.col("dot_q") / F.lit(1e12), 6).alias("cos_r6"),
+    )
+
+
+def tfidf_topk_pairs_oracle_sql(
+    subq: str,
+    k: int = 20,
+    df_max_frac: float = 0.06,
+    tf_cap: int = 255,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`tfidf_topk_pairs`: identical tokenize /
+    tf cap / milli-idf floor quantization (DuckDB ln == Python libm),
+    identical ppm weight floors, exact BIGINT pair dots, same
+    (dot DESC, id_a, id_b) top-k order."""
+    return (
+        f"WITH toks AS (SELECT {id_col} AS id, "
+        f"unnest(string_split({text_col}, ' ')) AS t FROM {subq}), "
+        "tf AS (SELECT id, t, least(count(*), "
+        f"{int(tf_cap)}) AS tf FROM toks WHERE t <> '' GROUP BY id, t), "
+        f"nn AS (SELECT count(*) AS n FROM {subq}), "
+        "dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY t), "
+        "terms AS (SELECT t, df, CAST(floor(ln(CAST((SELECT n FROM nn) "
+        "AS DOUBLE) / df) * 1000 + 0.5) AS BIGINT) AS idf FROM dfr), "
+        "w AS (SELECT tf.id, tf.t, terms.df, tf.tf * terms.idf AS w "
+        "FROM tf JOIN terms USING (t)), "
+        "norm2 AS (SELECT id, sum(w * w) AS n2 FROM w GROUP BY id), "
+        "what AS (SELECT w.id, w.t, w.df, "
+        "CAST(floor((w.w / sqrt(CAST(n2 AS DOUBLE))) * 1e6 + 0.5) "
+        "AS BIGINT) AS wq FROM w JOIN norm2 USING (id) WHERE n2 > 0), "
+        "pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+        "FROM what a JOIN what b ON a.t = b.t AND a.id < b.id "
+        "WHERE a.df <= greatest(1, floor("
+        f"{float(df_max_frac)!r} * (SELECT n FROM nn))) "
+        "AND b.df <= greatest(1, floor("
+        f"{float(df_max_frac)!r} * (SELECT n FROM nn)))), "
+        "dots AS (SELECT p.id_a, p.id_b, sum(a.wq * b.wq) AS dot_q "
+        "FROM pairs p JOIN what a ON a.id = p.id_a "
+        "JOIN what b ON b.id = p.id_b AND b.t = a.t "
+        "GROUP BY p.id_a, p.id_b) "
+        "SELECT CAST(row_number() OVER "
+        "(ORDER BY dot_q DESC, id_a, id_b) AS INT) AS rank, "
+        "id_a, id_b, dot_q, round(dot_q / 1e12, 6) AS cos_r6 "
+        f"FROM dots ORDER BY dot_q DESC, id_a, id_b LIMIT {int(k)}"
+    )

@@ -1170,3 +1170,90 @@ def test_spread_partitions_widens_narrow_relations(spark):
     wide = spark.range(1000).repartition(target)
     # already at cluster parallelism: passthrough, no extra exchange
     assert spread_partitions(wide) is wide
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top-k similar pairs
+# --------------------------------------------------------------------------
+
+def test_tfidf_topk_identical_docs_rank_first(spark):
+    from geogeometry_spark.operators.text import tfidf_topk_pairs
+
+    rows = [
+        (0, "alpha beta gamma rare"),
+        (1, "alpha beta gamma rare"),      # identical to 0
+        (2, "alpha beta delta rare"),      # close to 0/1
+        (3, "zeta eta theta iota"),        # disjoint content
+        (4, "alpha alpha beta beta"),      # no rare term
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk_pairs(df, k=10, df_max_frac=0.7).collect()
+    assert out[0]["id_a"] == 0 and out[0]["id_b"] == 1
+    # identical docs: cosine ~= 1 (ppm quantization error only)
+    assert abs(out[0]["cos_r6"] - 1.0) < 1e-4
+    got_pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # doc 3 shares no term with anyone: never a candidate
+    assert all(3 not in p for p in got_pairs)
+
+
+def test_tfidf_topk_rare_term_blocking(spark):
+    from geogeometry_spark.operators.text import tfidf_topk_pairs
+
+    # every doc shares "common"; only 0 and 1 share the rare term
+    rows = [
+        (0, "common rare"),
+        (1, "common rare"),
+        (2, "common other"),
+        (3, "common other2"),
+        (4, "common other3"),
+        (5, "common other4"),
+        (6, "common other5"),
+        (7, "common other6"),
+        (8, "common other7"),
+        (9, "common other8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk_pairs(df, k=10, df_max_frac=0.25).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+def test_tfidf_topk_matches_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from geogeometry_spark.operators.text import (
+        tfidf_topk_pairs,
+        tfidf_topk_pairs_oracle_sql,
+    )
+
+    vocab = ["row", "scan", "agg", "join", "key", "hash", "rare1", "rare2"]
+    rows = []
+    for i in range(40):
+        words = [vocab[(i * 7 + j * 3) % 6] for j in range(12)]
+        if i % 13 == 0:
+            words.append("rare1")
+        if i % 17 == 0:
+            words.append("rare2")
+        rows.append((i, " ".join(words)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs_tfidf", pdf)
+    got = [
+        tuple(r)
+        for r in tfidf_topk_pairs(
+            spark.createDataFrame(pdf), k=15, df_max_frac=0.1
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in con.sql(
+            tfidf_topk_pairs_oracle_sql(
+                "(SELECT doc_id, text FROM docs_tfidf)",
+                k=15,
+                df_max_frac=0.1,
+            )
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+    assert got
