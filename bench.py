@@ -992,6 +992,105 @@ def main() -> None:
 
     timed("pagerank_road_65k_10r", pagerank_road, runs=1, warmup=False)
 
+    # --- round-4 additions: NN/variogram point statistics, entropy,
+    # HITS / closeness / MST on the 65k road graph, LCSS/EDR trip
+    # similarity, TF-IDF pair ranking ---
+    from geogeometry_spark.operators.density import clark_evans, variogram
+
+    # r_max sized like the ripley ladder (metro density ~6 reps/cell)
+    def clark_evans_5m():
+        clark_evans(
+            metro, r_max_m=100.0, area_m2=1.5e10, max_abs_lat=54.0
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("clark_evans_5m_metro", clark_evans_5m, runs=1, warmup=True)
+
+    vg_pts = metro.withColumn("reading", (F.col("event_id") * 31) % 8)
+
+    def variogram_5m():
+        variogram(
+            vg_pts,
+            value_col="reading",
+            lag_edges_m=[25.0, 50.0, 100.0],
+            max_abs_lat=54.0,
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("variogram_5m_metro", variogram_5m, runs=1, warmup=True)
+
+    from geogeometry_spark.operators.hotspot import spatial_entropy
+
+    def entropy_5m():
+        spatial_entropy(fixes, zoom=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("entropy_5m", entropy_5m, runs=3, warmup=True)
+
+    # HITS on the one-way-street subset (8 rounds, 2 normalized
+    # integer fixed-point steps per round)
+    from geogeometry_spark.operators.pagerank import hits
+
+    one_way = roads.where((F.col("src") * 13 + F.col("dst")) % 3 != 0)
+
+    def hits_road():
+        hits(one_way, rounds=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("hits_road_65k_8r", hits_road, runs=1, warmup=False)
+
+    # harmonic closeness from the 4 corners: ONE product-graph sweep
+    # over 4x the edge relation (the honest cost of 4 source sweeps,
+    # paid in one frontier loop)
+    from geogeometry_spark.operators.routing import harmonic_closeness
+
+    def closeness_road():
+        harmonic_closeness(
+            roads,
+            spark.createDataFrame([(n,) for n in _corners], "node int"),
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("closeness_road_65k_4lm", closeness_road, runs=1, warmup=False)
+
+    # Boruvka MST: ~7 outer rounds x (component-min + shrinking CC)
+    from geogeometry_spark.operators.graph import boruvka_mst
+
+    def mst_road():
+        boruvka_mst(roads).write.format("noop").mode("overwrite").save()
+
+    timed("mst_road_65k", mst_road, runs=1, warmup=False)
+
+    # threshold-match DPs on the same 5M global fixes as the
+    # Hausdorff/Frechet/DTW trio (cell-overlap candidates)
+    from geogeometry_spark.operators.traj_similarity import (
+        edr_join,
+        lcss_join,
+    )
+
+    def traj_lcss_5m():
+        lcss_join(
+            fixes, eps_m=250.0, min_sim=0.5, gap_s=43200
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("traj_lcss_5m", traj_lcss_5m, runs=1, warmup=True)
+
+    def traj_edr_5m():
+        edr_join(
+            fixes, eps_m=250.0, max_edits=12, gap_s=43200
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("traj_edr_5m", traj_edr_5m, runs=1, warmup=False)
+
+    # TF-IDF pair ranking over the sf documents table
+    from geogeometry_spark.operators.text import tfidf_topk_pairs
+
+    def tfidf_docs():
+        tfidf_topk_pairs(base_docs, k=20).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("tfidf_topk_docs", tfidf_docs, runs=1, warmup=True)
+
     # Full payload (spreads, ann kernel rates) goes to a FILE; stdout gets
     # a compact one-line summary as the LAST line.  The driver captures a
     # bounded tail of stdout, and the r3 full line (~3 KB with spread

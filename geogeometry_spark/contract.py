@@ -1153,6 +1153,44 @@ def q_distances(spark, sf_dir):
     )
 
 
+def q_rhumb(spark, sf_dir):
+    """Rhumb-line (loxodrome) navigation family
+    (functions/columns.py rhumb_*): constant-bearing distance and
+    course to the Berlin vector point, plus the destination of a
+    100 km leg at course 45 — the navigation pair the reference's
+    great-circle family (GeoGeometry.kt:565-608) stops short of.
+    Transcendental (JVM vs libm ~1 ulp), so r3 on both sides."""
+    df = _docs_coords(spark, sf_dir)
+    qlat, qlon = F.lit(BERLIN[0]), F.lit(BERLIN[1])
+    dlat, dlon = C.rhumb_destination(
+        F.col("lat"), F.col("lon"), F.lit(45.0), F.lit(100000.0)
+    )
+    return df.select(
+        "doc_id",
+        F.round(
+            C.rhumb_distance(F.col("lat"), F.col("lon"), qlat, qlon), 3
+        ).alias("rhumb_m_r3"),
+        F.round(
+            C.rhumb_bearing(F.col("lat"), F.col("lon"), qlat, qlon), 3
+        ).alias("course_r3"),
+        F.round(dlat, 3).alias("dest_lat_r3"),
+        F.round(dlon, 3).alias("dest_lon_r3"),
+    )
+
+
+def _rhumb_oracle() -> str:
+    qlat, qlon = repr(BERLIN[0]), repr(BERLIN[1])
+    dist = C.rhumb_distance_sql("lat", "lon", qlat, qlon)
+    course = C.rhumb_bearing_sql("lat", "lon", qlat, qlon)
+    dlat, dlon = C.rhumb_destination_sql("lat", "lon", "45.0", "100000.0")
+    return (
+        f"SELECT doc_id, round({dist}, 3) AS rhumb_m_r3, "
+        f"round({course}, 3) AS course_r3, "
+        f"round({dlat}, 3) AS dest_lat_r3, "
+        f"round({dlon}, 3) AS dest_lon_r3 FROM {_COORD_SUBQ}"
+    )
+
+
 def _distances_oracle() -> str:
     qlat, qlon = repr(BERLIN[0]), repr(BERLIN[1])
     hav = C.haversine_sql("lat", "lon", qlat, qlon)
@@ -3969,6 +4007,44 @@ def _bimoran_oracle() -> str:
     )
 
 
+def q_median_center(spark, sf_dir):
+    """Weiszfeld median center (operators/hotspot.py median_center —
+    the center of minimum travel distance) of the metro fix stream:
+    fixed 10-round iteration on integer microdegree coordinates,
+    exact 1e9 // d weights with DECIMAL/HUGEINT sums, floor-division
+    center updates mirrored by the unrolled twin."""
+    from .operators.hotspot import median_center
+
+    return median_center(_metro_points(spark, sf_dir), iters=10)
+
+
+def _median_center_oracle() -> str:
+    from .operators.hotspot import median_center_oracle_sql
+
+    return median_center_oracle_sql(_METRO_SUBQ, iters=10)
+
+
+def q_segregation(spark, sf_dir):
+    """Two-group spatial segregation indices (operators/hotspot.py
+    segregation_indices — Duncan & Duncan 1955 dissimilarity, Massey
+    & Denton exposure/isolation) between moving and parked fixes over
+    z8 cells: exact integer |a_i*B - b_i*A| evenness numerator, ppm
+    integer-division shares, three pinned final chains."""
+    from .operators.hotspot import segregation_indices
+
+    return segregation_indices(
+        _traj_points(spark, sf_dir), _moving_flag(), zoom=8
+    )
+
+
+def _segregation_oracle() -> str:
+    from .operators.hotspot import segregation_indices_oracle_sql
+
+    return segregation_indices_oracle_sql(
+        _TRAJ_SUBQ, _MOVING_FLAG_SQL, zoom=8
+    )
+
+
 def q_lq(spark, sf_dir):
     """Per-cell location quotient (operators/hotspot.py
     location_quotient — Haig 1926) of moving-fix share vs the global
@@ -4001,6 +4077,69 @@ def _gini_oracle() -> str:
     from .operators.hotspot import spatial_gini_oracle_sql
 
     return spatial_gini_oracle_sql(_TRAJ_SUBQ, zoom=8)
+
+
+def q_focal_stats(spark, sf_dir):
+    """Focal 3x3 neighborhood statistics of z8 cell counts
+    (operators/density.py focal_stats — Tomlin map algebra): the
+    order-statistics companion to the KDE stencil sum; occupied-cell
+    collapse, 9-address spread, exact BIGINT min/max/sum + one pinned
+    mean division."""
+    from .operators.density import focal_stats
+
+    return focal_stats(_traj_points(spark, sf_dir), zoom=8)
+
+
+def _focal_stats_oracle() -> str:
+    from .operators.density import focal_stats_oracle_sql
+
+    return focal_stats_oracle_sql(_TRAJ_SUBQ, zoom=8)
+
+
+def q_ht_breaks(spark, sf_dir):
+    """Head/tail-breaks classification of z8 cell counts
+    (operators/hotspot.py head_tail_breaks — Jiang 2013): mean-split
+    recursion on the head while it stays a minority; thresholds are
+    exact (S, N) rationals compared by integer cross-products, twin
+    unrolls the same fixed depth."""
+    from .operators.hotspot import head_tail_breaks
+
+    return head_tail_breaks(_traj_points(spark, sf_dir), zoom=8)
+
+
+def _ht_breaks_oracle() -> str:
+    from .operators.hotspot import head_tail_breaks_oracle_sql
+
+    return head_tail_breaks_oracle_sql(_TRAJ_SUBQ, zoom=8)
+
+
+def q_trend_surface(spark, sf_dir):
+    """First-order least-squares trend surface (operators/
+    interpolate.py trend_surface — Unwin 1975) of a deterministic
+    integer reading with a real latitude gradient over the metro fix
+    stream: exact BIGINT moment sums in one pass, pinned Cramer solve
+    + algebraic R^2 driver-side."""
+    from .operators.interpolate import trend_surface
+
+    pts = _metro_points(spark, sf_dir).withColumn(
+        "reading",
+        F.floor((F.col("lat") - F.lit(52.0)) * 50) + F.col("event_id") % 7,
+    )
+    return trend_surface(
+        pts, value_col="reading", ref_lat=52.5, ref_lon=14.0
+    )
+
+
+def _trend_surface_oracle() -> str:
+    from .operators.interpolate import trend_surface_oracle_sql
+
+    return trend_surface_oracle_sql(
+        _METRO_SUBQ,
+        value_sql="CAST(floor((lat - 52.0) * 50) AS BIGINT) + "
+        "(event_id % 7)",
+        ref_lat=52.5,
+        ref_lon=14.0,
+    )
 
 
 def q_entropy(spark, sf_dir):
@@ -4561,6 +4700,7 @@ QUERIES = {
     "hex_pip_anti": q_hex_pip_anti,
     "hex_heatmap": q_hex_heatmap,
     "distances": q_distances,
+    "rhumb": q_rhumb,
     "vincenty": q_vincenty,
     "dms": q_dms,
     "translate": q_translate,
@@ -4662,6 +4802,11 @@ QUERIES = {
     "st_dbscan": q_st_dbscan,
     "gini": q_gini,
     "entropy": q_entropy,
+    "focal_stats": q_focal_stats,
+    "ht_breaks": q_ht_breaks,
+    "trend_surface": q_trend_surface,
+    "segregation": q_segregation,
+    "median_center": q_median_center,
     "general_g": q_general_g,
     "knox": q_knox,
 }
@@ -4722,6 +4867,7 @@ def _static_oracles() -> dict[str, str]:
         "hex_pip_anti": O_PIP_ANTI,
         "hex_heatmap": _hex_heatmap_oracle(),
         "distances": _distances_oracle(),
+        "rhumb": _rhumb_oracle(),
         "dms": _dms_oracle(),
         "translate": _translate_oracle(),
         "rotate": _rotate_oracle(),
@@ -4820,6 +4966,11 @@ def _static_oracles() -> dict[str, str]:
         "st_dbscan": _st_dbscan_oracle(),
         "gini": _gini_oracle(),
         "entropy": _entropy_oracle(),
+        "focal_stats": _focal_stats_oracle(),
+        "ht_breaks": _ht_breaks_oracle(),
+        "trend_surface": _trend_surface_oracle(),
+        "segregation": _segregation_oracle(),
+        "median_center": _median_center_oracle(),
         "general_g": _general_g_oracle(),
         "knox": _knox_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):

@@ -706,3 +706,177 @@ def pip_sql(lat: str, lon: str, ring) -> str:
         f"({bbox} AND (({vertex}) OR ({edge})"
         f" OR (({crossings}) % 2 = 1)))"
     )
+
+
+# --------------------------------------------------------------------------
+# Rhumb-line (loxodrome) navigation family
+# --------------------------------------------------------------------------
+
+_PI_4 = math.pi / 4.0
+
+
+def _lon_wrap_deg(dl: Column) -> Column:
+    """Wrap a longitude difference (degrees) into (-180, 180]."""
+    return (
+        F.when(dl > 180.0, dl - 360.0)
+        .when(dl <= -180.0, dl + 360.0)
+        .otherwise(dl)
+    )
+
+
+def rhumb_distance(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Loxodrome (constant-bearing) distance in meters (Bowditch,
+    American Practical Navigator ch. 12; the inverse Mercator
+    projection form).  The course a ship steering one compass heading
+    actually sails — always >= the great-circle distance; the
+    reference's distance family (GeoGeometry.kt:565-608) stops at
+    great-circle metrics, this completes the navigation pair.
+
+    Same determinism class as :func:`haversine`: JVM vs C libm
+    transcendentals agree to ~1 ulp, so contract queries round to 3
+    decimals on both sides."""
+    phi1 = _rad(lat1)
+    phi2 = _rad(lat2)
+    dphi = phi2 - phi1
+    dlam = _rad(_lon_wrap_deg(lon2 - lon1))
+    dpsi = F.log(
+        F.tan(F.lit(_PI_4) + phi2 / 2) / F.tan(F.lit(_PI_4) + phi1 / 2)
+    )
+    q = F.when(F.abs(dpsi) > 1e-12, dphi / dpsi).otherwise(F.cos(phi1))
+    return (
+        F.sqrt(dphi * dphi + q * q * dlam * dlam)
+        * F.lit(EARTH_RADIUS_METERS)
+    )
+
+
+def rhumb_distance_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    def rad(e: str) -> str:
+        return f"(({e}) * {DEG2RAD!r})"
+
+    dl = f"(({lon2}) - ({lon1}))"
+    wrap = (
+        f"(CASE WHEN {dl} > 180.0 THEN {dl} - 360.0 "
+        f"WHEN {dl} <= -180.0 THEN {dl} + 360.0 ELSE {dl} END)"
+    )
+    phi1, phi2 = rad(lat1), rad(lat2)
+    dphi = f"({phi2} - {phi1})"
+    dlam = f"({wrap} * {DEG2RAD!r})"
+    dpsi = (
+        f"ln(tan({_PI_4!r} + {phi2} / 2) / "
+        f"tan({_PI_4!r} + {phi1} / 2))"
+    )
+    q = (
+        f"(CASE WHEN abs({dpsi}) > 1e-12 THEN {dphi} / {dpsi} "
+        f"ELSE cos({phi1}) END)"
+    )
+    return (
+        f"(sqrt({dphi} * {dphi} + {q} * {q} * {dlam} * {dlam}) "
+        f"* {EARTH_RADIUS_METERS!r})"
+    )
+
+
+def rhumb_bearing(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Constant compass course (degrees in [0, 360)) of the loxodrome
+    from point 1 to point 2 — the single heading to steer, vs
+    :func:`heading`'s INITIAL great-circle bearing."""
+    phi1 = _rad(lat1)
+    phi2 = _rad(lat2)
+    dlam = _rad(_lon_wrap_deg(lon2 - lon1))
+    dpsi = F.log(
+        F.tan(F.lit(_PI_4) + phi2 / 2) / F.tan(F.lit(_PI_4) + phi1 / 2)
+    )
+    deg = F.atan2(dlam, dpsi) * F.lit(1.0 / DEG2RAD)
+    return (deg + 360.0) % 360.0
+
+
+def rhumb_bearing_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    def rad(e: str) -> str:
+        return f"(({e}) * {DEG2RAD!r})"
+
+    dl = f"(({lon2}) - ({lon1}))"
+    wrap = (
+        f"(CASE WHEN {dl} > 180.0 THEN {dl} - 360.0 "
+        f"WHEN {dl} <= -180.0 THEN {dl} + 360.0 ELSE {dl} END)"
+    )
+    phi1, phi2 = rad(lat1), rad(lat2)
+    dlam = f"({wrap} * {DEG2RAD!r})"
+    dpsi = (
+        f"ln(tan({_PI_4!r} + {phi2} / 2) / "
+        f"tan({_PI_4!r} + {phi1} / 2))"
+    )
+    return (
+        f"(((atan2({dlam}, {dpsi}) * {1.0 / DEG2RAD!r}) + 360.0) "
+        "% 360.0)"
+    )
+
+
+def rhumb_destination(
+    lat: Column, lon: Column, bearing_deg: Column, dist_m: Column
+) -> tuple[Column, Column]:
+    """Destination of a loxodrome leg: steer ``bearing_deg`` for
+    ``dist_m`` meters from (lat, lon).  Returns (lat2, lon2) Columns;
+    latitudes clamp at the poles (a rhumb line that would overshoot a
+    pole stops there), longitudes wrap into (-180, 180]."""
+    phi1 = _rad(lat)
+    theta = _rad(bearing_deg)
+    delta = dist_m / F.lit(EARTH_RADIUS_METERS)
+    dphi = delta * F.cos(theta)
+    phi2 = phi1 + dphi
+    half_pi = math.pi / 2.0
+    phi2 = F.when(phi2 > half_pi, F.lit(half_pi)).when(
+        phi2 < -half_pi, F.lit(-half_pi)
+    ).otherwise(phi2)
+    dpsi = F.log(
+        F.tan(F.lit(_PI_4) + phi2 / 2) / F.tan(F.lit(_PI_4) + phi1 / 2)
+    )
+    q = F.when(F.abs(dpsi) > 1e-12, (phi2 - phi1) / dpsi).otherwise(
+        F.cos(phi1)
+    )
+    dlam = delta * F.sin(theta) / q
+    lat2 = phi2 * F.lit(1.0 / DEG2RAD)
+    lon2 = _lon_wrap_deg(
+        ((lon + dlam * F.lit(1.0 / DEG2RAD)) + 540.0) % 360.0 - 180.0
+    )
+    return lat2, lon2
+
+
+def rhumb_destination_sql(
+    lat: str, lon: str, bearing_deg: str, dist_m: str
+) -> tuple[str, str]:
+    def rad(e: str) -> str:
+        return f"(({e}) * {DEG2RAD!r})"
+
+    phi1 = rad(lat)
+    theta = rad(bearing_deg)
+    delta = f"(({dist_m}) / {EARTH_RADIUS_METERS!r})"
+    half_pi = math.pi / 2.0
+    phi2_raw = f"({phi1} + {delta} * cos({theta}))"
+    phi2 = (
+        f"(CASE WHEN {phi2_raw} > {half_pi!r} THEN {half_pi!r} "
+        f"WHEN {phi2_raw} < {-half_pi!r} THEN {-half_pi!r} "
+        f"ELSE {phi2_raw} END)"
+    )
+    dpsi = (
+        f"ln(tan({_PI_4!r} + {phi2} / 2) / "
+        f"tan({_PI_4!r} + {phi1} / 2))"
+    )
+    q = (
+        f"(CASE WHEN abs({dpsi}) > 1e-12 THEN "
+        f"({phi2} - {phi1}) / {dpsi} ELSE cos({phi1}) END)"
+    )
+    dlam = f"({delta} * sin({theta}) / {q})"
+    lat2 = f"({phi2} * {1.0 / DEG2RAD!r})"
+    lon_raw = (
+        f"((((({lon}) + {dlam} * {1.0 / DEG2RAD!r}) + 540.0) "
+        "% 360.0) - 180.0)"
+    )
+    lon2 = (
+        f"(CASE WHEN {lon_raw} > 180.0 THEN {lon_raw} - 360.0 "
+        f"WHEN {lon_raw} <= -180.0 THEN {lon_raw} + 360.0 "
+        f"ELSE {lon_raw} END)"
+    )
+    return lat2, lon2

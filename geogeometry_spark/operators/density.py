@@ -66,6 +66,8 @@ __all__ = [
     "clark_evans_oracle_sql",
     "variogram",
     "variogram_oracle_sql",
+    "focal_stats",
+    "focal_stats_oracle_sql",
 ]
 
 
@@ -835,4 +837,89 @@ def variogram_oracle_sql(
         "CASE WHEN n_pairs > 0 THEN "
         "round(CAST(sq AS DOUBLE) / (2.0 * n_pairs), 6) END AS gamma_r6 "
         "FROM binned"
+    )
+
+
+def focal_stats(
+    points: DataFrame,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Focal (neighborhood) statistics of point counts over the tile
+    lattice — the raster "focal ops" family (Tomlin 1990 map algebra)
+    completing :func:`kde_grid`: where KDE is a weighted focal SUM,
+    this emits the order statistics a stencil cannot express: per
+    3x3-neighborhood count of occupied neighbor cells, sum, min, max,
+    range, and mean over occupied neighbors.
+
+    Same scale shape as KDE: points collapse ONCE to occupied cells,
+    the CELL relation explodes to its 9 addresses (x wrapping mod
+    2^zoom, pole-edge rows dropped), and one re-aggregation computes
+    every statistic — min/max/sum of exact BIGINTs are order-free, and
+    the mean is the single pinned division sum / n_nbrs, rounded to 6.
+
+    Returns one row per lattice address with >= 1 occupied neighbor:
+    (tx, ty, n_nbrs, focal_sum, focal_min, focal_max, focal_range,
+    focal_mean_r6).  The center cell itself counts as a neighbor when
+    occupied (the standard inclusive 3x3 window)."""
+    n_tiles = 1 << zoom
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    cells = points.groupBy(x.alias("tx"), y.alias("ty")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    spread = cells.withColumn("_o", F.explode(offs)).select(
+        F.pmod(F.col("tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("ty") + F.col("_o.dy")).alias("ny"),
+        F.col("cnt"),
+    )
+    out = (
+        spread.where((F.col("ny") >= 0) & (F.col("ny") < F.lit(n_tiles)))
+        .groupBy(F.col("nx").alias("tx"), F.col("ny").alias("ty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum("cnt").alias("focal_sum"),
+            F.min("cnt").alias("focal_min"),
+            F.max("cnt").alias("focal_max"),
+        )
+    )
+    return out.select(
+        "tx", "ty", "n_nbrs", "focal_sum", "focal_min", "focal_max",
+        (F.col("focal_max") - F.col("focal_min")).alias("focal_range"),
+        F.round(
+            F.col("focal_sum") / F.col("n_nbrs"), 6
+        ).alias("focal_mean_r6"),
+    )
+
+
+def focal_stats_oracle_sql(
+    subq: str, zoom: int = 8, lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB twin of :func:`focal_stats`: same occupied-cell
+    collapse, 9-address spread, wrap / pole-edge rules, exact BIGINT
+    order statistics and the one pinned mean division."""
+    n_tiles = 1 << zoom
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2), "
+        f"offsets(dx, dy) AS (VALUES {offs}), "
+        "spread AS (SELECT "
+        f"((tx + dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "ty + dy AS ny, cnt FROM cells CROSS JOIN offsets) "
+        "SELECT nx AS tx, ny AS ty, count(*) AS n_nbrs, "
+        "sum(cnt) AS focal_sum, min(cnt) AS focal_min, "
+        "max(cnt) AS focal_max, max(cnt) - min(cnt) AS focal_range, "
+        "round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS focal_mean_r6 "
+        f"FROM spread WHERE ny >= 0 AND ny < {n_tiles} GROUP BY 1, 2"
     )

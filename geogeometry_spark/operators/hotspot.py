@@ -65,6 +65,12 @@ __all__ = [
     "general_g_oracle_sql",
     "spatial_entropy",
     "spatial_entropy_oracle_sql",
+    "head_tail_breaks",
+    "head_tail_breaks_oracle_sql",
+    "segregation_indices",
+    "segregation_indices_oracle_sql",
+    "median_center",
+    "median_center_oracle_sql",
 ]
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -1959,4 +1965,368 @@ def spatial_entropy_oracle_sql(
         "CASE WHEN n >= 2 THEN round(h / ln(n), 6) END AS evenness_r6, "
         "CASE WHEN n >= 1 AND s > 0 THEN round(ln(n) - h, 6) END "
         "AS theil_r6 FROM res"
+    )
+
+
+def head_tail_breaks(
+    points: DataFrame,
+    zoom: int = 8,
+    max_depth: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Head/tail-breaks classification of cell counts (Jiang 2013,
+    "Head/tail breaks: a new classification scheme for data with a
+    heavy-tailed distribution") — the principled heatmap-binning rule
+    for power-law-ish density surfaces the equal-interval/quantile
+    breaks botch: split at the mean, recurse on the head while it
+    stays a minority (< 40%), class = how many successive heads a
+    cell belongs to.
+
+    Exactness: the thresholds are MEANS of nested subsets — rationals
+    (S_l, N_l) computed from the grouped count histogram (the gini
+    bounded-driver-relation), and every comparison "cnt > mean_l"
+    evaluates as the exact integer cross-product cnt * N_l > S_l, so
+    no division ever happens and both engines agree bit-for-bit.
+    Head sets are nested (a subset's mean exceeds its superset's), so
+    the class is a simple sum of threshold exceedances.  The driver
+    loop runs at most ``max_depth`` levels (heavy-tailed data rarely
+    sustains more than ~6 — Jiang's ht-index); the DuckDB twin
+    unrolls the same fixed depth with the same integer split/stop
+    rules.
+
+    Returns one row per occupied cell: (tx, ty, cnt, ht_class) with
+    ht_class in [0, depth]; higher = deeper into the head (hotter)."""
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    cells = points.groupBy(x.alias("tx"), y.alias("ty")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint()
+    hist = [
+        (int(r["cnt"]), int(r["m"]))
+        for r in cells.groupBy("cnt").agg(F.count(F.lit(1)).alias("m"))
+        .collect()
+    ]
+    thresholds: list[tuple[int, int]] = []  # (S_l, N_l) per split level
+    sub = hist
+    for _ in range(int(max_depth)):
+        n_l = sum(m for _, m in sub)
+        s_l = sum(c * m for c, m in sub)
+        if n_l == 0:
+            break
+        head = [(c, m) for c, m in sub if c * n_l > s_l]
+        head_n = sum(m for _, m in head)
+        if head_n == 0:
+            break
+        thresholds.append((s_l, n_l))
+        # Jiang's minority rule: recurse only while the head stays
+        # under 40% of the current subset
+        if head_n * 10 >= n_l * 4:
+            break
+        sub = head
+    cls = F.lit(0)
+    for s_l, n_l in thresholds:
+        cls = cls + F.when(
+            F.col("cnt") * F.lit(n_l) > F.lit(s_l), F.lit(1)
+        ).otherwise(F.lit(0))
+    return cells.select(
+        "tx", "ty", "cnt", cls.cast("int").alias("ht_class")
+    )
+
+
+def head_tail_breaks_oracle_sql(
+    subq: str,
+    zoom: int = 8,
+    max_depth: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`head_tail_breaks`: the same fixed-depth
+    unroll as chained scalar CTEs — level l's (S, N) aggregates over
+    cells surviving every previous integer cross-product threshold,
+    an ``act`` flag carrying the same head-exists / minority stop
+    rule, and the class as the sum of active exceedances."""
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    parts = [
+        f"cells AS MATERIALIZED (SELECT {tx} AS tx, {ty} AS ty, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2)",
+        # level 0 is always active over all cells
+        "l0 AS MATERIALIZED (SELECT coalesce(sum(cnt), 0) AS s, count(*) AS n, "
+        "TRUE AS act FROM cells)",
+        "h0 AS MATERIALIZED (SELECT coalesce(sum(CASE WHEN cnt * (SELECT n FROM l0) "
+        "> (SELECT s FROM l0) THEN 1 ELSE 0 END), 0) AS head_n "
+        "FROM cells)",
+    ]
+    for i in range(1, int(max_depth)):
+        prev_filters = " AND ".join(
+            f"cnt * (SELECT n FROM l{j}) > (SELECT s FROM l{j})"
+            for j in range(i)
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT coalesce(sum(cnt), 0) AS s, "
+            "count(*) AS n, "
+            f"(SELECT act FROM l{i - 1}) AND "
+            f"(SELECT head_n FROM h{i - 1}) > 0 AND "
+            f"(SELECT head_n FROM h{i - 1}) * 10 < "
+            f"(SELECT n FROM l{i - 1}) * 4 AS act "
+            f"FROM cells WHERE {prev_filters})"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT coalesce(sum(CASE WHEN "
+            f"cnt * (SELECT n FROM l{i}) > (SELECT s FROM l{i}) "
+            "THEN 1 ELSE 0 END), 0) AS head_n FROM cells "
+            f"WHERE {prev_filters})"
+        )
+    cls = " + ".join(
+        f"CASE WHEN (SELECT act FROM l{i}) AND "
+        f"(SELECT head_n FROM h{i}) > 0 AND "
+        f"cnt * (SELECT n FROM l{i}) > (SELECT s FROM l{i}) "
+        "THEN 1 ELSE 0 END"
+        for i in range(int(max_depth))
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT tx, ty, cnt, CAST({cls} AS INT) AS ht_class "
+        "FROM cells"
+    )
+
+
+def segregation_indices(
+    points: DataFrame,
+    x_flag,
+    zoom: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Two-group spatial segregation indices over the occupied cell
+    lattice (Duncan & Duncan 1955; Massey & Denton 1988's "evenness"
+    and "exposure" dimensions): group A = points where ``x_flag``
+    holds, group B = the rest.
+
+    - dissimilarity D = 1/2 * sum_i |a_i/A - b_i/B| — the share of
+      either group that would need to relocate for an even spread.
+      Computed as the EXACT integer sum |a_i*B - b_i*A| over cells,
+      then ONE pinned division by (2*A*B); the numerator is bounded
+      by 2AB, so it fits BIGINT whenever A*B does (validated).
+    - interaction P_AB = sum_i (a_i/A)*(b_i/t_i) — the probability a
+      random A member shares its cell with a B member; isolation
+      P_AA likewise with A itself.  The per-cell share a_i/t_i
+      quantizes to ppm by exact integer division (a_i*1e6) // t_i
+      (identical in DuckDB), making the index a defined quantized
+      estimator whose sums are order-free BIGINTs; each final value
+      is the pinned (q / 1e6) / A chain.
+
+    Returns one row: (n_cells, a_total, b_total, dissim_r6,
+    interaction_r6, isolation_r6); indices NULL when either group is
+    empty."""
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    flag = F.when(x_flag, F.lit(1)).otherwise(F.lit(0))
+    cells = points.groupBy(x.alias("tx"), y.alias("ty")).agg(
+        F.sum(flag).alias("ca"),
+        F.sum(1 - flag).alias("cb"),
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)), F.sum("ca"), F.sum("cb")
+    ).first()
+    n, a_tot, b_tot = int(tot[0]), int(tot[1] or 0), int(tot[2] or 0)
+    if a_tot > 0 and b_tot > 0 and 2 * a_tot * b_tot >= 2**63:
+        raise ValueError(
+            "segregation_indices overflow: 2 * A * B must stay below "
+            f"2^63 (A={a_tot}, B={b_tot}); bin at a coarser zoom or "
+            "shard the input"
+        )
+    srow = cells.agg(
+        F.sum(
+            F.abs(F.col("ca") * F.lit(b_tot) - F.col("cb") * F.lit(a_tot))
+        ),
+        F.sum(
+            F.expr("(ca * 1000000) div (ca + cb)") * F.col("cb")
+        ),
+        F.sum(
+            F.expr("(ca * 1000000) div (ca + cb)") * F.col("ca")
+        ),
+    ).first()
+    dnum = int(srow[0] or 0)
+    inter_q = int(srow[1] or 0)
+    isol_q = int(srow[2] or 0)
+    dissim = interaction = isolation = None
+    if a_tot > 0 and b_tot > 0:
+        # pinned scalar op order, mirrored literally by the twin
+        dissim = dnum / (2.0 * a_tot * b_tot)
+        interaction = (inter_q / 1e6) / a_tot
+        isolation = (isol_q / 1e6) / a_tot
+    spark = points.sparkSession
+    rnd = lambda v: F.round(F.lit(v).cast("double"), 6)  # noqa: E731
+    return spark.range(1).select(
+        F.lit(n).alias("n_cells"),
+        F.lit(a_tot).alias("a_total"),
+        F.lit(b_tot).alias("b_total"),
+        rnd(dissim).alias("dissim_r6"),
+        rnd(interaction).alias("interaction_r6"),
+        rnd(isolation).alias("isolation_r6"),
+    )
+
+
+def segregation_indices_oracle_sql(
+    subq: str,
+    x_flag_sql: str,
+    zoom: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`segregation_indices`: same cell
+    collapse, same exact integer dissimilarity numerator and ppm
+    share divisions, same pinned final chains."""
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    return (
+        f"WITH cells AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"sum(CASE WHEN {x_flag_sql} THEN 1 ELSE 0 END) AS ca, "
+        f"sum(CASE WHEN {x_flag_sql} THEN 0 ELSE 1 END) AS cb "
+        f"FROM {subq} GROUP BY 1, 2), "
+        "tot AS (SELECT count(*) AS n, coalesce(sum(ca), 0) AS a_tot, "
+        "coalesce(sum(cb), 0) AS b_tot FROM cells), "
+        "agg AS (SELECT "
+        "coalesce(sum(abs(ca * (SELECT b_tot FROM tot) "
+        "- cb * (SELECT a_tot FROM tot))), 0) AS dnum, "
+        "coalesce(sum(((ca * 1000000) // (ca + cb)) * cb), 0) "
+        "AS inter_q, "
+        "coalesce(sum(((ca * 1000000) // (ca + cb)) * ca), 0) "
+        "AS isol_q FROM cells) "
+        "SELECT n AS n_cells, a_tot AS a_total, b_tot AS b_total, "
+        "CASE WHEN a_tot > 0 AND b_tot > 0 THEN "
+        "round(dnum / (2.0 * a_tot * b_tot), 6) END AS dissim_r6, "
+        "CASE WHEN a_tot > 0 AND b_tot > 0 THEN "
+        "round((inter_q / 1e6) / a_tot, 6) END AS interaction_r6, "
+        "CASE WHEN a_tot > 0 AND b_tot > 0 THEN "
+        "round((isol_q / 1e6) / a_tot, 6) END AS isolation_r6 "
+        "FROM tot CROSS JOIN agg"
+    )
+
+
+def median_center(
+    points: DataFrame,
+    iters: int = 10,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Median center (center of minimum travel distance) by the
+    Weiszfeld algorithm (Weiszfeld 1937; the ArcGIS "Median Center"
+    centrography tool) — the robust companion to the mean-center /
+    deviational-ellipse pair: the point minimizing the SUM of
+    distances to all fixes, far less outlier-sensitive than the mean.
+
+    Runs a FIXED ``iters`` Weiszfeld rounds (determinism contract: a
+    pure function of the input) on integer MICRODEGREE planar
+    coordinates — the planar simplification is standard for
+    city-to-country extents where the tool is used.  Exactness per
+    round: distances to the current center are BIGINT-exact
+    floor(sqrt(dx^2 + dy^2) + 0.5) (the sqrt of an exact BIGINT cast
+    to double is correctly rounded in both engines), weights are the
+    exact integer divisions 1e9 // d (zero-distance fixes are skipped
+    — the standard Weiszfeld guard), and the weighted coordinate sums
+    accumulate as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact
+    and order-free far past int64.  The next center is the pair of
+    exact floor divisions sum(w*x) // sum(w); the DuckDB twin unrolls
+    the identical rounds as chained scalar CTEs.
+
+    Returns one row: (n, iters, cx_micro, cy_micro, med_lat_r6,
+    med_lon_r6); NULL center when the input is empty.  Note the
+    planar form is undefined across the antimeridian seam — shift
+    longitudes upstream for Pacific-spanning inputs."""
+    ux = F.round(F.col(lon_col) * F.lit(1e6)).cast("long")
+    uy = F.round(F.col(lat_col) * F.lit(1e6)).cast("long")
+    keyed = points.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    ).select(ux.alias("_x"), uy.alias("_y")).localCheckpoint()
+    row = keyed.agg(
+        F.count(F.lit(1)), F.sum("_x"), F.sum("_y")
+    ).first()
+    n = int(row[0])
+    spark = points.sparkSession
+    if n == 0:
+        return spark.range(1).select(
+            F.lit(0).alias("n"),
+            F.lit(int(iters)).alias("iters"),
+            F.lit(None).cast("long").alias("cx_micro"),
+            F.lit(None).cast("long").alias("cy_micro"),
+            F.lit(None).cast("double").alias("med_lat_r6"),
+            F.lit(None).cast("double").alias("med_lon_r6"),
+        )
+    cx = int(row[1]) // n  # floor-mean init, exact in both engines
+    cy = int(row[2]) // n
+    dec = "decimal(38,0)"
+    for _ in range(int(iters)):
+        dx = F.col("_x") - F.lit(cx)
+        dy = F.col("_y") - F.lit(cy)
+        d = F.floor(
+            F.sqrt((dx * dx + dy * dy).cast("double")) + F.lit(0.5)
+        ).cast("long")
+        it = keyed.where(d > 0).select(
+            d.alias("_d"), F.col("_x"), F.col("_y")
+        ).select(
+            F.expr("1000000000 div _d").alias("_w"), "_x", "_y"
+        )
+        srow = it.agg(
+            F.sum(F.col("_w").cast(dec)),
+            F.sum((F.col("_w") * F.col("_x")).cast(dec)),
+            F.sum((F.col("_w") * F.col("_y")).cast(dec)),
+        ).first()
+        sw = int(srow[0] or 0)
+        if sw == 0:
+            break  # every fix sits on the center already
+        cx = int(srow[1]) // sw
+        cy = int(srow[2]) // sw
+    return spark.range(1).select(
+        F.lit(n).alias("n"),
+        F.lit(int(iters)).alias("iters"),
+        F.lit(cx).alias("cx_micro"),
+        F.lit(cy).alias("cy_micro"),
+        F.round(F.lit(cy) / F.lit(1e6), 6).alias("med_lat_r6"),
+        F.round(F.lit(cx) / F.lit(1e6), 6).alias("med_lon_r6"),
+    )
+
+
+def median_center_oracle_sql(
+    subq: str, iters: int = 10, lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB twin of :func:`median_center`: identical fixed-round
+    Weiszfeld unroll as chained scalar CTEs — same floor-mean init,
+    same floor(sqrt + 0.5) distances, same 1e9 // d weights with the
+    zero-distance guard, HUGEINT sums and floor divisions."""
+    parts = [
+        f"keyed AS MATERIALIZED (SELECT "
+        f"CAST(round(({lon}) * 1e6) AS BIGINT) AS x, "
+        f"CAST(round(({lat}) * 1e6) AS BIGINT) AS y FROM {subq} "
+        f"WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL)",
+        "c0 AS MATERIALIZED (SELECT count(*) AS n, "
+        "CASE WHEN count(*) > 0 THEN sum(x) // count(*) END AS cx, "
+        "CASE WHEN count(*) > 0 THEN sum(y) // count(*) END AS cy "
+        "FROM keyed)",
+    ]
+    for i in range(int(iters)):
+        d = (
+            "CAST(floor(sqrt(CAST((x - (SELECT cx FROM c{p})) * "
+            "(x - (SELECT cx FROM c{p})) + "
+            "(y - (SELECT cy FROM c{p})) * "
+            "(y - (SELECT cy FROM c{p})) AS DOUBLE)) + 0.5) AS BIGINT)"
+        ).format(p=i)
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT 1000000000 // {d} AS w, x, y "
+            f"FROM keyed WHERE {d} > 0)"
+        )
+        parts.append(
+            f"c{i + 1} AS MATERIALIZED (SELECT (SELECT n FROM c{i}) AS n, "
+            f"CASE WHEN coalesce(sum(w), 0) > 0 THEN "
+            f"CAST(sum(w * x) // sum(w) AS BIGINT) "
+            f"ELSE (SELECT cx FROM c{i}) END AS cx, "
+            f"CASE WHEN coalesce(sum(w), 0) > 0 THEN "
+            f"CAST(sum(w * y) // sum(w) AS BIGINT) "
+            f"ELSE (SELECT cy FROM c{i}) END AS cy FROM w{i})"
+        )
+    k = int(iters)
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT n, {k} AS iters, cx AS cx_micro, cy AS cy_micro, "
+        "round(cy / 1e6, 6) AS med_lat_r6, "
+        "round(cx / 1e6, 6) AS med_lon_r6 "
+        f"FROM c{k}"
     )

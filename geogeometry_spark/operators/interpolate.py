@@ -31,7 +31,7 @@ from ..functions import columns as C
 from ..kernels import geometry as kgeo
 from .knn import radius_join_bulk
 
-__all__ = ["idw_interpolate", "idw_oracle_sql"]
+__all__ = ["idw_interpolate", "idw_oracle_sql", "trend_surface", "trend_surface_oracle_sql"]
 
 _W_SCALE = 1_000_000_000  # 1e-9 fixed point for weights
 
@@ -167,4 +167,155 @@ def idw_oracle_sql(
         "round(CASE WHEN n_near > 0 THEN v_near WHEN sw > 0 THEN "
         "CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) END, 6) AS est_r6 "
         "FROM agg"
+    )
+
+
+def trend_surface(
+    points: DataFrame,
+    value_col: str,
+    ref_lat: float,
+    ref_lon: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """First-order trend surface z = a + b*x + c*y by least squares
+    (Unwin 1975; the classic "regional trend vs local residual" split
+    in geostatistics) — the global-polynomial companion to the local
+    :func:`idw_interpolate`: ONE pass of exact moment sums, a 3x3
+    normal-equation solve, and the goodness-of-fit R^2.
+
+    Coordinates enter as INTEGER millidegree offsets from the caller's
+    reference point (round((lon - ref_lon) * 1000), ~111 m grain —
+    plenty for a first-order trend, and what keeps every moment an
+    exact BIGINT); ``value_col`` must be integral (pre-quantize
+    continuous measurements upstream, the variogram rule).  All nine
+    moments (n, Sx, Sy, Sz, Sxx, Sxy, Syy, Sxz, Syz + Szz for R^2)
+    are map-side-combinable BIGINT sums — no float ever shuffles.
+    Overflow bound: |x|,|y| <= ~200,000 (a +/-200 deg window) and
+    |z| <= 10^6 keep Sxx and the cross sums under 2^63 past 10^8
+    points; wider windows or values need a coarser offset unit.
+
+    The solve happens ONCE driver-side: the BIGINT moments cast to
+    IEEE doubles (same nearest-even rounding in both engines) and run
+    a pinned Cramer's-rule expression mirrored literally by the twin;
+    SSE folds algebraically (SSE = Szz - a*Sz - b*Sxz - c*Syz) so no
+    second data pass is needed.
+
+    Returns one row: (n, a_r6, b_r6, c_r6, r2_r6) — slope units are
+    value per millidegree; NULLs when the system is singular (det = 0:
+    fewer than 3 non-collinear sites) or variance is zero."""
+    x = F.round((F.col(lon_col) - F.lit(float(ref_lon))) * 1000).cast("long")
+    y = F.round((F.col(lat_col) - F.lit(float(ref_lat))) * 1000).cast("long")
+    z = F.col(value_col).cast("long")
+    keyed = points.where(
+        F.col(lat_col).isNotNull()
+        & F.col(lon_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(x.alias("_x"), y.alias("_y"), z.alias("_z"))
+    row = keyed.agg(
+        F.count(F.lit(1)),
+        F.sum("_x"), F.sum("_y"), F.sum("_z"),
+        F.sum(F.col("_x") * F.col("_x")),
+        F.sum(F.col("_x") * F.col("_y")),
+        F.sum(F.col("_y") * F.col("_y")),
+        F.sum(F.col("_x") * F.col("_z")),
+        F.sum(F.col("_y") * F.col("_z")),
+        F.sum(F.col("_z") * F.col("_z")),
+    ).first()
+    n = int(row[0])
+    sx, sy, sz = (float(row[i] or 0) for i in (1, 2, 3))
+    sxx, sxy, syy = (float(row[i] or 0) for i in (4, 5, 6))
+    sxz, syz, szz = (float(row[i] or 0) for i in (7, 8, 9))
+    nf = float(n)
+    a = b = c = r2 = None
+    if n >= 3:
+        # pinned Cramer's rule on the normal matrix
+        # [[n, Sx, Sy], [Sx, Sxx, Sxy], [Sy, Sxy, Syy]] — the twin
+        # mirrors this exact expression order
+        det = (
+            nf * (sxx * syy - sxy * sxy)
+            - sx * (sx * syy - sxy * sy)
+            + sy * (sx * sxy - sxx * sy)
+        )
+        if det != 0.0:
+            det_a = (
+                sz * (sxx * syy - sxy * sxy)
+                - sx * (sxz * syy - sxy * syz)
+                + sy * (sxz * sxy - sxx * syz)
+            )
+            det_b = (
+                nf * (sxz * syy - sxy * syz)
+                - sz * (sx * syy - sxy * sy)
+                + sy * (sx * syz - sxz * sy)
+            )
+            det_c = (
+                nf * (sxx * syz - sxz * sxy)
+                - sx * (sx * syz - sxz * sy)
+                + sz * (sx * sxy - sxx * sy)
+            )
+            a = det_a / det
+            b = det_b / det
+            c = det_c / det
+            sst = szz - (sz * sz) / nf
+            if sst > 0:
+                sse = szz - a * sz - b * sxz - c * syz
+                r2 = 1.0 - sse / sst
+    spark = points.sparkSession
+    rnd = lambda v: F.round(F.lit(v).cast("double"), 6)  # noqa: E731
+    return spark.range(1).select(
+        F.lit(n).alias("n"),
+        rnd(a).alias("a_r6"),
+        rnd(b).alias("b_r6"),
+        rnd(c).alias("c_r6"),
+        rnd(r2).alias("r2_r6"),
+    )
+
+
+def trend_surface_oracle_sql(
+    subq: str,
+    value_sql: str,
+    ref_lat: float,
+    ref_lon: float,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB twin of :func:`trend_surface`: the same exact BIGINT
+    moments, the same BIGINT->DOUBLE casts, and literally the same
+    Cramer expression order."""
+    return (
+        f"WITH keyed AS (SELECT "
+        f"CAST(round(({lon} - {float(ref_lon)!r}) * 1000) AS BIGINT) AS x, "
+        f"CAST(round(({lat} - {float(ref_lat)!r}) * 1000) AS BIGINT) AS y, "
+        f"CAST(({value_sql}) AS BIGINT) AS z FROM {subq} "
+        f"WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL "
+        f"AND ({value_sql}) IS NOT NULL), "
+        "m AS (SELECT count(*) AS n, "
+        "CAST(coalesce(sum(x), 0) AS DOUBLE) AS sx, "
+        "CAST(coalesce(sum(y), 0) AS DOUBLE) AS sy, "
+        "CAST(coalesce(sum(z), 0) AS DOUBLE) AS sz, "
+        "CAST(coalesce(sum(x * x), 0) AS DOUBLE) AS sxx, "
+        "CAST(coalesce(sum(x * y), 0) AS DOUBLE) AS sxy, "
+        "CAST(coalesce(sum(y * y), 0) AS DOUBLE) AS syy, "
+        "CAST(coalesce(sum(x * z), 0) AS DOUBLE) AS sxz, "
+        "CAST(coalesce(sum(y * z), 0) AS DOUBLE) AS syz, "
+        "CAST(coalesce(sum(z * z), 0) AS DOUBLE) AS szz FROM keyed), "
+        "s AS (SELECT m.*, CAST(n AS DOUBLE) AS nf, "
+        "CAST(n AS DOUBLE) * (sxx * syy - sxy * sxy) "
+        "- sx * (sx * syy - sxy * sy) "
+        "+ sy * (sx * sxy - sxx * sy) AS det FROM m), "
+        "sol AS (SELECT s.*, "
+        "CASE WHEN n >= 3 AND det <> 0 THEN "
+        "(sz * (sxx * syy - sxy * sxy) - sx * (sxz * syy - sxy * syz) "
+        "+ sy * (sxz * sxy - sxx * syz)) / det END AS a, "
+        "CASE WHEN n >= 3 AND det <> 0 THEN "
+        "(nf * (sxz * syy - sxy * syz) - sz * (sx * syy - sxy * sy) "
+        "+ sy * (sx * syz - sxz * sy)) / det END AS b, "
+        "CASE WHEN n >= 3 AND det <> 0 THEN "
+        "(nf * (sxx * syz - sxz * sxy) - sx * (sx * syz - sxz * sy) "
+        "+ sz * (sx * sxy - sxx * sy)) / det END AS c FROM s) "
+        "SELECT n, round(a, 6) AS a_r6, round(b, 6) AS b_r6, "
+        "round(c, 6) AS c_r6, "
+        "CASE WHEN a IS NOT NULL AND szz - (sz * sz) / nf > 0 THEN "
+        "round(1.0 - (szz - a * sz - b * sxz - c * syz) / "
+        "(szz - (sz * sz) / nf), 6) END AS r2_r6 FROM sol"
     )

@@ -500,3 +500,74 @@ def test_variogram_matches_duckdb_twin(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# focal statistics
+# --------------------------------------------------------------------------
+
+def test_focal_stats_single_cell_spreads_to_nine(spark):
+    from geogeometry_spark.operators.density import focal_stats
+
+    out = focal_stats(
+        spark.createDataFrame([(1, 1, 0.0, 0.0)] * 5, PT_SCHEMA), zoom=8
+    ).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r.n_nbrs == 1
+        assert r.focal_sum == r.focal_min == r.focal_max == 5
+        assert r.focal_range == 0
+        assert r.focal_mean_r6 == 5.0
+
+
+def test_focal_stats_two_adjacent_cells(spark):
+    from geogeometry_spark.operators.density import focal_stats
+
+    # two occupied cells one x-step apart at the equator (z8 cell =
+    # 1.40625 deg): counts 2 and 3
+    rows = [(1, 1, 0.0, 0.0), (2, 1, 0.0, 0.0),
+            (3, 1, 0.0, 1.5), (4, 1, 0.0, 1.5), (5, 1, 0.0, 1.5)]
+    out = {
+        (r.tx, r.ty): r
+        for r in focal_stats(
+            spark.createDataFrame(rows, PT_SCHEMA), zoom=8
+        ).collect()
+    }
+    both = [r for r in out.values() if r.n_nbrs == 2]
+    assert both  # the shared band sees both cells
+    for r in both:
+        assert r.focal_sum == 5
+        assert (r.focal_min, r.focal_max, r.focal_range) == (2, 3, 1)
+        assert r.focal_mean_r6 == 2.5
+
+
+def test_focal_stats_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    from geogeometry_spark.operators.density import (
+        focal_stats,
+        focal_stats_oracle_sql,
+    )
+
+    rows = [
+        (
+            i,
+            i % 7,
+            -60.0 + ((i * 17) % 120) * 0.9,
+            -170.0 + ((i * 41) % 340),
+        )
+        for i in range(400)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "lat", "lon"])
+    duck.register("pts_focal", pdf)
+    got = sorted(
+        tuple(r)
+        for r in focal_stats(spark.createDataFrame(pdf), zoom=6).collect()
+    )
+    want = sorted(
+        tuple(w)
+        for w in duck.sql(
+            focal_stats_oracle_sql("(SELECT lat, lon FROM pts_focal)", zoom=6)
+        ).fetchall()
+    )
+    assert got == want

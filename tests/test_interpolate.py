@@ -140,3 +140,86 @@ def test_idw_matches_duckdb_twin(spark, duck):
     )
     assert len(got) > 10
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# trend surface
+# --------------------------------------------------------------------------
+
+def test_trend_surface_recovers_planar_field(spark):
+    from geogeometry_spark.operators.interpolate import trend_surface
+
+    # exact plane z = 5 + 2x + 3y on integer millidegree offsets
+    rows = []
+    for i in range(40):
+        x = (i * 7) % 19 - 9      # millideg offsets
+        y = (i * 11) % 17 - 8
+        z = 5 + 2 * x + 3 * y
+        rows.append((i, 50.0 + y / 1000.0, 8.0 + x / 1000.0, z))
+    df = spark.createDataFrame(
+        rows, "event_id long, lat double, lon double, v long"
+    )
+    out = trend_surface(
+        df, value_col="v", ref_lat=50.0, ref_lon=8.0
+    ).collect()[0]
+    assert out.n == 40
+    assert out.a_r6 == pytest.approx(5.0, abs=1e-5)
+    assert out.b_r6 == pytest.approx(2.0, abs=1e-5)
+    assert out.c_r6 == pytest.approx(3.0, abs=1e-5)
+    assert out.r2_r6 == 1.0
+
+
+def test_trend_surface_singular_is_null(spark):
+    from geogeometry_spark.operators.interpolate import trend_surface
+
+    # collinear sites: normal matrix singular
+    rows = [(i, 50.0, 8.0 + i / 1000.0, i) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, lat double, lon double, v long"
+    )
+    out = trend_surface(
+        df, value_col="v", ref_lat=50.0, ref_lon=8.0
+    ).collect()[0]
+    assert out.a_r6 is None and out.r2_r6 is None
+
+
+def test_trend_surface_matches_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from geogeometry_spark.operators.interpolate import (
+        trend_surface,
+        trend_surface_oracle_sql,
+    )
+
+    rows = []
+    for i in range(300):
+        lat = 50.0 + ((i * 13) % 41 - 20) / 1000.0
+        lon = 8.0 + ((i * 29) % 37 - 18) / 1000.0
+        v = (i * 7) % 23 + ((i * 13) % 41 - 20) * 2
+        rows.append((i, lat, lon, v))
+    pdf = pd.DataFrame(rows, columns=["event_id", "lat", "lon", "v"])
+    con = duckdb.connect()
+    con.register("pts_trend", pdf)
+    got = [
+        tuple(r)
+        for r in trend_surface(
+            spark.createDataFrame(pdf),
+            value_col="v",
+            ref_lat=50.0,
+            ref_lon=8.0,
+        ).collect()
+    ]
+    want = [
+        tuple(w)
+        for w in con.sql(
+            trend_surface_oracle_sql(
+                "(SELECT lat, lon, v FROM pts_trend)",
+                value_sql="v",
+                ref_lat=50.0,
+                ref_lon=8.0,
+            )
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want

@@ -286,3 +286,142 @@ def test_random_points_in_polygon_hole_aware():
     # deterministic under the same seed
     again = kg.random_points_in_polygon([ring, hole], 400, seed=7)
     assert np.array_equal(pts, again)
+
+
+# --------------------------------------------------------------------------
+# rhumb-line family
+# --------------------------------------------------------------------------
+
+def test_rhumb_equator_and_meridian(spark):
+    import math
+
+    from geogeometry_spark.functions import columns as C
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    # along the equator the rhumb line IS the great circle:
+    # 1 deg of longitude = R * pi/180
+    r = df.select(
+        C.rhumb_distance(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0))
+        .alias("d"),
+        C.rhumb_bearing(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0))
+        .alias("b"),
+        C.rhumb_distance(F.lit(10.0), F.lit(5.0), F.lit(11.0), F.lit(5.0))
+        .alias("dm"),
+        C.rhumb_bearing(F.lit(11.0), F.lit(5.0), F.lit(10.0), F.lit(5.0))
+        .alias("bs"),
+    ).collect()[0]
+    want = C.EARTH_RADIUS_METERS * math.pi / 180.0
+    assert r["d"] == pytest.approx(want, rel=1e-9)
+    assert r["b"] == pytest.approx(90.0, abs=1e-9)
+    assert r["dm"] == pytest.approx(want, rel=1e-9)  # meridian arc
+    assert r["bs"] == pytest.approx(180.0, abs=1e-9)
+
+
+def test_rhumb_is_longer_than_great_circle(spark):
+    from geogeometry_spark.functions import columns as C
+    from pyspark.sql import functions as F
+
+    # oblique mid-latitude leg: loxodrome strictly longer
+    args = (F.lit(52.0), F.lit(13.0), F.lit(35.0), F.lit(139.0))
+    r = spark.range(1).select(
+        C.rhumb_distance(*args).alias("rh"),
+        C.haversine(*args).alias("gc"),
+    ).collect()[0]
+    assert r["rh"] > r["gc"] * 1.05
+
+
+def test_rhumb_destination_roundtrip(spark):
+    from geogeometry_spark.functions import columns as C
+    from pyspark.sql import functions as F
+
+    # steer the measured course for the measured distance: arrive
+    lat1, lon1, lat2, lon2 = 40.0, -3.0, 48.0, 11.0
+    df = spark.range(1).select(
+        C.rhumb_distance(
+            F.lit(lat1), F.lit(lon1), F.lit(lat2), F.lit(lon2)
+        ).alias("d"),
+        C.rhumb_bearing(
+            F.lit(lat1), F.lit(lon1), F.lit(lat2), F.lit(lon2)
+        ).alias("b"),
+    )
+    dlat, dlon = C.rhumb_destination(
+        F.lit(lat1), F.lit(lon1), F.col("b"), F.col("d")
+    )
+    got = df.select(dlat.alias("la"), dlon.alias("lo")).collect()[0]
+    assert got["la"] == pytest.approx(lat2, abs=1e-6)
+    assert got["lo"] == pytest.approx(lon2, abs=1e-6)
+
+
+def test_rhumb_antimeridian_wrap(spark):
+    from geogeometry_spark.functions import columns as C
+    from pyspark.sql import functions as F
+
+    # 179E -> -179W is a 2-degree hop, not 358
+    r = spark.range(1).select(
+        C.rhumb_distance(
+            F.lit(0.0), F.lit(179.0), F.lit(0.0), F.lit(-179.0)
+        ).alias("d"),
+        C.rhumb_bearing(
+            F.lit(0.0), F.lit(179.0), F.lit(0.0), F.lit(-179.0)
+        ).alias("b"),
+    ).collect()[0]
+    import math
+
+    assert r["d"] == pytest.approx(
+        2.0 * C.EARTH_RADIUS_METERS * math.pi / 180.0, rel=1e-9
+    )
+    assert r["b"] == pytest.approx(90.0, abs=1e-9)
+
+
+def test_rhumb_matches_duckdb_twin(spark):
+    import duckdb
+
+    from geogeometry_spark.functions import columns as C
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, -70.0 + (i * 17) % 140, -170.0 + (i * 37) % 340)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    dlat, dlon = C.rhumb_destination(
+        F.col("lat"), F.col("lon"), F.lit(45.0), F.lit(100000.0)
+    )
+    got = sorted(
+        tuple(r)
+        for r in df.select(
+            "id",
+            F.round(
+                C.rhumb_distance(
+                    F.col("lat"), F.col("lon"), F.lit(52.0), F.lit(13.0)
+                ),
+                3,
+            ).alias("d"),
+            F.round(
+                C.rhumb_bearing(
+                    F.col("lat"), F.col("lon"), F.lit(52.0), F.lit(13.0)
+                ),
+                3,
+            ).alias("b"),
+            F.round(dlat, 3).alias("la"),
+            F.round(dlon, 3).alias("lo"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {la!r}, {lo!r})" for i, la, lo in rows)
+    dist = C.rhumb_distance_sql("lat", "lon", "52.0", "13.0")
+    brg = C.rhumb_bearing_sql("lat", "lon", "52.0", "13.0")
+    sla, slo = C.rhumb_destination_sql("lat", "lon", "45.0", "100000.0")
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            f"SELECT id, round({dist}, 3), round({brg}, 3), "
+            f"round({sla}, 3), round({slo}, 3) FROM "
+            "(SELECT id, CAST(lat0 AS DOUBLE) AS lat, "
+            "CAST(lon0 AS DOUBLE) AS lon "
+            f"FROM (VALUES {vals}) t(id, lat0, lon0))"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want

@@ -1404,3 +1404,251 @@ def test_spatial_entropy_matches_duckdb_twin(spark, duck):
         )
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+# --------------------------------------------------------------------------
+# head/tail breaks
+# --------------------------------------------------------------------------
+
+def _ht_cells(spark, counts):
+    """One well-separated z8 cell per count value (lon spacing 3 deg)."""
+    rows = []
+    eid = 0
+    for k, cnt in enumerate(counts):
+        for _ in range(cnt):
+            rows.append((eid, 1, 10.0, -170.0 + k * 3.0))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, lat double, lon double"
+    )
+
+
+def test_head_tail_breaks_power_law(spark):
+    from geogeometry_spark.operators.hotspot import head_tail_breaks
+
+    # heavy-tailed counts: 8x1, 2x10, 1x100
+    counts = [1] * 8 + [10, 10, 100]
+    out = head_tail_breaks(_ht_cells(spark, counts), zoom=8).collect()
+    by_cnt = {}
+    for r in out:
+        by_cnt.setdefault(r.cnt, set()).add(r.ht_class)
+    # mean1 = 128/11 ~ 11.6 -> head {100}: 1/11 < 40% -> recurse
+    # level2 over {100}: head empty -> stop. classes: 1s+10s=0, 100=1
+    assert by_cnt[1] == {0}
+    assert by_cnt[10] == {0}
+    assert by_cnt[100] == {1}
+
+
+def test_head_tail_breaks_minority_rule_stops(spark):
+    from geogeometry_spark.operators.hotspot import head_tail_breaks
+
+    # balanced counts: head is 50% >= 40% -> threshold 1 applies but
+    # no deeper recursion
+    counts = [1, 1, 3, 3]
+    out = head_tail_breaks(_ht_cells(spark, counts), zoom=8).collect()
+    got = {(r.cnt, r.ht_class) for r in out}
+    assert got == {(1, 0), (3, 1)}
+
+
+def test_head_tail_breaks_uniform_all_zero(spark):
+    from geogeometry_spark.operators.hotspot import head_tail_breaks
+
+    out = head_tail_breaks(_ht_cells(spark, [4, 4, 4]), zoom=8).collect()
+    assert {r.ht_class for r in out} == {0}
+
+
+def test_head_tail_breaks_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    from geogeometry_spark.operators.hotspot import (
+        head_tail_breaks,
+        head_tail_breaks_oracle_sql,
+    )
+
+    rows = [
+        (
+            i,
+            i % 7,
+            -60.0 + ((i * i * 17) % 120) * 0.9,
+            -170.0 + ((i * 41) % 340),
+        )
+        for i in range(700)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "lat", "lon"])
+    duck.register("pts_ht", pdf)
+    got = sorted(
+        tuple(r)
+        for r in head_tail_breaks(
+            spark.createDataFrame(pdf), zoom=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(w)
+        for w in duck.sql(
+            head_tail_breaks_oracle_sql(
+                "(SELECT lat, lon FROM pts_ht)", zoom=5
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# segregation indices
+# --------------------------------------------------------------------------
+
+def _seg_df(spark, cells):
+    """cells: list of (a_count, b_count) in well-separated z8 cells;
+    flag column v=1 marks group A."""
+    rows = []
+    eid = 0
+    for k, (a, b) in enumerate(cells):
+        for _ in range(a):
+            rows.append((eid, 1, 10.0, -170.0 + k * 3.0, 1))
+            eid += 1
+        for _ in range(b):
+            rows.append((eid, 1, 10.0, -170.0 + k * 3.0, 0))
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, lat double, lon double, v int",
+    )
+
+
+def test_segregation_complete_and_even(spark):
+    import pyspark.sql.functions as F
+
+    from geogeometry_spark.operators.hotspot import segregation_indices
+
+    # complete segregation: D = 1, interaction 0, isolation 1
+    out = segregation_indices(
+        _seg_df(spark, [(10, 0), (0, 10)]), F.col("v") == 1, zoom=8
+    ).collect()[0]
+    assert out.dissim_r6 == 1.0
+    assert out.interaction_r6 == 0.0
+    assert out.isolation_r6 == 1.0
+    # perfectly even: D = 0; shares 50/50 -> interaction = 0.5
+    out = segregation_indices(
+        _seg_df(spark, [(5, 5), (5, 5)]), F.col("v") == 1, zoom=8
+    ).collect()[0]
+    assert out.dissim_r6 == 0.0
+    assert out.interaction_r6 == 0.5
+    assert out.isolation_r6 == 0.5
+
+
+def test_segregation_one_empty_group_null(spark):
+    import pyspark.sql.functions as F
+
+    from geogeometry_spark.operators.hotspot import segregation_indices
+
+    out = segregation_indices(
+        _seg_df(spark, [(5, 0), (3, 0)]), F.col("v") == 1, zoom=8
+    ).collect()[0]
+    assert out.dissim_r6 is None and out.interaction_r6 is None
+
+
+def test_segregation_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from geogeometry_spark.operators.hotspot import (
+        segregation_indices,
+        segregation_indices_oracle_sql,
+    )
+
+    rows = [
+        (
+            i,
+            i % 7,
+            -60.0 + ((i * 17) % 120) * 0.9,
+            -170.0 + ((i * 41) % 340),
+            1 if (i * 13) % 5 < 2 else 0,
+        )
+        for i in range(600)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "lat", "lon", "v"]
+    )
+    duck.register("pts_seg", pdf)
+    got = [
+        tuple(r)
+        for r in segregation_indices(
+            spark.createDataFrame(pdf), F.col("v") == 1, zoom=6
+        ).collect()
+    ]
+    want = [
+        tuple(w)
+        for w in duck.sql(
+            segregation_indices_oracle_sql(
+                "(SELECT lat, lon, v FROM pts_seg)", "v = 1", zoom=6
+            )
+        ).fetchall()
+    ]
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# median center
+# --------------------------------------------------------------------------
+
+def test_median_center_outlier_robust(spark):
+    from geogeometry_spark.operators.hotspot import median_center
+
+    # 30 fixes in a tight cluster at (50, 8), 1 far outlier: the
+    # median center stays at the cluster (the mean would move ~3%)
+    rows = [
+        (i, 1, 50.0 + (i % 5) * 1e-5, 8.0 + (i % 7) * 1e-5)
+        for i in range(30)
+    ]
+    rows.append((99, 1, 60.0, 30.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, lat double, lon double"
+    )
+    out = median_center(df, iters=15).collect()[0]
+    assert out.n == 31
+    assert abs(out.med_lat_r6 - 50.0) < 0.001
+    assert abs(out.med_lon_r6 - 8.0) < 0.001
+
+
+def test_median_center_empty(spark):
+    from geogeometry_spark.operators.hotspot import median_center
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, lat double, lon double"
+    )
+    out = median_center(df).collect()[0]
+    assert out.n == 0 and out.cx_micro is None
+
+
+def test_median_center_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    from geogeometry_spark.operators.hotspot import (
+        median_center,
+        median_center_oracle_sql,
+    )
+
+    rows = [
+        (
+            i,
+            i % 7,
+            48.0 + ((i * 17) % 400) / 100.0,
+            5.0 + ((i * 41) % 900) / 100.0,
+        )
+        for i in range(500)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "lat", "lon"])
+    duck.register("pts_med", pdf)
+    got = [
+        tuple(r)
+        for r in median_center(spark.createDataFrame(pdf), iters=8).collect()
+    ]
+    want = [
+        tuple(w)
+        for w in duck.sql(
+            median_center_oracle_sql(
+                "(SELECT lat, lon FROM pts_med)", iters=8
+            )
+        ).fetchall()
+    ]
+    assert got == want
