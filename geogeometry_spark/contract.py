@@ -4007,6 +4007,30 @@ def _bimoran_oracle() -> str:
     )
 
 
+def q_clq(spark, sf_dir):
+    """Nearest-neighbor colocation quotient (operators/density.py
+    colocation_quotient — Leslie & Kronenfeld 2011) between moving
+    and parked fixes over the metro stream: rep-granular NN with the
+    (d_mm, rep id) total order (coincident piles see distance-0
+    siblings), truncated at r_max=500 m, four pinned CLQ chains."""
+    from .operators.density import colocation_quotient
+
+    return colocation_quotient(
+        _metro_points(spark, sf_dir),
+        _moving_flag(),
+        r_max_m=500.0,
+        max_abs_lat=54.0,
+    )
+
+
+def _clq_oracle() -> str:
+    from .operators.density import colocation_quotient_oracle_sql
+
+    return colocation_quotient_oracle_sql(
+        _METRO_SUBQ, _MOVING_FLAG_SQL, r_max_m=500.0, max_abs_lat=54.0
+    )
+
+
 def q_median_center(spark, sf_dir):
     """Weiszfeld median center (operators/hotspot.py median_center —
     the center of minimum travel distance) of the metro fix stream:
@@ -4431,6 +4455,36 @@ def _closeness_oracle() -> str:
     )
 
 
+def q_betweenness(spark, sf_dir):
+    """K-source Brandes betweenness centrality (operators/routing.py
+    betweenness — Brandes 2001, source-sampled per Brandes & Pich
+    2007) from the four corner facilities over the road lattice: one
+    product-graph sssp sweep, exact BIGINT shortest-path counts over
+    the SP-DAG, and the ppm-quantized integer dependency accumulation
+    — bit-identical to the fully unrolled DuckDB twin."""
+    from .operators.routing import betweenness
+
+    return betweenness(
+        _road_graph_edges(spark),
+        spark.createDataFrame([(n,) for n in _FACILITY_NODES], "node int"),
+        rounds=_BETWEENNESS_ROUNDS,
+    )
+
+
+_BETWEENNESS_ROUNDS = 48
+
+
+def _betweenness_oracle() -> str:
+    from .operators.routing import betweenness_oracle_sql
+
+    return betweenness_oracle_sql(
+        _road_graph_edges_sql(),
+        list(_FACILITY_NODES),
+        sssp_rounds=_SSSP_ROUNDS,
+        rounds=_BETWEENNESS_ROUNDS,
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Exact fixed-point PageRank (operators/pagerank.py) over the
     congestion-weighted lattice road graph: intersection centrality
@@ -4780,6 +4834,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "hits": q_hits,
     "closeness": q_closeness,
+    "betweenness": q_betweenness,
     "mst": q_mst,
     "mobility": q_mobility,
     "heading_stats": q_heading_stats,
@@ -4807,6 +4862,7 @@ QUERIES = {
     "trend_surface": q_trend_surface,
     "segregation": q_segregation,
     "median_center": q_median_center,
+    "clq": q_clq,
     "general_g": q_general_g,
     "knox": q_knox,
 }
@@ -4945,6 +5001,7 @@ def _static_oracles() -> dict[str, str]:
         "pagerank": _pagerank_oracle(),
         "hits": _hits_oracle(),
         "closeness": _closeness_oracle(),
+        "betweenness": _betweenness_oracle(),
         "mobility": _mobility_oracle(),
         "heading_stats": _heading_stats_oracle(),
         "cell_transitions": _cell_transitions_oracle(),
@@ -4971,6 +5028,7 @@ def _static_oracles() -> dict[str, str]:
         "trend_surface": _trend_surface_oracle(),
         "segregation": _segregation_oracle(),
         "median_center": _median_center_oracle(),
+        "clq": _clq_oracle(),
         "general_g": _general_g_oracle(),
         "knox": _knox_oracle(),
         # rows-only (set-mutating iterative geometry, no SQL twin):

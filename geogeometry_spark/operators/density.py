@@ -68,6 +68,8 @@ __all__ = [
     "variogram_oracle_sql",
     "focal_stats",
     "focal_stats_oracle_sql",
+    "colocation_quotient",
+    "colocation_quotient_oracle_sql",
 ]
 
 
@@ -922,4 +924,246 @@ def focal_stats_oracle_sql(
         "max(cnt) AS focal_max, max(cnt) - min(cnt) AS focal_range, "
         "round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS focal_mean_r6 "
         f"FROM spread WHERE ny >= 0 AND ny < {n_tiles} GROUP BY 1, 2"
+    )
+
+
+def colocation_quotient(
+    points: DataFrame,
+    x_flag,
+    r_max_m: float,
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> DataFrame:
+    """Nearest-neighbor colocation quotient CLQ (Leslie & Kronenfeld
+    2011, "Colocation quotient: a new measure of spatial association
+    between categorical subsets of points") between group A
+    (``x_flag`` true) and group B (the rest):
+    CLQ_{A->B} = (C_{A->B} / N_A) / (N_B / (N - 1)) — how much more
+    (>1) or less (<1) often an A point's nearest neighbor is a B
+    point than random mixing predicts; all four ordered pairs are
+    reported.
+
+    TRUNCATED like :func:`clark_evans` (NN searched within
+    ``r_max_m``; points whose NN lies further are censored out of
+    every count, numerator and denominator alike).
+
+    Determinism at REP granularity: points collapse to (1-microdegree
+    position, group) reps with multiplicity; a rep with m >= 2 sees
+    its own coincident siblings as distance-0 same-group candidates,
+    coincident reps of the other group are distance-0 candidates too,
+    and ALL ties resolve by the total order (d_mm, rep id) — both
+    engines evaluate the identical min, so the NN category is exact.
+    Counts weight by multiplicity (every member of a pile has the
+    pile's NN).  The four CLQs are pinned float chains over exact
+    BIGINTs.
+
+    Returns one row: (n_incl, na, nb, n_censored, clq_aa_r6,
+    clq_ab_r6, clq_ba_r6, clq_bb_r6); a quotient is NULL when its
+    denominators vanish (empty group or n_incl < 2)."""
+    zoom = dbscan_zoom_for_eps(float(r_max_m), max_abs_lat)
+    if zoom < 2:
+        raise ValueError(
+            f"r_max {r_max_m} m needs zoom {zoom} (< 2): planetary "
+            "search radii degenerate to all-pairs; reduce r_max."
+        )
+    n_tiles = 1 << zoom
+    r_mm = round(float(r_max_m) * 1000.0)
+
+    ula = F.round(F.col(lat_col) * F.lit(1e6)).cast("long")
+    ulo = F.round(F.col(lon_col) * F.lit(1e6)).cast("long")
+    flag = F.when(x_flag, F.lit(1)).otherwise(F.lit(0))
+    keyed = points.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    ).withColumns({"_ula": ula, "_ulo": ulo, "_f": flag})
+    reps = keyed.groupBy("_ula", "_ulo", "_f").agg(
+        F.min(id_col).alias("_pos"), F.count(F.lit(1)).alias("_m")
+    )
+    rlat = F.col("_ula").cast("double") / F.lit(1e6)
+    rlon = F.col("_ulo").cast("double") / F.lit(1e6)
+    tx, ty = C.tile_xy(rlat, rlon, zoom)
+    reps = reps.select(
+        "_pos", "_m", "_f",
+        rlat.alias("_rlat"), rlon.alias("_rlon"),
+        tx.alias("_tx"), ty.alias("_ty"),
+    ).localCheckpoint()
+
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = reps.withColumn("_o", F.explode(offs)).select(
+        F.col("_pos").alias("_pa"),
+        F.col("_m").alias("_ma"),
+        F.col("_f").alias("_fa"),
+        F.col("_rlat").alias("_lata"),
+        F.col("_rlon").alias("_lona"),
+        F.pmod(F.col("_tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("_nx"),
+        (F.col("_ty") + F.col("_o.dy")).alias("_ny"),
+    )
+    build = reps.select(
+        F.col("_pos").alias("_pb"),
+        F.col("_f").alias("_fb"),
+        F.col("_rlat").alias("_latb"),
+        F.col("_rlon").alias("_lonb"),
+        F.col("_tx").alias("_nx"),
+        F.col("_ty").alias("_ny"),
+    )
+    dist_mm = F.round(
+        C.haversine(
+            F.col("_lata"), F.col("_lona"), F.col("_latb"), F.col("_lonb")
+        )
+        * F.lit(1000.0)
+    ).cast("long")
+    cand = (
+        probe.join(build, ["_nx", "_ny"])
+        .where(F.col("_pa") != F.col("_pb"))
+        .select(
+            "_pa", "_ma", "_fa",
+            dist_mm.alias("_d"),
+            F.col("_pb").alias("_cpos"),
+            F.col("_fb").alias("_cf"),
+        )
+        .where(F.col("_d") <= F.lit(r_mm))
+    )
+    # self candidates: a pile of m >= 2 contains a distance-0
+    # same-group sibling for each member
+    selfc = reps.where(F.col("_m") >= 2).select(
+        F.col("_pos").alias("_pa"),
+        F.col("_m").alias("_ma"),
+        F.col("_f").alias("_fa"),
+        F.lit(0).cast("long").alias("_d"),
+        F.col("_pos").alias("_cpos"),
+        F.col("_f").alias("_cf"),
+    )
+    nn = (
+        cand.unionByName(selfc)
+        .groupBy("_pa", "_ma", "_fa")
+        .agg(
+            F.min(F.struct("_d", "_cpos", "_cf")).alias("_nn")
+        )
+        .select("_pa", "_ma", "_fa", F.col("_nn._cf").alias("_nncat"))
+    )
+    crow = nn.agg(
+        F.sum("_ma"),
+        F.sum(F.when(F.col("_fa") == 1, F.col("_ma"))),
+        F.sum(F.when((F.col("_fa") == 1) & (F.col("_nncat") == 1),
+                     F.col("_ma"))),
+        F.sum(F.when((F.col("_fa") == 1) & (F.col("_nncat") == 0),
+                     F.col("_ma"))),
+        F.sum(F.when((F.col("_fa") == 0) & (F.col("_nncat") == 1),
+                     F.col("_ma"))),
+        F.sum(F.when((F.col("_fa") == 0) & (F.col("_nncat") == 0),
+                     F.col("_ma"))),
+    ).first()
+    n_incl = int(crow[0] or 0)
+    na = int(crow[1] or 0)
+    c_aa, c_ab, c_ba, c_bb = (int(crow[i] or 0) for i in (2, 3, 4, 5))
+    nb = n_incl - na
+    trow = reps.agg(F.sum("_m")).first()
+    n_total = int(trow[0] or 0)
+    n_cens = n_total - n_incl
+
+    def _clq(c, n_src, n_tgt_adj):
+        # pinned: (c / n_src) / (n_tgt_adj / (n_incl - 1))
+        if n_src > 0 and n_tgt_adj > 0 and n_incl > 1:
+            return (c / n_src) / (n_tgt_adj / (n_incl - 1.0))
+        return None
+
+    clq_aa = _clq(c_aa, na, na - 1)
+    clq_ab = _clq(c_ab, na, nb)
+    clq_ba = _clq(c_ba, nb, na)
+    clq_bb = _clq(c_bb, nb, nb - 1)
+    spark = points.sparkSession
+    rnd = lambda v: F.round(F.lit(v).cast("double"), 6)  # noqa: E731
+    return spark.range(1).select(
+        F.lit(n_incl).alias("n_incl"),
+        F.lit(na).alias("na"),
+        F.lit(nb).alias("nb"),
+        F.lit(n_cens).alias("n_censored"),
+        rnd(clq_aa).alias("clq_aa_r6"),
+        rnd(clq_ab).alias("clq_ab_r6"),
+        rnd(clq_ba).alias("clq_ba_r6"),
+        rnd(clq_bb).alias("clq_bb_r6"),
+    )
+
+
+def colocation_quotient_oracle_sql(
+    subq: str,
+    x_flag_sql: str,
+    r_max_m: float,
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> str:
+    """DuckDB twin of :func:`colocation_quotient`: identical rep
+    collapse, candidate union (grid ring + distance-0 self siblings),
+    the identical (d, rep id, group) struct min, and the same four
+    pinned quotient chains."""
+    zoom = dbscan_zoom_for_eps(float(r_max_m), max_abs_lat)
+    n_tiles = 1 << zoom
+    r_mm = round(float(r_max_m) * 1000.0)
+    rlat, rlon = "CAST(ula AS DOUBLE) / 1e6", "CAST(ulo AS DOUBLE) / 1e6"
+    tx, ty = C.tile_xy_sql(rlat, rlon, zoom)
+    hav = C.haversine_sql("a.rlat", "a.rlon", "b.rlat", "b.rlon")
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    return (
+        f"WITH keyed AS (SELECT {id_col} AS pid, "
+        f"CASE WHEN {x_flag_sql} THEN 1 ELSE 0 END AS f, "
+        f"CAST(round(({lat}) * 1e6) AS BIGINT) AS ula, "
+        f"CAST(round(({lon}) * 1e6) AS BIGINT) AS ulo FROM {subq} "
+        f"WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL), "
+        "reps AS MATERIALIZED (SELECT ula, ulo, f, min(pid) AS pos, "
+        f"count(*) AS m, {rlat} AS rlat, {rlon} AS rlon, "
+        f"{tx} AS tx, {ty} AS ty FROM keyed GROUP BY ula, ulo, f), "
+        f"offsets(dx, dy) AS (VALUES {offs}), "
+        "cand AS (SELECT a.pos AS pa, a.m AS ma, a.f AS fa, "
+        f"CAST(round(({hav}) * 1000.0) AS BIGINT) AS d, "
+        "b.pos AS cpos, b.f AS cf FROM "
+        "(SELECT r.*, "
+        f"((r.tx + o.dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "r.ty + o.dy AS ny FROM reps r CROSS JOIN offsets o) a "
+        "JOIN reps b ON a.nx = b.tx AND a.ny = b.ty "
+        "AND a.pos <> b.pos "
+        f"WHERE CAST(round(({hav}) * 1000.0) AS BIGINT) <= {r_mm} "
+        "UNION ALL "
+        "SELECT pos AS pa, m AS ma, f AS fa, CAST(0 AS BIGINT) AS d, "
+        "pos AS cpos, f AS cf FROM reps WHERE m >= 2), "
+        "nn AS MATERIALIZED (SELECT pa, ma, fa, "
+        "min({'d': d, 'p': cpos, 'c': cf}).c AS nncat "
+        "FROM cand GROUP BY pa, ma, fa), "
+        "agg AS (SELECT coalesce(sum(ma), 0) AS n_incl, "
+        "coalesce(sum(CASE WHEN fa = 1 THEN ma END), 0) AS na, "
+        "coalesce(sum(CASE WHEN fa = 1 AND nncat = 1 THEN ma END), 0) "
+        "AS c_aa, "
+        "coalesce(sum(CASE WHEN fa = 1 AND nncat = 0 THEN ma END), 0) "
+        "AS c_ab, "
+        "coalesce(sum(CASE WHEN fa = 0 AND nncat = 1 THEN ma END), 0) "
+        "AS c_ba, "
+        "coalesce(sum(CASE WHEN fa = 0 AND nncat = 0 THEN ma END), 0) "
+        "AS c_bb FROM nn), "
+        "tot AS (SELECT coalesce(sum(m), 0) AS n_total FROM reps) "
+        "SELECT n_incl, na, n_incl - na AS nb, "
+        "n_total - n_incl AS n_censored, "
+        "CASE WHEN na > 0 AND na - 1 > 0 AND n_incl > 1 THEN "
+        "round((c_aa / CAST(na AS DOUBLE)) / "
+        "((na - 1) / (n_incl - 1.0)), 6) END AS clq_aa_r6, "
+        "CASE WHEN na > 0 AND n_incl - na > 0 AND n_incl > 1 THEN "
+        "round((c_ab / CAST(na AS DOUBLE)) / "
+        "((n_incl - na) / (n_incl - 1.0)), 6) END AS clq_ab_r6, "
+        "CASE WHEN n_incl - na > 0 AND na > 0 AND n_incl > 1 THEN "
+        "round((c_ba / CAST(n_incl - na AS DOUBLE)) / "
+        "(na / (n_incl - 1.0)), 6) END AS clq_ba_r6, "
+        "CASE WHEN n_incl - na > 0 AND n_incl - na - 1 > 0 "
+        "AND n_incl > 1 THEN "
+        "round((c_bb / CAST(n_incl - na AS DOUBLE)) / "
+        "((n_incl - na - 1) / (n_incl - 1.0)), 6) END AS clq_bb_r6 "
+        "FROM agg CROSS JOIN tot"
     )

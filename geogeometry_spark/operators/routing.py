@@ -60,6 +60,8 @@ __all__ = [
     "sssp",
     "harmonic_closeness",
     "harmonic_closeness_oracle_sql",
+    "betweenness",
+    "betweenness_oracle_sql",
     "huff_catchment",
     "huff_catchment_oracle_sql",
     "nearest_facility",
@@ -638,4 +640,281 @@ def harmonic_closeness_oracle_sql(
         "SUM(1000000000000 // dist_mm) AS closeness_q, "
         "SUM(1000000000000 // dist_mm) / 1e9 AS closeness "
         f"FROM ({inner}) WHERE dist_mm > 0 GROUP BY node // {n_lm}"
+    )
+
+
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 40,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w_mm",
+    node_col: str = "node",
+    max_sssp_rounds: int = 200,
+    scale: int = 10**9,
+    ratio_scale: int = 10**6,
+) -> DataFrame:
+    """K-source betweenness centrality (Brandes 2001, "A faster
+    algorithm for betweenness centrality"; source-sampled estimation
+    per Brandes & Pich 2007) — the completion of the centrality suite
+    (degree via graph stats, closeness, PageRank/HITS): how much of
+    the shortest-path traffic between the source set and everywhere
+    flows THROUGH each node.
+
+    Three exact phases, all deterministic fixed points:
+
+    1. Distances: ONE product-graph :func:`sssp` sweep (the
+       :func:`harmonic_closeness` trick — node * K + rank per source)
+       gives per-source exact mm distances.
+    2. Path counts sigma: the shortest-path DAG (edges with
+       dist(u) + w == dist(v); acyclic because weights must be > 0 —
+       validated) is materialized once, and sigma iterates the fixed
+       ``rounds``: sigma(v) = [v is source] or sum of predecessors'
+       sigma — pure BIGINT sums, exact once rounds >= the SP-DAG hop
+       depth (sigma overflows int64 only past ~9e18 equal-cost paths;
+       keep weights heterogeneous or sample fewer hops).
+    3. Dependency delta (Brandes' backward accumulation): the ratio
+       sigma(u)/sigma(v) <= 1 per DAG edge quantizes ONCE to
+       ppm by exact integer division; delta then iterates the same
+       fixed rounds in units of 1/scale:
+       delta(u) = sum over DAG successors v of
+       (r_uv * (scale + delta(v))) // ratio_scale — every operation
+       integer multiply / floor-divide / sum, so the DuckDB twin
+       (:func:`betweenness_oracle_sql`, everything unrolled to
+       MATERIALIZED CTEs) matches bit-for-bit.  The quantization
+       makes this a DEFINED fixed-point estimator: its value is a
+       pure function of the input, cross-engine exact, within ~1e-6
+       relative of the real-valued Brandes dependency.
+
+    Returns (node, bc_q, bc) over nodes reachable from >= 1 source,
+    excluding each source's own replica from its accumulation (the
+    Brandes endpoint rule); bc = bc_q / scale.  Directed convention:
+    for symmetric (two-way) edge relations each undirected path
+    contributes in both directions — halve downstream if you want
+    the undirected count."""
+    lm = sources.select(F.col(node_col).alias("_lm")).distinct()
+    from pyspark.sql import Window
+
+    lm = lm.select(
+        "_lm",
+        (F.row_number().over(Window.orderBy("_lm")) - 1)
+        .cast("long")
+        .alias("_rank"),
+    ).localCheckpoint()
+    n_lm = lm.count()
+    if n_lm == 0:
+        raise ValueError("betweenness needs >= 1 source")
+    spark = edges.sparkSession
+    bad = edges.where(F.col(w_col) <= 0).limit(1).count()
+    if bad:
+        raise ValueError(
+            "betweenness needs strictly positive weights (zero-weight "
+            "edges make the shortest-path DAG cyclic)"
+        )
+    reps = F.broadcast(
+        spark.range(n_lm).select(F.col("id").alias("_rep"))
+    )
+    prod_e = edges.crossJoin(reps).select(
+        (F.col(src_col) * n_lm + F.col("_rep")).alias("_u"),
+        (F.col(dst_col) * n_lm + F.col("_rep")).alias("_v"),
+        F.col(w_col).cast("long").alias("_w"),
+    )
+    seeds = lm.select(
+        (F.col("_lm") * n_lm + F.col("_rank")).alias("node")
+    ).localCheckpoint()
+    dist = sssp(
+        prod_e, seeds, src_col="_u", dst_col="_v", w_col="_w",
+        node_col="node", max_rounds=max_sssp_rounds,
+    ).localCheckpoint()
+
+    du = dist.select(F.col("node").alias("_u"), F.col("dist_mm").alias("_du"))
+    dv = dist.select(F.col("node").alias("_v"), F.col("dist_mm").alias("_dv"))
+    dag = (
+        prod_e.join(du, "_u")
+        .join(dv, "_v")
+        .where(F.col("_du") + F.col("_w") == F.col("_dv"))
+        .select("_u", "_v")
+        .repartition("_u")
+        .localCheckpoint()
+    )
+    nodes = dist.select("node").join(
+        seeds.withColumn("_seed", F.lit(True)), "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed")
+    ).repartition("node").localCheckpoint()
+
+    sigma = nodes.select(
+        "node",
+        F.when(F.col("_seed"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("_s"),
+    ).localCheckpoint()
+    for _ in range(int(rounds)):
+        preds = (
+            sigma.join(dag, sigma["node"] == dag["_u"])
+            .select(F.col("_v").alias("node"), F.col("_s").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        new_sigma = (
+            nodes.join(preds, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("_seed"), F.lit(1))
+                .otherwise(F.coalesce(F.col("_c"), F.lit(0)))
+                .cast("long")
+                .alias("_s"),
+            )
+            .localCheckpoint()
+        )
+        sigma.unpersist()
+        sigma = new_sigma
+
+    su = sigma.select(F.col("node").alias("_u"), F.col("_s").alias("_su"))
+    sv = sigma.select(F.col("node").alias("_v"), F.col("_s").alias("_sv"))
+    ratios = (
+        dag.join(su, "_u")
+        .join(sv, "_v")
+        .where(F.col("_sv") > 0)
+        .select(
+            "_u", "_v",
+            F.expr(f"(_su * {int(ratio_scale)}) div _sv").alias("_r"),
+        )
+        .repartition("_v")
+        .localCheckpoint()
+    )
+    delta = nodes.select(
+        "node", F.lit(0).cast("long").alias("_d")
+    ).localCheckpoint()
+    for _ in range(int(rounds)):
+        succ = (
+            delta.join(ratios, delta["node"] == ratios["_v"])
+            .select(
+                F.col("_u").alias("node"),
+                F.expr(
+                    f"(_r * ({int(scale)} + _d)) div {int(ratio_scale)}"
+                ).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        new_delta = (
+            nodes.join(succ, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_d"),
+            )
+            .localCheckpoint()
+        )
+        delta.unpersist()
+        delta = new_delta
+
+    out = (
+        nodes.where(~F.col("_seed"))
+        .join(delta, "node")
+        .select(
+            F.expr(f"node div {n_lm}").alias("node"),
+            F.col("_d").alias("_dq"),
+        )
+        .groupBy("node")
+        .agg(F.sum("_dq").alias("bc_q"))
+    )
+    return out.select(
+        "node", "bc_q",
+        (F.col("bc_q") / F.lit(float(scale))).alias("bc"),
+    )
+
+
+def betweenness_oracle_sql(
+    edges_subq: str,
+    source_ids: list[int],
+    sssp_rounds: int,
+    rounds: int = 40,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w_mm",
+    scale: int = 10**9,
+    ratio_scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`betweenness`: the product-graph
+    Bellman-Ford unroll (:func:`sssp_oracle_sql`), the SP-DAG, then
+    the same fixed ``rounds`` of integer sigma propagation and
+    quantized delta accumulation as MATERIALIZED CTE chains —
+    bit-identical."""
+    ids = sorted(set(int(x) for x in source_ids))
+    k = len(ids)
+    if k == 0:
+        raise ValueError("betweenness needs >= 1 source")
+    prod_edges = (
+        f"(SELECT {src_col} * {k} + i AS src, "
+        f"{dst_col} * {k} + i AS dst, {w_col} AS w_mm "
+        f"FROM {edges_subq} CROSS JOIN range({k}) t(i))"
+    )
+    seed_vals = ", ".join(
+        f"({nid * k + rank})" for rank, nid in enumerate(ids)
+    )
+    inner = sssp_oracle_sql(
+        prod_edges,
+        f"(SELECT * FROM (VALUES {seed_vals}) s(node))",
+        sssp_rounds,
+        src_col="src",
+        dst_col="dst",
+        w_col="w_mm",
+        node_col="node",
+    )
+    # inner is "WITH e AS ..., d0 ..., dN ... SELECT ..." — reuse its
+    # CTE chain by swapping the trailing SELECT for our continuation
+    prefix = inner[: inner.rfind(" SELECT ")]
+    dist = f"d{int(sssp_rounds)}"
+    parts = [
+        f"dag AS MATERIALIZED (SELECT e.src AS u, e.dst AS v FROM e "
+        f"JOIN {dist} du ON du.node = e.src "
+        f"JOIN {dist} dv ON dv.node = e.dst "
+        "WHERE du.dist_mm + e.w = dv.dist_mm)",
+        f"sd AS MATERIALIZED (SELECT * FROM (VALUES {seed_vals}) "
+        "s(node))",
+        f"nd AS MATERIALIZED (SELECT d.node, "
+        "(sd.node IS NOT NULL) AS seed "
+        f"FROM {dist} d LEFT JOIN sd ON sd.node = d.node)",
+        "s0 AS MATERIALIZED (SELECT node, CASE WHEN seed THEN "
+        "CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s FROM nd)",
+    ]
+    for t in range(int(rounds)):
+        parts.append(
+            f"s{t + 1} AS MATERIALIZED (SELECT nd.node, "
+            "CASE WHEN nd.seed THEN CAST(1 AS BIGINT) "
+            "ELSE coalesce(p.c, 0) END AS s "
+            "FROM nd LEFT JOIN "
+            f"(SELECT dag.v AS node, SUM(s.s) AS c FROM s{t} s "
+            "JOIN dag ON s.node = dag.u GROUP BY dag.v) p "
+            "USING (node))"
+        )
+    sk = f"s{int(rounds)}"
+    parts.append(
+        "ratios AS MATERIALIZED (SELECT dag.u, dag.v, "
+        f"(su.s * {int(ratio_scale)}) // sv.s AS r FROM dag "
+        f"JOIN {sk} su ON su.node = dag.u "
+        f"JOIN {sk} sv ON sv.node = dag.v WHERE sv.s > 0)"
+    )
+    parts.append(
+        "q0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS d "
+        "FROM nd)"
+    )
+    for t in range(int(rounds)):
+        parts.append(
+            f"q{t + 1} AS MATERIALIZED (SELECT nd.node, "
+            "coalesce(p.c, 0) AS d FROM nd LEFT JOIN "
+            f"(SELECT r.u AS node, SUM((r.r * ({int(scale)} + q.d)) "
+            f"// {int(ratio_scale)}) AS c "
+            f"FROM ratios r JOIN q{t} q ON q.node = r.v "
+            "GROUP BY r.u) p USING (node))"
+        )
+    qk = f"q{int(rounds)}"
+    return (
+        prefix + ", " + ", ".join(parts)
+        + f" SELECT nd.node // {k} AS node, SUM(q.d) AS bc_q, "
+        f"SUM(q.d) / {float(scale)!r} AS bc "
+        f"FROM nd JOIN {qk} q ON q.node = nd.node "
+        f"WHERE NOT nd.seed GROUP BY nd.node // {k}"
     )

@@ -571,3 +571,119 @@ def test_focal_stats_matches_duckdb_twin(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# colocation quotient
+# --------------------------------------------------------------------------
+
+CLQ_SCHEMA = "event_id long, user_id long, lat double, lon double, v int"
+
+
+def test_clq_segregated_vs_mixed(spark):
+    import pyspark.sql.functions as F
+
+    from geogeometry_spark.operators.density import colocation_quotient
+
+    # two tight same-group clusters far apart: every NN is same-group
+    rows = []
+    for i in range(6):
+        rows.append((i, 1, 52.0 + i * 1e-4, 13.0, 1))
+        rows.append((10 + i, 1, 52.5 + i * 1e-4, 13.5, 0))
+    out = colocation_quotient(
+        spark.createDataFrame(rows, CLQ_SCHEMA),
+        F.col("v") == 1,
+        r_max_m=500.0,
+        max_abs_lat=54.0,
+    ).collect()[0]
+    assert out.n_incl == 12 and out.na == 6
+    assert out.clq_ab_r6 == 0.0 and out.clq_ba_r6 == 0.0
+    # CLQ_AA = (1 / (5/11)) = 2.2
+    assert out.clq_aa_r6 == 2.2
+    # alternating groups along a line: every NN is the OTHER group
+    rows = [
+        (i, 1, 52.0 + i * 1e-4, 13.0, i % 2) for i in range(10)
+    ]
+    out = colocation_quotient(
+        spark.createDataFrame(rows, CLQ_SCHEMA),
+        F.col("v") == 1,
+        r_max_m=500.0,
+        max_abs_lat=54.0,
+    ).collect()[0]
+    assert out.clq_aa_r6 == 0.0 and out.clq_bb_r6 == 0.0
+    assert out.clq_ab_r6 == pytest.approx(1.8, abs=1e-6)  # 1/(5/9)
+
+
+def test_clq_coincident_pile_is_own_neighbor(spark):
+    import pyspark.sql.functions as F
+
+    from geogeometry_spark.operators.density import colocation_quotient
+
+    # a pile of 3 A's and a single B at the same position: the A's NN
+    # is a distance-0 A sibling (rep id of the A pile < B's only if
+    # min ids order that way — here A ids are smaller); B's NN is the
+    # A pile at distance 0
+    rows = [
+        (0, 1, 52.0, 13.0, 1),
+        (1, 1, 52.0, 13.0, 1),
+        (2, 1, 52.0, 13.0, 1),
+        (9, 1, 52.0, 13.0, 0),
+    ]
+    out = colocation_quotient(
+        spark.createDataFrame(rows, CLQ_SCHEMA),
+        F.col("v") == 1,
+        r_max_m=500.0,
+        max_abs_lat=54.0,
+    ).collect()[0]
+    assert out.n_incl == 4 and out.na == 3 and out.nb == 1
+    # all three A's -> A sibling; B -> A pile
+    assert out.clq_aa_r6 == pytest.approx(1.5, abs=1e-6)  # 1/(2/3)
+    assert out.clq_ba_r6 == pytest.approx(1.0, abs=1e-6)  # 1/(3/3)
+
+
+def test_clq_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from geogeometry_spark.operators.density import (
+        colocation_quotient,
+        colocation_quotient_oracle_sql,
+    )
+
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                i,
+                i % 11,
+                52.0 + ((i * 17) % 90) * 0.0009,
+                13.0 + ((i * 41) % 70) * 0.0013,
+                1 if (i * 13) % 3 == 0 else 0,
+            )
+        )
+    rows += [(1000 + j, 5, 52.01, 13.01, j % 2) for j in range(6)]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "lat", "lon", "v"]
+    )
+    duck.register("pts_clq", pdf)
+    got = [
+        tuple(r)
+        for r in colocation_quotient(
+            spark.createDataFrame(pdf),
+            F.col("v") == 1,
+            r_max_m=400.0,
+            max_abs_lat=53.0,
+        ).collect()
+    ]
+    want = [
+        tuple(w)
+        for w in duck.sql(
+            colocation_quotient_oracle_sql(
+                "(SELECT event_id, lat, lon, v FROM pts_clq)",
+                "v = 1",
+                r_max_m=400.0,
+                max_abs_lat=53.0,
+            )
+        ).fetchall()
+    ]
+    assert got == want

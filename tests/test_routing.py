@@ -263,3 +263,149 @@ def test_harmonic_closeness_twin_parity(spark):
     )
     con.close()
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# betweenness centrality
+# --------------------------------------------------------------------------
+
+def test_betweenness_path_graph_closed_form(spark):
+    from geogeometry_spark.operators.routing import betweenness
+
+    rows = []
+    for a, b in [(0, 1), (1, 2), (2, 3)]:
+        rows += [(a, b, 1000), (b, a, 1000)]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    src = spark.createDataFrame([(0,)], "node int")
+    out = {
+        r["node"]: r["bc_q"]
+        for r in betweenness(e, src, rounds=8).collect()
+    }
+    # from source 0: delta(1) = 2 (carries paths to 2 and 3),
+    # delta(2) = 1, delta(3) = 0
+    assert out == {1: 2 * 10**9, 2: 1 * 10**9, 3: 0}
+
+
+def _brandes_quantized(edges, sources, scale=10**9, ratio_scale=10**6):
+    """Pure-Python replica of the quantized Brandes fixed point."""
+    import heapq
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d, w in edges:
+        adj[s].append((d, w))
+        nodes |= {s, d}
+    bc = defaultdict(int)
+    for src in sources:
+        dist = {n: None for n in nodes}
+        dist[src] = 0
+        pq = [(0, src)]
+        while pq:
+            du, u = heapq.heappop(pq)
+            if dist[u] is not None and du > dist[u]:
+                continue
+            for v, w in adj[u]:
+                nd = du + w
+                if dist[v] is None or nd < dist[v]:
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        dag_succ = defaultdict(list)
+        for u in nodes:
+            if dist[u] is None:
+                continue
+            for v, w in adj[u]:
+                if dist[v] is not None and dist[u] + w == dist[v]:
+                    dag_succ[u].append(v)
+        # sigma by increasing dist
+        order = sorted(
+            (n for n in nodes if dist[n] is not None),
+            key=lambda n: dist[n],
+        )
+        sigma = {n: 0 for n in order}
+        sigma[src] = 1
+        for u in order:
+            for v in dag_succ[u]:
+                if v != src:
+                    sigma[v] += sigma[u]
+        delta = {n: 0 for n in order}
+        for u in reversed(order):
+            acc = 0
+            for v in dag_succ[u]:
+                r = (sigma[u] * ratio_scale) // sigma[v]
+                acc += (r * (scale + delta[v])) // ratio_scale
+            delta[u] = acc
+        for n in order:
+            if n != src:
+                bc[n] += delta[n]
+    return dict(bc)
+
+
+def test_betweenness_matches_python_reference(spark):
+    from geogeometry_spark.operators.routing import betweenness
+
+    rows = [
+        (i % 9, (i * 5 + 2) % 9, 700 + (i * 211) % 800)
+        for i in range(24)
+        if i % 9 != (i * 5 + 2) % 9
+    ]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    srcs = [0, 4]
+    out = {
+        r["node"]: r["bc_q"]
+        for r in betweenness(
+            e, spark.createDataFrame([(s,) for s in srcs], "node int"),
+            rounds=12,
+        ).collect()
+    }
+    want = _brandes_quantized(rows, srcs)
+    # operator emits every reachable non-source-replica node (zeros
+    # included); the reference only tracks touched nodes
+    for n, v in want.items():
+        assert out.get(n, 0) == v, (n, out.get(n), v)
+    for n, v in out.items():
+        assert want.get(n, 0) == v, (n, v, want.get(n))
+
+
+def test_betweenness_twin_parity(spark):
+    import duckdb
+
+    from geogeometry_spark.operators.routing import (
+        betweenness,
+        betweenness_oracle_sql,
+    )
+
+    rows = [
+        (i % 7, (i * 3 + 1) % 7, 500 + (i * 137) % 900)
+        for i in range(18)
+        if i % 7 != (i * 3 + 1) % 7
+    ]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    s = spark.createDataFrame([(0,), (3,)], "node int")
+    got = sorted(tuple(r) for r in betweenness(e, s, rounds=10).collect())
+    vals = ", ".join(f"({a}, {b}, {w})" for a, b, w in rows)
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            betweenness_oracle_sql(
+                f"(SELECT * FROM (VALUES {vals}) t(src, dst, w_mm))",
+                [0, 3],
+                sssp_rounds=12,
+                rounds=10,
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_betweenness_rejects_nonpositive_weights(spark):
+    from geogeometry_spark.operators.routing import betweenness
+
+    e = spark.createDataFrame(
+        [(0, 1, 0)], "src int, dst int, w_mm long"
+    )
+    s = spark.createDataFrame([(0,)], "node int")
+    with pytest.raises(ValueError, match="positive weights"):
+        betweenness(e, s)

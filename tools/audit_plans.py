@@ -41,6 +41,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("embed_pairs_topk", "global_window"): (
         "window over limit(20)-bounded rows"
     ),
+    ("tfidf_sim", "global_window"): (
+        "window over limit(20)-bounded rows (ranked_topk)"
+    ),
     # embed_pairs_topk is the documented brute-force O(n^2) verification
     # twin of the LSH scale path (embed_near_dups); the id_a < id_b
     # inequality join is its definition, not an accident.
