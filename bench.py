@@ -1081,6 +1081,37 @@ def main() -> None:
 
     timed("traj_edr_5m", traj_edr_5m, runs=1, warmup=False)
 
+    # colocation quotient rides the clark_evans NN machinery with a
+    # moving/parked class flag
+    from geogeometry_spark.operators.density import colocation_quotient
+
+    moving_5m = ((F.col("ts_sec") + F.col("user_id") * 977) % 14400) < 10800
+
+    def clq_5m():
+        colocation_quotient(
+            metro, moving_5m, r_max_m=100.0, max_abs_lat=54.0
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("clq_5m_metro", clq_5m, runs=1, warmup=True)
+
+    # K-source Brandes betweenness: 16k-node lattice (the 96-round
+    # driver loop is the measurement; the 65k graph quadruples the
+    # product relation and belongs in the scaling script)
+    from geogeometry_spark.operators.routing import betweenness
+
+    roads16 = synthetic_road_graph(spark, 128).localCheckpoint()
+    _corners16 = [0, 127, 128 * 127, 128 * 128 - 1]
+
+    def betweenness_road16():
+        betweenness(
+            roads16,
+            spark.createDataFrame([(n,) for n in _corners16], "node int"),
+            rounds=40,
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("betweenness_road_16k_4src", betweenness_road16, runs=1,
+          warmup=False)
+
     # TF-IDF pair ranking over the sf documents table
     from geogeometry_spark.operators.text import tfidf_topk_pairs
 
