@@ -679,7 +679,10 @@ def betweenness(
        ppm by exact integer division; delta then iterates the same
        fixed rounds in units of 1/scale:
        delta(u) = sum over DAG successors v of
-       (r_uv * (scale + delta(v))) // ratio_scale — every operation
+       (r_uv * (scale + delta(v))) // ratio_scale — evaluated through
+       the exact identity floor(r*q/s) = r*(q div s) + (r*(q mod s))
+       div s so no product exceeds 2^63 for any graph whose total
+       delta fits BIGINT — every operation
        integer multiply / floor-divide / sum, so the DuckDB twin
        (:func:`betweenness_oracle_sql`, everything unrolled to
        MATERIALIZED CTEs) matches bit-for-bit.  The quantization
@@ -792,8 +795,13 @@ def betweenness(
             delta.join(ratios, delta["node"] == ratios["_v"])
             .select(
                 F.col("_u").alias("node"),
+                # exact identity floor(r*q/s) = r*(q div s) +
+                # (r*(q mod s)) div s — keeps every product under
+                # 2^63 for any graph where total delta fits BIGINT
                 F.expr(
-                    f"(_r * ({int(scale)} + _d)) div {int(ratio_scale)}"
+                    f"_r * (({int(scale)} + _d) div {int(ratio_scale)})"
+                    f" + (_r * (({int(scale)} + _d) %"
+                    f" {int(ratio_scale)})) div {int(ratio_scale)}"
                 ).alias("_c"),
             )
             .groupBy("node")
@@ -905,8 +913,9 @@ def betweenness_oracle_sql(
         parts.append(
             f"q{t + 1} AS MATERIALIZED (SELECT nd.node, "
             "coalesce(p.c, 0) AS d FROM nd LEFT JOIN "
-            f"(SELECT r.u AS node, SUM((r.r * ({int(scale)} + q.d)) "
-            f"// {int(ratio_scale)}) AS c "
+            f"(SELECT r.u AS node, SUM(r.r * (({int(scale)} + q.d) "
+            f"// {int(ratio_scale)}) + (r.r * (({int(scale)} + q.d) "
+            f"% {int(ratio_scale)})) // {int(ratio_scale)}) AS c "
             f"FROM ratios r JOIN q{t} q ON q.node = r.v "
             "GROUP BY r.u) p USING (node))"
         )
