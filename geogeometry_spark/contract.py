@@ -3554,6 +3554,33 @@ def _ripley_oracle() -> str:
     )
 
 
+def q_pcf(spark, sf_dir):
+    """Binned pair correlation function g(r) (operators/density.py
+    pair_correlation — Stoyan & Stoyan 1994): the non-cumulative
+    derivative reading of Ripley's K over the same metro ladder;
+    exact BIGINT cumulative counts difference into rings driver-side,
+    pinned K-difference / ring-area chain, lag-window twin."""
+    from .operators.density import pair_correlation
+
+    return pair_correlation(
+        _metro_points(spark, sf_dir),
+        radii_m=_RIPLEY_RADII_M,
+        area_m2=_RIPLEY_AREA_M2,
+        max_abs_lat=54.0,
+    )
+
+
+def _pcf_oracle() -> str:
+    from .operators.density import pair_correlation_oracle_sql
+
+    return pair_correlation_oracle_sql(
+        _METRO_SUBQ,
+        radii_m=_RIPLEY_RADII_M,
+        area_m2=_RIPLEY_AREA_M2,
+        max_abs_lat=54.0,
+    )
+
+
 def q_clark_evans(spark, sf_dir):
     """Clark-Evans nearest-neighbor index over the metro fix stream
     (operators/density.py): coincident fixes collapse to
@@ -4824,6 +4851,7 @@ QUERIES = {
     "kde": q_kde,
     "ripley": q_ripley,
     "clark_evans": q_clark_evans,
+    "pcf": q_pcf,
     "variogram": q_variogram,
     "traj_dtw": q_traj_dtw,
     "traj_lcss": q_traj_lcss,
@@ -4991,6 +5019,7 @@ def _static_oracles() -> dict[str, str]:
         "kde": _kde_oracle(),
         "ripley": _ripley_oracle(),
         "clark_evans": _clark_evans_oracle(),
+        "pcf": _pcf_oracle(),
         "variogram": _variogram_oracle(),
         "traj_dtw": _traj_dtw_oracle(),
         "traj_lcss": _traj_lcss_oracle(),

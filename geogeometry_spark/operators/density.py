@@ -70,6 +70,8 @@ __all__ = [
     "focal_stats_oracle_sql",
     "colocation_quotient",
     "colocation_quotient_oracle_sql",
+    "pair_correlation",
+    "pair_correlation_oracle_sql",
 ]
 
 
@@ -1166,4 +1168,98 @@ def colocation_quotient_oracle_sql(
         "round((c_bb / CAST(n_incl - na AS DOUBLE)) / "
         "((n_incl - na - 1) / (n_incl - 1.0)), 6) END AS clq_bb_r6 "
         "FROM agg CROSS JOIN tot"
+    )
+
+
+def pair_correlation(
+    points: DataFrame,
+    radii_m: list[float],
+    area_m2: float,
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> DataFrame:
+    """Binned pair correlation function g(r) (Stoyan & Stoyan 1994;
+    the derivative reading of Ripley's K): for each ring
+    (r_{i-1}, r_i], g = (K(r_i) - K(r_{i-1})) / (pi (r_i^2 -
+    r_{i-1}^2)) — the NON-cumulative view that makes the
+    characteristic interaction distance readable where K integrates
+    over it (g > 1 attraction at that distance, < 1 inhibition).
+
+    Rides :func:`ripley_k` wholesale: the exact BIGINT cumulative
+    pair counts collect (one bounded ladder-size row set — the gini
+    driver-relation pattern) and difference into ring counts
+    driver-side; the g floats combine in a pinned order the DuckDB
+    twin (a lag window over the ripley twin's ladder) mirrors.
+
+    Returns one row per ring: (bin, lo_mm, hi_mm, ring_pairs, g_r6);
+    bin 0 covers (0, radii[0]] and includes coincident pairs."""
+    rip = ripley_k(
+        points, radii_m, area_m2, id_col, lat_col, lon_col, max_abs_lat
+    ).orderBy("r_mm").collect()
+    spark = points.sparkSession
+    rows = []
+    prev_pairs = 0
+    prev_mm = 0
+    pi = 3.141592653589793
+    for i, r in enumerate(rip):
+        ring = int(r["pairs"]) - prev_pairs
+        n = int(r["n_points"])
+        g = None
+        if n > 1 and area_m2 > 0:
+            # pinned: the K-difference form, mirrored by the twin
+            k_diff = (float(area_m2) * (2.0 * ring)) / (
+                float(n) * float(n - 1)
+            )
+            lo = prev_mm / 1000.0
+            hi = int(r["r_mm"]) / 1000.0
+            ring_area = pi * (hi * hi - lo * lo)
+            g = k_diff / ring_area
+        rows.append((i, prev_mm, int(r["r_mm"]), ring, g))
+        prev_pairs = int(r["pairs"])
+        prev_mm = int(r["r_mm"])
+    out = spark.createDataFrame(
+        rows, "bin int, lo_mm long, hi_mm long, ring_pairs long, _g double"
+    )
+    return out.select(
+        "bin", "lo_mm", "hi_mm", "ring_pairs",
+        F.round(F.col("_g"), 6).alias("g_r6"),
+    )
+
+
+def pair_correlation_oracle_sql(
+    subq: str,
+    radii_m: list[float],
+    area_m2: float,
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_abs_lat: float = C.TILE_MAX_LAT,
+) -> str:
+    """DuckDB twin of :func:`pair_correlation`: the ripley twin as a
+    CTE, ring differences via a lag window over the ladder, the same
+    pinned K-difference / ring-area chain."""
+    inner = ripley_k_oracle_sql(
+        subq, radii_m, area_m2, id_col, lat, lon, max_abs_lat
+    )
+    area = f"{float(area_m2)!r}"
+    return (
+        f"WITH rip AS MATERIALIZED ({inner}), "
+        "rings AS (SELECT "
+        "CAST(row_number() OVER (ORDER BY r_mm) - 1 AS INT) AS bin, "
+        "coalesce(lag(r_mm) OVER (ORDER BY r_mm), 0) AS lo_mm, "
+        "r_mm AS hi_mm, "
+        "pairs - coalesce(lag(pairs) OVER (ORDER BY r_mm), 0) "
+        "AS ring_pairs, n_points AS n FROM rip) "
+        "SELECT bin, lo_mm, hi_mm, ring_pairs, "
+        f"CASE WHEN n > 1 AND {area} > 0 THEN round("
+        f"(({area} * (2.0 * ring_pairs)) / "
+        "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / "
+        "(3.141592653589793 * "
+        "((CAST(hi_mm AS DOUBLE) / 1000.0) * "
+        "(CAST(hi_mm AS DOUBLE) / 1000.0) - "
+        "(CAST(lo_mm AS DOUBLE) / 1000.0) * "
+        "(CAST(lo_mm AS DOUBLE) / 1000.0))), 6) END AS g_r6 "
+        "FROM rings"
     )

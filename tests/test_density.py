@@ -687,3 +687,89 @@ def test_clq_matches_duckdb_twin(spark, duck):
         ).fetchall()
     ]
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# pair correlation function
+# --------------------------------------------------------------------------
+
+def test_pcf_rings_sum_to_ripley_and_twin(spark, duck):
+    import pandas as pd
+
+    from geogeometry_spark.operators.density import (
+        pair_correlation,
+        pair_correlation_oracle_sql,
+        ripley_k,
+    )
+
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                i % 11,
+                52.0 + ((i * 17) % 90) * 0.0009,
+                13.0 + ((i * 41) % 70) * 0.0013,
+            )
+        )
+    rows += [(1000 + j, 5, 52.01, 13.01) for j in range(5)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "lat", "lon"])
+    duck.register("pts_pcf", pdf)
+    radii = [100.0, 300.0, 900.0]
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        tuple(r)
+        for r in pair_correlation(
+            df, radii_m=radii, area_m2=5.0e7, max_abs_lat=53.0
+        ).collect()
+    )
+    # ring counts must re-cumulate to ripley's pair counts
+    rip = {
+        r["r_mm"]: r["pairs"]
+        for r in ripley_k(
+            df, radii_m=radii, area_m2=5.0e7, max_abs_lat=53.0
+        ).collect()
+    }
+    cum = 0
+    for bin_, lo, hi, ring, g in got:
+        cum += ring
+        assert cum == rip[hi]
+    want = sorted(
+        tuple(w)
+        for w in duck.sql(
+            pair_correlation_oracle_sql(
+                "(SELECT event_id, lat, lon FROM pts_pcf)",
+                radii_m=radii,
+                area_m2=5.0e7,
+                max_abs_lat=53.0,
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_pcf_csr_is_flat_near_one(spark):
+    from geogeometry_spark.operators.density import pair_correlation
+
+    # near-uniform grid of points over a known area: g ~ 1 in rings
+    # well inside the extent
+    rows = []
+    k = 0
+    for a in range(40):
+        for b in range(40):
+            rows.append(
+                (k, 1, 52.0 + a * 0.0018 + (k % 3) * 0.0004,
+                 13.0 + b * 0.0029 + (k % 5) * 0.0005)
+            )
+            k += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, lat double, lon double"
+    )
+    # extent ~ 0.072 x 0.116 deg at 52N ~ 8000 m x 7900 m
+    out = pair_correlation(
+        df, radii_m=[200.0, 400.0, 800.0], area_m2=6.3e7,
+        max_abs_lat=53.0,
+    ).collect()
+    g_mid = [r["g_r6"] for r in out if r["bin"] >= 1]
+    for g in g_mid:
+        assert 0.5 < g < 1.6, out
