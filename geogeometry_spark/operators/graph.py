@@ -401,6 +401,7 @@ def boruvka_mst(
     from .dedup import connected_components
 
     picked = []
+    merged_all = False
     for _ in range(int(max_rounds)):
         ca = comp.select(
             F.col("node").alias("a"), F.col("comp").alias("ca")
@@ -415,6 +416,7 @@ def boruvka_mst(
             .localCheckpoint()
         )
         if lab.isEmpty():
+            merged_all = True
             break
         # each component's minimum OUTGOING edge under the total order
         # (w, a, b): struct min keyed by component — the candidate
@@ -451,6 +453,17 @@ def boruvka_mst(
         comp.unpersist()
         lab.unpersist()
         comp = new_comp
+    if not merged_all:
+        import warnings
+
+        warnings.warn(
+            f"boruvka_mst: components still merging after max_rounds="
+            f"{max_rounds}; the returned forest is incomplete. Boruvka "
+            "halves components every round, so this needs a graph past "
+            f"2^{max_rounds} nodes or a bug — raise max_rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if not picked:
         spark = edges.sparkSession
         return spark.createDataFrame([], "src long, dst long, w long")

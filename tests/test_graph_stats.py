@@ -455,3 +455,16 @@ def test_mst_spanning_tree_size_on_lattice(spark):
     want = _kruskal(rows)
     assert got == want
     assert len(got) == 24  # n - 1
+
+
+def test_mst_warns_on_insufficient_rounds(spark):
+    import warnings
+
+    from geogeometry_spark.operators.graph import boruvka_mst
+
+    rows = [(i, i + 1, 10 + i) for i in range(6)]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        boruvka_mst(e, max_rounds=1).collect()
+        assert any("incomplete" in str(x.message) for x in w)
