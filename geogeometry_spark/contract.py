@@ -4130,6 +4130,23 @@ def _gini_oracle() -> str:
     return spatial_gini_oracle_sql(_TRAJ_SUBQ, zoom=8)
 
 
+def q_stkde(spark, sf_dir):
+    """Space-time kernel density over the (z8 cell, daily bucket)
+    cube (operators/density.py stkde_cube — Nakaya & Yano 2010): the
+    temporal extension of the KDE stencil; occupied-bin collapse,
+    bounded separable space x time integer stencil (ppb literals
+    shared by both engines), exact BIGINT mass sums."""
+    from .operators.density import stkde_cube
+
+    return stkde_cube(_traj_points(spark, sf_dir), zoom=8, bucket_s=86400)
+
+
+def _stkde_oracle() -> str:
+    from .operators.density import stkde_cube_oracle_sql
+
+    return stkde_cube_oracle_sql(_TRAJ_SUBQ, zoom=8, bucket_s=86400)
+
+
 def q_focal_stats(spark, sf_dir):
     """Focal 3x3 neighborhood statistics of z8 cell counts
     (operators/density.py focal_stats — Tomlin map algebra): the
@@ -4886,6 +4903,7 @@ QUERIES = {
     "gini": q_gini,
     "entropy": q_entropy,
     "focal_stats": q_focal_stats,
+    "stkde": q_stkde,
     "ht_breaks": q_ht_breaks,
     "trend_surface": q_trend_surface,
     "segregation": q_segregation,
@@ -5053,6 +5071,7 @@ def _static_oracles() -> dict[str, str]:
         "gini": _gini_oracle(),
         "entropy": _entropy_oracle(),
         "focal_stats": _focal_stats_oracle(),
+        "stkde": _stkde_oracle(),
         "ht_breaks": _ht_breaks_oracle(),
         "trend_surface": _trend_surface_oracle(),
         "segregation": _segregation_oracle(),

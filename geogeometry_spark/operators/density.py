@@ -72,6 +72,8 @@ __all__ = [
     "colocation_quotient_oracle_sql",
     "pair_correlation",
     "pair_correlation_oracle_sql",
+    "stkde_cube",
+    "stkde_cube_oracle_sql",
 ]
 
 
@@ -1262,4 +1264,152 @@ def pair_correlation_oracle_sql(
         "(CAST(lo_mm AS DOUBLE) / 1000.0) * "
         "(CAST(lo_mm AS DOUBLE) / 1000.0))), 6) END AS g_r6 "
         "FROM rings"
+    )
+
+
+def _stkde_stencil(
+    radius_cells: int,
+    sigma_cells: float,
+    radius_buckets: int,
+    sigma_buckets: float,
+    weight_scale: int,
+) -> list[tuple[int, int, int, int]]:
+    """Separable truncated space-time Gaussian stencil as
+    (dx, dy, dt, w_q) integer quadruples — the :func:`_kde_stencil`
+    weights times a temporal Gaussian, quantized ONCE driver-side."""
+    out = []
+    r2 = radius_cells * radius_cells
+    for dx in range(-radius_cells, radius_cells + 1):
+        for dy in range(-radius_cells, radius_cells + 1):
+            d2 = dx * dx + dy * dy
+            if d2 > r2:
+                continue
+            ws = math.exp(-d2 / (2.0 * sigma_cells * sigma_cells))
+            for dt in range(-radius_buckets, radius_buckets + 1):
+                wt = math.exp(
+                    -(dt * dt) / (2.0 * sigma_buckets * sigma_buckets)
+                )
+                w_q = round(ws * wt * weight_scale)
+                if w_q > 0:
+                    out.append((dx, dy, dt, w_q))
+    return out
+
+
+def stkde_cube(
+    points: DataFrame,
+    zoom: int = 8,
+    bucket_s: int = 3600,
+    radius_cells: int = 3,
+    sigma_cells: float = 1.5,
+    radius_buckets: int = 2,
+    sigma_buckets: float = 1.0,
+    weight_scale: int = 1_000_000_000,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    ts_col: str = "ts_sec",
+) -> DataFrame:
+    """Space-time kernel density over the (tile, time-bucket) cube
+    (Nakaya & Yano 2010, the crime/epidemiology STKDE; Brunsdon et
+    al. 2007) — the temporal extension of :func:`kde_grid` and the
+    smoothed companion to the emerging-hotspots space-time cube: each
+    occupied (cell, bucket) bin's count spreads through a separable
+    truncated space x time Gaussian.
+
+    Same exactness and scale shape as KDE: points collapse ONCE to
+    occupied cube bins (map-side combinable), the BIN relation
+    explodes by the bounded integer stencil (quantized to ppb
+    driver-side — identical literals in both engines), one
+    re-aggregation; every shuffled value is an exact BIGINT.  x wraps
+    mod 2^zoom, pole-edge rows drop, time buckets are unbounded
+    integers (no wrap).
+
+    Returns one row per cube address receiving mass: (tx, ty, tb,
+    src_bins, density_q, kde_r3)."""
+    n_tiles = 1 << zoom
+    stencil = _stkde_stencil(
+        radius_cells, sigma_cells, radius_buckets, sigma_buckets,
+        weight_scale,
+    )
+    x, y = C.tile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    tb = F.floor(F.col(ts_col) / F.lit(int(bucket_s))).cast("long")
+    bins = points.groupBy(
+        x.alias("tx"), y.alias("ty"), tb.alias("tb")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(dt).alias("dt"),
+                F.lit(w).alias("w"),
+            )
+            for dx, dy, dt, w in stencil
+        ]
+    )
+    spread = bins.withColumn("_o", F.explode(offs)).select(
+        F.pmod(F.col("tx") + F.col("_o.dx"), F.lit(n_tiles)).alias("nx"),
+        (F.col("ty") + F.col("_o.dy")).alias("ny"),
+        (F.col("tb") + F.col("_o.dt")).alias("nb"),
+        (F.col("cnt") * F.col("_o.w")).alias("mass"),
+    )
+    out = (
+        spread.where((F.col("ny") >= 0) & (F.col("ny") < F.lit(n_tiles)))
+        .groupBy(
+            F.col("nx").alias("tx"),
+            F.col("ny").alias("ty"),
+            F.col("nb").alias("tb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("src_bins"),
+            F.sum("mass").alias("density_q"),
+        )
+    )
+    kde = F.col("density_q").cast("double") / F.lit(float(weight_scale))
+    return out.select(
+        "tx", "ty", "tb", "src_bins", "density_q",
+        F.round(kde, 3).alias("kde_r3"),
+    )
+
+
+def stkde_cube_oracle_sql(
+    subq: str,
+    zoom: int = 8,
+    bucket_s: int = 3600,
+    radius_cells: int = 3,
+    sigma_cells: float = 1.5,
+    radius_buckets: int = 2,
+    sigma_buckets: float = 1.0,
+    weight_scale: int = 1_000_000_000,
+    lat: str = "lat",
+    lon: str = "lon",
+    ts: str = "ts_sec",
+) -> str:
+    """DuckDB twin of :func:`stkde_cube`: the SAME integer stencil
+    literals (shared :func:`_stkde_stencil`), same bin collapse,
+    wrap / pole-edge rules, exact BIGINT mass sums."""
+    n_tiles = 1 << zoom
+    stencil = _stkde_stencil(
+        radius_cells, sigma_cells, radius_buckets, sigma_buckets,
+        weight_scale,
+    )
+    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    offs = ", ".join(
+        f"({dx}, {dy}, {dt}, {w})" for dx, dy, dt, w in stencil
+    )
+    return (
+        f"WITH bins AS (SELECT {tx} AS tx, {ty} AS ty, "
+        f"CAST(floor(CAST(({ts}) AS DOUBLE) / {int(bucket_s)}) "
+        "AS BIGINT) AS tb, "
+        f"count(*) AS cnt FROM {subq} GROUP BY 1, 2, 3), "
+        f"stencil(dx, dy, dt, w) AS (VALUES {offs}), "
+        "spread AS (SELECT "
+        f"((tx + dx) % {n_tiles} + {n_tiles}) % {n_tiles} AS nx, "
+        "ty + dy AS ny, tb + dt AS nb, cnt * w AS mass "
+        "FROM bins CROSS JOIN stencil) "
+        "SELECT nx AS tx, ny AS ty, nb AS tb, count(*) AS src_bins, "
+        "sum(mass) AS density_q, "
+        f"round(CAST(sum(mass) AS DOUBLE) / {float(weight_scale)!r}, 3) "
+        "AS kde_r3 "
+        f"FROM spread WHERE ny >= 0 AND ny < {n_tiles} "
+        "GROUP BY 1, 2, 3"
     )

@@ -773,3 +773,90 @@ def test_pcf_csr_is_flat_near_one(spark):
     g_mid = [r["g_r6"] for r in out if r["bin"] >= 1]
     for g in g_mid:
         assert 0.5 < g < 1.6, out
+
+
+# --------------------------------------------------------------------------
+# space-time KDE cube
+# --------------------------------------------------------------------------
+
+STK_SCHEMA = "event_id long, user_id long, ts_sec long, lat double, lon double"
+
+
+def test_stkde_single_point_spreads_separable_stencil(spark):
+    from geogeometry_spark.operators.density import (
+        _stkde_stencil,
+        stkde_cube,
+    )
+
+    out = stkde_cube(
+        spark.createDataFrame([(1, 1, 7200, 0.0, 0.0)], STK_SCHEMA),
+        zoom=8,
+        bucket_s=3600,
+    ).collect()
+    st = {
+        (dx, dy, dt): w
+        for dx, dy, dt, w in _stkde_stencil(3, 1.5, 2, 1.0, 10**9)
+    }
+    assert len(out) == len(st)  # 29 spatial x 5 temporal
+    center = max(out, key=lambda r: r.density_q)
+    assert (center.tx, center.ty, center.tb) and center.density_q == 10**9
+    for r in out:
+        key = (r.tx - center.tx, r.ty - center.ty, r.tb - center.tb)
+        assert r.density_q == st[key]
+        assert r.src_bins == 1
+
+
+def test_stkde_temporal_separation(spark):
+    from geogeometry_spark.operators.density import stkde_cube
+
+    # two bursts 10 buckets apart: no cross-contamination (radius 2)
+    rows = [(i, 1, 0, 10.0, 10.0) for i in range(3)]
+    rows += [(10 + i, 1, 36000, 10.0, 10.0) for i in range(5)]
+    out = stkde_cube(
+        spark.createDataFrame(rows, STK_SCHEMA), zoom=8, bucket_s=3600
+    ).collect()
+    # center bins carry exactly their own burst's mass
+    by_tb = {r.tb: r for r in out if r.density_q % 10**9 == 0}
+    assert by_tb[0].density_q == 3 * 10**9
+    assert by_tb[10].density_q == 5 * 10**9
+
+
+def test_stkde_matches_duckdb_twin(spark, duck):
+    import pandas as pd
+
+    from geogeometry_spark.operators.density import (
+        stkde_cube,
+        stkde_cube_oracle_sql,
+    )
+
+    rows = [
+        (
+            i,
+            i % 7,
+            3600 * ((i * 13) % 30),
+            -60.0 + ((i * 17) % 120) * 0.9,
+            -170.0 + ((i * 41) % 340),
+        )
+        for i in range(400)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts_sec", "lat", "lon"]
+    )
+    duck.register("pts_stk", pdf)
+    got = sorted(
+        tuple(r)
+        for r in stkde_cube(
+            spark.createDataFrame(pdf), zoom=6, bucket_s=7200
+        ).collect()
+    )
+    want = sorted(
+        tuple(w)
+        for w in duck.sql(
+            stkde_cube_oracle_sql(
+                "(SELECT ts_sec, lat, lon FROM pts_stk)",
+                zoom=6,
+                bucket_s=7200,
+            )
+        ).fetchall()
+    )
+    assert got == want
