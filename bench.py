@@ -863,6 +863,15 @@ def main() -> None:
 
     timed("kde_5m", kde_5m, runs=3, warmup=True)
 
+    from geogeometry_spark.operators.density import stkde_cube
+
+    def stkde_5m():
+        stkde_cube(fixes, zoom=8, bucket_s=86400).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("stkde_5m", stkde_5m, runs=3, warmup=True)
+
     # Ripley's K over the 5M metro fixes: multiplicity-collapsed reps,
     # forward-halved grid candidate pairs, per-radius conditional sums.
     # Radii sized for metro density (r_max 100 m -> ~6 reps/cell) so
