@@ -454,6 +454,20 @@ def boruvka_mst(
         lab.unpersist()
         comp = new_comp
     if not merged_all:
+        # The loop exhausted max_rounds — but the FINAL round's selected
+        # edges may have completed the merge (merged_all is only set by
+        # the pre-round emptiness probe).  Re-check against the final
+        # labeling before warning, so a graph needing exactly max_rounds
+        # rounds does not get a spurious incomplete-forest warning.
+        ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+        cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+        merged_all = (
+            e.join(ca, "a")
+            .join(cb, "b")
+            .where(F.col("ca") != F.col("cb"))
+            .isEmpty()
+        )
+    if not merged_all:
         import warnings
 
         warnings.warn(

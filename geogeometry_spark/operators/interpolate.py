@@ -212,17 +212,41 @@ def trend_surface(
         & F.col(lon_col).isNotNull()
         & F.col(value_col).isNotNull()
     ).select(x.alias("_x"), y.alias("_y"), z.alias("_z"))
+    # try_multiply/try_sum: overflow yields NULL in BOTH ANSI and
+    # legacy mode, so the one-pass aggregate always completes and the
+    # guard below raises a uniform, actionable error instead of either
+    # an ANSI ArithmeticException mid-job or a silent legacy wrap.
+    tm = F.try_multiply
     row = keyed.agg(
         F.count(F.lit(1)),
         F.sum("_x"), F.sum("_y"), F.sum("_z"),
-        F.sum(F.col("_x") * F.col("_x")),
-        F.sum(F.col("_x") * F.col("_y")),
-        F.sum(F.col("_y") * F.col("_y")),
-        F.sum(F.col("_x") * F.col("_z")),
-        F.sum(F.col("_y") * F.col("_z")),
-        F.sum(F.col("_z") * F.col("_z")),
+        F.try_sum(tm(F.col("_x"), F.col("_x"))),
+        F.try_sum(tm(F.col("_x"), F.col("_y"))),
+        F.try_sum(tm(F.col("_y"), F.col("_y"))),
+        F.try_sum(tm(F.col("_x"), F.col("_z"))),
+        F.try_sum(tm(F.col("_y"), F.col("_z"))),
+        F.try_sum(tm(F.col("_z"), F.col("_z"))),
+        F.max(F.abs(F.col("_x"))),
+        F.max(F.abs(F.col("_y"))),
+        F.max(F.abs(F.col("_z"))),
     ).first()
+    # Guard the documented overflow bound (the segregation_indices
+    # pattern): past it the BIGINT moments would wrap silently in Spark
+    # while the DuckDB twin sums to HUGEINT — a silent cross-engine
+    # divergence.  Raise instead; the extra maxes ride the same one-pass
+    # aggregate, no second scan.
+    mx, my, mz = (int(row[i] or 0) for i in (10, 11, 12))
     n = int(row[0])
+    if mx > 200_000 or my > 200_000 or mz > 1_000_000 or (
+        n > 0 and any(row[i] is None for i in range(4, 10))
+    ):
+        raise ValueError(
+            "trend_surface: coordinate/value bounds exceeded "
+            f"(max |x|={mx}, |y|={my} millideg offsets, |z|={mz}; "
+            "documented bounds are 200000/200000/1000000) — BIGINT "
+            "moments would overflow. Use a coarser offset unit or "
+            "pre-scale the value column."
+        )
     sx, sy, sz = (float(row[i] or 0) for i in (1, 2, 3))
     sxx, sxy, syy = (float(row[i] or 0) for i in (4, 5, 6))
     sxz, syz, szz = (float(row[i] or 0) for i in (7, 8, 9))

@@ -565,12 +565,18 @@ def harmonic_closeness(
     reps = F.broadcast(
         spark.range(n_lm).select(F.col("id").alias("_rep"))
     )
+    # Cast node ids to long BEFORE the composite-id multiply: with
+    # IntegerType inputs Spark would wrap silently near 2^31 / L while
+    # the DuckDB twin errors — the documented '< 2^62 / L' bound only
+    # holds in 64-bit arithmetic.
     prod_edges = edges.crossJoin(reps).select(
-        (F.col(src_col) * n_lm + F.col("_rep")).alias("src"),
-        (F.col(dst_col) * n_lm + F.col("_rep")).alias("dst"),
+        (F.col(src_col).cast("long") * n_lm + F.col("_rep")).alias("src"),
+        (F.col(dst_col).cast("long") * n_lm + F.col("_rep")).alias("dst"),
         F.col(w_col).alias("w_mm"),
     )
-    seeds = lm.select((F.col("_lm") * n_lm + F.col("_rank")).alias("node"))
+    seeds = lm.select(
+        (F.col("_lm").cast("long") * n_lm + F.col("_rank")).alias("node")
+    )
     dist = sssp(
         prod_edges,
         seeds,
@@ -718,13 +724,15 @@ def betweenness(
     reps = F.broadcast(
         spark.range(n_lm).select(F.col("id").alias("_rep"))
     )
+    # long cast before the composite-id multiply (same wrap hazard as
+    # harmonic_closeness: IntegerType ids would overflow at 2^31 / L).
     prod_e = edges.crossJoin(reps).select(
-        (F.col(src_col) * n_lm + F.col("_rep")).alias("_u"),
-        (F.col(dst_col) * n_lm + F.col("_rep")).alias("_v"),
+        (F.col(src_col).cast("long") * n_lm + F.col("_rep")).alias("_u"),
+        (F.col(dst_col).cast("long") * n_lm + F.col("_rep")).alias("_v"),
         F.col(w_col).cast("long").alias("_w"),
     )
     seeds = lm.select(
-        (F.col("_lm") * n_lm + F.col("_rank")).alias("node")
+        (F.col("_lm").cast("long") * n_lm + F.col("_rank")).alias("node")
     ).localCheckpoint()
     dist = sssp(
         prod_e, seeds, src_col="_u", dst_col="_v", w_col="_w",

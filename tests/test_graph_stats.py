@@ -462,9 +462,32 @@ def test_mst_warns_on_insufficient_rounds(spark):
 
     from geogeometry_spark.operators.graph import boruvka_mst
 
+    # Path 0-1-2-3 with an expensive middle edge: round 1 selects only
+    # (0,1) and (2,3) — no endpoint of (1,2) has it as its min incident
+    # edge — so max_rounds=1 genuinely leaves two components unmerged.
+    rows = [(0, 1, 1), (1, 2, 100), (2, 3, 2)]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = boruvka_mst(e, max_rounds=1).collect()
+        assert any("incomplete" in str(x.message) for x in w)
+    assert len(got) == 2  # (1,2) missing from the forest
+
+
+def test_mst_no_spurious_warning_when_final_round_completes(spark):
+    import warnings
+
+    from geogeometry_spark.operators.graph import boruvka_mst
+
+    # Increasing-weight path: EVERY edge is the min incident edge of its
+    # right endpoint, so round 1 selects all edges and the merge
+    # completes in exactly max_rounds=1.  The pre-round emptiness probe
+    # never sees the merged state; the post-loop re-check must suppress
+    # the incomplete-forest warning (ADVICE round 4).
     rows = [(i, i + 1, 10 + i) for i in range(6)]
     e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        boruvka_mst(e, max_rounds=1).collect()
-        assert any("incomplete" in str(x.message) for x in w)
+        got = boruvka_mst(e, max_rounds=1).collect()
+        assert not any("incomplete" in str(x.message) for x in w)
+    assert len(got) == 6  # complete spanning tree of the 7-node path

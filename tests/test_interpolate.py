@@ -223,3 +223,28 @@ def test_trend_surface_matches_duckdb_twin(spark):
     ]
     con.close()
     assert got == want
+
+
+def test_trend_surface_raises_past_overflow_bounds(spark):
+    from geogeometry_spark.operators.interpolate import trend_surface
+
+    # |z| past 10^6: the BIGINT moment Szz would overflow long before
+    # 10^8 points at this magnitude, and Spark would wrap silently
+    # while the DuckDB twin promotes to HUGEINT — so the operator must
+    # refuse (ADVICE round 4).
+    rows = [(i, 50.0 + i / 1000.0, 8.0 + i / 1000.0, 5_000_000_000)
+            for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, lat double, lon double, v long"
+    )
+    with pytest.raises(ValueError, match="bounds exceeded"):
+        trend_surface(df, value_col="v", ref_lat=50.0, ref_lon=8.0)
+
+    # |x| past 200000 millideg (a > +/-200 deg window after wrap-free
+    # offsets) must refuse too
+    rows = [(i, 50.0, 8.0 + (300.0 + i), 10) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, lat double, lon double, v long"
+    )
+    with pytest.raises(ValueError, match="bounds exceeded"):
+        trend_surface(df, value_col="v", ref_lat=50.0, ref_lon=8.0)

@@ -409,3 +409,42 @@ def test_betweenness_rejects_nonpositive_weights(spark):
     s = spark.createDataFrame([(0,)], "node int")
     with pytest.raises(ValueError, match="positive weights"):
         betweenness(e, s)
+
+
+def test_harmonic_closeness_int_ids_past_wrap_point(spark):
+    # ADVICE round 4: with IntegerType node ids the composite id
+    # (src * n_lm + rep) used to multiply in 32-bit and wrap silently
+    # near 2^31 / L.  Ids around 1.1e9 with two landmarks put the
+    # composite at ~2.2e9 > 2^31 — the long cast must keep it exact.
+    base = 1_100_000_000
+    rows = [
+        (base, base + 1, 1000),
+        (base + 1, base, 1000),
+        (base + 1, base + 2, 1000),
+        (base + 2, base + 1, 1000),
+    ]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    lm = spark.createDataFrame([(base,), (base + 2,)], "node int")
+    from geogeometry_spark.operators.routing import harmonic_closeness
+
+    got = {r["node"]: r for r in harmonic_closeness(e, lm).collect()}
+    assert set(got) == {base, base + 1, base + 2}
+    assert got[base + 1]["n_reached"] == 2
+    assert got[base + 1]["closeness_q"] == 2 * (10**12 // 1000)
+
+
+def test_betweenness_int_ids_past_wrap_point(spark):
+    from geogeometry_spark.operators.routing import betweenness
+
+    base = 1_100_000_000
+    rows = [
+        (base, base + 1, 1000),
+        (base + 1, base, 1000),
+        (base + 1, base + 2, 1000),
+        (base + 2, base + 1, 1000),
+    ]
+    e = spark.createDataFrame(rows, "src int, dst int, w_mm long")
+    src = spark.createDataFrame([(base,), (base + 2,)], "node int")
+    got = {r["node"]: r for r in betweenness(e, src).collect()}
+    # middle node lies on both source-rooted shortest-path trees
+    assert got[base + 1]["bc_q"] > 0
