@@ -75,12 +75,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    _fns: dict[str, object] = {}
+    _n_samples: dict[str, int] = {}
+    _split_conf: dict[str, tuple[str, str]] = {}
 
     def timed(name: str, fn, runs: int = RUNS, warmup: bool = False) -> None:
         """Median of ``runs`` samples + [min, max] spread (VERDICT r2
         item 7: the shared VM swings ±40% between minutes, so single
         samples misstate regressions; the spread makes co-tenant noise
-        visible in the artifact itself)."""
+        visible in the artifact itself).  The closure and its section's
+        split sizing are retained so the post-suite retry pass
+        (VERDICT r4 item 1) can re-measure wide-spread entries in the
+        quiet window after the suite."""
         if warmup:
             fn()
         samples = []
@@ -91,6 +97,57 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
+        _fns[name] = fn
+        _n_samples[name] = runs
+        _split_conf[name] = (
+            spark.conf.get("spark.sql.files.maxPartitionBytes"),
+            spark.conf.get("spark.sql.files.openCostInBytes"),
+        )
+
+    def retry_pass() -> dict:
+        """Post-suite re-measurement (VERDICT r4 item 1: the r4 driver
+        artifact overstated two bulk-radius entries ~4x through
+        in-suite co-tenant contention — the judge's quiet-window
+        re-measures matched r3, so the fix is to build that quiet
+        re-measure INTO the artifact).  Two triggers:
+
+        - spread wider than 2x: the in-suite samples disagree with
+          each other, so the median is untrustworthy;
+        - single-sample entries over 10 s (VERDICT r4 item 8): one
+          sample has no spread at all, so take a second one.
+
+        The retry runs each entry ONCE more, after the whole suite,
+        under the entry's own section split sizing.  If the suite
+        median exceeds 1.5x the retry, the suite value was contention
+        and the retry replaces it; entries whose all-sample spread
+        still exceeds 2x carry ``suspect: true``."""
+        info: dict[str, dict] = {}
+        for name in list(timings):
+            mn, mx = spread[name]
+            wide = mx > 2.0 * mn + 0.05
+            lone = _n_samples[name] == 1 and timings[name] > 10.0
+            if not (wide or lone):
+                continue
+            mpb, ocb = _split_conf[name]
+            spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", ocb)
+            t0 = time.perf_counter()
+            _fns[name]()
+            retry = time.perf_counter() - t0
+            suite_median = timings[name]
+            lo = round(min(mn, retry), 3)
+            hi = round(max(mx, retry), 3)
+            if suite_median > 1.5 * retry:
+                timings[name] = round(retry, 3)
+            spread[name] = [lo, hi]
+            info[name] = {
+                "trigger": "wide_spread" if wide else "single_sample",
+                "suite_median": suite_median,
+                "post_suite_retry": round(retry, 3),
+                "kept": timings[name],
+                "suspect": hi > 2.0 * lo + 0.05,
+            }
+        return info
 
     input_path, n_docs = materialize_input(spark, SF_DIR, AMPLIFY)
 
@@ -1131,6 +1188,12 @@ def main() -> None:
 
     timed("tfidf_topk_docs", tfidf_docs, runs=1, warmup=True)
 
+    # quiet-window re-measure of wide-spread / lone-sample entries
+    # (VERDICT r4 items 1 + 8); runs after every suite section so the
+    # box is as idle as this process can make it
+    retries = retry_pass()
+    suspects = sorted(n for n, d in retries.items() if d["suspect"])
+
     # Full payload (spreads, ann kernel rates) goes to a FILE; stdout gets
     # a compact one-line summary as the LAST line.  The driver captures a
     # bounded tail of stdout, and the r3 full line (~3 KB with spread
@@ -1146,6 +1209,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "retries": retries,
+        "suspect": suspects,
         "ann_scoring": {
             "arrow_rows_per_sec": round(arrow_rps),
             "hof_rows_per_sec": round(hof_rps),
@@ -1176,6 +1241,7 @@ def main() -> None:
         "docs_per_sec": docs_per_sec,
         "n_docs": n_docs,
         "cpus": CPUS,
+        "suspect": suspects,
     }
     sys.stdout.flush()
     print(json.dumps(compact, separators=(",", ":")))

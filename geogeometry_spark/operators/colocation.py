@@ -299,6 +299,16 @@ def knox_test(
       runs over the histogram only (allowlist: the nearest_facility
       doctrine), and integer sums need no order pinning.
 
+    Scale design (the ripley_k doctrine): coincident events — identical
+    1-microdegree position AND identical timestamp, the shape repeated
+    sensor pings take — collapse to ONE representative with a
+    multiplicity m before any pair join, so a hot clique of m duplicates
+    costs one candidate row instead of m² in Ns and X.  Cross-rep pairs
+    weight m_a·m_b; within-rep pairs contribute m(m−1)/2 at Δd = 0,
+    Δt = 0 (inside every δ/τ), all exact BIGINTs.  Distances evaluate on
+    the microdegree rep position (≤ ~0.11 m grain, the published
+    collapse tolerance); the twin quantizes identically.
+
     Returns one row: (n_pts, x_st, ns, nt, e_x_r6, z_r6) — z NULL
     when degenerate (n < 2 or E = 0)."""
     from pyspark.sql import Window
@@ -308,18 +318,38 @@ def knox_test(
     zoom = dbscan_zoom_for_eps(delta_m, max_abs_lat)
     n_tiles = 1 << zoom
 
+    ula = F.round(F.col(lat_col) * F.lit(1e6)).cast("long")
+    ulo = F.round(F.col(lon_col) * F.lit(1e6)).cast("long")
     pts = points.where(
         F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
     ).select(
         F.col(id_col).alias("_id"),
         F.col(ts_col).alias("_ts"),
-        F.col(lat_col).alias("_lat"),
-        F.col(lon_col).alias("_lon"),
+        ula.alias("_ula"),
+        ulo.alias("_ulo"),
+    )
+    # hot-clique collapse: one rep per (µlat, µlon, ts) with count
+    reps = pts.groupBy("_ula", "_ulo", "_ts").agg(
+        F.min("_id").alias("_pos"), F.count(F.lit(1)).alias("_m")
+    )
+    rlat = F.col("_ula").cast("double") / F.lit(1e6)
+    rlon = F.col("_ulo").cast("double") / F.lit(1e6)
+    reps = reps.select(
+        "_pos", "_m", "_ts",
+        rlat.alias("_lat"), rlon.alias("_lon"),
     ).localCheckpoint()
-    n = pts.count()
+    srow = reps.agg(
+        F.sum("_m"),
+        # m(m-1) is even: per-row exact long division, BIGINT shuffle
+        F.sum(
+            (F.col("_m") * (F.col("_m") - F.lit(1)) / F.lit(2)).cast("long")
+        ),
+    ).first()
+    n = int(srow[0] or 0)
+    self_pairs = int(srow[1] or 0)
 
     # ---- Nt: distinct-timestamp histogram + forward range window
-    hist = pts.groupBy("_ts").agg(F.count(F.lit(1)).alias("_c"))
+    hist = reps.groupBy("_ts").agg(F.sum("_m").alias("_c"))
     wt = (
         Window.orderBy("_ts").rangeBetween(1, int(tau_s))
     )
@@ -333,8 +363,9 @@ def knox_test(
     nt = int(nt_row[0] or 0) + int(nt_row[1] or 0) // 2
 
     # ---- Ns: spatial forward 5-address join (grid_dbscan halving)
+    # over REPS, pair weight m_a*m_b
     tx, ty = C.tile_xy(F.col("_lat"), F.col("_lon"), zoom)
-    keyed = pts.withColumns({"_tx": tx, "_ty": ty})
+    keyed = reps.withColumns({"_tx": tx, "_ty": ty})
     s_offs = F.array(
         *[
             F.struct(
@@ -346,7 +377,8 @@ def knox_test(
         ]
     )
     probe_s = keyed.withColumn("_o", F.explode(s_offs)).select(
-        F.col("_id").alias("_ia"),
+        F.col("_pos").alias("_pa"),
+        F.col("_m").alias("_ma"),
         F.col("_lat").alias("_lata"),
         F.col("_lon").alias("_lona"),
         F.col("_o.same").alias("_same"),
@@ -354,7 +386,8 @@ def knox_test(
         (F.col("_ty") + F.col("_o.dy")).alias("_ny"),
     )
     build_s = keyed.select(
-        F.col("_id").alias("_ib"),
+        F.col("_pos").alias("_pb"),
+        F.col("_m").alias("_mb"),
         F.col("_lat").alias("_latb"),
         F.col("_lon").alias("_lonb"),
         F.col("_tx").alias("_nx"),
@@ -363,14 +396,17 @@ def knox_test(
     dist = C.haversine(
         F.col("_lata"), F.col("_lona"), F.col("_latb"), F.col("_lonb")
     )
-    pair_ok = F.when(F.col("_same"), F.col("_ia") < F.col("_ib")).otherwise(
-        F.col("_ia") != F.col("_ib")
+    pair_ok = F.when(F.col("_same"), F.col("_pa") < F.col("_pb")).otherwise(
+        F.col("_pa") != F.col("_pb")
     )
-    ns = (
+    w = (F.col("_ma") * F.col("_mb")).alias("_w")
+    ns_sum = (
         probe_s.join(build_s, ["_nx", "_ny"])
         .where(pair_ok & (dist <= F.lit(float(delta_m))))
-        .count()
+        .agg(F.sum(w))
+        .first()[0]
     )
+    ns = int(ns_sum or 0) + self_pairs
 
     # ---- X: composite (τ-bucket, tile) forward join, both filters
     tb = F.expr(f"_ts div {int(tau_s)}")
@@ -394,7 +430,8 @@ def knox_test(
         ]
     )
     probe_x = keyed_st.withColumn("_o", F.explode(st_offs)).select(
-        F.col("_id").alias("_ia"),
+        F.col("_pos").alias("_pa"),
+        F.col("_m").alias("_ma"),
         F.col("_ts").alias("_tsa"),
         F.col("_lat").alias("_lata"),
         F.col("_lon").alias("_lona"),
@@ -404,7 +441,8 @@ def knox_test(
         (F.col("_ty") + F.col("_o.dy")).alias("_ny"),
     )
     build_x = keyed_st.select(
-        F.col("_id").alias("_ib"),
+        F.col("_pos").alias("_pb"),
+        F.col("_m").alias("_mb"),
         F.col("_ts").alias("_tsb"),
         F.col("_lat").alias("_latb"),
         F.col("_lon").alias("_lonb"),
@@ -412,15 +450,17 @@ def knox_test(
         F.col("_tx").alias("_nx"),
         F.col("_ty").alias("_ny"),
     )
-    x_st = (
+    x_sum = (
         probe_x.join(build_x, ["_nb", "_nx", "_ny"])
         .where(
             pair_ok
             & (F.abs(F.col("_tsa") - F.col("_tsb")) <= F.lit(int(tau_s)))
             & (dist <= F.lit(float(delta_m)))
         )
-        .count()
+        .agg(F.sum(w))
+        .first()[0]
     )
+    x_st = int(x_sum or 0) + self_pairs
 
     # pinned scalar combine — double-FIRST like general_g
     e_x = z = None
@@ -452,21 +492,31 @@ def knox_test_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`knox_test`: 27/9-address closures over
     the same exact predicates (integer counts need no order pinning),
-    range-window time histogram, identical pinned final combine."""
+    range-window time histogram, identical pinned final combine.
+    Coordinates quantize to the microdegree rep position first — the
+    Spark side collapses coincident (µlat, µlon, ts) events to
+    multiplicity-weighted reps and measures distances at the rep
+    position, so the twin must measure at the same grain (the counts
+    themselves stay per-event: a weighted rep-pair sum and a raw
+    quantized pair closure count identical integers)."""
     from .cluster import dbscan_zoom_for_eps
 
     zoom = dbscan_zoom_for_eps(delta_m, max_abs_lat)
     n_tiles = 1 << zoom
-    tx, ty = C.tile_xy_sql(lat, lon, zoom)
+    qlat = "CAST(ula AS DOUBLE) / 1e6"
+    qlon = "CAST(ulo AS DOUBLE) / 1e6"
+    tx, ty = C.tile_xy_sql(qlat, qlon, zoom)
     hav = C.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
     s_offs = ", ".join(
         f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
     )
     return (
-        f"WITH pts AS (SELECT {id_col} AS id, {ts_col} AS ts, "
-        f"{lat} AS lat, {lon} AS lon, {tx} AS tx, {ty} AS ty, "
-        f"{ts_col} // {int(tau_s)} AS tb FROM {subq} "
+        f"WITH qraw AS (SELECT {id_col} AS id, {ts_col} AS ts, "
+        f"CAST(round(({lat}) * 1e6) AS BIGINT) AS ula, "
+        f"CAST(round(({lon}) * 1e6) AS BIGINT) AS ulo FROM {subq} "
         f"WHERE {lat} IS NOT NULL AND {lon} IS NOT NULL), "
+        f"pts AS (SELECT id, ts, {qlat} AS lat, {qlon} AS lon, "
+        f"{tx} AS tx, {ty} AS ty, ts // {int(tau_s)} AS tb FROM qraw), "
         "nstats AS (SELECT count(*) AS n FROM pts), "
         "hist AS (SELECT ts, count(*) AS c FROM pts GROUP BY ts), "
         "ntw AS (SELECT c, coalesce(sum(c) OVER (ORDER BY ts "

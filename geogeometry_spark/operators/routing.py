@@ -86,6 +86,7 @@ def _relax_loop(
     w_col: str,
     max_rounds: int,
     with_label: bool,
+    check_every: int = 4,
 ) -> DataFrame:
     """Shared frontier label-correcting loop.  State per node is ONE
     BIGINT: bare dist_mm for SSSP, or ``dist_mm << 20 | seed_rank``
@@ -148,9 +149,8 @@ def _relax_loop(
         seeds.withColumn("_imp", F.lit(True)).localCheckpoint()
     )
 
-    converged = False
-    for _ in range(max_rounds):
-        frontier = dist.where("_imp")
+    def _one_round(cur: DataFrame) -> DataFrame:
+        frontier = cur.where("_imp")
         relaxed = (
             frontier.join(e, frontier["node"] == e["_src"])
             .select(
@@ -163,10 +163,9 @@ def _relax_loop(
             # one row per relaxed edge (see docstring)
             .agg(F.min("_cand").alias("_cand"))
         )
-        obs = Observation()
         imp = F.col("_st").isNull() | (F.col("_cand") < F.col("_st"))
-        merged = (
-            dist.select("node", "_st")
+        return (
+            cur.select("node", "_st")
             .join(relaxed, "node", "full_outer")
             .select(
                 "node",
@@ -175,15 +174,47 @@ def _relax_loop(
                 .alias("_st"),
                 imp.alias("_imp"),
             )
-            .observe(obs, F.sum(F.col("_imp").cast("int")).alias("n_imp"))
-            .localCheckpoint()  # eager: runs the round's job
         )
-        old = dist
-        dist = merged
-        old.unpersist()
-        if not obs.get["n_imp"]:
-            converged = True
-            break
+
+    # Amortized convergence checks (VERDICT r4 item 4): chain
+    # ``check_every`` rounds into ONE job between materializations.
+    # At sandbox graph sizes the wall is round-count x fixed job cost
+    # (scheduling + checkpoint), not per-round data volume, so driving
+    # j rounds per job cuts the dominant constant ~j-fold on long
+    # tails.  Inside a chunk each round references its predecessor
+    # twice (frontier + merge), but the duplicated subtrees are
+    # IDENTICAL, so whole-plan exchange reuse (ReusedExchange) serves
+    # the second reference from the first's shuffle output — the
+    # map-side work is not recomputed.  Overshoot past the fixed point
+    # within a chunk is a no-op round on an empty frontier.  Results
+    # are bit-identical to per-round checking: the chunk boundary
+    # observes the LAST round's improvement count, and n_imp = 0 there
+    # certifies the same fixed point.
+    from ..plans.session import iterative_loop_conf
+
+    converged = False
+    rounds_done = 0
+    check_every = max(1, int(check_every))
+    with iterative_loop_conf(edges.sparkSession):
+        while rounds_done < max_rounds:
+            chunk = min(check_every, max_rounds - rounds_done)
+            cur = dist
+            for _ in range(chunk):
+                cur = _one_round(cur)
+            obs = Observation()
+            merged = (
+                cur.observe(
+                    obs, F.sum(F.col("_imp").cast("int")).alias("n_imp")
+                )
+                .localCheckpoint()  # eager: runs the chunk's job
+            )
+            old = dist
+            dist = merged
+            old.unpersist()
+            rounds_done += chunk
+            if not obs.get["n_imp"]:
+                converged = True
+                break
     if not converged:
         import warnings
 
@@ -755,32 +786,45 @@ def betweenness(
         "node", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed")
     ).repartition("node").localCheckpoint()
 
+    from ..plans.session import iterative_loop_conf
+
+    def _sigma_round(cur):
+        preds = (
+            cur.join(dag, cur["node"] == dag["_u"])
+            .select(F.col("_v").alias("node"), F.col("_s").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        return nodes.join(preds, "node", "left").select(
+            "node",
+            F.when(F.col("_seed"), F.lit(1))
+            .otherwise(F.coalesce(F.col("_c"), F.lit(0)))
+            .cast("long")
+            .alias("_s"),
+        )
+
+    # fixed-round propagation, CHAIN rounds per materialization
+    # (VERDICT r4 item 4): each round references its predecessor once,
+    # so the chained plan grows linearly and one job drives CHAIN
+    # rounds — results identical, per-round fixed cost amortized.
+    _CHAIN = 6
     sigma = nodes.select(
         "node",
         F.when(F.col("_seed"), F.lit(1)).otherwise(F.lit(0))
         .cast("long")
         .alias("_s"),
     ).localCheckpoint()
-    for _ in range(int(rounds)):
-        preds = (
-            sigma.join(dag, sigma["node"] == dag["_u"])
-            .select(F.col("_v").alias("node"), F.col("_s").alias("_c"))
-            .groupBy("node")
-            .agg(F.sum("_c").alias("_c"))
-        )
-        new_sigma = (
-            nodes.join(preds, "node", "left")
-            .select(
-                "node",
-                F.when(F.col("_seed"), F.lit(1))
-                .otherwise(F.coalesce(F.col("_c"), F.lit(0)))
-                .cast("long")
-                .alias("_s"),
-            )
-            .localCheckpoint()
-        )
-        sigma.unpersist()
-        sigma = new_sigma
+    with iterative_loop_conf(spark):
+        done = 0
+        while done < int(rounds):
+            step = min(_CHAIN, int(rounds) - done)
+            cur = sigma
+            for _ in range(step):
+                cur = _sigma_round(cur)
+            new_sigma = cur.localCheckpoint()
+            sigma.unpersist()
+            sigma = new_sigma
+            done += step
 
     su = sigma.select(F.col("node").alias("_u"), F.col("_s").alias("_su"))
     sv = sigma.select(F.col("node").alias("_v"), F.col("_s").alias("_sv"))
@@ -795,12 +839,9 @@ def betweenness(
         .repartition("_v")
         .localCheckpoint()
     )
-    delta = nodes.select(
-        "node", F.lit(0).cast("long").alias("_d")
-    ).localCheckpoint()
-    for _ in range(int(rounds)):
+    def _delta_round(cur):
         succ = (
-            delta.join(ratios, delta["node"] == ratios["_v"])
+            cur.join(ratios, cur["node"] == ratios["_v"])
             .select(
                 F.col("_u").alias("node"),
                 # exact identity floor(r*q/s) = r*(q div s) +
@@ -815,16 +856,25 @@ def betweenness(
             .groupBy("node")
             .agg(F.sum("_c").alias("_c"))
         )
-        new_delta = (
-            nodes.join(succ, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_d"),
-            )
-            .localCheckpoint()
+        return nodes.join(succ, "node", "left").select(
+            "node",
+            F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_d"),
         )
-        delta.unpersist()
-        delta = new_delta
+
+    delta = nodes.select(
+        "node", F.lit(0).cast("long").alias("_d")
+    ).localCheckpoint()
+    with iterative_loop_conf(spark):
+        done = 0
+        while done < int(rounds):
+            step = min(_CHAIN, int(rounds) - done)
+            cur = delta
+            for _ in range(step):
+                cur = _delta_round(cur)
+            new_delta = cur.localCheckpoint()
+            delta.unpersist()
+            delta = new_delta
+            done += step
 
     out = (
         nodes.where(~F.col("_seed"))

@@ -11,6 +11,7 @@ Settings chosen for multi-executor scale (and harmless locally):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -60,3 +61,47 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+@_contextmanager
+def iterative_loop_conf(
+    spark: SparkSession,
+    aqe: bool | None = False,
+    shuffle_partitions: int | None = None,
+):
+    """Scoped session tuning for driver-side iterative loops (SSSP /
+    Brandes / PageRank / Boruvka rounds — VERDICT r4 item 4).
+
+    AQE turns every exchange into a separately materialized query
+    stage with a driver-side re-optimization; on the micro-shuffles a
+    frontier loop issues (K rounds x 2-3 tiny exchanges), that
+    replanning latency IS the wall at sandbox graph sizes, while the
+    runtime re-planning buys nothing (the loop already fixes its join
+    strategy and the relations are checkpointed).  Disabling AQE and
+    right-sizing shuffle partitions for the STATE relation cuts the
+    per-round constant; both settings restore on exit, so the
+    surrounding query (edge build, downstream joins) keeps the
+    engine-default adaptive behavior.  At production frontier sizes
+    the per-round work dominates either way (BASELINE.md routing
+    macro-round: eff 0.90 at 62M edges), so this trades nothing at
+    scale.  Pass ``aqe=None`` / ``shuffle_partitions=None`` to leave a
+    setting untouched.
+    """
+    saved: dict[str, str] = {}
+    try:
+        if aqe is not None:
+            saved["spark.sql.adaptive.enabled"] = spark.conf.get(
+                "spark.sql.adaptive.enabled"
+            )
+            spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        if shuffle_partitions is not None:
+            saved["spark.sql.shuffle.partitions"] = spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(int(shuffle_partitions))
+            )
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -82,9 +82,12 @@ def measure(cpus: int) -> dict:
         ops["huff"] = lambda: huff_catchment(metro, huff_facs, zoom=12)
         ops["knox"] = lambda: knox_test(metro, delta_m=100.0, tau_s=900)
         ops["st_dbscan"] = lambda: st_dbscan(metro, eps_m=50.0, eps_t=1800)
+    only = [s for s in os.environ.get("STATS_ONLY", "").split(",") if s]
+    if only:
+        ops = {k: v for k, v in ops.items() if k in only}
     out = {}
     for name, build in ops.items():
-        runs = 1 if name == "st_dbscan" else RUNS
+        runs = 1 if name in ("st_dbscan", "knox") else RUNS
         build().write.format("noop").mode("overwrite").save()  # warm-up
         samples = []
         for _ in range(runs):

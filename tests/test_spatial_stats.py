@@ -1331,6 +1331,75 @@ class TestKnox:
         exp = tuple(duckdb.sql(sql).fetchall()[0])
         assert got == exp and got[1] > 0
 
+    def test_hot_clique_collapse_exact_and_bounded(self, spark):
+        """VERDICT r4 item 2: m coincident events must cost ONE rep,
+        not an m-clique, and all counts stay exact."""
+        from pyspark.sql import functions as F
+
+        from geogeometry_spark.operators.colocation import knox_test
+
+        # 3 hot cliques of 400 identical (place, ts) pings each,
+        # mutually far in space AND time
+        m, rows, rid = 400, [], 0
+        for k in range(3):
+            for _ in range(m):
+                rows.append(
+                    (rid, k, 1000 + k * 10_000_000,
+                     10.0 + k * 30.0, 20.0 + k * 30.0)
+                )
+                rid += 1
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        r = knox_test(df, delta_m=500.0, tau_s=3600).collect()[0]
+        clique = m * (m - 1) // 2
+        assert (r["n_pts"], r["ns"], r["nt"], r["x_st"]) == (
+            3 * m, 3 * clique, 3 * clique, 3 * clique
+        )
+        # boundedness: the collapse key (ulat, ulon, ts) leaves 3 reps,
+        # so the pair joins see 3 candidate rows, not 3 * C(400,2)
+        n_reps = (
+            df.groupBy(
+                F.round(F.col("lat") * 1e6).cast("long"),
+                F.round(F.col("lon") * 1e6).cast("long"),
+                F.col("ts_sec"),
+            ).count().count()
+        )
+        assert n_reps == 3
+
+    def test_twin_parity_with_duplicates(self, spark):
+        import duckdb
+
+        from geogeometry_spark.operators.colocation import (
+            knox_test,
+            knox_test_oracle_sql,
+        )
+
+        # mixed corpus: near-coincident spread + hot duplicate stacks
+        rows = [
+            (i, i % 5, 1000 + (i * 977) % 40000,
+             52.0 + ((i * 31) % 20) * 0.004,
+             13.0 + ((i * 17) % 20) * 0.006)
+            for i in range(120)
+        ]
+        rows += [
+            (1000 + i, 9, 5000, 52.02, 13.03) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        got = tuple(
+            knox_test(df, delta_m=700.0, tau_s=7200).collect()[0]
+        )
+        vals = ", ".join(
+            f"({e}, {u}, {t}, {la!r}, {lo!r})" for e, u, t, la, lo in rows
+        )
+        sql = knox_test_oracle_sql(
+            "(SELECT event_id, user_id, ts_sec, "
+            "CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon "
+            f"FROM (VALUES {vals}) t(event_id, user_id, ts_sec, lat, lon))",
+            delta_m=700.0,
+            tau_s=7200,
+        )
+        exp = tuple(duckdb.sql(sql).fetchall()[0])
+        assert got == exp and got[1] > 0
+
 
 # --------------------------------------------------------------------------
 # spatial entropy / evenness / Theil
