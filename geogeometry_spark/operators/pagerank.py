@@ -115,7 +115,11 @@ def pagerank(
     # one up-front shuffle keys the static edge relation by _src (the
     # sssp layout trick: localCheckpoint pins the partitioning so every
     # round's contribution join reuses it)
-    e = e.repartition("_src").localCheckpoint()
+    from ..plans.session import iterative_loop_conf
+    from .routing import _loop_partitions
+
+    n_parts = _loop_partitions(edges.sparkSession)
+    e = e.repartition(n_parts, "_src").localCheckpoint()
 
     outd = e.groupBy(F.col("_src").alias("node")).agg(
         F.sum("_w").alias("_outden"), F.max("_w").alias("_maxw")
@@ -143,7 +147,7 @@ def pagerank(
         )
     else:
         nodes = nodes.withColumn("_seed", F.lit(True))
-    ranks = nodes.repartition("node").localCheckpoint()
+    ranks = nodes.repartition(n_parts, "node").localCheckpoint()
     n = ranks.count()
     if n == 0:
         return ranks.select(
@@ -185,56 +189,59 @@ def pagerank(
         )
         .localCheckpoint()
     )
-    for _ in range(int(rounds)):
-        dang = obs.get["dang"] or 0
-        dang_term = ((int(dang) * num) // den) // k
-        contribs = (
-            ranks.where(F.col("_outden").isNotNull())
-            .join(e, ranks["node"] == e["_src"])
-            .select(
-                F.col("_dst").alias("node"),
-                # pinned op order, mirrored verbatim in the twin:
-                # ((r*num) div den * w) div outden — Spark `div` is
-                # BIGINT integer division, identical to DuckDB `//`
-                # for the non-negative values here
-                F.expr(
-                    f"((_r * {num}) div {den} * _w) div _outden"
-                ).alias("_c"),
+    with iterative_loop_conf(
+        edges.sparkSession, aqe=False, shuffle_partitions=n_parts
+    ):
+        for _ in range(int(rounds)):
+            dang = obs.get["dang"] or 0
+            dang_term = ((int(dang) * num) // den) // k
+            contribs = (
+                ranks.where(F.col("_outden").isNotNull())
+                .join(e, ranks["node"] == e["_src"])
+                .select(
+                    F.col("_dst").alias("node"),
+                    # pinned op order, mirrored verbatim in the twin:
+                    # ((r*num) div den * w) div outden — Spark `div` is
+                    # BIGINT integer division, identical to DuckDB `//`
+                    # for the non-negative values here
+                    F.expr(
+                        f"((_r * {num}) div {den} * _w) div _outden"
+                    ).alias("_c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_c"))
             )
-            .groupBy("node")
-            .agg(F.sum("_c").alias("_c"))
-        )
-        obs = Observation()
-        merged = (
-            ranks.select("node", "_outden", "_seed")
-            .join(contribs, "node", "left")
-            .select(
-                "node",
-                "_outden",
-                "_seed",
-                (
-                    F.when(
-                        F.col("_seed"),
-                        F.lit(int(base + dang_term)),
-                    )
-                    .otherwise(F.lit(0))
-                    .cast("long")
-                    + F.coalesce(F.col("_c"), F.lit(0))
-                ).alias("_r"),
+            obs = Observation()
+            merged = (
+                ranks.select("node", "_outden", "_seed")
+                .join(contribs, "node", "left")
+                .select(
+                    "node",
+                    "_outden",
+                    "_seed",
+                    (
+                        F.when(
+                            F.col("_seed"),
+                            F.lit(int(base + dang_term)),
+                        )
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                        + F.coalesce(F.col("_c"), F.lit(0))
+                    ).alias("_r"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(
+                            F.col("_outden").isNull(), F.col("_r")
+                        ).otherwise(F.lit(0))
+                    ).alias("dang"),
+                )
+                .localCheckpoint()  # eager: runs the round's job
             )
-            .observe(
-                obs,
-                F.sum(
-                    F.when(
-                        F.col("_outden").isNull(), F.col("_r")
-                    ).otherwise(F.lit(0))
-                ).alias("dang"),
-            )
-            .localCheckpoint()  # eager: runs the round's job
-        )
-        old = ranks
-        ranks = merged
-        old.unpersist()
+            old = ranks
+            ranks = merged
+            old.unpersist()
     return ranks.select(
         "node",
         F.col("_r").alias("rank_scaled"),
@@ -362,12 +369,16 @@ def hits(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )
-    e = e.repartition("_src").localCheckpoint()
+    from ..plans.session import iterative_loop_conf
+    from .routing import _loop_partitions
+
+    n_parts = _loop_partitions(edges.sparkSession)
+    e = e.repartition(n_parts, "_src").localCheckpoint()
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .repartition("node")
+        .repartition(n_parts, "node")
         .localCheckpoint()
     )
     n = nodes.count()
@@ -383,70 +394,73 @@ def hits(
         "node", F.lit(init).cast("long").alias("_s")
     ).localCheckpoint()
     a = None
-    for _ in range(int(rounds)):
-        # authority step: sum incoming hub mass, L1-renormalize
-        araw = (
-            h.join(e, h["node"] == e["_src"])
-            .select(F.col("_dst").alias("node"), F.col("_s").alias("_c"))
-            .groupBy("node")
-            .agg(F.sum("_c").alias("_raw"))
-        )
-        araw = (
-            nodes.join(araw, "node", "left")
-            .select(
+    with iterative_loop_conf(
+        edges.sparkSession, aqe=False, shuffle_partitions=n_parts
+    ):
+        for _ in range(int(rounds)):
+            # authority step: sum incoming hub mass, L1-renormalize
+            araw = (
+                h.join(e, h["node"] == e["_src"])
+                .select(F.col("_dst").alias("node"), F.col("_s").alias("_c"))
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_raw"))
+            )
+            araw = (
+                nodes.join(araw, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("_raw"), F.lit(0))
+                    .cast("long")
+                    .alias("_raw"),
+                )
+                .localCheckpoint()
+            )
+            tot_a = int(araw.agg(F.sum("_raw")).first()[0] or 0)
+            a_new = araw.select(
                 "node",
-                F.coalesce(F.col("_raw"), F.lit(0))
+                (
+                    F.expr(f"(_raw * {scale}) div {tot_a}")
+                    if tot_a > 0
+                    else F.lit(0)
+                )
                 .cast("long")
-                .alias("_raw"),
+                .alias("_s"),
+            ).localCheckpoint()
+            araw.unpersist()
+            if a is not None:
+                a.unpersist()
+            a = a_new
+            # hub step: sum outgoing NEW authority mass, renormalize
+            hraw = (
+                a.join(e, a["node"] == e["_dst"])
+                .select(F.col("_src").alias("node"), F.col("_s").alias("_c"))
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_raw"))
             )
-            .localCheckpoint()
-        )
-        tot_a = int(araw.agg(F.sum("_raw")).first()[0] or 0)
-        a_new = araw.select(
-            "node",
-            (
-                F.expr(f"(_raw * {scale}) div {tot_a}")
-                if tot_a > 0
-                else F.lit(0)
+            hraw = (
+                nodes.join(hraw, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("_raw"), F.lit(0))
+                    .cast("long")
+                    .alias("_raw"),
+                )
+                .localCheckpoint()
             )
-            .cast("long")
-            .alias("_s"),
-        ).localCheckpoint()
-        araw.unpersist()
-        if a is not None:
-            a.unpersist()
-        a = a_new
-        # hub step: sum outgoing NEW authority mass, renormalize
-        hraw = (
-            a.join(e, a["node"] == e["_dst"])
-            .select(F.col("_src").alias("node"), F.col("_s").alias("_c"))
-            .groupBy("node")
-            .agg(F.sum("_c").alias("_raw"))
-        )
-        hraw = (
-            nodes.join(hraw, "node", "left")
-            .select(
+            tot_h = int(hraw.agg(F.sum("_raw")).first()[0] or 0)
+            h_new = hraw.select(
                 "node",
-                F.coalesce(F.col("_raw"), F.lit(0))
+                (
+                    F.expr(f"(_raw * {scale}) div {tot_h}")
+                    if tot_h > 0
+                    else F.lit(0)
+                )
                 .cast("long")
-                .alias("_raw"),
-            )
-            .localCheckpoint()
-        )
-        tot_h = int(hraw.agg(F.sum("_raw")).first()[0] or 0)
-        h_new = hraw.select(
-            "node",
-            (
-                F.expr(f"(_raw * {scale}) div {tot_h}")
-                if tot_h > 0
-                else F.lit(0)
-            )
-            .cast("long")
-            .alias("_s"),
-        ).localCheckpoint()
-        hraw.unpersist()
-        h.unpersist()
-        h = h_new
+                .alias("_s"),
+            ).localCheckpoint()
+            hraw.unpersist()
+            h.unpersist()
+            h = h_new
     out = h.select("node", F.col("_s").alias("hub_scaled")).join(
         a.select("node", F.col("_s").alias("auth_scaled")), "node"
     )

