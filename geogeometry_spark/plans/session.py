@@ -86,6 +86,13 @@ def iterative_loop_conf(
     macro-round: eff 0.90 at 62M edges), so this trades nothing at
     scale.  Pass ``aqe=None`` / ``shuffle_partitions=None`` to leave a
     setting untouched.
+
+    The settings are SESSION-scoped SQL confs: a query planned on
+    another thread of the same session while the loop runs would see
+    them.  The engine's drivers (contract/bench/streaming) are
+    single-planner-threaded; callers embedding loops in multi-threaded
+    schedulers should pin their own conf isolation (e.g. per-thread
+    sessions via ``spark.newSession()``).
     """
     saved: dict[str, str] = {}
     try:
