@@ -162,16 +162,10 @@ def _relax_loop(
     # preserves hash partitioning) and only the frontier side moves
     spark = edges.sparkSession
     n_parts = _loop_partitions(spark, loop_partitions)
-    # keep the re-key exchange's MAP side proportional to the loop too:
-    # a many-hundred-partition upstream (the 384-part road checkpoint,
-    # or a finely-split parquet scan) otherwise pays one task dispatch
-    # per sliver to feed an 8-partition shuffle (measured 1.2-2.4 s vs
-    # 0.7-0.9 s with the coalesce on the 2.8M-row product relation);
-    # coalesce is narrow (no extra shuffle) and the guard leaves
-    # normally-partitioned inputs untouched
-    map_parts = max(n_parts * 4, 32)
-    if e.rdd.getNumPartitions() > 2 * map_parts:
-        e = e.coalesce(map_parts)
+    # (A map-side coalesce before this re-key was tried and REMOVED:
+    # Catalyst's CollapseRepartition folds Coalesce into a following
+    # RepartitionByExpression, so the plan was unchanged — verified
+    # with explain("formatted"); the apparent A/B win was cache noise.)
     e = e.repartition(n_parts, "_src").localCheckpoint()
 
     dist = (
